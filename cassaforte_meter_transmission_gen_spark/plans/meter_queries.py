@@ -1,0 +1,200 @@
+"""Meter-domain catalog queries (the reference's own surface).
+
+Each query pairs the Spark plan with DuckDB oracle SQL that re-derives
+the same result from first principles (the generator is deterministic:
+sawtooth samples core.clj:37-41, fixed t0, contiguous said range —
+FIXTURES.md §A), so the oracle needs no pre-materialized meter tables.
+
+Oracle arithmetic notes: DuckDB ``//`` = integer div (Spark ``DIV``);
+``CAST(x AS INT)`` rounds in DuckDB but truncates in Spark, so the
+joules truncation is an explicit ``floor`` on both sides;
+``SUM(INTEGER)`` is INT128 in DuckDB → cast to BIGINT to match Spark's
+LongType.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.energy import SAMPLE_RATE, SAW_PERIOD
+from ..functions.timeutil import hhmmss
+from ..operators.rollups import rollup_chain
+from ..sources.meter_generator import (
+    DEFAULT_NUM_METERS,
+    DEFAULT_SECONDS,
+    DEFAULT_START_SAID,
+    T0_EPOCH,
+    meter_samples_second,
+    transmissions,
+)
+from .catalog import register
+
+T0_SQL = "TIMESTAMP '2013-01-01 00:00:00'"
+
+#: DuckDB CTE mirroring ``transmissions(...)`` ids → (said, datetime).
+GEN_CTE = f"""
+gen AS (
+  SELECT CAST({DEFAULT_START_SAID} + (i // {DEFAULT_SECONDS}) AS INT) AS said,
+         {T0_SQL} + (i % {DEFAULT_SECONDS}) * INTERVAL 1 SECOND AS datetime
+  FROM range(0, {DEFAULT_NUM_METERS * DEFAULT_SECONDS}) t(i)
+)"""
+
+#: DuckDB scalar mirroring ``joules_over_second(sawtooth_watts())`` —
+#: computed honestly from the sawtooth, once (every tick is identical,
+#: core.clj:158).
+TICK_CTE = f"""
+tick AS (
+  SELECT CAST(floor(
+           list_sum(list_transform(range(0, {SAMPLE_RATE}),
+                                   x -> CAST(x % {SAW_PERIOD} AS DOUBLE)))
+           / {SAMPLE_RATE}) AS INT) AS joules
+)"""
+
+SECOND_SQL = f"WITH {GEN_CTE},{TICK_CTE}\nSELECT g.said, g.datetime, t.joules FROM gen g CROSS JOIN tick t"
+
+
+@register(
+    "meter_raw_scan",
+    oracle=f"""
+WITH g AS (
+  SELECT m.said,
+         {T0_SQL} + t.s * INTERVAL 1 SECOND AS datetime,
+         list_transform(range(0, {SAMPLE_RATE}), x -> CAST(x % {SAW_PERIOD} AS FLOAT)) AS watts
+  FROM (SELECT unnest([{DEFAULT_START_SAID}, {DEFAULT_START_SAID + 1}]) AS said) m
+  CROSS JOIN range(3540, 3660) t(s)
+)
+SELECT CAST(said AS INT) AS said, datetime,
+       CAST(len(watts) AS INT) AS n_samples,
+       CAST(list_sum(list_transform(watts, w -> CAST(w AS DOUBLE))) AS DOUBLE) AS watts_sum,
+       CAST(list_min(watts) AS DOUBLE) AS watts_min,
+       CAST(list_max(watts) AS DOUBLE) AS watts_max
+FROM g
+""",
+    tags=("meter", "scan", "filter"),
+)
+def meter_raw_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/P2/P3 + the stated primary read (setup_and_notes.txt:46,50):
+    raw samples for a said-set over a time window (here spanning an hour
+    boundary). Partition pruning: the said/datetime filter sits directly
+    on the generator's narrow plan; on a stored table it prunes files.
+    Array is summarized (sum/min/max) rather than dumped — exercises the
+    array compute without hashing 15k floats per row."""
+    raw = transmissions(spark)
+    lo = F.timestamp_seconds(F.lit(T0_EPOCH + 3540))
+    hi = F.timestamp_seconds(F.lit(T0_EPOCH + 3660))
+    return (
+        raw.filter(
+            F.col("said").isin(DEFAULT_START_SAID, DEFAULT_START_SAID + 1)
+            & (F.col("datetime") >= lo)
+            & (F.col("datetime") < hi)
+        )
+        .select(
+            "said",
+            "datetime",
+            F.size("watts").alias("n_samples"),
+            F.aggregate(
+                "watts", F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            ).alias("watts_sum"),
+            F.array_min("watts").cast("double").alias("watts_min"),
+            F.array_max("watts").cast("double").alias("watts_max"),
+        )
+    )
+
+
+@register(
+    "meter_joules_second",
+    oracle=SECOND_SQL,
+    tags=("meter", "agg", "array"),
+)
+def meter_joules_second(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/K2 (core.clj:43-46,111-120): per-second energy from the 15k
+    sample array, for every meter-second. The fold runs inside codegen;
+    no shuffle at all — the plan is a single narrow stage."""
+    return meter_samples_second(spark)
+
+
+def _rollup_oracle(grain: str) -> str:
+    # CAST: DuckDB date_trunc('day') yields DATE; Spark always TIMESTAMP
+    return f"""WITH {GEN_CTE},{TICK_CTE}
+SELECT said, CAST(date_trunc('{grain}', datetime) AS TIMESTAMP) AS datetime,
+       CAST(SUM(joules) AS BIGINT) AS joules
+FROM gen CROSS JOIN tick
+GROUP BY 1, 2"""
+
+
+def _chain(spark: SparkSession) -> dict[str, DataFrame]:
+    return rollup_chain(meter_samples_second(spark))
+
+
+@register("meter_rollup_minute", oracle=_rollup_oracle("minute"), tags=("meter", "rollup"))
+def meter_rollup_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/K3 (core.clj:122-131): minute COUNTER table as grouped sum,
+    derived second→minute. Partial+final hash agg; shuffle carries one
+    row per (said, minute) per task."""
+    return _chain(spark)["minute"]
+
+
+@register("meter_rollup_hour", oracle=_rollup_oracle("hour"), tags=("meter", "rollup"))
+def meter_rollup_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/K4 (core.clj:133-142): hour rollup, derived minute→hour (60×
+    fewer input rows than re-scanning seconds; exact by associativity)."""
+    return _chain(spark)["hour"]
+
+
+@register("meter_rollup_day", oracle=_rollup_oracle("day"), tags=("meter", "rollup"))
+def meter_rollup_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/K5 (core.clj:144-153): day rollup, derived hour→day."""
+    return _chain(spark)["day"]
+
+
+@register(
+    "meter_daily_report",
+    oracle=f"""WITH {GEN_CTE},{TICK_CTE}
+SELECT said, CAST(date_trunc('day', datetime) AS TIMESTAMP) AS day,
+       CAST(SUM(joules) AS BIGINT) AS total_joules,
+       count(*) AS n_seconds
+FROM gen CROSS JOIN tick
+WHERE said IN ({DEFAULT_START_SAID}, {DEFAULT_START_SAID + 1})
+  AND datetime >= {T0_SQL} + 1800 * INTERVAL 1 SECOND
+  AND datetime <  {T0_SQL} + 5400 * INTERVAL 1 SECOND
+GROUP BY 1, 2""",
+    tags=("meter", "flagship"),
+)
+def meter_daily_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 flagship read: energy report for a set of meters over a time
+    period, served from the pre-aggregated chain (grain routing, O4) —
+    here the second table filtered then rolled to day, never raw."""
+    second = meter_samples_second(spark)
+    lo = F.timestamp_seconds(F.lit(T0_EPOCH + 1800))
+    hi = F.timestamp_seconds(F.lit(T0_EPOCH + 5400))
+    return (
+        second.filter(
+            F.col("said").isin(DEFAULT_START_SAID, DEFAULT_START_SAID + 1)
+            & (F.col("datetime") >= lo)
+            & (F.col("datetime") < hi)
+        )
+        .groupBy("said", F.date_trunc("day", "datetime").alias("day"))
+        .agg(
+            F.sum("joules").cast("long").alias("total_joules"),
+            F.count("*").alias("n_seconds"),
+        )
+    )
+
+
+@register(
+    "meter_hhmmss_format",
+    oracle=f"""WITH {GEN_CTE}
+SELECT said, datetime, strftime(datetime, '%H:%M:%S') || ' UTC' AS hhmmss
+FROM gen
+WHERE datetime < {T0_SQL} + 120 * INTERVAL 1 SECOND""",
+    tags=("meter", "scalar"),
+)
+def meter_hhmmss_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 (core.clj:63-66): HH:mm:ss z formatting in UTC (session is
+    pinned UTC so ``z`` renders 'UTC' like the reference's logs)."""
+    raw = transmissions(spark, with_watts=False)
+    hi = F.timestamp_seconds(F.lit(T0_EPOCH + 120))
+    return raw.filter(F.col("datetime") < hi).select(
+        "said", "datetime", hhmmss(F.col("datetime")).alias("hhmmss")
+    )

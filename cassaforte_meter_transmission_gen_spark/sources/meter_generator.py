@@ -1,0 +1,84 @@
+"""Deterministic meter-transmission source (reference core.clj:37-41,155-176).
+
+The reference's generator: an infinite sawtooth sample seq
+``(map float (cycle (range 0 120)))`` (core.clj:37-41); each 1 Hz tick
+takes exactly ``SAMPLE_RATE`` (15000, core.clj:14) samples — always the
+*first* 15000 of the lazy seq, so every tick carries the identical array
+(core.clj:158) — and fans it out to meters ``start-said ..
+start-said+n-1`` (core.clj:159-161). ``start-said`` is a stable per-host
+seed, SHA1(host_id) mod 100000 (core.clj:27-35); fixtures pin 42000.
+
+Spark-first design, 100 TB notes:
+
+- One ``spark.range(n)`` with integer div/mod → said/tick: a parallel,
+  shuffle-free narrow plan. No crossJoin, no driver loop; scales to any
+  meter-count × duration by splitting the range across executors.
+- The watts array is a ``transform(sequence(...))`` expression evaluated
+  JVM-side inside WholeStageCodegen — no Python, no serialization.
+- Determinism: event time is ``t0_epoch + tick`` (never ``now()``), so
+  plans are replayable and oracle-checkable (SURVEY §5.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.energy import SAMPLE_RATE, SAW_PERIOD, joules_over_second
+
+#: fixture defaults (FIXTURES.md §A): 2013-01-01T00:00:00Z
+T0_EPOCH = 1356998400
+DEFAULT_START_SAID = 42000
+DEFAULT_NUM_METERS = 4
+DEFAULT_SECONDS = 7200
+
+
+def sawtooth_watts() -> F.Column:
+    """The reference's sample array: first 15000 of cycle(range 0 120),
+    as float (core.clj:37-41,158). Identical for every row by
+    construction — matching the reference's shared-array optimization
+    (core.clj:158-161, SURVEY §4 O8)."""
+    return F.expr(
+        f"transform(sequence(0, {SAMPLE_RATE - 1}),"
+        f" i -> CAST(i % {SAW_PERIOD} AS FLOAT))"
+    )
+
+
+def transmissions(
+    spark: SparkSession,
+    num_meters: int = DEFAULT_NUM_METERS,
+    start_said: int = DEFAULT_START_SAID,
+    t0_epoch: int = T0_EPOCH,
+    seconds: int = DEFAULT_SECONDS,
+    with_watts: bool = True,
+) -> DataFrame:
+    """``meter_samples`` rows for ``num_meters`` meters × ``seconds``
+    ticks: (said int, datetime timestamp, watts array<float>).
+
+    Layout: id = meter_index * seconds + tick, so each meter's ticks are
+    contiguous in the range → range-partition boundaries align with
+    meters (the reference's partition-by-meter layout, SURVEY §4 O5).
+    """
+    n = num_meters * seconds
+    df = spark.range(n).select(
+        (F.lit(start_said) + F.expr(f"id DIV {seconds}")).cast("int").alias("said"),
+        F.timestamp_seconds(F.lit(t0_epoch) + F.col("id") % seconds).alias("datetime"),
+    )
+    if with_watts:
+        df = df.withColumn("watts", sawtooth_watts())
+    return df
+
+
+def meter_samples_second(
+    spark: SparkSession,
+    num_meters: int = DEFAULT_NUM_METERS,
+    start_said: int = DEFAULT_START_SAID,
+    t0_epoch: int = T0_EPOCH,
+    seconds: int = DEFAULT_SECONDS,
+) -> DataFrame:
+    """The ``meter_samples_second`` table: joules computed from the raw
+    sample arrays in-plan (reference K2, core.clj:111-120)."""
+    raw = transmissions(spark, num_meters, start_said, t0_epoch, seconds)
+    return raw.select(
+        "said", "datetime", joules_over_second(F.col("watts")).alias("joules")
+    )

@@ -1,0 +1,52 @@
+"""Golden-value tests for the reference semantics (BASELINE.md):
+sawtooth sum = 892,500 per tick → joules = 59 per meter-second;
+minute rows = 3,540; hour rows = 212,400."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cassaforte_meter_transmission_gen_spark.functions.energy import TICK_JOULES
+from cassaforte_meter_transmission_gen_spark.functions.hashing import host_hash
+from cassaforte_meter_transmission_gen_spark.operators.rollups import rollup_chain
+from cassaforte_meter_transmission_gen_spark.sources.meter_generator import (
+    meter_samples_second,
+    transmissions,
+)
+
+
+def test_transmission_shape(spark):
+    df = transmissions(spark, num_meters=2, seconds=3)
+    rows = df.orderBy("said", "datetime").collect()
+    assert len(rows) == 6
+    assert rows[0]["said"] == 42000 and rows[-1]["said"] == 42001
+    watts = rows[0]["watts"]
+    assert len(watts) == 15000
+    assert watts[:5] == [0.0, 1.0, 2.0, 3.0, 4.0]
+    assert watts[119] == 119.0 and watts[120] == 0.0  # sawtooth wraps
+
+
+def test_joules_golden(spark):
+    sec = meter_samples_second(spark, num_meters=1, seconds=5)
+    vals = [r["joules"] for r in sec.collect()]
+    assert vals == [TICK_JOULES] * 5  # int(892500/15000) = 59
+
+
+def test_rollup_chain_golden(spark):
+    sec = meter_samples_second(spark, num_meters=2, seconds=3600)
+    chain = rollup_chain(sec)
+    minute = chain["minute"].collect()
+    assert len(minute) == 120  # 2 meters x 60 minutes
+    assert all(r["joules"] == TICK_JOULES * 60 for r in minute)  # 3540
+    hour = chain["hour"].collect()
+    assert len(hour) == 2
+    assert all(r["joules"] == TICK_JOULES * 3600 for r in hour)  # 212400
+    # grain consistency: sum conserved across grains
+    total = sec.agg(F.sum("joules")).collect()[0][0]
+    assert total == sum(r["joules"] for r in hour)
+
+
+def test_host_hash_stable():
+    assert host_hash("abc") == host_hash("abc")
+    assert 0 <= host_hash("anything") < 100000
+    assert host_hash("host-a") != host_hash("host-b")
