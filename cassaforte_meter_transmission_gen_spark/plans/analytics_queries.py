@@ -1,1 +1,483 @@
-"""Placeholder — filled in incrementally."""
+"""Window functions, sorts/top-k, set operations, grouping sets, pivot,
+and scalar-function coverage (SURVEY §2.6-§2.7).
+
+The reference has none of these (its only ordering concept is the
+clustering key); they are part of the engine's Spark-native surface.
+Determinism rules: every window/order includes a unique tie-break key;
+window frames are ROWS-based (RANGE tie semantics differ across
+engines); averages use the exact decimal-sum trick (compat.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..schemas import load_table
+from .catalog import register
+from .compat import DEC, dec_sum, sql_dec_sum
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- window functions ---
+
+@register(
+    "window_running_total",
+    oracle=f"""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_spend
+FROM orders
+""",
+    tags=("window",),
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running spend — the reference's analytic-read
+    analog over the time dimension (SURVEY §2.7). ROWS frame + unique
+    tie-break (o_orderkey) keeps it deterministic; decimal accumulation
+    keeps partial sums exact."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@register(
+    "window_rank_top3_orders_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+  FROM orders
+) t WHERE rn <= 3
+""",
+    tags=("window", "topk"),
+)
+def window_rank_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number — at scale this is the
+    shuffle-once pattern (partition by key, sort within partition),
+    strictly cheaper than a global sort."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("int").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_lag_order_gap_days",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(date_diff('day',
+                      lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                             ORDER BY o_orderdate, o_orderkey),
+                      o_orderdate) AS INT) AS gap_days
+FROM orders
+""",
+    tags=("window", "lag"),
+)
+def window_lag_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() — days since the customer's previous order (NULL for the
+    first). Mirrors the reference's time-series delta reads."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("int")
+        .alias("gap_days"),
+    )
+
+
+@register(
+    "window_moving_avg_value",
+    oracle=f"""
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,6)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+       / CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS moving_avg
+FROM events
+""",
+    tags=("window", "frame"),
+)
+def window_moving_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row moving average per user (rolling-energy analog,
+    SURVEY §2.7): exact decimal sum / window count."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, 0)
+    return e.select(
+        "user_id",
+        "event_id",
+        (
+            F.sum(F.col("value").cast(DEC)).over(w).cast("double")
+            / F.count("*").over(w).cast("double")
+        ).alias("moving_avg"),
+    )
+
+
+@register(
+    "window_ntile_acctbal_quartiles",
+    oracle="""
+SELECT quartile, count(*) AS n_customers,
+       CAST(MIN(c_acctbal) AS DOUBLE) AS min_bal,
+       CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal
+FROM (
+  SELECT c_acctbal,
+         CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INT) AS quartile
+  FROM customer
+) t GROUP BY quartile
+""",
+    tags=("window", "ntile"),
+)
+def window_ntile_acctbal_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile quartiles over a global order (single-partition window —
+    fine for ranked summaries; at 100 TB use approx percentiles
+    instead, exposed separately)."""
+    c = _t(spark, sf_dir, "customer")
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select("c_acctbal", F.ntile(4).over(w).cast("int").alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.min("c_acctbal").cast("double").alias("min_bal"),
+            F.max("c_acctbal").cast("double").alias("max_bal"),
+        )
+    )
+
+
+# --- sort / limit ---
+
+@register(
+    "sort_limit_top100_lineitems",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 100
+""",
+    tags=("sort", "topk"),
+)
+def sort_limit_top100_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject (per-partition
+    heap + driver merge), never a full sort — the shape that survives
+    100 TB."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+# --- set operations ---
+
+@register(
+    "set_intersect_nations",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier
+""",
+    tags=("setop",),
+)
+def set_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct): nations with both customers and suppliers."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "set_except_single_order_customers",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders
+EXCEPT
+SELECT o_custkey FROM orders GROUP BY o_custkey HAVING count(*) > 1
+""",
+    tags=("setop",),
+)
+def set_except_single_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): customers with exactly one order — all order
+    placers minus repeat customers."""
+    o = _t(spark, sf_dir, "orders")
+    all_ck = o.select(F.col("o_custkey").alias("custkey"))
+    repeat = (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .select("custkey")
+    )
+    return all_ck.subtract(repeat)  # EXCEPT DISTINCT semantics
+
+
+@register(
+    "set_union_all_account_holders",
+    oracle=f"""
+SELECT kind, nationkey, count(*) AS n, {sql_dec_sum("bal")} AS total_bal
+FROM (
+  SELECT 'customer' AS kind, c_nationkey AS nationkey, c_acctbal AS bal FROM customer
+  UNION ALL
+  SELECT 'supplier' AS kind, s_nationkey AS nationkey, s_acctbal AS bal FROM supplier
+) u GROUP BY kind, nationkey
+""",
+    tags=("setop", "union"),
+)
+def set_union_all_account_holders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two differently-shaped tables normalized to one
+    schema, then aggregated."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("kind"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("kind"),
+        F.col("s_nationkey").alias("nationkey"),
+        F.col("s_acctbal").alias("bal"),
+    )
+    return (
+        c.unionByName(s)
+        .groupBy("kind", "nationkey")
+        .agg(F.count("*").alias("n"), dec_sum(F.col("bal")).alias("total_bal"))
+    )
+
+
+# --- grouping sets / rollup / cube / pivot ---
+
+@register(
+    "agg_rollup_flag_status",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       {sql_dec_sum("l_quantity")} AS sum_qty, count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""",
+    tags=("agg", "rollup"),
+)
+def agg_rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP along (returnflag, linestatus) with grouping_id — the
+    multi-grain idea of the reference's rollup tables generalized to
+    arbitrary hierarchies (SURVEY §2.5)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        dec_sum(F.col("l_quantity")).alias("sum_qty"),
+        F.count("*").alias("n"),
+    ).select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
+
+
+@register(
+    "agg_cube_status_priority",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       count(*) AS n
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+""",
+    tags=("agg", "cube"),
+)
+def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions with grouping_id."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().alias("gid"), F.count("*").alias("n")
+    ).select("o_orderstatus", "o_orderpriority", "gid", "n")
+
+
+@register(
+    "agg_distinct_parts_per_flag",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_suppliers,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("agg", "distinct"),
+)
+def agg_distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT) in one aggregation (Catalyst expands
+    to a multi-phase plan)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "pivot_qty_by_linestatus",
+    oracle=f"""
+SELECT l_returnflag,
+       {sql_dec_sum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_open,
+       {sql_dec_sum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_filled
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("agg", "pivot"),
+)
+def pivot_qty_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT on linestatus — explicit value list so the plan is a
+    single pass (no value-discovery job)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(dec_sum(F.col("l_quantity")))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_filled")
+    )
+
+
+# --- scalar function surface (F1-F8 analogs + standard catalog) ---
+
+@register(
+    "scalar_string_functions",
+    oracle="""
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       CAST(length(p_name) AS INT) AS name_len,
+       substr(p_name, 1, 8) AS name_prefix,
+       p_brand || ':' || p_type AS brand_type,
+       CAST(CASE WHEN p_name LIKE '%a%' THEN 1 ELSE 0 END AS INT) AS has_a,
+       regexp_extract(p_name, '^[a-z]+') AS first_word,
+       trim(lpad(p_brand, 12, ' ')) AS brand_trim
+FROM part
+""",
+    tags=("scalar", "string"),
+)
+def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar catalog: case, length, substring, concat, LIKE,
+    regexp_extract, pad/trim — all JVM built-ins (no UDFs)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.when(F.col("p_name").like("%a%"), 1).otherwise(0).cast("int").alias("has_a"),
+        F.regexp_extract("p_name", "^[a-z]+", 0).alias("first_word"),
+        F.trim(F.lpad("p_brand", 12, " ")).alias("brand_trim"),
+    )
+
+
+@register(
+    "scalar_math_functions",
+    oracle="""
+SELECT c_custkey,
+       CAST(abs(c_acctbal) AS DOUBLE) AS bal_abs,
+       CAST(floor(c_acctbal) AS DOUBLE) AS bal_floor,
+       CAST(ceil(c_acctbal) AS DOUBLE) AS bal_ceil,
+       round(c_acctbal, 1) AS bal_round1,
+       CAST(sqrt(abs(c_acctbal)) AS DOUBLE) AS bal_sqrt,
+       CAST(c_custkey % 7 AS BIGINT) AS key_mod7,
+       CAST(sign(c_acctbal) AS DOUBLE) AS bal_sign,
+       CAST(greatest(c_acctbal, 0.0) AS DOUBLE) AS bal_pos
+FROM customer
+""",
+    tags=("scalar", "math"),
+)
+def scalar_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar catalog (abs/floor/ceil/round/sqrt/mod/sign/greatest
+    — F6-F8 cast semantics included). sqrt is IEEE-exact so it's
+    oracle-safe; transcendentals (exp/log) are exposed but not
+    oracle-gated (libm last-bit variance)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.abs("c_acctbal").cast("double").alias("bal_abs"),
+        F.floor("c_acctbal").cast("double").alias("bal_floor"),
+        F.ceil("c_acctbal").cast("double").alias("bal_ceil"),
+        F.round("c_acctbal", 1).alias("bal_round1"),
+        F.sqrt(F.abs("c_acctbal")).cast("double").alias("bal_sqrt"),
+        (F.col("c_custkey") % 7).cast("long").alias("key_mod7"),
+        F.signum("c_acctbal").cast("double").alias("bal_sign"),
+        F.greatest("c_acctbal", F.lit(0.0)).cast("double").alias("bal_pos"),
+    )
+
+
+@register(
+    "scalar_datetime_functions",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT) AS y,
+       CAST(quarter(o_orderdate) AS INT) AS q,
+       CAST(month(o_orderdate) AS INT) AS m,
+       CAST(day(o_orderdate) AS INT) AS d,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       CAST(last_day(o_orderdate) AS DATE) AS month_end,
+       strftime(o_orderdate, '%Y-%m-%d') AS iso_date
+FROM orders
+""",
+    tags=("scalar", "datetime"),
+)
+def scalar_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime scalar catalog (F1-F4 analogs): extract fields,
+    date_trunc, last_day, formatting. Day-of-week is exposed in the
+    engine but not oracle-gated (numbering differs across engines)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("y"),
+        F.quarter("o_orderdate").cast("int").alias("q"),
+        F.month("o_orderdate").cast("int").alias("m"),
+        F.dayofmonth("o_orderdate").cast("int").alias("d"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_date"),
+    )
+
+
+@register(
+    "case_when_price_tiers",
+    oracle=f"""
+SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+            WHEN o_totalprice < 150000 THEN 'medium'
+            WHEN o_totalprice < 300000 THEN 'large'
+            ELSE 'jumbo' END AS tier,
+       count(*) AS n_orders,
+       {sql_dec_sum("o_totalprice")} AS total
+FROM orders GROUP BY 1
+""",
+    tags=("scalar", "case"),
+)
+def case_when_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing + aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    tier = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .when(F.col("o_totalprice") < 300000, "large")
+        .otherwise("jumbo")
+    )
+    return o.groupBy(tier.alias("tier")).agg(
+        F.count("*").alias("n_orders"), dec_sum(F.col("o_totalprice")).alias("total")
+    )

@@ -1,1 +1,178 @@
-"""Placeholder — filled in incrementally."""
+"""Event-stream analytics over the ``events`` table (batch forms).
+
+These are the batch duals of the reference's streaming semantics
+(SURVEY §2.8): tumbling windows (T3 — the minute/hour/day counter
+tables), sliding and session windows (T6 — engine extensions), with
+event-time ordering and unique tie-breaks for determinism. The live
+Structured Streaming forms of the same aggregations are in
+``streaming.pipeline``; the batch≡streaming equivalence test is the
+correctness argument for the streaming path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..schemas import load_table
+from .catalog import register
+from .compat import DEC, dec_sum, sql_dec_sum
+
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+@register(
+    "events_tumbling_minute_by_type",
+    oracle=f"""
+SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS win_start, event_type,
+       count(*) AS n_events, {sql_dec_sum("value")} AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("events", "window-tumbling"),
+)
+def events_tumbling_minute_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-minute tumbling aggregation — the reference's counter-table
+    semantics (T3) applied to a generic event stream. date_trunc as the
+    bucket key aggregates with map-side partials; no window-struct
+    materialization needed for tumbling."""
+    e = _ev(spark, sf_dir)
+    return (
+        e.groupBy(
+            F.date_trunc("minute", "ts").alias("win_start"), "event_type"
+        ).agg(
+            F.count("*").alias("n_events"),
+            dec_sum(F.col("value")).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "events_sliding_10m_5m",
+    oracle=f"""
+SELECT TIMESTAMP '1970-01-01 00:00:00'
+         + (CAST(floor(epoch(ts) / 300) AS BIGINT) - k) * 300 * INTERVAL 1 SECOND
+         AS win_start,
+       count(*) AS n_events, {sql_dec_sum("value")} AS total_value
+FROM events CROSS JOIN range(0, 2) t(k)
+GROUP BY 1
+""",
+    tags=("events", "window-sliding"),
+)
+def events_sliding_10m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window 10 min / slide 5 min via the native ``window()``
+    expression (each event lands in exactly two windows; Spark expands
+    them before the hash agg — same cost shape as the oracle's explicit
+    ×2 expansion)."""
+    e = _ev(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            dec_sum(F.col("value")).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "n_events", "total_value")
+    )
+
+
+@register(
+    "events_sessionization_30m",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, {sql_dec_sum("value")} AS total_value
+FROM sessions
+GROUP BY user_id, session_seq
+""",
+    tags=("events", "sessionization"),
+)
+def events_sessionization_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity): lag + running
+    sum of session-start flags, then per-session aggregation. One
+    shuffle on user_id serves both window passes and the final group.
+    Streaming dual: ``session_window``/``applyInPandasWithState``
+    (streaming.pipeline)."""
+    e = _ev(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > 1_800_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = flagged.withColumn(
+        "session_seq",
+        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return sess.groupBy("user_id", F.col("session_seq").cast("long").alias("session_seq")).agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        dec_sum(F.col("value")).alias("total_value"),
+    )
+
+
+@register(
+    "events_json_extract_props",
+    oracle="""
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       count(*) AS n_events
+FROM events
+GROUP BY event_type
+""",
+    tags=("events", "json"),
+)
+def events_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: extract an int field from the JSON props
+    column and aggregate — `get_json_object` stays JVM-side."""
+    e = _ev(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("int")).cast("long").alias("sum_k"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "events_daily_user_activity",
+    oracle=f"""
+SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       count(*) AS n_events,
+       count(DISTINCT event_type) AS n_types,
+       {sql_dec_sum("value")} AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("events", "agg"),
+)
+def events_daily_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily activity rollup — the meter daily-report shape
+    (§3.3) on the generic event stream."""
+    e = _ev(spark, sf_dir)
+    return e.groupBy("user_id", F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        dec_sum(F.col("value")).alias("total_value"),
+    )

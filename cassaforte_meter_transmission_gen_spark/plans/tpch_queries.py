@@ -1,1 +1,558 @@
-"""Placeholder — filled in incrementally."""
+"""General analytic catalog over the driver's TPC-H-ish corpus.
+
+The reference has no joins (SURVEY §2.4 — it denormalizes instead), but
+the engine exposes the full Spark-native join/agg surface; these queries
+are the coverage evidence, shaped after classic TPC-H patterns adapted
+to the corpus's reduced schema (no partsupp/phone/comment columns).
+
+Scale notes applying throughout:
+- dimension joins (region/nation/customer/supplier/part) are explicitly
+  ``F.broadcast`` — at 100 TB the fact side never shuffles for these;
+- fact-fact joins (orders ⋈ lineitem) shuffle on the join key, which is
+  also the natural bucketing key for a stored layout;
+- every aggregate is partial-aggregated map-side by Catalyst before the
+  shuffle (hash agg), and AQE coalesces post-shuffle partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import load_table
+from .catalog import register
+from .compat import DEC, dec_sum, sql_dec_sum
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- Q1: pricing summary (scan + filter + wide aggregation) ---
+
+@register(
+    "q01_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dec_sum("l_quantity")} AS sum_qty,
+       {sql_dec_sum("l_extendedprice")} AS sum_base_price,
+       {sql_dec_sum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+       {sql_dec_sum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+       {sql_dec_sum("l_quantity")} / count(*) AS avg_qty,
+       {sql_dec_sum("l_extendedprice")} / count(*) AS avg_price,
+       {sql_dec_sum("l_discount")} / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("tpch", "agg"),
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: single-pass scan with the shipdate predicate
+    pushed to parquet and eight aggregates in one hash-agg (verify with
+    .explain: PushedFilters + partial/final HashAggregate)."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        dec_sum(F.col("l_quantity")).alias("sum_qty"),
+        dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+        dec_sum(disc_price).alias("sum_disc_price"),
+        dec_sum(charge).alias("sum_charge"),
+        (dec_sum(F.col("l_quantity")) / F.count("*")).alias("avg_qty"),
+        (dec_sum(F.col("l_extendedprice")) / F.count("*")).alias("avg_price"),
+        (dec_sum(F.col("l_discount")) / F.count("*")).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+# --- Q3: shipping priority (3-way join + top-k) ---
+
+@register(
+    "q03_shipping_priority",
+    oracle=f"""
+SELECT l_orderkey,
+       {sql_dec_sum("l_extendedprice * (1 - l_discount)")} AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    tags=("tpch", "join", "topk"),
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape. customer is broadcast (small dim); orders⋈lineitem
+    is the only shuffle join. Top-k plans as TakeOrderedAndProject —
+    no global sort materialization. Tie-break on l_orderkey keeps the
+    LIMIT deterministic."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --- Q5: local supplier volume (5-way join) ---
+
+@register(
+    "q05_local_supplier_volume",
+    oracle=f"""
+SELECT n_name, {sql_dec_sum("l_extendedprice * (1 - l_discount)")} AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+""",
+    tags=("tpch", "join"),
+)
+def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six tables; supplier/nation/region broadcast, the
+    compound join condition (suppkey + same-nation) expressed directly."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+# --- Q6: forecasting revenue change (pure filter + agg) ---
+
+@register(
+    "q06_forecast_revenue",
+    oracle=f"""
+SELECT {sql_dec_sum("l_extendedprice * l_discount")} AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    tags=("tpch", "filter"),
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: all four predicates push to the parquet scan;
+    the whole query is one codegen stage + scalar agg."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dec_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# --- Q10: returned items (join + group + top-k) ---
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+SELECT c_custkey, c_name,
+       {sql_dec_sum("l_extendedprice * (1 - l_discount)")} AS revenue,
+       c_acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    tags=("tpch", "join", "topk"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: customers who returned items in a quarter."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# --- Q13: customer order-count distribution (outer join + double group) ---
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+""",
+    tags=("tpch", "join", "outer"),
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left outer join keeps order-less customers
+    (count(o_orderkey) skips nulls → 0 bucket), then a second
+    aggregation over the first's output."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+# --- Q14: promotion effect (conditional aggregation ratio) ---
+
+@register(
+    "q14_promo_revenue",
+    oracle=f"""
+SELECT 100.0 * {sql_dec_sum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+       / {sql_dec_sum("l_extendedprice * (1 - l_discount)")} AS promo_revenue_pct,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+""",
+    tags=("tpch", "join", "conditional-agg"),
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation; part is broadcast."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            (F.lit(100.0) * dec_sum(promo) / dec_sum(disc_price)).alias(
+                "promo_revenue_pct"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# --- Q18: large-volume customers (agg-filter + join) ---
+
+@register(
+    "q18_large_volume_customers",
+    oracle=f"""
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       {sql_dec_sum("l_quantity")} AS sum_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+)
+GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+    tags=("tpch", "join", "having"),
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: the HAVING subquery becomes an aggregated
+    key-set semi-joined to the fact — at scale this is a shuffle on
+    l_orderkey reused by both the filter agg and the outer join (AQE
+    can reuse the exchange)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        l.join(big.withColumnRenamed("l_orderkey", "bk"), F.col("l_orderkey") == F.col("bk"), "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dec_sum(F.col("l_quantity")).alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+# --- Q19: disjunctive predicates (OR-of-ANDs pushdown) ---
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+SELECT {sql_dec_sum("l_extendedprice * (1 - l_discount)")} AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1  AND l_quantity <= 21)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity >= 10 AND l_quantity <= 30)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity >= 20 AND l_quantity <= 40)
+""",
+    tags=("tpch", "join", "predicate"),
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides — Catalyst
+    still pushes the common parts and broadcasts part."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 21))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 40))
+    )
+    return j.filter(cond).agg(
+        dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+# --- Q22-ish: idle wealthy customers (scalar subquery + anti join) ---
+
+@register(
+    "q22_idle_customers",
+    oracle=f"""
+SELECT c_nationkey,
+       count(*) AS numcust,
+       {sql_dec_sum("c_acctbal")} AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+    SELECT {sql_dec_sum("c_acctbal")} / count(*) FROM customer WHERE c_acctbal > 0.0
+  )
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_nationkey
+""",
+    tags=("tpch", "subquery", "anti-join"),
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold (computed once,
+    broadcast as a literal-like one-row plan) + anti join against
+    orders (null-safe NOT EXISTS semantics via left_anti)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    avg_pos = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg((dec_sum(F.col("c_acctbal")) / F.count("c_acctbal")).alias("thr"))
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_pos))
+        .filter(F.col("c_acctbal") > F.col("thr"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            dec_sum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
+# --- join-type coverage beyond the TPC-H shapes ---
+
+@register(
+    "join_semi_shipped_orders",
+    oracle="""
+SELECT o_orderstatus, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_shipdate >= TIMESTAMP '2001-06-01 00:00:00'
+)
+GROUP BY o_orderstatus
+""",
+    tags=("join", "semi"),
+)
+def join_semi_shipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): orders with any late-2001 shipment."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("2001-06-01").cast("timestamp")
+    )
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "join_anti_customers_no_orders",
+    oracle="""
+SELECT c_nationkey, count(*) AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+""",
+    tags=("join", "anti"),
+)
+def join_anti_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers with no urgent orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "join_broadcast_supplier_geo",
+    oracle="""
+SELECT r_name, count(*) AS n_suppliers, CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+    tags=("join", "broadcast"),
+)
+def join_broadcast_supplier_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two chained broadcast joins (dim⋈dim⋈fact) — zero shuffles on
+    the supplier side until the final tiny aggregation."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            dec_sum(F.col("s_acctbal")).alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "join_full_outer_nation_presence",
+    oracle="""
+WITH cn AS (SELECT c_nationkey AS k, count(*) AS n_customers FROM customer GROUP BY 1),
+     sn AS (SELECT s_nationkey AS k, count(*) AS n_suppliers FROM supplier GROUP BY 1)
+SELECT COALESCE(cn.k, sn.k) AS nationkey,
+       COALESCE(n_customers, 0) AS n_customers,
+       COALESCE(n_suppliers, 0) AS n_suppliers
+FROM cn FULL OUTER JOIN sn ON cn.k = sn.k
+""",
+    tags=("join", "outer"),
+)
+def join_full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregates with COALESCE'd keys."""
+    c = _t(spark, sf_dir, "customer").groupBy(F.col("c_nationkey").alias("k")).agg(
+        F.count("*").alias("n_customers")
+    )
+    s = _t(spark, sf_dir, "supplier").groupBy(F.col("s_nationkey").alias("k")).agg(
+        F.count("*").alias("n_suppliers")
+    )
+    return (
+        c.join(s, c.k == s.k, "full_outer")
+        .select(
+            F.coalesce(c.k, s.k).alias("nationkey"),
+            F.coalesce(F.col("n_customers"), F.lit(0)).alias("n_customers"),
+            F.coalesce(F.col("n_suppliers"), F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+@register(
+    "join_range_price_bands",
+    oracle="""
+SELECT band_id, count(*) AS n_parts
+FROM part
+JOIN (VALUES (0, 0.0, 1100.0), (1, 1100.0, 1400.0), (2, 1400.0, 1700.0),
+             (3, 1700.0, 100000.0)) bands(band_id, lo, hi)
+  ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band_id
+""",
+    tags=("join", "range"),
+)
+def join_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join against a tiny in-memory band table —
+    plans as BroadcastNestedLoopJoin, the right strategy when one side
+    is a handful of rows; at scale the alternative is a bucketized
+    band-key equi-join."""
+    p = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [(0, 0.0, 1100.0), (1, 1100.0, 1400.0), (2, 1400.0, 1700.0), (3, 1700.0, 100000.0)],
+        "band_id int, lo double, hi double",
+    )
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+        )
+        .groupBy("band_id")
+        .agg(F.count("*").alias("n_parts"))
+    )

@@ -9,6 +9,7 @@ driver-provided corpus (TESTDATA.md / FIXTURES.md §B).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # --- Group A: meter domain (reference setup_and_notes.txt:16-44) ---
@@ -57,8 +58,17 @@ CORPUS_TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one corpus table. Parquet scan → Catalyst pushes filters and
     prunes columns; at cluster scale these would be partitioned/bucketed
-    layouts but the read API is identical."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    layouts but the read API is identical.
+
+    ``events.ts`` is stored as TIMESTAMP(NANOS), which Spark 4 cannot
+    read natively; with ``spark.sql.legacy.parquet.nanosAsLong`` (set in
+    session.RUNTIME_CONFS) it arrives as a nanos long and is converted
+    here (lossless: the corpus has no sub-microsecond content, and
+    DuckDB performs the same ns→µs read on its side)."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 def register_corpus(spark: SparkSession, sf_dir: str) -> None:

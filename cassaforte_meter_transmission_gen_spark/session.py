@@ -22,6 +22,10 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # events.parquet stores TIMESTAMP(NANOS) which Spark 4 rejects;
+    # read as long and convert in schemas.load_table (lossless — the
+    # corpus carries no sub-microsecond content).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 
