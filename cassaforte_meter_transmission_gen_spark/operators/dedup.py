@@ -1,0 +1,240 @@
+"""Deduplication operators for LLM-data pipelines (BASELINE.json north
+star): exact, MinHash+LSH near-dup, SimHash near-dup.
+
+All three are pure DataFrame compositions — no Python in the row path —
+and follow the standard distributed shapes:
+
+- **exact**: hash-groupBy on a content fingerprint. One shuffle on the
+  fingerprint; at 100 TB this is the cheapest possible dedup (the
+  shuffle carries (fingerprint, doc_id), not document text).
+- **MinHash+LSH**: shingle → hash → per-permutation min (one grouped
+  agg) → band keys → self-join per band (the LSH bucket join) →
+  verified Jaccard on candidates only. The candidate join is the only
+  quadratic-risk step and it is confined to same-bucket groups; at
+  scale, bucket skew is handled by AQE skew-join (enabled in
+  session.py).
+- **SimHash**: per-token hash bit-votes → 60-bit signature in one
+  grouped aggregation; near-dup pairs via the pigeonhole band join
+  (hamming ≤ 3 ⇒ at least one of 4 15-bit blocks equal), verified with
+  bit_count(xor).
+
+Hash family is pluggable (functions.text): md5-portable for the oracle
+gate, xxhash64 for production throughput.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    MINHASH_PRIME,
+    tok_hash_fast,
+    tok_hash_portable,
+    tokens,
+    word_shingles,
+)
+
+# --- MinHash permutation constants (fixed seed; also embedded into the
+# oracle SQL text by plans.text_queries so both engines share them) ---
+
+N_PERM = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_PERM // N_BANDS
+
+_rng = random.Random(20130101)
+#: multipliers < 2^30 keep a*h < 2^62 (no overflow, see functions.text)
+MINHASH_A = [_rng.randrange(1, 1 << 30) for _ in range(N_PERM)]
+MINHASH_B = [_rng.randrange(0, 1 << 30) for _ in range(N_PERM)]
+
+SIMHASH_BITS = 60
+SIMHASH_BLOCKS = 4
+SIMHASH_BLOCK_BITS = SIMHASH_BITS // SIMHASH_BLOCKS  # 15
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup groups: md5 fingerprint → (fingerprint, keeper id,
+    copy count). Keeper = min id (deterministic)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("fingerprint"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(tokens(F.col(text_col)), n).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    portable: bool = True,
+) -> DataFrame:
+    """(doc_id, m0..m{N_PERM-1}) minhash signature via one explode +
+    one grouped aggregation (N_PERM mins computed together — a single
+    shuffle keyed by doc_id)."""
+    hash_fn = tok_hash_portable if portable else tok_hash_fast
+    sh = _shingled(df, text_col, id_col, n)
+    exploded = sh.select("doc_id", F.explode("shingles").alias("s")).select(
+        "doc_id", (hash_fn(F.col("s")) % MINHASH_PRIME).alias("h")
+    )
+    aggs = [
+        F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % MINHASH_PRIME).alias(f"m{i}")
+        for i in range(N_PERM)
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs)
+
+
+def _band_keys(sig: DataFrame) -> DataFrame:
+    """Explode the signature into (doc_id, band_idx, band_key) — the
+    LSH bucket id is the md5 of the band's minhash concatenation."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"m{b * ROWS_PER_BAND + r}").cast("string")
+                            for r in range(ROWS_PER_BAND)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return sig.select("doc_id", F.explode(bands).alias("bk")).select(
+        "doc_id", F.col("bk.band_idx").alias("band_idx"), F.col("bk.band_key").alias("band_key")
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.7,
+    portable: bool = True,
+) -> DataFrame:
+    """Verified near-duplicate pairs: LSH candidates (any shared band)
+    → exact Jaccard on shingle sets → filter ≥ threshold.
+
+    Returns (doc_a, doc_b, jaccard), doc_a < doc_b.
+    """
+    sh = _shingled(df, text_col, id_col, n)
+    sig = minhash_signatures(df, text_col, id_col, n, portable)
+    bk = _band_keys(sig)
+    left = bk.select(
+        F.col("doc_id").alias("doc_a"), "band_idx", "band_key"
+    )
+    right = bk.select(
+        F.col("doc_id").alias("doc_b"), "band_idx", "band_key"
+    )
+    cand = (
+        left.join(right, ["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = True,
+) -> DataFrame:
+    """(doc_id, simhash): per-token 60-bit hash, ±1 vote per bit,
+    signature bit set where the vote is positive. One explode + one
+    grouped aggregation with 60 conditional sums (all JVM-side)."""
+    hash_fn = tok_hash_portable if portable else tok_hash_fast
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    ).select("doc_id", hash_fn(F.col("tok")).alias("h"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    sim = None
+    for i in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = bit if sim is None else sim + bit
+    return votes.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    portable: bool = True,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: pigeonhole band join (hamming ≤ 3 ⇒
+    ≥1 of 4 15-bit blocks identical), verified with bit_count(xor).
+
+    Returns (doc_a, doc_b, hamming), doc_a < doc_b.
+    """
+    sig = simhash_signatures(df, text_col, id_col, portable)
+    mask = (1 << SIMHASH_BLOCK_BITS) - 1
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("block_idx"),
+                F.shiftright(F.col("simhash"), b * SIMHASH_BLOCK_BITS)
+                .bitwiseAND(mask)
+                .alias("block_key"),
+            )
+            for b in range(SIMHASH_BLOCKS)
+        ]
+    )
+    bk = sig.select("doc_id", "simhash", F.explode(blocks).alias("b")).select(
+        "doc_id", "simhash", F.col("b.block_idx").alias("block_idx"), F.col("b.block_key").alias("block_key")
+    )
+    left = bk.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "block_idx", "block_key"
+    )
+    right = bk.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "block_idx", "block_key"
+    )
+    return (
+        left.join(right, ["block_idx", "block_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

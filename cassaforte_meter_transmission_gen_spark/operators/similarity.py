@@ -1,0 +1,173 @@
+"""Vector similarity search over embedding columns (BASELINE.json north
+star): exact brute-force cosine top-k as the correctness baseline, and
+a random-hyperplane LSH bucketed variant as the scale path.
+
+Design for 100 TB:
+- dot products / norms are sequential ``aggregate`` folds over the
+  array column — JVM-side, no Python, no shuffle;
+- brute force is a broadcast of the (small) query set against the full
+  candidate table — one pass, top-k via per-query window;
+- LSH replaces the full cross product with a bucket equi-join: each
+  vector is hashed to a sign-bit bucket under H fixed hyperplanes; at
+  scale the join is shuffle-on-bucket with AQE skew handling, probing
+  only same-bucket candidates (multi-probe = OR over bands, like
+  MinHash). Hyperplanes are generated from a fixed seed driver-side and
+  shipped as literals — the plan stays deterministic and replayable.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (bit-reproducible in the oracle)."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(_as_double(a), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set, score every
+    candidate, rank per query. Returns (query_id, neighbor_id, cosine,
+    rank). Deterministic: rank ties broken by neighbor id."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 20130101) -> list[list[float]]:
+    """Fixed-seed random hyperplanes (driver-side, shipped as literals
+    so the plan is deterministic)."""
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id under the given hyperplanes."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                _as_double(vec),
+                F.array(*[F.lit(x) for x in p]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def _bucket_keys(
+    df: DataFrame, id_alias: str, vec_alias: str, tables: list[list[list[float]]],
+    id_col: str, vec_col: str,
+) -> DataFrame:
+    """(id, vec, table_idx, bucket) — one row per hash table."""
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table_idx"),
+                lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+            )
+            for t, planes in enumerate(tables)
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias(id_alias),
+        F.col(vec_col).alias(vec_alias),
+        F.explode(buckets).alias("tb"),
+    ).select(
+        id_alias, vec_alias,
+        F.col("tb.table_idx").alias("table_idx"),
+        F.col("tb.bucket").alias("bucket"),
+    )
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_tables: int = 8,
+    n_planes: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: multi-table random-hyperplane LSH — a
+    candidate is scored iff it shares a bucket with the query in ANY of
+    ``n_tables`` independent tables (banding, like MinHash LSH). Trades
+    recall for a cross-product → equi-join reduction (the 100 TB path;
+    recall tunes via n_tables × n_planes).
+
+    Defaults (8×3) are sized for weakly-clustered data like the test
+    corpus (top-5 neighbors at cosine ≈ 0.3 ⇒ per-plane agreement
+    ≈ 0.6): recall ≈ 1-(1-0.6³)⁸ ≈ 0.86. On real embedding corpora
+    where near-dups sit at cosine ≥ 0.8, fewer tables with more planes
+    (e.g. 4×8) give the same recall at a far lower candidate rate."""
+    tables = [
+        hyperplanes(dim, n_planes, seed=20130101 + 7919 * t) for t in range(n_tables)
+    ]
+    q = _bucket_keys(queries, "query_id", "q_vec", tables, id_col, vec_col)
+    c = _bucket_keys(vectors, "neighbor_id", "c_vec", tables, id_col, vec_col)
+    cand = (
+        c.join(F.broadcast(q), ["table_idx", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "q_vec", "neighbor_id", "c_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,1 +1,420 @@
-"""Placeholder — filled in incrementally."""
+"""Text-analysis and deduplication catalog queries over ``documents``
+(LLM-data-pipeline extensions, SURVEY §2.10).
+
+The MinHash and SimHash oracles are *generated* SQL sharing the exact
+permutation constants and hash construction with the Spark operators
+(operators.dedup) — the md5-portable hash family makes the full
+LSH pipeline bit-reproducible in DuckDB, so even near-dup detection is
+value-hash gated, not just rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    LANG_MARKERS,
+    MINHASH_PRIME,
+    ROLLING_BASE,
+    ROLLING_MOD,
+    ROLLING_PREFIX,
+    lang_hits,
+    normalize_text,
+    predicted_lang,
+    rolling_fingerprint,
+    tokens,
+)
+from ..operators.dedup import (
+    MINHASH_A,
+    MINHASH_B,
+    N_BANDS,
+    N_PERM,
+    ROWS_PER_BAND,
+    SIMHASH_BITS,
+    exact_duplicates,
+    minhash_near_duplicates,
+    simhash_signatures,
+)
+from ..schemas import load_table
+from .catalog import register
+
+_D = "documents"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, _D)
+
+
+# portable token hash in DuckDB text form
+_H = "CAST(('0x' || substr(md5({x}),1,15)) AS BIGINT)"
+
+
+@register(
+    "text_stats_per_doc",
+    oracle="""
+WITH t AS (SELECT doc_id, n_chars, regexp_split_to_array(text, '\\s+') AS toks,
+                  length(text) AS len_chars
+           FROM documents)
+SELECT doc_id, n_chars, CAST(len_chars AS INT) AS len_chars,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+       CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+         / len(toks) AS avg_token_len
+FROM t
+""",
+    tags=("text", "stats"),
+)
+def text_stats_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + basic document statistics (all JVM built-ins:
+    split/size/array_distinct/aggregate)."""
+    d = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        "n_chars",
+        F.length("text").cast("int").alias("len_chars"),
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("int").alias("n_distinct_tokens"),
+        (
+            F.aggregate(
+                F.transform(toks, lambda w: F.length(w)),
+                F.lit(0),
+                lambda a, x: a + x,
+            ).cast("double")
+            / F.size(toks)
+        ).alias("avg_token_len"),
+    )
+
+
+@register(
+    "text_token_top50",
+    oracle="""
+SELECT tok, count(*) AS n
+FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS tok FROM documents) t
+GROUP BY tok
+ORDER BY n DESC, tok
+LIMIT 50
+""",
+    tags=("text", "tokens", "topk"),
+)
+def text_token_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequencies, top 50 (explode → count → top-k)."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(50)
+    )
+
+
+@register(
+    "dedup_exact_by_hash",
+    oracle="""
+SELECT md5(text) AS fingerprint, min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+""",
+    tags=("dedup", "exact"),
+)
+def dedup_exact_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups by content hash (operators.dedup
+    ``exact_duplicates``): the O(shuffle-of-hashes) baseline."""
+    return exact_duplicates(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_exact_normalized",
+    oracle="""
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+""",
+    tags=("dedup", "exact"),
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text (lowercase, collapsed
+    whitespace) — catches trivially-reformatted copies."""
+    d = _docs(spark, sf_dir).withColumn("text", normalize_text(F.col("text")))
+    return exact_duplicates(d)
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(text, '\\s+') AS toks,
+         length(text) AS lc,
+         length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS vowels
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(list_filter(toks, w -> w IN ({",".join(repr(w) for w in LANG_MARKERS["en"])}))) AS DOUBLE)
+         / len(toks) AS stopword_ratio,
+       CAST(vowels AS DOUBLE) / lc AS vowel_ratio,
+       CAST(least(len(toks), 100) AS DOUBLE) / 100 AS length_score,
+       0.5 * (CAST(len(list_filter(toks, w -> w IN ({",".join(repr(w) for w in LANG_MARKERS["en"])}))) AS DOUBLE) / len(toks))
+         + 0.3 * (CAST(vowels AS DOUBLE) / lc)
+         + 0.2 * (CAST(least(len(toks), 100) AS DOUBLE) / 100) AS quality_score
+FROM t
+""",
+    tags=("text", "quality"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: stopword ratio, vowel ratio, length
+    score, weighted composite — the standard cheap pre-filter before
+    expensive model-based scoring. Exact int/int arithmetic keeps the
+    doubles bit-identical to the oracle."""
+    d = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    en = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
+    stop_ratio = (
+        F.size(F.filter(toks, lambda w: F.array_contains(en, w))).cast("double")
+        / F.size(toks)
+    )
+    vowel_ratio = (
+        (F.length("text") - F.length(F.regexp_replace("text", "[aeiou]", ""))).cast(
+            "double"
+        )
+        / F.length("text")
+    )
+    length_score = F.least(F.size(toks), F.lit(100)).cast("double") / 100
+    return d.select(
+        "doc_id",
+        stop_ratio.alias("stopword_ratio"),
+        vowel_ratio.alias("vowel_ratio"),
+        length_score.alias("length_score"),
+        (0.5 * stop_ratio + 0.3 * vowel_ratio + 0.2 * length_score).alias(
+            "quality_score"
+        ),
+    )
+
+
+def _langid_sql() -> str:
+    hits = ",\n         ".join(
+        f"len(list_filter(toks, w -> w IN ({', '.join(repr(w) for w in ws)}))) AS {lang}_hits"
+        for lang, ws in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    branches = []
+    for lang in langs:
+        conds = [f"{lang}_hits > 0"] + [
+            f"{lang}_hits >= {o}_hits" for o in langs if o != lang
+        ]
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "CASE " + " ".join(branches) + " ELSE 'und' END"
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, regexp_split_to_array(text, '\\s+') AS toks FROM documents
+),
+h AS (
+  SELECT doc_id, lang,
+         {hits}
+  FROM t
+)
+SELECT lang, {case} AS predicted_lang, count(*) AS n_docs
+FROM h GROUP BY 1, 2
+"""
+
+
+@register("text_langid_confusion", oracle=_langid_sql(), tags=("text", "langid"))
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-voting language ID (n-gram-free heuristic) evaluated as
+    a confusion matrix against the labeled ``lang`` column."""
+    d = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    hit_cols = {lang: lang_hits(toks, lang) for lang in LANG_MARKERS}
+    return (
+        d.select("lang", predicted_lang(hit_cols).alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "text_rolling_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(substr(text, 1, {ROLLING_PREFIX}), ''),
+                          c -> CAST(unicode(c) AS BIGINT))),
+         (h, c) -> (h * {ROLLING_BASE} + c) % {ROLLING_MOD}) AS fingerprint
+FROM documents
+""",
+    tags=("text", "fingerprint"),
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial rolling hash over the document prefix
+    (functions.text.rolling_fingerprint) — sequential fold, identical
+    on both engines."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", rolling_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# --- MinHash + LSH near-dup, fully oracle-gated ---
+
+def _minhash_sql(threshold: float = 0.7) -> str:
+    p = MINHASH_PRIME
+    mins = ",\n         ".join(
+        f"MIN(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {p}) AS m{i}"
+        for i in range(N_PERM)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, md5(concat_ws(',', {cols})) AS band_key FROM sig".format(
+            b=b,
+            cols=", ".join(f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)),
+        )
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM t WHERE len(toks) >= 3
+),
+ex AS (
+  SELECT doc_id, {_H.format(x='s')} % {p} AS h
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) u
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM ex GROUP BY doc_id
+),
+bands AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT doc_a, doc_b,
+         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+           / CAST(len(sa.shingles) + len(sb.shingles)
+                  - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) AS jaccard
+  FROM cand
+  JOIN sh sa ON sa.doc_id = cand.doc_a
+  JOIN sh sb ON sb.doc_id = cand.doc_b
+) v WHERE jaccard >= {threshold}
+"""
+
+
+@register("dedup_minhash_lsh_pairs", oracle=_minhash_sql(), tags=("dedup", "minhash", "lsh"))
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs, Jaccard-verified (operators.
+    dedup.minhash_near_duplicates, portable hash family). The oracle
+    reproduces the *entire* pipeline — 16 permutations, 4×4 banding,
+    candidate join, verification — from the shared constants."""
+    return minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.7, portable=True)
+
+
+# --- SimHash signatures, oracle-gated ---
+
+def _simhash_sql() -> str:
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    assemble = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(text, '\\s+'))) AS tok
+  FROM documents
+),
+h AS (SELECT doc_id, {_H.format(x='tok')} AS h FROM tok),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, {assemble} AS simhash FROM votes
+"""
+
+
+@register("dedup_simhash_signatures", oracle=_simhash_sql(), tags=("dedup", "simhash"))
+def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash signatures (operators.dedup.simhash_signatures,
+    portable hash family) — oracle recomputes every bit vote."""
+    return simhash_signatures(_docs(spark, sf_dir), portable=True)
+
+
+@register(
+    "text_ngram_jaccard_pairs",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+  FROM documents WHERE doc_id < 40
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+  FROM t WHERE len(toks) >= 3
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+""",
+    tags=("dedup", "ngram"),
+)
+def text_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard on a bounded subset (doc_id<40):
+    the ground-truth against which LSH recall is judged. The quadratic
+    pair join is deliberate and bounded — at scale this runs on samples
+    while MinHash handles the full corpus."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 40)
+    toks = tokens(F.col("text"))
+    from ..functions.text import word_shingles
+
+    sh = d.select("doc_id", word_shingles(toks).alias("s")).filter(F.size("s") > 0)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    inter = F.size(F.array_intersect("s_a", "s_b"))
+    union = F.size("s_a") + F.size("s_b") - inter
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "multimodal_binary_stats",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       md5(text) AS content_md5,
+       source
+FROM documents
+""",
+    tags=("multimodal", "binary"),
+)
+def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing: documents treated as opaque binary
+    payloads with typed metadata — byte length + content hash + source
+    tag. The decode/feature-extract stage for real image/audio payloads
+    is operators.multimodal (Arrow-batched, stubbed decode)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.octet_length("text").cast("int").alias("n_bytes"),
+        F.md5("text").alias("content_md5"),
+        "source",
+    )

@@ -1,1 +1,134 @@
-"""Placeholder — filled in incrementally."""
+"""Vector similarity-search catalog over ``embeddings`` (SURVEY §2.10).
+
+Dot products and norms are sequential ``aggregate`` folds in double on
+both engines (Spark ``aggregate``, DuckDB ``list_reduce``) — identical
+operation order makes even floating-point outputs bit-reproducible, so
+the exact ANN baseline is value-hash gated. The LSH variant is the
+scale path and is rows-only checked (its hyperplane literals live in
+the Spark plan)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import brute_force_topk, l2_norm, lsh_topk
+from ..schemas import load_table
+from .catalog import register
+
+#: DuckDB sequential-fold helpers mirroring operators.similarity
+_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+    " list_transform(range(1, 65),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))),"
+    " (acc, x) -> acc + x)"
+)
+_NORM = (
+    "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+    " list_transform({v}, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))),"
+    " (acc, x) -> acc + x))"
+)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@register(
+    "vector_norms",
+    oracle=f"""
+SELECT vec_id, label, {_NORM.format(v='embedding')} AS l2_norm
+FROM embeddings
+""",
+    tags=("vector", "scalar"),
+)
+def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm — JVM-side fold over the array column, no
+    explode, no shuffle."""
+    e = _emb(spark, sf_dir)
+    return e.select("vec_id", "label", l2_norm(F.col("embedding")).alias("l2_norm"))
+
+
+@register(
+    "ann_bruteforce_cosine_topk",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         {_DOT.format(a='qv', b='cv')}
+           / ({_NORM.format(v='qv')} * {_NORM.format(v='cv')}) AS cosine
+  FROM c CROSS JOIN q
+  WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+""",
+    tags=("vector", "ann"),
+)
+def ann_bruteforce_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for a query set (vec_id < 5) against the full
+    table — the correctness baseline for ANN (operators.similarity.
+    brute_force_topk): broadcast queries, one scoring pass, per-query
+    window rank."""
+    e = _emb(spark, sf_dir)
+    return brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=5)
+
+
+#: fixed-point scale for order-independent centroid sums. A power of
+#: two so ``val * SCALE`` is exact in IEEE double (decimal casts are
+#: NOT tie-free: a float landing exactly on .5 at the rounding digit
+#: splits Spark's HALF_UP from DuckDB's HALF_EVEN — observed once per
+#: ~300k values).
+_CENTROID_SCALE = float(1 << 40)
+
+
+@register(
+    "vector_centroid_per_label",
+    oracle=f"""
+SELECT label, CAST(i AS INT) AS dim,
+       CAST(CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * {_CENTROID_SCALE!r})
+                          AS BIGINT)) AS BIGINT) AS DOUBLE)
+         / {_CENTROID_SCALE!r} / count(*) AS centroid
+FROM embeddings CROSS JOIN range(1, 65) t(i)
+GROUP BY label, i
+""",
+    tags=("vector", "agg"),
+)
+def vector_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, dimension-wise: posexplode + exact
+    fixed-point integer sums (order-independent and rounding-tie-free,
+    so Spark's parallel aggregation matches the serial oracle
+    bit-for-bit; quantization error ≤ 2⁻⁴⁰ per element)."""
+    e = _emb(spark, sf_dir)
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .select(
+            "label",
+            (F.col("pos") + 1).cast("int").alias("dim"),
+            F.floor(F.col("val").cast("double") * F.lit(_CENTROID_SCALE))
+            .cast("long")
+            .alias("v"),
+        )
+        .groupBy("label", "dim")
+        .agg(
+            (F.sum("v").cast("double") / F.lit(_CENTROID_SCALE) / F.count("*")).alias(
+                "centroid"
+            )
+        )
+    )
+
+
+@register("ann_lsh_bucketed_topk", oracle=None, tags=("vector", "ann", "lsh"))
+def ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-hyperplane LSH buckets (operators.
+    similarity.lsh_topk) — the 100 TB path: bucket equi-join instead of
+    a cross product. Rows-only checked (hyperplane literals are
+    engine-side); recall vs the exact baseline is asserted in tests."""
+    e = _emb(spark, sf_dir)
+    return lsh_topk(e, e.filter(F.col("vec_id") < 5), k=5)

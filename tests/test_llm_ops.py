@@ -1,0 +1,92 @@
+"""Semantic tests for the LLM-pipeline operators: planted duplicates
+are found, LSH approximates the exact baseline, multimodal plumbing
+runs end-to-end."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassaforte_meter_transmission_gen_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+)
+from cassaforte_meter_transmission_gen_spark.operators.multimodal import (
+    extract_features,
+    to_binary_payloads,
+)
+from cassaforte_meter_transmission_gen_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+from cassaforte_meter_transmission_gen_spark.schemas import load_table
+
+
+def test_exact_dedup_finds_planted_copies(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "a completely different document about spark engines"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    groups = {r["keeper_id"]: r["n_copies"] for r in exact_duplicates(df).collect()}
+    assert groups[1] == 2 and groups[3] == 1
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    rows = [
+        (1, base + "lambda mu"),
+        (2, base + "lambda nu"),  # one-word difference → jaccard ≈ 0.9
+        (3, "totally unrelated words " + "x y z w v u t s r q " * 5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in minhash_near_duplicates(df, threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.8
+    assert all(3 not in p for p in pairs)
+
+
+def test_minhash_on_corpus_finds_planted_pairs(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents")
+    pairs = minhash_near_duplicates(docs, threshold=0.9).collect()
+    # driver corpus plants near-identical docs (jaccard ≈ 0.98)
+    assert len(pairs) >= 1
+    assert all(r["jaccard"] >= 0.9 for r in pairs)
+
+
+def test_simhash_near_dup(spark):
+    base = " ".join(f"tok{i}" for i in range(200))
+    rows = [(1, base), (2, base + " extra"), (3, " ".join(f"other{i}" for i in range(200)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = [(r["doc_a"], r["doc_b"]) for r in simhash_near_duplicates(df, max_hamming=5).collect()]
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_lsh_recall_vs_bruteforce(spark, sf_small):
+    e = load_table(spark, sf_small, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(e, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"]) for r in lsh_topk(e, q, k=5).collect()
+    }
+    # corpus embeddings are weakly clustered (top-5 cosine ≈ 0.3), so
+    # 8 tables × 3 planes targets recall ≈ 0.86; assert a safe floor
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_multimodal_plumbing(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents").limit(20)
+    payloads = to_binary_payloads(docs, "doc_id", "text", "text/plain")
+    feats = extract_features(payloads, decode_stub="fake")
+    rows = feats.collect()
+    assert len(rows) == 20
+    assert all(r["n_bytes"] > 0 and 1 <= r["width"] <= 64 for r in rows)
+    # the error stub marks the real decoder plug point
+    with pytest.raises(Exception, match="NotImplementedError|real image"):
+        extract_features(payloads, decode_stub="error").collect()
