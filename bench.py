@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): run the headline catalog
+queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a noop-format write (full
+materialization, no driver collect). Wall time per query includes plan
++ execution; the JVM/session warmup is excluded via a warmup query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cassaforte_meter_transmission_gen_spark.plans import REGISTRY  # noqa: E402
+from cassaforte_meter_transmission_gen_spark.session import get_spark  # noqa: E402
+
+#: headline set: the reference's own pipeline (generator → joules →
+#: rollups → report) plus the heaviest catalog shapes per family.
+HEADLINE = [
+    "meter_joules_second",
+    "meter_rollup_minute",
+    "meter_rollup_day",
+    "meter_daily_report",
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q18_large_volume_customers",
+    "window_running_total",
+    "events_sessionization_30m",
+    "sort_limit_top100_lineitems",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_signatures",
+    "ann_bruteforce_cosine_topk",
+    "text_token_top50",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("cassaforte-bench")
+
+    # warmup: JVM + parquet footer caches, not counted
+    REGISTRY["q06_forecast_revenue"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_catalog_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -66,8 +66,21 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition to the session's default parallelism before
+    CPU-heavy per-row work. A small parquet reads as one partition
+    (file < maxPartitionBytes), which would serialize all
+    shingling/hashing onto one core — the shuffle of raw text is cheap
+    relative to the compute it parallelizes. At 100 TB inputs arrive
+    already split; this guards the small-file edge."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    return df.select(
+    return _spread(df).select(
         F.col(id_col).alias("doc_id"),
         word_shingles(tokens(F.col(text_col)), n).alias("shingles"),
     ).filter(F.size("shingles") > 0)
@@ -85,6 +98,11 @@ def minhash_signatures(
     shuffle keyed by doc_id)."""
     hash_fn = tok_hash_portable if portable else tok_hash_fast
     sh = _shingled(df, text_col, id_col, n)
+    return _signatures_from_shingles(sh, portable)
+
+
+def _signatures_from_shingles(sh: DataFrame, portable: bool) -> DataFrame:
+    hash_fn = tok_hash_portable if portable else tok_hash_fast
     exploded = sh.select("doc_id", F.explode("shingles").alias("s")).select(
         "doc_id", (hash_fn(F.col("s")) % MINHASH_PRIME).alias("h")
     )
@@ -133,8 +151,14 @@ def minhash_near_duplicates(
 
     Returns (doc_a, doc_b, jaccard), doc_a < doc_b.
     """
-    sh = _shingled(df, text_col, id_col, n)
-    sig = minhash_signatures(df, text_col, id_col, n, portable)
+    # The shingle table feeds three plan branches (signatures + both
+    # sides of the verification join); cache it so shingling runs once
+    # per partition instead of three times. MEMORY_AND_DISK: shingle
+    # arrays are ~2-5× the text size — spill rather than recompute.
+    from pyspark import StorageLevel
+
+    sh = _shingled(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = _signatures_from_shingles(sh, portable)
     bk = _band_keys(sig)
     left = bk.select(
         F.col("doc_id").alias("doc_a"), "band_idx", "band_key"
@@ -174,7 +198,7 @@ def simhash_signatures(
     signature bit set where the vote is positive. One explode + one
     grouped aggregation with 60 conditional sums (all JVM-side)."""
     hash_fn = tok_hash_portable if portable else tok_hash_fast
-    toks = df.select(
+    toks = _spread(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
     ).select("doc_id", hash_fn(F.col("tok")).alias("h"))

@@ -183,6 +183,21 @@ def meter_daily_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_rollup_minute",
+    oracle=_rollup_oracle("minute"),
+    tags=("meter", "rollup", "streaming"),
+)
+def streaming_rollup_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The minute rollup computed by the STREAMING path (Structured
+    Streaming windowed stateful sum over a bounded file stream,
+    complete mode — streaming.pipeline) — gated against the *same*
+    oracle as the batch rollup, proving streaming ≡ batch (T3/T4)."""
+    from ..streaming.pipeline import run_bounded_rollup
+
+    return run_bounded_rollup(spark, "1 minute")
+
+
+@register(
     "meter_hhmmss_format",
     oracle=f"""WITH {GEN_CTE}
 SELECT said, datetime, strftime(datetime, '%H:%M:%S') || ' UTC' AS hhmmss

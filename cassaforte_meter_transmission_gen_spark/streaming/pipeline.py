@@ -1,0 +1,109 @@
+"""Structured Streaming path — the reference's actual runtime shape.
+
+The reference is an unbounded 1 Hz producer (core.clj:173-176) whose
+minute/hour/day COUNTER tables are incrementally-updated running sums
+(core.clj:122-153). The Spark-native equivalent (SURVEY §2.8):
+
+- T1 ingestion cadence → a streaming source; for production a ``rate``
+  source paced at ``rowsPerSecond = num_meters`` (or Kafka/files); for
+  deterministic tests a bounded file stream over staged transmissions.
+- T3 tumbling rollups → ``groupBy(window(datetime, grain), said).sum``;
+  the state store holds the running sums — exactly the COUNTER
+  semantics, but with exactly-once delivery instead of the reference's
+  fire-and-forget (T5; we keep Spark's stronger guarantee).
+- T2 event time == generation time; the reference admits no late data,
+  so the default watermark is 0 seconds, configurable for real sources.
+
+Correctness argument: streaming aggregation ≡ batch aggregation over
+the same inputs (sum is associative/commutative); asserted by
+tests/test_streaming.py and by the catalog entry
+``streaming_rollup_minute`` sharing its oracle with the batch rollup.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import METER_SAMPLES_SECOND
+from ..sources.meter_generator import meter_samples_second
+
+
+def rate_transmission_stream(
+    spark: SparkSession, num_meters: int, start_said: int
+) -> DataFrame:
+    """Production-shaped unbounded source: ``rate`` paced at one row
+    per meter per second (the reference's cadence), mapped to
+    (said, datetime). The raw watts array attaches exactly as in the
+    batch generator (same expression)."""
+    from ..sources.meter_generator import sawtooth_watts
+
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", num_meters)
+        .load()
+    )
+    return rate.select(
+        (F.lit(start_said) + F.col("value") % num_meters).cast("int").alias("said"),
+        F.date_trunc("second", F.col("timestamp")).alias("datetime"),
+    ).withColumn("watts", sawtooth_watts())
+
+
+def windowed_rollup(stream: DataFrame, grain_duration: str) -> DataFrame:
+    """Streaming rollup: tumbling-window stateful sum — the COUNTER
+    table as a continuously-maintained aggregation (update/complete
+    output mode both valid; state keyed (said, window))."""
+    return (
+        stream.withWatermark("datetime", "0 seconds")
+        .groupBy(F.window("datetime", grain_duration).alias("w"), "said")
+        .agg(F.sum("joules").cast("long").alias("joules"))
+        .select("said", F.col("w.start").alias("datetime"), "joules")
+    )
+
+
+def bounded_second_stream(
+    spark: SparkSession,
+    num_meters: int = 4,
+    seconds: int = 7200,
+    stage_dir: str | None = None,
+) -> tuple[DataFrame, str]:
+    """Deterministic bounded stream for tests/oracle checks: stage the
+    batch-generated second-grain table as parquet, then re-read it as a
+    file stream (schema-pinned). Returns (stream, staged_path)."""
+    stage = stage_dir or tempfile.mkdtemp(prefix="meter_stream_")
+    meter_samples_second(spark, num_meters=num_meters, seconds=seconds).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    stream = (
+        spark.readStream.schema(METER_SAMPLES_SECOND)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(stage)
+    )
+    return stream, stage
+
+
+def run_bounded_rollup(
+    spark: SparkSession,
+    grain_duration: str = "1 minute",
+    num_meters: int = 4,
+    seconds: int = 7200,
+) -> DataFrame:
+    """Run the streaming rollup over the bounded stream to completion
+    (availableNow trigger, complete output mode into a memory sink) and
+    return the final result table — byte-equal to the batch rollup."""
+    stream, _ = bounded_second_stream(spark, num_meters, seconds)
+    rollup = windowed_rollup(stream, grain_duration)
+    name = f"stream_rollup_{abs(hash((grain_duration, num_meters, seconds))) % 10**8}"
+    with tempfile.TemporaryDirectory(prefix="meter_ckpt_") as ckpt:
+        q = (
+            rollup.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)

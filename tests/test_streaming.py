@@ -1,0 +1,36 @@
+"""Streaming ≡ batch equivalence (SURVEY §5.2): the windowed stateful
+rollup over a bounded stream must equal the batch grouped sum on the
+same inputs — the correctness argument for replacing the reference's
+counter tables with Structured Streaming aggregation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cassaforte_meter_transmission_gen_spark.operators.rollups import rollup_chain
+from cassaforte_meter_transmission_gen_spark.sources.meter_generator import (
+    meter_samples_second,
+)
+from cassaforte_meter_transmission_gen_spark.streaming.pipeline import (
+    run_bounded_rollup,
+)
+
+
+def _rows(df):
+    return sorted((r["said"], r["datetime"], r["joules"]) for r in df.collect())
+
+
+def test_streaming_minute_rollup_equals_batch(spark):
+    streamed = run_bounded_rollup(spark, "1 minute", num_meters=2, seconds=1800)
+    batch = rollup_chain(meter_samples_second(spark, num_meters=2, seconds=1800))[
+        "minute"
+    ]
+    assert _rows(streamed) == _rows(batch)
+
+
+def test_streaming_hour_rollup_equals_batch(spark):
+    streamed = run_bounded_rollup(spark, "1 hour", num_meters=2, seconds=7200)
+    batch = rollup_chain(meter_samples_second(spark, num_meters=2, seconds=7200))[
+        "hour"
+    ]
+    assert _rows(streamed) == _rows(batch)
