@@ -262,3 +262,68 @@ def simhash_near_duplicates(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# --- embedding-cosine near-dup (the fourth dedup family) ---
+
+
+def embedding_cosine_duplicates(
+    vectors: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding near-dup pairs: all (a < b) pairs with
+    cosine(a, b) >= threshold. O(n²) self-join — the correctness
+    baseline; use :func:`embedding_cosine_duplicates_lsh` at scale.
+
+    Returns (dup_a, dup_b, cosine)."""
+    from .similarity import cosine
+
+    a = vectors.select(F.col(id_col).alias("dup_a"), F.col(vec_col).alias("va"))
+    b = vectors.select(F.col(id_col).alias("dup_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("dup_a") < F.col("dup_b"))
+        .select(
+            "dup_a",
+            "dup_b",
+            cosine(F.col("va"), F.col("vb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_cosine_duplicates_lsh(
+    vectors: DataFrame,
+    threshold: float = 0.4,
+    n_tables: int = 12,
+    n_planes: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Scale path for embedding near-dup: random-hyperplane LSH buckets
+    confine the candidate join (quadratic only within a bucket), then
+    candidates are verified with the exact cosine — precision 1.0,
+    recall governed by n_tables × n_planes (same banding math as
+    MinHash LSH; at cosine ≥ 0.4 agreement ≈ 0.63/plane ⇒ recall
+    ≈ 1-(1-0.63³)¹² ≈ 0.97). Same output schema as the exact form."""
+    from .similarity import _bucket_keys, cosine, hyperplanes
+
+    tables = [
+        hyperplanes(dim, n_planes, seed=20130101 + 7919 * t)
+        for t in range(n_tables)
+    ]
+    left = _bucket_keys(vectors, "dup_a", "va", tables, id_col, vec_col)
+    right = _bucket_keys(vectors, "dup_b", "vb", tables, id_col, vec_col)
+    cand = (
+        left.join(right, ["table_idx", "bucket"])
+        .filter(F.col("dup_a") < F.col("dup_b"))
+        .select("dup_a", "va", "dup_b", "vb")
+        .dropDuplicates(["dup_a", "dup_b"])
+    )
+    return cand.select(
+        "dup_a",
+        "dup_b",
+        cosine(F.col("va"), F.col("vb")).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)

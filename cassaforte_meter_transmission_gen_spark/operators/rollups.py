@@ -57,3 +57,58 @@ def route_grain(rollups: dict[str, DataFrame], grain: str) -> DataFrame:
     coarsest sufficient pre-aggregated table — O(1)-ish reads instead of
     raw scans, the reference's load-bearing design decision."""
     return rollups[grain]
+
+
+GRAIN_SECONDS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+
+
+def choose_source_grain(
+    out_grain: str,
+    t0_epoch: int | None = None,
+    t1_epoch: int | None = None,
+) -> str:
+    """The routing decision (SURVEY §4 O4): the coarsest stored grain
+    that (a) divides the output grain and (b) aligns with both range
+    boundaries — guaranteeing the routed plan reads exactly the seconds
+    the raw-scan plan would. An hour-grain report over an hour-aligned
+    range reads the hour table (3600× fewer rows than seconds); the
+    same report over a half-hour-shifted range must drop to minutes.
+    Alignment is epoch-based (session is pinned UTC, like the
+    reference's formatting, core.clj:66)."""
+    out_secs = GRAIN_SECONDS[out_grain]
+    best = "second"
+    for g, secs in GRAIN_SECONDS.items():
+        if secs > out_secs or out_secs % secs:
+            continue
+        if t0_epoch is not None and t0_epoch % secs:
+            continue
+        if t1_epoch is not None and t1_epoch % secs:
+            continue
+        if secs > GRAIN_SECONDS[best]:
+            best = g
+    return best
+
+
+def routed_energy_report(
+    rollups: dict[str, DataFrame],
+    grain: str,
+    t0_epoch: int | None = None,
+    t1_epoch: int | None = None,
+    meters: list[int] | None = None,
+) -> DataFrame:
+    """Energy report routed to the cheapest pre-aggregated table: pick
+    the source grain, filter (meters prune partitions; the time range
+    prunes row groups), and re-aggregate only if the source is finer
+    than the output. When source == output grain the plan is a pure
+    filtered scan — no aggregation at all."""
+    src = choose_source_grain(grain, t0_epoch, t1_epoch)
+    df = rollups[src]
+    if meters is not None:
+        df = df.filter(F.col("said").isin(*meters))
+    if t0_epoch is not None:
+        df = df.filter(F.col("datetime") >= F.timestamp_seconds(F.lit(t0_epoch)))
+    if t1_epoch is not None:
+        df = df.filter(F.col("datetime") < F.timestamp_seconds(F.lit(t1_epoch)))
+    if src == grain:
+        return df
+    return rollup_from_second(df, grain)

@@ -176,3 +176,33 @@ def events_daily_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_type").alias("n_types"),
         dec_sum(F.col("value")).alias("total_value"),
     )
+
+
+@register(
+    "events_asof_purchase_last_click",
+    oracle="""
+WITH clicks AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+purch AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT p.user_id, p.ts, p.event_id, p.value,
+       c.ts AS matched_ts, c.value AS value_asof
+FROM purch p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+    tags=("events", "asof-join"),
+)
+def events_asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators.asof.asof_join): each purchase event picks
+    up the latest click by the same user at or before it — the
+    point-in-time lookup shape (market data, feature stores). Union-
+    merge plan: one shuffle on user_id, no range cross-product; oracle
+    is DuckDB's native ASOF JOIN."""
+    from ..operators.asof import asof_join
+
+    ev = _ev(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return asof_join(
+        purch, clicks, on=["user_id"], value_cols=["value"]
+    )

@@ -213,3 +213,57 @@ def meter_hhmmss_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.filter(F.col("datetime") < hi).select(
         "said", "datetime", hhmmss(F.col("datetime")).alias("hhmmss")
     )
+
+
+@register(
+    "meter_routed_hour_report",
+    oracle=f"""WITH {GEN_CTE},{TICK_CTE}
+SELECT said, CAST(date_trunc('hour', datetime) AS TIMESTAMP) AS datetime,
+       CAST(SUM(joules) AS BIGINT) AS joules
+FROM gen CROSS JOIN tick
+WHERE said IN ({DEFAULT_START_SAID}, {DEFAULT_START_SAID + 2})
+  AND datetime >= {T0_SQL} + 3600 * INTERVAL 1 SECOND
+  AND datetime <  {T0_SQL} + 7200 * INTERVAL 1 SECOND
+GROUP BY 1, 2""",
+    tags=("meter", "rollup", "routing"),
+)
+def meter_routed_hour_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grain routing end-to-end (O4, operators.rollups.routed_energy_
+    report): an hour-grain report over an hour-aligned range routes to
+    the HOUR table — a filtered scan with no aggregation (the chooser
+    is unit-tested to pick 'hour'; the oracle re-derives the same
+    numbers from raw seconds, proving the routed shortcut exact)."""
+    from ..operators.rollups import routed_energy_report
+
+    chain = rollup_chain(meter_samples_second(spark))
+    return routed_energy_report(
+        chain,
+        "hour",
+        t0_epoch=T0_EPOCH + 3600,
+        t1_epoch=T0_EPOCH + 7200,
+        meters=[DEFAULT_START_SAID, DEFAULT_START_SAID + 2],
+    )
+
+
+@register(
+    "streaming_cumulative_energy",
+    oracle=f"""WITH {GEN_CTE},{TICK_CTE}
+SELECT said, CAST(SUM(joules) AS BIGINT) AS cumulative_joules
+FROM gen CROSS JOIN tick
+GROUP BY said""",
+    tags=("meter", "streaming", "stateful"),
+)
+def streaming_cumulative_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator end-to-end (streaming.
+    pipeline.cumulative_energy_stream, applyInPandasWithState): the
+    per-meter lifetime energy counter driven over the bounded stream;
+    the final counter per meter is deterministic and oracle-gated
+    against the batch lifetime sum."""
+    from ..streaming.pipeline import run_bounded_cumulative
+
+    emitted = run_bounded_cumulative(
+        spark, num_meters=DEFAULT_NUM_METERS, seconds=DEFAULT_SECONDS
+    )
+    return emitted.groupBy("said").agg(
+        F.max("cumulative_joules").alias("cumulative_joules")
+    )

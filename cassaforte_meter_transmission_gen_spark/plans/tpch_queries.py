@@ -556,3 +556,477 @@ def join_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band_id")
         .agg(F.count("*").alias("n_parts"))
     )
+
+
+# --- Q2 (adapted: no partsupp — part↔supplier via lineitem; min
+#     account balance stands in for min supply cost) ---
+
+@register(
+    "q02_min_cost_supplier",
+    oracle="""
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+cand AS (
+  SELECT p_partkey, p_name, s_name, s_acctbal, n_name
+  FROM part JOIN ps ON p_partkey = l_partkey
+            JOIN eu ON l_suppkey = s_suppkey
+  WHERE p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+FROM cand c
+WHERE s_acctbal = (SELECT min(s_acctbal) FROM cand m WHERE m.p_partkey = c.p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+    tags=("tpch", "join", "correlated-subquery"),
+)
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape adapted to the reduced schema: the part↔supplier
+    relation is derived from lineitem (distinct pairs), the correlated
+    min subquery becomes a per-part window min — one shuffle on
+    p_partkey instead of an aggregate + join-back."""
+    from pyspark.sql import Window as W
+
+    ps = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    ).dropDuplicates()
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_size").between(10, 20) & (F.col("p_type") == "LARGE")
+    )
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = (
+        ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .join(F.broadcast(eu), ps.l_suppkey == F.col("s_suppkey"))
+        .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name")
+    )
+    w = W.partitionBy("p_partkey")
+    return (
+        cand.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# --- Q4 (adapted: "late" = shipped >60 days after order date) ---
+
+@register(
+    "q04_order_priority_check",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+""",
+    tags=("tpch", "semi-join", "exists"),
+)
+def q04_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS with a cross-side date predicate → left
+    semi join whose condition references both sides (no commitdate/
+    receiptdate in the corpus; >60-day ship lag stands in for late)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey)
+            & (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+# --- Q7 (volume shipping between two nations) ---
+
+@register(
+    "q07_volume_shipping",
+    oracle=f"""
+SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+       {sql_dec_sum("l_extendedprice * (1 - l_discount)")} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+  AND n2.n_name IN ('NATION_1', 'NATION_2')
+  AND n1.n_name <> n2.n_name
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1, 2, 3
+""",
+    tags=("tpch", "join", "self-join-dim"),
+)
+def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the nation dimension joins twice under two roles
+    (customer's vs supplier's nation) — aliased broadcast joins; the
+    pair filter keeps only cross-nation trade."""
+    pair = ("NATION_1", "NATION_2")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*pair))
+        .select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    )
+    n2 = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*pair))
+        .select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(n2), s.s_nationkey == F.col("s_nk"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+# --- Q8 (national market share) ---
+
+@register(
+    "q08_market_share",
+    oracle=f"""
+WITH all_nations AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA' AND p_type = 'STANDARD'
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+)
+SELECT o_year,
+       {sql_dec_sum("CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END")}
+         / {sql_dec_sum("volume")} AS mkt_share
+FROM all_nations
+GROUP BY o_year
+""",
+    tags=("tpch", "join", "ratio-agg"),
+)
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of regional trade volume per
+    year — conditional sum over total sum after a 7-table join (all
+    dims broadcast; the only shuffles are orders⋈lineitem and the
+    final tiny aggregation)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nat_vol = F.when(F.col("supp_nation") == "NATION_5", volume).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == r.r_regionkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg((dec_sum(nat_vol) / dec_sum(volume)).alias("mkt_share"))
+    )
+
+
+# --- Q9 (product-type profit, retailprice as cost proxy) ---
+
+@register(
+    "q09_product_profit",
+    oracle=f"""
+SELECT n_name AS nation, CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       {sql_dec_sum("l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.01")} AS sum_profit
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+""",
+    tags=("tpch", "join", "like"),
+)
+def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier-nation per year for parts
+    matching a LIKE pattern (no partsupp → 1% of retailprice stands in
+    for supply cost). The LIKE filter prunes part before broadcast."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * F.lit(0.01)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(dec_sum(profit).alias("sum_profit"))
+    )
+
+
+# --- Q12 (priority counting per line status; no shipmode column) ---
+
+@register(
+    "q12_priority_by_linestatus",
+    oracle="""
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_linestatus
+""",
+    tags=("tpch", "join", "conditional-agg"),
+)
+def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: urgent-vs-rest order counts per line status
+    (linestatus stands in for the absent shipmode)."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+# --- Q15 (top supplier by quarterly revenue) ---
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {sql_dec_sum("l_extendedprice * (1 - l_discount)")} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+""",
+    tags=("tpch", "scalar-subquery", "max"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the revenue view is computed once and reused by
+    both the max scalar subquery and the equality filter (exact decimal
+    sums make the double equality safe across engines)."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# --- Q16 (supplier count per part profile, with exclusions) ---
+
+@register(
+    "q16_parts_supplier_counts",
+    oracle="""
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY 1, 2, 3
+""",
+    tags=("tpch", "distinct-agg", "anti-join"),
+)
+def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part profile,
+    excluding flagged suppliers (negative balance stands in for the
+    complaints subquery) via a broadcast anti join before the
+    distinct aggregation."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0.0).select(
+        "s_suppkey"
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --- Q17 (small-quantity-order revenue: correlated avg) ---
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+WITH pa AS (
+  SELECT l_partkey AS pk,
+         {sql_dec_sum("l_quantity")} / count(*) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT {sql_dec_sum("l_extendedprice")} / 7.0 AS avg_yearly,
+       count(*) AS n_items
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN pa   ON pk = l_partkey
+WHERE p_brand = 'Brand#23' AND l_quantity < 0.2 * avg_qty
+""",
+    tags=("tpch", "correlated-avg"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: lineitems below 20% of their part's average
+    quantity. The correlated avg becomes a per-part aggregate joined
+    back to the fact — the aggregate output is small (one row per
+    part) so it broadcasts."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    pa = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (dec_sum(F.col("l_quantity")) / F.count("*")).alias("avg_qty")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(pa), l.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (dec_sum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# --- Q21 (suppliers who alone shipped late on multi-supplier orders) ---
+
+@register(
+    "q21_waiting_supplier",
+    oracle="""
+WITH late AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F' AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+),
+stats AS (SELECT l_orderkey AS ok, count(DISTINCT l_suppkey) AS n_supp
+          FROM lineitem GROUP BY l_orderkey),
+lstats AS (SELECT l_orderkey AS lok, count(*) AS n_late FROM late GROUP BY l_orderkey)
+SELECT s_name, count(*) AS numwait
+FROM late
+JOIN stats ON late.l_orderkey = stats.ok
+JOIN lstats ON late.l_orderkey = lstats.lok
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE n_supp > 1 AND n_late = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+""",
+    tags=("tpch", "multi-agg-join"),
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the EXISTS/NOT-EXISTS pair over sibling
+    lineitems becomes two per-order aggregates (distinct suppliers;
+    distinct late suppliers) joined back to the late set — three
+    shuffles on l_orderkey that AQE can plan as one exchange reuse
+    (>90-day ship lag stands in for receipt-past-commit)."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    late = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .dropDuplicates()
+    )
+    stats = l.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp")
+    )
+    lstats = late.groupBy(F.col("l_orderkey").alias("lok")).agg(
+        F.count("*").alias("n_late")
+    )
+    return (
+        late.join(stats, late.l_orderkey == F.col("ok"))
+        .join(lstats, late.l_orderkey == F.col("lok"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), late.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )

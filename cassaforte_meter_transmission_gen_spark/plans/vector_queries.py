@@ -124,6 +124,47 @@ def vector_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_embedding_cosine_pairs",
+    oracle=f"""
+WITH a AS (SELECT vec_id AS dup_a, embedding AS va FROM embeddings),
+b AS (SELECT vec_id AS dup_b, embedding AS vb FROM embeddings)
+SELECT dup_a, dup_b,
+       {_DOT.format(a='va', b='vb')}
+         / ({_NORM.format(v='va')} * {_NORM.format(v='vb')}) AS cosine
+FROM a JOIN b ON dup_a < dup_b
+WHERE {_DOT.format(a='va', b='vb')}
+        / ({_NORM.format(v='va')} * {_NORM.format(v='vb')}) >= 0.4
+""",
+    tags=("dedup", "vector", "cosine"),
+)
+def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact form (operators.
+    dedup.embedding_cosine_duplicates): every (a<b) pair at cosine
+    ≥ 0.4 — the fourth dedup family of the north star (exact / MinHash
+    / SimHash / embedding-cosine). Sequential-fold cosine keeps the
+    threshold comparison bit-identical to the serial oracle."""
+    from ..operators.dedup import embedding_cosine_duplicates
+
+    return embedding_cosine_duplicates(_emb(spark, sf_dir), threshold=0.4)
+
+
+@register(
+    "dedup_embedding_cosine_lsh",
+    oracle=None,
+    tags=("dedup", "vector", "cosine", "lsh"),
+)
+def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via hyperplane-LSH candidate buckets + exact
+    cosine verification (operators.dedup.embedding_cosine_duplicates_
+    lsh) — the 100 TB path: the quadratic join is confined to LSH
+    buckets. Rows-only checked (hyperplane literals are engine-side);
+    precision 1.0 / recall vs the exact form asserted in tests."""
+    from ..operators.dedup import embedding_cosine_duplicates_lsh
+
+    return embedding_cosine_duplicates_lsh(_emb(spark, sf_dir), threshold=0.4)
+
+
 @register("ann_lsh_bucketed_topk", oracle=None, tags=("vector", "ann", "lsh"))
 def ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via random-hyperplane LSH buckets (operators.

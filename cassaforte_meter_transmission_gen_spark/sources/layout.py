@@ -1,0 +1,82 @@
+"""Storage layouts for the 100 TB design pass (SURVEY §4 O5).
+
+The reference's physical design is ``PRIMARY KEY (said, datetime)`` —
+partition by meter, cluster by time (setup_and_notes.txt:20,26,32,38,44).
+The Spark-native duals, in increasing strength:
+
+1. **Partitioned parquet** (``write_time_partitioned``): directory
+   partitioning on a coarse time bucket (+ optionally a said bucket).
+   Catalyst partition-prunes the directory tree, so the flagship read
+   ("meters S over [t0,t1)", setup_and_notes.txt:46) touches only the
+   matching files. Time buckets are DAYS — one directory per day keeps
+   directory counts sane at 100 TB (36.5k dirs/century-meter vs
+   86M for per-second dirs).
+2. **Bucketed tables** (``write_bucketed``): ``bucketBy(said) +
+   sortBy(datetime)`` via ``saveAsTable``. Both sides of a
+   meter-aligned join (raw ⋈ rollup, stream ⋈ dim) read co-bucketed
+   files and the join plans WITHOUT an Exchange — the shuffle happens
+   once at write time, then every subsequent join is free. This is the
+   direct analog of Cassandra's partition-local reads.
+
+Bucket counts: a power of two sized so one bucket of the biggest table
+fits an executor's working memory (128 buckets ≈ 800 GB/bucket at
+100 TB raw — pair with day partitioning so a task reads
+(day × bucket) ≈ 2 GB slices).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_time_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "datetime",
+    said_buckets: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet partitioned by event day (and optionally a said
+    hash bucket), rows within each file sorted by (said, ts) so
+    parquet row-group min/max stats prune time ranges inside a day."""
+    out = df.withColumn("p_day", F.to_date(F.col(ts_col)))
+    partition_cols = ["p_day"]
+    if said_buckets:
+        out = out.withColumn("p_said_bucket", F.pmod(F.hash("said"), F.lit(said_buckets)))
+        partition_cols.append("p_said_bucket")
+    (
+        out.repartition(*[F.col(c) for c in partition_cols])
+        .sortWithinPartitions("said", ts_col)
+        .write.mode(mode)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def read_time_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read a layout written by :func:`write_time_partitioned`; the
+    partition columns stay available for explicit pruning predicates
+    (Catalyst also derives pruning from ``ts_col`` predicates when the
+    query filters on the data column directly)."""
+    return spark.read.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    n_buckets: int = 32,
+    key: str = "said",
+    sort: str = "datetime",
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed+sorted managed table: the one-time shuffle
+    that makes every later equi-join/aggregation on ``key``
+    exchange-free (SortMergeJoin reads co-bucketed splits directly)."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, key)
+        .sortBy(sort)
+        .format("parquet")
+        .saveAsTable(table)
+    )

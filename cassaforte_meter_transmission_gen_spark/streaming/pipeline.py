@@ -107,3 +107,57 @@ def run_bounded_rollup(
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+def cumulative_energy_stream(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator (SURVEY §2.9 surface): a per-meter
+    lifetime energy counter — the reference's COUNTER concept taken to
+    its limit (one ever-growing sum per said, not per window), which
+    windowed aggregation can't express. ``applyInPandasWithState``
+    keeps one long per meter in the state store; each micro-batch
+    emits that meter's checkpoint (latest event time, cumulative
+    joules). Arrow-batched; state size is O(#meters) — trivially
+    shardable across 1000 executors since the key is the shard."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_fn(key, pdf_iter, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        latest = None
+        for pdf in pdf_iter:
+            total += int(pdf["joules"].sum())
+            mx = pdf["datetime"].max()
+            latest = mx if latest is None else max(latest, mx)
+        state.update((total,))
+        yield pd.DataFrame(
+            {"said": [key[0]], "datetime": [latest], "cumulative_joules": [total]}
+        )
+
+    return stream.groupBy("said").applyInPandasWithState(
+        update_fn,
+        outputStructType="said int, datetime timestamp, cumulative_joules long",
+        stateStructType="total long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_bounded_cumulative(
+    spark: SparkSession, num_meters: int = 4, seconds: int = 3600
+) -> DataFrame:
+    """Drive the stateful counter over the bounded stream and return
+    every emitted checkpoint row (memory sink, update mode)."""
+    stream, _ = bounded_second_stream(spark, num_meters, seconds)
+    counted = cumulative_energy_stream(stream)
+    name = f"stream_cumulative_{abs(hash((num_meters, seconds))) % 10**8}"
+    with tempfile.TemporaryDirectory(prefix="meter_ckpt_") as ckpt:
+        q = (
+            counted.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)

@@ -90,3 +90,42 @@ def test_multimodal_plumbing(spark, sf_small):
     # the error stub marks the real decoder plug point
     with pytest.raises(Exception, match="NotImplementedError|real image"):
         extract_features(payloads, decode_stub="error").collect()
+
+
+def test_embedding_cosine_dedup_exact_and_lsh(spark, sf_small):
+    from cassaforte_meter_transmission_gen_spark.operators.dedup import (
+        embedding_cosine_duplicates,
+        embedding_cosine_duplicates_lsh,
+    )
+
+    e = load_table(spark, sf_small, "embeddings")
+    exact = {
+        (r["dup_a"], r["dup_b"]) for r in embedding_cosine_duplicates(e, 0.4).collect()
+    }
+    approx = {
+        (r["dup_a"], r["dup_b"])
+        for r in embedding_cosine_duplicates_lsh(e, 0.4).collect()
+    }
+    assert exact, "corpus should contain at least one cosine>=0.4 pair"
+    # exact cosine verification on candidates ⇒ precision 1.0
+    assert approx <= exact
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.6, f"LSH recall too low: {recall}"
+
+
+def test_asof_join_backward_semantics(spark):
+    from cassaforte_meter_transmission_gen_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "c")], "k int, ts int, payload string"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (2, 6, 60.0)], "k int, ts int, v double"
+    )
+    out = {
+        (r["k"], r["ts"]): (r["matched_ts"], r["v_asof"])
+        for r in asof_join(left, right, on=["k"], value_cols=["v"]).collect()
+    }
+    assert out[(1, 10)] == (10, 100.0)   # inclusive: equal ts matches
+    assert out[(1, 20)] == (15, 150.0)   # latest at-or-before
+    assert out[(2, 5)] == (None, None)   # nothing precedes → nulls

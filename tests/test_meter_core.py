@@ -50,3 +50,48 @@ def test_host_hash_stable():
     assert host_hash("abc") == host_hash("abc")
     assert 0 <= host_hash("anything") < 100000
     assert host_hash("host-a") != host_hash("host-b")
+
+
+def test_grain_routing_chooser():
+    from cassaforte_meter_transmission_gen_spark.operators.rollups import (
+        choose_source_grain,
+    )
+
+    day = 86400
+    # aligned ranges route to the coarsest dividing grain
+    assert choose_source_grain("day", 0, 7 * day) == "day"
+    assert choose_source_grain("hour", 0, day) == "hour"
+    # misaligned boundaries force a finer source
+    assert choose_source_grain("day", 1800, 7 * day) == "minute"
+    assert choose_source_grain("hour", 0, day + 30 * 60) == "minute"
+    assert choose_source_grain("minute", 59, 120) == "second"
+    # unconstrained range → grain itself
+    assert choose_source_grain("day") == "day"
+
+
+def test_routed_report_equals_raw_derivation(spark):
+    from cassaforte_meter_transmission_gen_spark.operators.rollups import (
+        routed_energy_report,
+        rollup_chain,
+    )
+    from cassaforte_meter_transmission_gen_spark.sources.meter_generator import (
+        T0_EPOCH,
+        meter_samples_second,
+    )
+    from pyspark.sql import functions as F
+
+    second = meter_samples_second(spark, num_meters=2, seconds=7200)
+    chain = rollup_chain(second)
+    routed = routed_energy_report(
+        chain, "hour", t0_epoch=T0_EPOCH, t1_epoch=T0_EPOCH + 7200
+    )
+    raw = (
+        second.filter(
+            (F.col("datetime") >= F.timestamp_seconds(F.lit(T0_EPOCH)))
+            & (F.col("datetime") < F.timestamp_seconds(F.lit(T0_EPOCH + 7200)))
+        )
+        .groupBy("said", F.date_trunc("hour", "datetime").alias("datetime"))
+        .agg(F.sum("joules").cast("long").alias("joules"))
+    )
+    key = lambda df: sorted((r["said"], r["datetime"], r["joules"]) for r in df.collect())
+    assert key(routed) == key(raw)

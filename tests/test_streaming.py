@@ -34,3 +34,26 @@ def test_streaming_hour_rollup_equals_batch(spark):
         "hour"
     ]
     assert _rows(streamed) == _rows(batch)
+
+
+def test_stateful_cumulative_counter_equals_batch_total(spark):
+    from cassaforte_meter_transmission_gen_spark.streaming.pipeline import (
+        run_bounded_cumulative,
+    )
+
+    emitted = run_bounded_cumulative(spark, num_meters=3, seconds=1800).collect()
+    # one checkpoint per meter per micro-batch; micro-batch file order
+    # is not event-time order, so "final" = the max counter value
+    final: dict[int, int] = {}
+    for r in emitted:
+        final[r["said"]] = max(final.get(r["said"], 0), r["cumulative_joules"])
+    batch = {
+        r["said"]: r["total"]
+        for r in meter_samples_second(spark, num_meters=3, seconds=1800)
+        .groupBy("said")
+        .agg(F.sum("joules").cast("long").alias("total"))
+        .collect()
+    }
+    assert final == batch
+    # multiple micro-batches actually exercised state carry-over
+    assert len(emitted) > len(final)
