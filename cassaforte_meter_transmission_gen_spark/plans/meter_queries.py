@@ -109,8 +109,9 @@ def meter_raw_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def meter_joules_second(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/K2 (core.clj:43-46,111-120): per-second energy from the 15k
-    sample array, for every meter-second. The fold runs inside codegen;
-    no shuffle at all — the plan is a single narrow stage."""
+    sample array, for every meter-second. The tick energy is computed
+    once (shared array, core.clj:158 / O8) and broadcast onto the
+    narrow generator plan — no shuffle, no per-row 15k-element fold."""
     return meter_samples_second(spark)
 
 

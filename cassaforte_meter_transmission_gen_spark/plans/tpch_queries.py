@@ -1030,3 +1030,115 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )
+
+
+# --- Q11 (important part values: HAVING vs global scalar subquery) ---
+
+@register(
+    "q11_important_part_values",
+    oracle=f"""
+WITH v AS (
+  SELECT l_partkey,
+         {sql_dec_sum("l_extendedprice * l_quantity")} AS value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, value
+FROM v
+WHERE value > (SELECT CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) * 0.001 FROM v)
+""",
+    tags=("tpch", "scalar-subquery", "having"),
+)
+def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (no partsupp in the corpus, so shipped value
+    from lineitem stands in for stock value): per-part value for one
+    nation's suppliers, kept only when above a fraction of the nation
+    total. The global total is a 1-row aggregate broadcast back onto
+    the grouped output — the classic HAVING-vs-scalar-subquery plan
+    with both aggregations sharing one shuffle of the filtered fact."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    v = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(dec_sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
+    )
+    total = v.agg((dec_sum(F.col("value")) * F.lit(0.001)).alias("threshold"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("l_partkey", "value")
+    )
+
+
+# --- Q20 (suppliers with excess shipments: nested semi-join chain) ---
+
+@register(
+    "q20_excess_shipment_suppliers",
+    oracle=f"""
+WITH red_parts AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+sp AS (
+  SELECT l_suppkey, l_partkey,
+         {sql_dec_sum("l_quantity")} AS supp_qty
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM red_parts)
+    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_suppkey, l_partkey
+),
+pt AS (
+  SELECT l_partkey AS pk, {sql_dec_sum("l_quantity")} AS part_qty
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM red_parts)
+    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_partkey
+)
+SELECT DISTINCT s_name, s_suppkey
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM sp JOIN pt ON l_partkey = pk
+  WHERE supp_qty > 0.5 * part_qty
+)
+""",
+    tags=("tpch", "semi-join", "nested-subquery"),
+)
+def q20_excess_shipment_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (shipped quantity stands in for partsupp
+    availqty): suppliers who shipped more than half of a red part's
+    1997 volume. The nested IN-subqueries become a broadcast semi join
+    (parts filter) feeding two aggregations over the SAME filtered
+    scan — Catalyst reuses the exchange — then a LEFT SEMI join back
+    to supplier, so supplier rows are never duplicated or shuffled."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    red = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    shipped = l.join(F.broadcast(red), l.l_partkey == red.p_partkey, "left_semi")
+    sp = shipped.groupBy("l_suppkey", "l_partkey").agg(
+        dec_sum(F.col("l_quantity")).alias("supp_qty")
+    )
+    pt = shipped.groupBy(F.col("l_partkey").alias("pk")).agg(
+        dec_sum(F.col("l_quantity")).alias("part_qty")
+    )
+    excess = (
+        sp.join(pt, sp.l_partkey == F.col("pk"))
+        .filter(F.col("supp_qty") > 0.5 * F.col("part_qty"))
+        .select("l_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        s.join(excess, s.s_suppkey == excess.l_suppkey, "left_semi")
+        .select("s_name", "s_suppkey")
+        .dropDuplicates()
+    )

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.energy import SAMPLE_RATE, SAW_PERIOD, joules_over_second
+from ..functions.energy import SAMPLE_RATE, SAW_PERIOD
 
 #: fixture defaults (FIXTURES.md §A): 2013-01-01T00:00:00Z
 T0_EPOCH = 1356998400
@@ -41,6 +41,22 @@ def sawtooth_watts() -> F.Column:
     return F.expr(
         f"transform(sequence(0, {SAMPLE_RATE - 1}),"
         f" i -> CAST(i % {SAW_PERIOD} AS FLOAT))"
+    )
+
+
+def tick_joules_df(spark: SparkSession, sample_rate: int = SAMPLE_RATE) -> DataFrame:
+    """One-row DataFrame holding the energy of the shared per-tick
+    sample array, computed honestly from the sawtooth in-plan — but
+    ONCE, as a 15k-row aggregation, instead of once per meter-second.
+
+    This is the reference's own shared-array optimization (core.clj:
+    158-161, SURVEY §4 O8): every tick takes the *same* first 15000
+    samples, so its energy is a single value. At 100 TB the per-row
+    fold is O(rows × 15k); this is O(15k) + a broadcast of one row.
+    """
+    saw = (F.col("id") % SAW_PERIOD).cast("double")
+    return spark.range(sample_rate).agg(
+        F.floor(F.sum(saw) / F.lit(sample_rate)).cast("int").alias("joules")
     )
 
 
@@ -76,9 +92,20 @@ def meter_samples_second(
     t0_epoch: int = T0_EPOCH,
     seconds: int = DEFAULT_SECONDS,
 ) -> DataFrame:
-    """The ``meter_samples_second`` table: joules computed from the raw
-    sample arrays in-plan (reference K2, core.clj:111-120)."""
-    raw = transmissions(spark, num_meters, start_said, t0_epoch, seconds)
-    return raw.select(
-        "said", "datetime", joules_over_second(F.col("watts")).alias("joules")
+    """The ``meter_samples_second`` table: joules derived from the
+    sawtooth samples in-plan (reference K2, core.clj:111-120), via the
+    shared-tick energy (``tick_joules_df``) broadcast onto the narrow
+    (said, datetime) generator — a BroadcastNestedLoopJoin against one
+    row, so the plan stays a single shuffle-free narrow stage.
+
+    ``joules_over_second`` (the per-row array fold) remains the general
+    operator for *real* per-row sample arrays; this fast path is valid
+    precisely because the generator's ticks are identical by
+    construction (core.clj:158).
+    """
+    ids = transmissions(
+        spark, num_meters, start_said, t0_epoch, seconds, with_watts=False
+    )
+    return ids.crossJoin(F.broadcast(tick_joules_df(spark))).select(
+        "said", "datetime", "joules"
     )
