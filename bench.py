@@ -53,11 +53,31 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # the reference's own headline first (on a fresh heap): the
+    # five-table write fan-out (generate → raw + second + minute/hour/
+    # day), measured end-to-end to real parquet. Reference throughput =
+    # 15k samples/meter/sec × 2 meters = 30k samples/sec (BASELINE.md);
+    # ours is derived the same way: meter-seconds × 15000 / elapsed.
+    import shutil
+    import tempfile
+
+    from cassaforte_meter_transmission_gen_spark.operators.ingest import ingest_batch
+
+    n_meters, n_seconds = 4, 7200
+    out = tempfile.mkdtemp(prefix="bench_ingest_")
+    t0 = time.perf_counter()
+    ingest_batch(spark, out, num_meters=n_meters, seconds=n_seconds)
+    ingest_sec = round(time.perf_counter() - t0, 3)
+    shutil.rmtree(out, ignore_errors=True)
+
     times: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
+        # drop persisted intermediates (e.g. dedup shingle caches) so
+        # one query's cache doesn't pressure the next one's heap
+        spark.catalog.clearCache()
 
     total = round(sum(times.values()), 3)
     print(
@@ -68,6 +88,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "ingest_five_tables_sec": ingest_sec,
+                "ingest_samples_per_sec": round(
+                    n_meters * n_seconds * 15000 / ingest_sec
+                ),
+                "reference_samples_per_sec": 30000,
             }
         )
     )

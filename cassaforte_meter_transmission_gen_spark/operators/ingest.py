@@ -1,0 +1,99 @@
+"""Batch ingest pipeline — the reference's write fan-out as one job.
+
+The reference's ``-main`` loop issues five writes per transmission:
+raw samples, the per-second energy row, and three counter increments
+(core.clj:100-153, SURVEY §2.2 K1-K5). The Spark-native batch dual is
+one lineage: generator → second-grain energy → rollup chain, with each
+table written as parquet (the Cassandra connector slots in as an
+alternative sink format unchanged — same DataFrames, different
+``.format()``).
+
+Scale design:
+
+- The raw table is written day-partitioned with rows sorted
+  (said, datetime) inside files (sources.layout.write_time_partitioned)
+  — the reference's PRIMARY KEY (said, datetime) layout, so the
+  flagship read prunes to one day directory and row-group stats prune
+  the time range (SURVEY §4 O5).
+- Rollup tables are tiny relative to raw (1/60, 1/3600, 1/86400 of the
+  second table); they are written sorted by (said, datetime) so point
+  reads skip row groups.
+- Each grain derives from the next finer one (operators.rollups), so
+  raw data is scanned exactly once regardless of how many grains are
+  maintained — the reference's insert-time pre-aggregation, O3.
+- The five writes share the generator lineage; Spark schedules them as
+  separate jobs, but the second-grain table is written first and the
+  chain re-reads it from parquet, so the (cheap) generator runs twice
+  and the (expensive, at real scale) raw arrays are never recomputed
+  for rollups.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.layout import write_time_partitioned
+from ..sources.meter_generator import (
+    DEFAULT_NUM_METERS,
+    DEFAULT_SECONDS,
+    DEFAULT_START_SAID,
+    T0_EPOCH,
+    meter_samples_second,
+    transmissions,
+)
+from .rollups import CHAIN, rollup_from_second
+
+TABLES = ("meter_samples", "meter_samples_second") + tuple(
+    f"meter_samples_{g}" for g in CHAIN
+)
+
+
+def ingest_batch(
+    spark: SparkSession,
+    out_dir: str,
+    num_meters: int = DEFAULT_NUM_METERS,
+    start_said: int = DEFAULT_START_SAID,
+    t0_epoch: int = T0_EPOCH,
+    seconds: int = DEFAULT_SECONDS,
+    write_raw: bool = True,
+) -> dict[str, str]:
+    """Generate ``num_meters × seconds`` transmissions and materialize
+    the reference's five tables under ``out_dir``. Returns
+    {table_name: path}. ``write_raw=False`` skips the (bulky) raw
+    sample table for rollup-only maintenance runs."""
+    paths = {t: os.path.join(out_dir, t) for t in TABLES}
+
+    if write_raw:
+        raw = transmissions(spark, num_meters, start_said, t0_epoch, seconds)
+        # generator range-splits are per-meter time slices → already
+        # clustered by (said, datetime): shuffle-free parallel write
+        write_time_partitioned(raw, paths["meter_samples"], clustered=True)
+
+    second = meter_samples_second(spark, num_meters, start_said, t0_epoch, seconds)
+    (
+        second.repartition("said")
+        .sortWithinPartitions("datetime")
+        .write.mode("overwrite")
+        .parquet(paths["meter_samples_second"])
+    )
+
+    finer = spark.read.parquet(paths["meter_samples_second"])
+    for grain in CHAIN:
+        finer = rollup_from_second(finer, grain)
+        (
+            finer.sortWithinPartitions("said", "datetime")
+            .write.mode("overwrite")
+            .parquet(paths[f"meter_samples_{grain}"])
+        )
+        finer = spark.read.parquet(paths[f"meter_samples_{grain}"])
+    return paths
+
+
+def read_table(spark: SparkSession, paths: dict[str, str], table: str) -> DataFrame:
+    """Read one ingested table back (partition columns dropped from the
+    raw table so the schema matches the logical one)."""
+    df = spark.read.parquet(paths[table])
+    extra = [c for c in df.columns if c.startswith("p_")]
+    return df.drop(*extra) if extra else df

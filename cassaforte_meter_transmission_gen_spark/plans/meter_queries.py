@@ -247,6 +247,36 @@ def meter_routed_hour_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ingest_roundtrip_day",
+    oracle=f"""
+WITH gen AS (
+  SELECT CAST({DEFAULT_START_SAID} + (i // 3600) AS INT) AS said,
+         {T0_SQL} + (i % 3600) * INTERVAL 1 SECOND AS datetime
+  FROM range(0, {2 * 3600}) t(i)
+),{TICK_CTE}
+SELECT said, CAST(date_trunc('day', datetime) AS TIMESTAMP) AS datetime,
+       CAST(SUM(joules) AS BIGINT) AS joules
+FROM gen CROSS JOIN tick
+GROUP BY 1, 2""",
+    tags=("meter", "sink", "ingest"),
+)
+def ingest_roundtrip_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1-K5 end-to-end (core.clj:100-153): the full batch ingest
+    pipeline — raw day-partitioned samples + second table + rollup
+    chain, all written as parquet — then the DAY table read back from
+    disk. The oracle re-derives day energy from first principles, so a
+    mismatch anywhere in generate→write→re-read→rollup→write→re-read
+    fails the gate (2 meters × 1 hour keeps the raw write small)."""
+    import tempfile
+
+    from ..operators.ingest import ingest_batch, read_table
+
+    out = tempfile.mkdtemp(prefix="meter_ingest_")
+    paths = ingest_batch(spark, out, num_meters=2, seconds=3600)
+    return read_table(spark, paths, "meter_samples_day")
+
+
+@register(
     "streaming_cumulative_energy",
     oracle=f"""WITH {GEN_CTE},{TICK_CTE}
 SELECT said, CAST(SUM(joules) AS BIGINT) AS cumulative_joules

@@ -36,19 +36,39 @@ def write_time_partitioned(
     ts_col: str = "datetime",
     said_buckets: int | None = None,
     mode: str = "overwrite",
+    clustered: bool = False,
+    day_splits: int = 16,
 ) -> None:
     """Write parquet partitioned by event day (and optionally a said
     hash bucket), rows within each file sorted by (said, ts) so
-    parquet row-group min/max stats prune time ranges inside a day."""
+    parquet row-group min/max stats prune time ranges inside a day.
+
+    ``clustered=True`` declares the input already clustered by
+    (said, ts) within its partitions (true for the generator, whose
+    range splits are per-meter time slices, and for any source re-read
+    from this layout): the write then needs NO shuffle — every input
+    task streams its slice straight into the day directories, fully
+    parallel. With ``clustered=False`` rows are hash-distributed over
+    (day[, bucket], said) so a hot day spreads across ``day_splits``
+    tasks instead of collapsing into one writer (the naive
+    repartition-by-directory-column plan serializes a whole day
+    through a single task — at 100 TB, one executor per day).
+    Deliberately NOT repartitionByRange: its range-bound sampling pass
+    evaluates the input twice, which doubles generation/decode cost of
+    a wide array column for zero layout benefit here."""
     out = df.withColumn("p_day", F.to_date(F.col(ts_col)))
     partition_cols = ["p_day"]
     if said_buckets:
         out = out.withColumn("p_said_bucket", F.pmod(F.hash("said"), F.lit(said_buckets)))
         partition_cols.append("p_said_bucket")
+    if not clustered:
+        split = F.pmod(F.hash("said"), F.lit(day_splits))
+        out = (
+            out.repartition(*[F.col(c) for c in partition_cols], split)
+            .sortWithinPartitions("said", ts_col)
+        )
     (
-        out.repartition(*[F.col(c) for c in partition_cols])
-        .sortWithinPartitions("said", ts_col)
-        .write.mode(mode)
+        out.write.mode(mode)
         .partitionBy(*partition_cols)
         .parquet(path)
     )
