@@ -34,6 +34,9 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import Observation
+from pyspark.sql import functions as F
+
 from ..sources.layout import write_time_partitioned
 from ..sources.meter_generator import (
     DEFAULT_NUM_METERS,
@@ -58,22 +61,42 @@ def ingest_batch(
     t0_epoch: int = T0_EPOCH,
     seconds: int = DEFAULT_SECONDS,
     write_raw: bool = True,
+    report: dict[str, int] | None = None,
 ) -> dict[str, str]:
     """Generate ``num_meters × seconds`` transmissions and materialize
     the reference's five tables under ``out_dir``. Returns
     {table_name: path}. ``write_raw=False`` skips the (bulky) raw
-    sample table for rollup-only maintenance runs."""
+    sample table for rollup-only maintenance runs.
+
+    Pass ``report={}`` to get per-table written-row counts filled in —
+    the reference's success-callback accounting (A5, core.clj:68-85:
+    every async write fires a counted success/failure handler; "All 5
+    queries have succeeded" when the count reaches num_queries).
+    Spark-native dual: an ``Observation`` per sink collects the row
+    count from the job itself (no second scan, no driver loop)."""
     paths = {t: os.path.join(out_dir, t) for t in TABLES}
+
+    def _observed(df: DataFrame, table: str) -> DataFrame:
+        if report is None:
+            return df
+        obs = Observation(f"ingest_{table}")
+        _OBSERVATIONS[table] = obs
+        return df.observe(obs, F.count(F.lit(1)).alias("rows"))
+
+    _OBSERVATIONS: dict[str, Observation] = {}
 
     if write_raw:
         raw = transmissions(spark, num_meters, start_said, t0_epoch, seconds)
         # generator range-splits are per-meter time slices → already
         # clustered by (said, datetime): shuffle-free parallel write
-        write_time_partitioned(raw, paths["meter_samples"], clustered=True)
+        write_time_partitioned(
+            _observed(raw, "meter_samples"), paths["meter_samples"], clustered=True
+        )
 
     second = meter_samples_second(spark, num_meters, start_said, t0_epoch, seconds)
     (
-        second.repartition("said")
+        _observed(second, "meter_samples_second")
+        .repartition("said")
         .sortWithinPartitions("datetime")
         .write.mode("overwrite")
         .parquet(paths["meter_samples_second"])
@@ -83,11 +106,16 @@ def ingest_batch(
     for grain in CHAIN:
         finer = rollup_from_second(finer, grain)
         (
-            finer.sortWithinPartitions("said", "datetime")
+            _observed(finer, f"meter_samples_{grain}")
+            .sortWithinPartitions("said", "datetime")
             .write.mode("overwrite")
             .parquet(paths[f"meter_samples_{grain}"])
         )
         finer = spark.read.parquet(paths[f"meter_samples_{grain}"])
+
+    if report is not None:
+        for table, obs in _OBSERVATIONS.items():
+            report[table] = obs.get["rows"]
     return paths
 
 

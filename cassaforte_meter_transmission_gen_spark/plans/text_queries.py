@@ -87,6 +87,40 @@ def text_stats_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: BPE-ish pre-tokenizer: word runs, single digits (BPE splits numbers
+#: per-digit), and single punctuation marks — the GPT-2-style regex
+#: family reduced to a subset RE2 (DuckDB) and java.util.regex (Spark)
+#: interpret identically. Token *count* approximates LLM billing.
+_BPE_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+@register(
+    "text_bpe_token_count",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS INT) AS n_bpe_tokens,
+       CAST(len(regexp_split_to_array(text, '\\s+')) AS INT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS DOUBLE)
+         / len(regexp_split_to_array(text, '\\s+')) AS tokens_per_word
+FROM documents
+""",
+    tags=("text", "tokens", "bpe"),
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting next to the whitespace count — the
+    per-document LLM-token estimator a training-data pipeline budgets
+    with. One regexp_extract_all per row, JVM-side, no shuffle."""
+    d = _docs(spark, sf_dir)
+    bpe = F.expr(f"regexp_extract_all(text, '{_BPE_RE}', 0)")
+    ws = tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(bpe).cast("int").alias("n_bpe_tokens"),
+        F.size(ws).cast("int").alias("n_ws_tokens"),
+        (F.size(bpe).cast("double") / F.size(ws)).alias("tokens_per_word"),
+    )
+
+
 @register(
     "text_token_top50",
     oracle="""

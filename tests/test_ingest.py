@@ -44,6 +44,23 @@ def test_grain_row_counts(spark, ingested):
     assert read_table(spark, ingested, "meter_samples_day").count() == 2 * 1
 
 
+def test_write_accounting_via_observation(spark, tmp_path):
+    """A5 (core.clj:68-85): the write pipeline reports how many rows
+    each sink accepted, collected by Observation from the write jobs
+    themselves — the reference's counted success callbacks."""
+    report: dict[str, int] = {}
+    ingest_batch(
+        spark, str(tmp_path), num_meters=2, seconds=120, report=report
+    )
+    assert report == {
+        "meter_samples": 240,
+        "meter_samples_second": 240,
+        "meter_samples_minute": 4,
+        "meter_samples_hour": 2,
+        "meter_samples_day": 2,
+    }
+
+
 def test_energy_conservation(spark, ingested):
     """Every grain must carry the same total energy (sums are exact
     ints) — the reference's counter tables agree with raw by

@@ -1,0 +1,95 @@
+"""Physical-plan audits (the 100 TB design pass, SURVEY §4): assert the
+properties that keep the catalog fast at scale — filters reach the
+parquet scan, column pruning reaches the reader, small dimensions
+broadcast, top-k plans as TakeOrderedAndProject, and the meter
+generator path stays shuffle-free. These are plan-shape assertions, not
+timings, so they hold regardless of machine noise."""
+
+from __future__ import annotations
+
+import pytest
+
+from cassaforte_meter_transmission_gen_spark.plans import REGISTRY
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_q01_pushdown_and_pruning(spark, sf_small):
+    df = REGISTRY["q01_pricing_summary"].fn(spark, sf_small)
+    plan = _plan(df)
+    # shipdate predicate reaches the parquet reader
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: unneeded columns never leave the scan
+    read_schema = plan[plan.index("ReadSchema"):].splitlines()[0]
+    for col in ("l_orderkey", "l_partkey", "l_suppkey", "l_shipdate"):
+        pass  # l_shipdate IS needed; check true negatives below
+    for unneeded in ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"):
+        assert unneeded not in read_schema, f"{unneeded} not pruned: {read_schema}"
+
+
+def test_q03_broadcasts_dimension(spark, sf_small):
+    plan = _plan(REGISTRY["q03_shipping_priority"].fn(spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q05_broadcasts_all_dims(spark, sf_small):
+    plan = _plan(REGISTRY["q05_local_supplier_volume"].fn(spark, sf_small))
+    assert plan.count("BroadcastHashJoin") >= 3  # customer/supplier side dims
+
+
+def test_top_k_plans_take_ordered(spark, sf_small):
+    plan = _plan(REGISTRY["sort_limit_top100_lineitems"].fn(spark, sf_small))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_meter_joules_second_is_shuffle_free(spark, sf_small):
+    """The per-second energy table: generator → broadcast of the 1-row
+    tick energy → project. Any Exchange here would shuffle the full raw
+    stream at 100 TB."""
+    plan = _plan(REGISTRY["meter_joules_second"].fn(spark, sf_small))
+    # the only exchange allowed is the broadcast of the 1-row tick DF
+    import re
+
+    shuffles = re.findall(r"Exchange (?!SinglePartition)\w*[Hh]ash", plan)
+    assert not shuffles, f"unexpected shuffle exchange:\n{plan}"
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_rollup_chain_single_shuffle_per_grain(spark, sf_small):
+    """minute rollup = exactly one hash-partitioned exchange (partial →
+    shuffle → final agg); the raw side must not shuffle separately."""
+    plan = _plan(REGISTRY["meter_rollup_minute"].fn(spark, sf_small))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_whole_stage_codegen_covers_scan_agg(spark, sf_small):
+    # AQE finalizes the physical plan only on execution — run the
+    # query, then audit the final plan for codegen coverage
+    df = REGISTRY["q06_forecast_revenue"].fn(spark, sf_small)
+    df.collect()
+    # `*(n)` operator prefixes mark WholeStageCodegen stages in the
+    # final adaptive plan; scan+filter+partial-agg must be inside one
+    assert "*(1) HashAggregate" in _plan(df), _plan(df)
+
+
+def test_semi_join_stays_semi(spark, sf_small):
+    """q20's IN-subqueries must plan as semi joins (no row duplication
+    before aggregation)."""
+    plan = _plan(REGISTRY["q20_excess_shipment_suppliers"].fn(spark, sf_small))
+    assert "LeftSemi" in plan
+
+
+def test_exact_dedup_partial_aggregates(spark, sf_small):
+    """Exact dedup shuffles only (fingerprint, partial-agg) pairs —
+    the map-side partial aggregation must appear before the exchange."""
+    df = REGISTRY["dedup_exact_by_hash"].fn(spark, sf_small)
+    plan = _plan(df)
+    first_exchange = plan.index("Exchange")
+    assert "HashAggregate" in plan[first_exchange:], plan
+    assert "HashAggregate" in plan[:first_exchange] or "partial" in plan.lower()
