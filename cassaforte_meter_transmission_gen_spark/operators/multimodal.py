@@ -80,3 +80,37 @@ def extract_features(df: DataFrame, decode_stub: str = "fake") -> DataFrame:
             yield out
 
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+#: output schema of the frame sampler
+FRAME_SCHEMA = "item_id bigint, frame_idx int, frame_bytes binary, frame_len int"
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame-sampling plumbing (video → k evenly-spaced frames): slices
+    each payload into ``n_frames`` byte ranges — the deterministic
+    stand-in for an ffmpeg keyframe extractor, with the real fan-out
+    shape: one input row → k output rows, payload bytes partitioned
+    (never duplicated), Arrow-batched.
+
+    At scale the fan-out happens inside the task (mapInPandas), so no
+    shuffle carries the heavy bytes; downstream feature extraction
+    sees narrow per-frame rows."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd  # local import: executed on executors
+
+        for pdf in batches:
+            rows = {"item_id": [], "frame_idx": [], "frame_bytes": [], "frame_len": []}
+            for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
+                b = payload or b""
+                step = max(1, len(b) // n_frames)
+                for i in range(n_frames):
+                    chunk = b[i * step: (i + 1) * step] if i < n_frames - 1 else b[i * step:]
+                    rows["item_id"].append(item_id)
+                    rows["frame_idx"].append(i)
+                    rows["frame_bytes"].append(chunk)
+                    rows["frame_len"].append(len(chunk))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -9,6 +9,7 @@ from . import meter_queries  # noqa: F401
 from . import tpch_queries  # noqa: F401
 from . import analytics_queries  # noqa: F401
 from . import events_queries  # noqa: F401
+from . import source_queries  # noqa: F401
 from . import text_queries  # noqa: F401
 from . import vector_queries  # noqa: F401
 from .catalog import REGISTRY, Query, register  # noqa: F401

@@ -334,6 +334,48 @@ def agg_distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_percentiles_quantity",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qty_quartiles,
+       median(l_extendedprice) AS median_price
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("agg", "percentile"),
+)
+def agg_percentiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation — Spark ``percentile``
+    and DuckDB ``quantile_cont`` share the (n-1)*p rank definition, so
+    the doubles match bit-for-bit). At scale exact percentiles sort
+    per group; swap in percentile_approx when the error budget allows
+    (see agg_approx_distinct_suppliers for the approx family)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").alias(
+            "qty_quartiles"
+        ),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
+    )
+
+
+@register(
+    "agg_approx_distinct_suppliers",
+    oracle=None,  # sketch values are engine-specific: rows-only check;
+    # tests/test_approx.py bounds the relative error vs exact instead
+    tags=("agg", "approx", "sketch"),
+)
+def agg_approx_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counts (the 100 TB path for cardinality:
+    fixed-size sketch, one pass, mergeable across partitions — vs
+    COUNT(DISTINCT)'s expand+reshuffle). Error bounded by rsd=0.02."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_suppliers"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+    )
+
+
+@register(
     "pivot_qty_by_linestatus",
     oracle=f"""
 SELECT l_returnflag,
@@ -480,4 +522,64 @@ def case_when_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return o.groupBy(tier.alias("tier")).agg(
         F.count("*").alias("n_orders"), dec_sum(F.col("o_totalprice")).alias("total")
+    )
+
+
+@register(
+    "unpivot_order_measures",
+    oracle="""
+SELECT o_orderkey, measure, CAST(value AS DOUBLE) AS value
+FROM (
+  SELECT o_orderkey, 'totalprice' AS measure, o_totalprice AS value FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE) FROM orders
+) t
+WHERE o_orderkey < 200
+""",
+    tags=("reshape", "unpivot"),
+)
+def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT via ``stack`` (the inverse of pivot_qty_by_linestatus):
+    wide measures → (key, measure, value) rows. stack() is a generator
+    expression — rows multiply by the measure count with no shuffle."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    return o.select(
+        "o_orderkey",
+        F.expr(
+            "stack(2, 'totalprice', o_totalprice,"
+            " 'custkey', CAST(o_custkey AS DOUBLE)) AS (measure, value)"
+        ),
+    )
+
+
+@register(
+    "scalar_null_semantics",
+    oracle="""
+SELECT c_custkey,
+       coalesce(nullif(c_mktsegment, 'SEG_0'), 'defaulted') AS seg_or_default,
+       (c_acctbal IS NOT DISTINCT FROM 0.0) AS bal_null_safe_zero,
+       CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_or_null,
+       count(*) OVER () AS n_total
+FROM customer
+WHERE c_custkey < 100
+""",
+    tags=("scalar", "null"),
+)
+def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling surface: nullif/coalesce, null-safe equality
+    (Spark ``<=>`` ≡ SQL IS NOT DISTINCT FROM), CASE-to-NULL, and an
+    unpartitioned count window — three-valued logic end-to-end."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    from pyspark.sql import Window
+
+    return c.select(
+        "c_custkey",
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("SEG_0")), F.lit("defaulted")
+        ).alias("seg_or_default"),
+        F.col("c_acctbal").eqNullSafe(F.lit(0.0)).alias("bal_null_safe_zero"),
+        F.when(F.col("c_acctbal") < 0, F.lit(None))
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal_or_null"),
+        F.count("*").over(Window.partitionBy()).alias("n_total"),
     )

@@ -1,0 +1,140 @@
+"""Source/sink format breadth: the engine's connector surface beyond
+parquet (SURVEY §2.1-2.2 — the reference's only I/O is CQL; the
+Spark-native engine exposes every built-in DataSource V2 format).
+
+Each query round-trips a corpus table through a different format —
+write → re-read → aggregate — and is gated against the DuckDB oracle
+computed from the ORIGINAL parquet, so any value corruption anywhere in
+the format's write/read path fails the hash comparison. Formats with
+schema-erasure quirks get explicit schemas on re-read (CSV reads
+everything as string otherwise; JSON re-orders columns).
+
+At 100 TB these formats are ingress/egress edges (landing zones, log
+shipping), not the analytical store — the engine's canonical layout
+remains partitioned/bucketed parquet (sources.layout).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import load_table
+from .catalog import register
+from .compat import sql_dec_sum
+
+
+def _roundtrip(
+    spark: SparkSession, sf_dir: str, table: str, fmt: str, **read_opts
+) -> DataFrame:
+    src = load_table(spark, sf_dir, table)
+    out = os.path.join(tempfile.mkdtemp(prefix=f"src_{fmt}_"), table)
+    src.write.mode("overwrite").format(fmt).options(**read_opts).save(out)
+    return (
+        spark.read.format(fmt)
+        .options(**read_opts)
+        .schema(src.schema)  # pin: CSV would otherwise infer strings
+        .load(out)
+    )
+
+
+@register(
+    "source_csv_roundtrip",
+    oracle="""
+SELECT n_regionkey, count(*) AS n_nations,
+       CAST(min(n_name) AS VARCHAR) AS first_nation
+FROM nation GROUP BY n_regionkey
+""",
+    tags=("source", "csv"),
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation → CSV (with header) → re-read with pinned schema →
+    aggregate; value-hash equality with the parquet-derived oracle
+    proves the CSV writer/parser preserve ints and strings exactly."""
+    back = _roundtrip(spark, sf_dir, "nation", "csv", header="true")
+    return back.groupBy("n_regionkey").agg(
+        F.count("*").alias("n_nations"),
+        F.min("n_name").alias("first_nation"),
+    )
+
+
+@register(
+    "source_json_roundtrip",
+    oracle=f"""
+SELECT s_nationkey, count(*) AS n_suppliers,
+       {sql_dec_sum("s_acctbal")} AS total_acctbal
+FROM supplier GROUP BY s_nationkey
+""",
+    tags=("source", "json"),
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier → JSON lines → re-read (schema pinned: JSON alone
+    cannot distinguish int widths) → aggregate with exact decimal sums
+    — doubles survive the text round-trip because Spark prints them
+    shortest-roundtrip."""
+    back = _roundtrip(spark, sf_dir, "supplier", "json")
+    from .compat import dec_sum
+
+    return back.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_suppliers"),
+        dec_sum(F.col("s_acctbal")).alias("total_acctbal"),
+    )
+
+
+@register(
+    "source_orc_roundtrip",
+    oracle=f"""
+SELECT c_mktsegment, count(*) AS n_customers,
+       {sql_dec_sum("c_acctbal")} AS total_acctbal
+FROM customer GROUP BY c_mktsegment
+""",
+    tags=("source", "orc"),
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer → ORC → re-read → aggregate (the second columnar
+    format: schema travels with the file, so no pinning needed — kept
+    anyway for uniformity)."""
+    back = _roundtrip(spark, sf_dir, "customer", "orc")
+    from .compat import dec_sum
+
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        dec_sum(F.col("c_acctbal")).alias("total_acctbal"),
+    )
+
+
+@register(
+    "source_binaryfile_scan",
+    oracle="""
+SELECT count(*) AS n_files,
+       CAST(SUM(length(text) + 1) AS BIGINT) AS total_bytes
+FROM documents WHERE doc_id < 100
+""",
+    tags=("source", "binaryfile", "multimodal"),
+)
+def source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``binaryFile`` source (SURVEY §2.10 — multimodal ingestion):
+    documents written one-file-per-doc (partitioned text write), then
+    scanned back as whole-file binary payloads. The oracle knows each
+    file's exact size (text + the writer's trailing newline), so the
+    aggregate gates both the file fan-out and payload lengths. At
+    100 TB this is the ingress path for image/audio blobs — file
+    listing parallelizes across executors, payloads never shuffle."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    out = os.path.join(tempfile.mkdtemp(prefix="src_binf_"), "docs")
+    docs.select("doc_id", "text").write.mode("overwrite").partitionBy(
+        "doc_id"
+    ).text(out)
+    files = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "part-*")
+        .load(out)
+    )
+    return files.agg(
+        F.count("*").alias("n_files"),
+        F.sum("length").cast("long").alias("total_bytes"),
+    )

@@ -452,3 +452,40 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("content_md5"),
         "source",
     )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+WITH d AS (SELECT doc_id, text, greatest(length(text) // 4, 1) AS step
+           FROM documents WHERE doc_id < 50),
+f AS (
+  SELECT doc_id, i,
+         CASE WHEN i < 3 THEN substr(text, i * step + 1, step)
+              ELSE substr(text, 3 * step + 1) END AS chunk
+  FROM d CROSS JOIN range(0, 4) t(i)
+)
+SELECT doc_id AS item_id, CAST(i AS INT) AS frame_idx,
+       CAST(length(chunk) AS INT) AS frame_len,
+       md5(chunk) AS frame_md5
+FROM f
+""",
+    tags=("multimodal", "frames", "pandas-udf"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling end-to-end (operators.multimodal.sample_frames,
+    mapInPandas): each payload split into 4 byte-range frames — the
+    oracle recomputes every chunk's md5 from the same slicing rule, so
+    the Arrow binary round-trip through Python is verified
+    byte-for-byte (corpus is ASCII ⇒ char slicing ≡ byte slicing)."""
+    from ..operators.multimodal import sample_frames, to_binary_payloads
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
+    payloads = to_binary_payloads(d, "doc_id", "text", "text")
+    frames = sample_frames(payloads, n_frames=4)
+    return frames.select(
+        "item_id",
+        "frame_idx",
+        "frame_len",
+        F.md5("frame_bytes").alias("frame_md5"),
+    )
