@@ -327,3 +327,66 @@ def embedding_cosine_duplicates_lsh(
         "dup_b",
         cosine(F.col("va"), F.col("vb")).alias("cosine"),
     ).filter(F.col("cosine") >= threshold)
+
+
+def duplicate_groups(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 15,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs (SURVEY §2.10:
+    "MinHash ... → connected components"): collapse pairwise matches
+    into dedup groups, labeling every member with the component's
+    minimum doc id.
+
+    Iterative min-label propagation as DataFrame joins (the standard
+    Spark shape when GraphFrames isn't available): each round, every
+    node takes min(own label, neighbors' labels); converged when no
+    label changes. Rounds needed = component diameter — near-dup
+    components are small cliques/chains, so a handful; the loop is
+    driver-side control flow only, all data movement is distributed
+    joins keyed on node id. Each round's result is localCheckpoint-ed
+    to keep the plan from growing linearly with iterations.
+
+    Returns (doc_id, group_id) for every node appearing in ``pairs``.
+    """
+    edges = pairs.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    )
+    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("group_id")
+    )

@@ -171,3 +171,174 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+# --- IVF (inverted-file) ANN: the second scale path ---
+
+
+def kmeans_centroids(
+    vectors: DataFrame,
+    n_clusters: int = 16,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> list[list[float]]:
+    """Deterministic mini k-means for IVF coarse quantization, run as
+    iterative DataFrame jobs (Lloyd's algorithm):
+
+    - init: the vectors with the ``n_clusters`` smallest ids (fixed,
+      seedless — deterministic and replayable);
+    - assign: broadcast the centroid list as literals, pick argmin
+      squared-L2 per row (JVM-side expression, no Python);
+    - update: per-cluster dimension-wise means via posexplode +
+      grouped avg — one shuffle per iteration carrying
+      n_clusters × dim partial sums, never the vectors themselves.
+
+    Only the centroid list (n_clusters × dim floats) ever reaches the
+    driver; the vector table is scanned n_iters+1 times. At 100 TB use
+    a sampled subset for training — the operator signature is the same.
+    """
+    init = (
+        vectors.orderBy(id_col)
+        .limit(n_clusters)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in init]
+    for _ in range(n_iters):
+        assigned = assign_to_centroid(vectors, centroids, vec_col)
+        new = (
+            assigned.select("cluster_id", F.posexplode(vec_col).alias("pos", "v"))
+            .groupBy("cluster_id", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .collect()
+        )
+        by_cluster: dict[int, list[float]] = {}
+        for r in new:
+            by_cluster.setdefault(r["cluster_id"], [0.0] * dim)[r["pos"]] = r["m"]
+        # empty clusters keep their previous centroid
+        centroids = [
+            by_cluster.get(i, centroids[i]) for i in range(n_clusters)
+        ]
+    return centroids
+
+
+def assign_to_centroid(
+    vectors: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Add ``cluster_id`` = argmin squared-L2 distance to the centroid
+    literals. Pure expression: per row, a fold over the (small)
+    centroid array — no join, no shuffle, codegen-side."""
+    cents = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cid"),
+                F.array(*[F.lit(x) for x in c]).alias("cv"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    dist = lambda cv: F.aggregate(  # noqa: E731
+        F.zip_with(_as_double(F.col(vec_col)), cv, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    best = F.aggregate(
+        cents,
+        F.struct(
+            F.lit(-1).alias("cid"), F.lit(float("inf")).alias("d")
+        ),
+        lambda acc, c: F.when(
+            dist(c["cv"]) < acc["d"],
+            F.struct(c["cid"].alias("cid"), dist(c["cv"]).alias("d")),
+        ).otherwise(acc),
+    )
+    return vectors.withColumn("cluster_id", best["cid"])
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """IVF ANN: train coarse centroids, partition candidates by nearest
+    centroid (the inverted file), then for each query probe only the
+    ``n_probes`` nearest cells — the candidate set shrinks by
+    ~n_clusters/n_probes vs brute force while recall stays high for
+    clustered data. Join is an equi-join on cluster_id (shuffle on a
+    16-value key locally; at scale the inverted file is the storage
+    partitioning, so probes prune files instead).
+
+    Returns (query_id, neighbor_id, cosine, rank ≤ k)."""
+    centroids = kmeans_centroids(
+        vectors, n_clusters=n_clusters, id_col=id_col, vec_col=vec_col, dim=dim
+    )
+    cands = assign_to_centroid(vectors, centroids, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        "cluster_id",
+    )
+    probed = (
+        assign_probes(queries, centroids, n_probes, vec_col)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.explode("probe_ids").alias("cluster_id"),
+        )
+    )
+    scored = (
+        cands.join(F.broadcast(probed), "cluster_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def assign_probes(
+    queries: DataFrame,
+    centroids: list[list[float]],
+    n_probes: int,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add ``probe_ids``: the n_probes nearest centroid ids per query
+    (sorted centroid-distance structs, sliced)."""
+    cents = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cid"),
+                F.array(*[F.lit(x) for x in c]).alias("cv"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    dist_structs = F.transform(
+        cents,
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    _as_double(F.col(vec_col)), c["cv"], lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    probes = F.slice(F.array_sort(dist_structs), 1, n_probes)
+    return queries.withColumn(
+        "probe_ids", F.transform(probes, lambda s: s["cid"])
+    )

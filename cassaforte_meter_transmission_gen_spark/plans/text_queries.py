@@ -351,6 +351,41 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.7, portable=True)
 
 
+@register(
+    "dedup_minhash_groups",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_minhash_sql()}) q
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach AS (
+  SELECT node, node AS label FROM nodes
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS group_id
+FROM reach GROUP BY node
+""",
+    tags=("dedup", "minhash", "connected-components"),
+)
+def dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS, not just pairs (operators.dedup.
+    duplicate_groups): connected components over the verified MinHash
+    pairs via iterative min-label propagation. The oracle recomputes
+    the same components with a recursive CTE (transitive closure +
+    min), so the fixpoint itself is value-gated — if Spark's loop
+    stopped early or mis-propagated, group ids would differ."""
+    from ..operators.dedup import duplicate_groups
+
+    pairs = minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.7, portable=True)
+    return duplicate_groups(pairs)
+
+
 # --- SimHash signatures, oracle-gated ---
 
 def _simhash_sql() -> str:

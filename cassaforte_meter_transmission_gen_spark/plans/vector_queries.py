@@ -9,6 +9,7 @@ the Spark plan)."""
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints must resolve
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -173,3 +174,105 @@ def ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-side); recall vs the exact baseline is asserted in tests."""
     e = _emb(spark, sf_dir)
     return lsh_topk(e, e.filter(F.col("vec_id") < 5), k=5)
+
+
+@register(
+    "vector_cosine_pandas_udf",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       {_DOT.format(a='embedding', b='qv')}
+         / ({_NORM.format(v='embedding')} * {_NORM.format(v='qv')}) AS cosine
+FROM embeddings CROSS JOIN q
+WHERE vec_id < 500
+""",
+    tags=("vector", "pandas-udf", "arrow"),
+)
+def vector_cosine_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §2.9 vectorized-UDF surface, proven bit-exact: cosine to a
+    fixed query vector computed in a scalar @pandas_udf (Arrow batches,
+    numpy) instead of the JVM fold. The accumulation loops over the 64
+    dimensions IN ORDER, vectorized across rows — the same sequential
+    float64 operation order as aggregate()/list_reduce, so the Python
+    path hash-matches the SQL oracle exactly. The pattern to follow
+    when an operator genuinely needs Python at 100 TB: order-stable
+    math, Arrow batches, narrow output columns."""
+    e = _emb(spark, sf_dir)
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
+
+    @F.pandas_udf("double")
+    def cos_to_q(col: pd.Series) -> pd.Series:
+        import numpy as np
+
+        M = np.vstack([np.asarray(v, dtype=np.float64) for v in col])
+        q = np.asarray(qvec, dtype=np.float64)
+        dot = np.zeros(len(M))
+        vv = np.zeros(len(M))
+        qq = 0.0
+        for j in range(M.shape[1]):  # sequential per-dimension order
+            dot = dot + M[:, j] * q[j]
+            vv = vv + M[:, j] * M[:, j]
+            qq = qq + q[j] * q[j]
+        return pd.Series(dot / (np.sqrt(vv) * np.sqrt(qq)))
+
+    return e.filter(F.col("vec_id") < 500).select(
+        "vec_id", cos_to_q(F.col("embedding")).alias("cosine")
+    )
+
+
+@register(
+    "vector_centroid_grouped_pandas",
+    oracle=f"""
+SELECT label, CAST(i AS INT) AS dim,
+       CAST(CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * {_CENTROID_SCALE!r})
+                          AS BIGINT)) AS BIGINT) AS DOUBLE)
+         / {_CENTROID_SCALE!r} / count(*) AS centroid
+FROM embeddings CROSS JOIN range(1, 65) t(i)
+GROUP BY label, i
+""",
+    tags=("vector", "pandas-udf", "grouped"),
+)
+def vector_centroid_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §2.9 grouped-map surface (applyInPandas), same oracle as the
+    pure-SQL centroid: per-label centroids computed in Python with the
+    fixed-point integer-sum trick — int64 sums are order-independent,
+    so arbitrary Arrow batch order inside the group cannot change the
+    result. One shuffle (the groupBy), payload = the group's vectors."""
+    e = _emb(spark, sf_dir)
+    scale = _CENTROID_SCALE
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        M = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        sums = np.floor(M * scale).astype(np.int64).sum(axis=0)
+        n = len(M)
+        return pd.DataFrame(
+            {
+                "label": pdf["label"].iloc[0],
+                "dim": np.arange(1, M.shape[1] + 1, dtype=np.int32),
+                "centroid": sums.astype(np.float64) / scale / n,
+            }
+        )
+
+    return e.groupBy("label").applyInPandas(
+        centroid, schema="label int, dim int, centroid double"
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=None,  # candidate pruning is engine-specific: rows-only
+    # check here; tests/test_llm_ops.py bounds recall vs brute force
+    tags=("vector", "ann", "ivf"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (operators.similarity.ivf_topk): deterministic mini
+    k-means coarse quantizer → inverted-file partition → probe the 4
+    nearest of 16 cells per query. The second scale path next to the
+    LSH variant: at 100 TB the cluster id becomes the storage
+    partition key, so probing prunes files instead of rows."""
+    from ..operators.similarity import ivf_topk
+
+    e = _emb(spark, sf_dir)
+    return ivf_topk(e, e.filter(F.col("vec_id") < 5), k=5)

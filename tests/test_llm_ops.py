@@ -129,3 +129,68 @@ def test_asof_join_backward_semantics(spark):
     assert out[(1, 10)] == (10, 100.0)   # inclusive: equal ts matches
     assert out[(1, 20)] == (15, 150.0)   # latest at-or-before
     assert out[(2, 5)] == (None, None)   # nothing precedes → nulls
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_small):
+    from cassaforte_meter_transmission_gen_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    e = load_table(spark, sf_small, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(e, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(e, q, k=5, n_clusters=16, n_probes=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # every IVF hit must carry the exact cosine (verified scoring):
+    # spot-check one query's ranking is internally sorted
+    rows = sorted(
+        (r for r in ivf_topk(e, q.limit(1), k=5).collect()),
+        key=lambda r: r["rank"],
+    )
+    cosines = [r["cosine"] for r in rows]
+    assert cosines == sorted(cosines, reverse=True)
+
+
+def test_kmeans_centroids_deterministic(spark, sf_small):
+    from cassaforte_meter_transmission_gen_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    e = load_table(spark, sf_small, "embeddings")
+    c1 = kmeans_centroids(e, n_clusters=8, n_iters=2)
+    c2 = kmeans_centroids(e, n_clusters=8, n_iters=2)
+    assert c1 == c2  # bit-identical across runs (no RNG in the plan)
+
+
+def test_salted_join_equals_plain_join(spark, sf_small):
+    from cassaforte_meter_transmission_gen_spark.operators.skew import salted_join
+
+    l = load_table(spark, sf_small, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    o = load_table(spark, sf_small, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    plain = l.join(o, "l_orderkey")
+    salted = salted_join(l, o, on="l_orderkey", n_salts=8, salt_by="l_linenumber")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_duplicate_groups_transitive_chain(spark):
+    from cassaforte_meter_transmission_gen_spark.operators.dedup import (
+        duplicate_groups,
+    )
+
+    # chain 1-2-3 (transitive, no direct 1-3 pair) + isolated pair 7-8
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "doc_a long, doc_b long"
+    )
+    groups = {r["doc_id"]: r["group_id"] for r in duplicate_groups(pairs).collect()}
+    assert groups == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}

@@ -36,6 +36,48 @@ def test_streaming_hour_rollup_equals_batch(spark):
     assert _rows(streamed) == _rows(batch)
 
 
+def test_rate_source_production_path(spark):
+    """T1 (core.clj:173-176): the production-shaped unbounded source —
+    ``rate`` paced at one row per meter per second, mapped to
+    (said, datetime, watts). Run a few real micro-batches against the
+    wall clock and check cadence invariants (schema, said range, 15k
+    samples per transmission, golden joules value)."""
+    import time
+
+    from cassaforte_meter_transmission_gen_spark.functions.energy import (
+        TICK_JOULES,
+        joules_over_second,
+    )
+    from cassaforte_meter_transmission_gen_spark.streaming.pipeline import (
+        rate_transmission_stream,
+    )
+
+    stream = rate_transmission_stream(spark, num_meters=3, start_said=42000)
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rate_smoke")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and spark.table("rate_smoke").count() < 6:
+            time.sleep(0.5)
+        got = spark.table("rate_smoke")
+        rows = got.select(
+            "said",
+            F.size("watts").alias("n"),
+            joules_over_second(F.col("watts")).alias("joules"),
+        ).collect()
+        assert len(rows) >= 6
+        assert {r["said"] for r in rows} == {42000, 42001, 42002}
+        assert all(r["n"] == 15000 for r in rows)
+        assert all(r["joules"] == TICK_JOULES for r in rows)
+    finally:
+        q.stop()
+
+
 def test_stateful_cumulative_counter_equals_batch_total(spark):
     from cassaforte_meter_transmission_gen_spark.streaming.pipeline import (
         run_bounded_cumulative,
