@@ -583,3 +583,157 @@ def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bal_or_null"),
         F.count("*").over(Window.partitionBy()).alias("n_total"),
     )
+
+
+@register(
+    "agg_grouping_sets_status_priority",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       count(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+    tags=("agg", "grouping-sets"),
+)
+def agg_grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither rollup nor cube): per-status,
+    per-priority, and grand-total groups in ONE pass — Catalyst expands
+    the sets before a single hash aggregation, so the scan is shared
+    (vs three scans + union). grouping_id bit order (first column =
+    most significant) matches DuckDB's GROUPING()."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(F.grouping_id().alias("gid"), F.count("*").alias("n"))
+        .select("o_orderstatus", "o_orderpriority", "gid", "n")
+    )
+
+
+@register(
+    "tvf_posexplode_name_tokens",
+    oracle="""
+SELECT p_partkey, unnest(parts) AS tok,
+       CAST(unnest(generate_series(1, len(parts))) - 1 AS INT) AS pos
+FROM (SELECT p_partkey, string_split(p_name, ' ') AS parts FROM part) t
+""",
+    tags=("tvf", "explode"),
+)
+def tvf_posexplode_name_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-valued generator surface (SURVEY §2.9): posexplode over a
+    split array — one input row fans out to one row per token with its
+    ordinal. Generate runs inside the scan stage (narrow, no shuffle);
+    the DuckDB oracle zips parallel unnests for the ordinal."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey", F.posexplode(F.split("p_name", " ")).alias("pos", "tok")
+    ).select("p_partkey", "tok", F.col("pos").cast("int").alias("pos"))
+
+
+@register(
+    "scalar_array_functions",
+    oracle="""
+SELECT p_partkey,
+       CAST(len(string_split(p_name, ' ')) AS INT) AS n_toks,
+       list_sort(string_split(p_name, ' ')) AS toks_sorted,
+       list_sort(list_distinct(string_split(p_name, ' '))) AS toks_distinct,
+       list_contains(string_split(p_name, ' '), 'tomato') AS has_tomato,
+       list_slice(string_split(p_name, ' '), 1, 2) AS first2,
+       array_to_string(list_sort(string_split(p_name, ' ')), '_') AS joined
+FROM part
+""",
+    tags=("scalar", "array"),
+)
+def scalar_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar catalog: size, sort, distinct, contains, slice,
+    join — the ArrayType surface (the reference's one nested type,
+    SURVEY §1.2) beyond the watts-specific energy fold. All JVM
+    built-ins evaluated inside WholeStageCodegen."""
+    p = _t(spark, sf_dir, "part")
+    toks = F.split("p_name", " ")
+    return p.select(
+        "p_partkey",
+        F.size(toks).cast("int").alias("n_toks"),
+        F.sort_array(toks).alias("toks_sorted"),
+        F.sort_array(F.array_distinct(toks)).alias("toks_distinct"),
+        F.array_contains(toks, "tomato").alias("has_tomato"),
+        F.slice(toks, 1, 2).alias("first2"),
+        F.array_join(F.sort_array(toks), "_").alias("joined"),
+    )
+
+
+@register(
+    "scalar_lambda_functions",
+    oracle="""
+SELECT o_orderkey,
+       list_transform(string_split(o_orderpriority, '-'), x -> lower(x)) AS parts_lower,
+       CAST(coalesce(list_sum(list_filter(range(1, CAST(o_orderkey % 5 + 2 AS BIGINT)),
+                                          x -> x % 2 = 0)), 0) AS BIGINT) AS even_sum,
+       CAST(len(list_filter(string_split(o_orderpriority, '-'),
+                            x -> len(x) > 1)) AS INT) AS n_long
+FROM orders
+WHERE o_orderkey < 500
+""",
+    tags=("scalar", "lambda", "higher-order"),
+)
+def scalar_lambda_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order functions (transform / filter / aggregate with
+    lambdas) — the JVM-side alternative to Python UDFs for array logic;
+    the same family the energy fold (A1) uses. DuckDB mirrors via
+    list_transform/list_filter/list_sum; Spark's sequence(1, n) is
+    inclusive where DuckDB's range(1, n+1) is exclusive."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    parts = F.split("o_orderpriority", "-")
+    return o.select(
+        "o_orderkey",
+        F.transform(parts, lambda x: F.lower(x)).alias("parts_lower"),
+        F.aggregate(
+            F.filter(
+                F.sequence(F.lit(1), (F.col("o_orderkey") % 5 + 1).cast("int")),
+                lambda x: x % 2 == 0,
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("even_sum"),
+        F.size(F.filter(parts, lambda x: F.length(x) > 1)).cast("int").alias("n_long"),
+    )
+
+
+@register(
+    "scalar_map_struct_functions",
+    oracle="""
+SELECT c_custkey,
+       c_mktsegment AS seg_from_struct,
+       CAST(c_acctbal AS DOUBLE) AS bal_from_map,
+       2 AS n_keys,
+       c_name AS nested_name
+FROM customer WHERE c_custkey < 200
+""",
+    tags=("scalar", "map", "struct"),
+)
+def scalar_map_struct_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType/StructType construction and field access: values routed
+    through struct → getField, create_map → element_at, map_keys, and
+    a nested struct-in-struct — the oracle asserts the round-trip is
+    lossless (same values straight off the table). This is the typed
+    backbone for the multimodal metadata columns (SURVEY §2.10)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    st = F.struct(
+        F.col("c_name").alias("name"), F.col("c_mktsegment").alias("seg")
+    )
+    mp = F.create_map(
+        F.lit("bal"), F.col("c_acctbal").cast("double"),
+        F.lit("zero"), F.lit(0.0),
+    )
+    nested = F.struct(st.alias("inner"), F.col("c_custkey").alias("key"))
+    return c.select(
+        "c_custkey",
+        st.getField("seg").alias("seg_from_struct"),
+        F.element_at(mp, F.lit("bal")).alias("bal_from_map"),
+        F.size(F.map_keys(mp)).alias("n_keys"),
+        nested.getField("inner").getField("name").alias("nested_name"),
+    )

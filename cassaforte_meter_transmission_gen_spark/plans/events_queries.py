@@ -135,6 +135,41 @@ def events_sessionization_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_sessionization_30m",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start,
+       count(*) AS n_events, {sql_dec_sum("value")} AS total_value
+FROM sessions
+GROUP BY user_id, session_seq
+""",
+    tags=("events", "sessionization", "streaming"),
+)
+def streaming_sessionization_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LIVE Structured Streaming sessionization (native
+    ``session_window`` stateful agg, streaming.pipeline.session_rollup)
+    driven over a bounded event stream to completion — gated against
+    the same gap-sessionization oracle as the batch form, proving the
+    streaming session store merges sessions exactly (T6). Decimal sums
+    make the result independent of micro-batch arrival order."""
+    from ..streaming.pipeline import run_bounded_sessions
+
+    return run_bounded_sessions(spark, sf_dir, "30 minutes")
+
+
+@register(
     "events_json_extract_props",
     oracle="""
 SELECT event_type,

@@ -138,3 +138,29 @@ def source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_files"),
         F.sum("length").cast("long").alias("total_bytes"),
     )
+
+
+@register(
+    "source_text_roundtrip",
+    oracle="""
+SELECT count(*) AS n_lines,
+       CAST(min(p_name) AS VARCHAR) AS first_line,
+       CAST(SUM(length(p_name)) AS BIGINT) AS total_chars
+FROM part
+""",
+    tags=("source", "text"),
+)
+def source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part names → line-oriented ``text`` format (one string column,
+    one line per row — the log-file ingress shape) → re-read →
+    aggregate. Valid because p_name is newline-free; the oracle over
+    the original parquet gates every byte through the writer/reader."""
+    p = load_table(spark, sf_dir, "part")
+    out = os.path.join(tempfile.mkdtemp(prefix="src_text_"), "names")
+    p.select(F.col("p_name").alias("value")).write.mode("overwrite").text(out)
+    back = spark.read.text(out)
+    return back.agg(
+        F.count("*").alias("n_lines"),
+        F.min("value").alias("first_line"),
+        F.sum(F.length("value")).cast("long").alias("total_chars"),
+    )

@@ -142,6 +142,147 @@ def cumulative_energy_stream(stream: DataFrame) -> DataFrame:
     )
 
 
+def session_rollup(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Streaming gap-based sessionization (SURVEY §2.8 T6): the native
+    ``session_window`` stateful aggregation — sessions merge in the
+    state store as events arrive, keyed (user_id, session). The batch
+    dual (lag + running-sum flags) is ``events_sessionization_30m``;
+    the equivalence test maps ``session_window.start`` ==
+    ``session_start``. State is sharded by user_id, so 1000 executors
+    partition the session store with no cross-key coordination."""
+    return (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            # decimal sum → order-independent across micro-batches,
+            # exactly equal to the batch oracle's decimal sum
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def bounded_events_stream(
+    spark: SparkSession, sf_dir: str, stage_dir: str | None = None
+) -> DataFrame:
+    """Deterministic bounded event stream: stage the corpus ``events``
+    table and re-read it as a schema-pinned file stream."""
+    from ..schemas import load_table
+
+    stage = stage_dir or tempfile.mkdtemp(prefix="events_stream_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    ev.write.mode("overwrite").parquet(stage)
+    return (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(stage)
+    )
+
+
+def run_bounded_sessions(
+    spark: SparkSession, sf_dir: str, gap: str = "30 minutes"
+) -> DataFrame:
+    """Run the streaming sessionization to completion and return the
+    final session table (complete mode: every closed + open session)."""
+    stream = bounded_events_stream(spark, sf_dir)
+    sessions = session_rollup(stream, gap)
+    name = f"stream_sessions_{abs(hash((sf_dir, gap))) % 10**8}"
+    with tempfile.TemporaryDirectory(prefix="sess_ckpt_") as ckpt:
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
+def run_late_data_rollup(
+    spark: SparkSession,
+    batches: list[list[tuple[int, int, int]]],
+    delay: str = "30 seconds",
+    grain: str = "1 minute",
+) -> DataFrame:
+    """Watermarked tumbling rollup over explicitly-ordered micro-batches
+    (SURVEY §2.8 T2: the engine's configurable-lateness extension — the
+    reference admits no late data by construction).
+
+    Each batch is rows (said, epoch_offset_sec, joules) staged as one
+    parquet file; ``maxFilesPerTrigger=1`` + strictly increasing mtimes
+    force Spark to replay them in order, so the watermark advances
+    between batches exactly as in a live stream. Append output mode:
+    a window is emitted only once its end < watermark, and rows arriving
+    behind the watermark are dropped — the assertion surface for the
+    late-data tests."""
+    import os as _os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..sources.meter_generator import T0_EPOCH
+
+    stage = tempfile.mkdtemp(prefix="late_stream_")
+    schema = pa.schema(
+        [
+            pa.field("said", pa.int32(), nullable=False),
+            pa.field("datetime", pa.timestamp("us"), nullable=False),
+            pa.field("joules", pa.int32(), nullable=False),
+        ]
+    )
+    for i, rows in enumerate(batches):
+        tbl = pa.Table.from_pydict(
+            {
+                "said": [r[0] for r in rows],
+                "datetime": [(T0_EPOCH + r[1]) * 1_000_000 for r in rows],
+                "joules": [r[2] for r in rows],
+            },
+            schema=schema,
+        )
+        path = f"{stage}/batch_{i:03d}.parquet"
+        pq.write_table(tbl, path)
+        _os.utime(path, (1_000_000 + i, 1_000_000 + i))
+        _time.sleep(0.01)
+
+    stream = (
+        spark.readStream.schema(METER_SAMPLES_SECOND)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(stage)
+    )
+    rollup = (
+        stream.withWatermark("datetime", delay)
+        .groupBy(F.window("datetime", grain).alias("w"), "said")
+        .agg(F.sum("joules").cast("long").alias("joules"))
+        .select("said", F.col("w.start").alias("datetime"), "joules")
+    )
+    name = f"stream_late_{abs(hash((stage, delay, grain))) % 10**8}"
+    with tempfile.TemporaryDirectory(prefix="late_ckpt_") as ckpt:
+        q = (
+            rollup.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
 def run_bounded_cumulative(
     spark: SparkSession, num_meters: int = 4, seconds: int = 3600
 ) -> DataFrame:

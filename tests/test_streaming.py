@@ -78,6 +78,74 @@ def test_rate_source_production_path(spark):
         q.stop()
 
 
+def test_streaming_session_window_equals_batch_sessionization(spark, sf_small):
+    """T6: the native session_window stateful aggregation must produce
+    the same sessions as the batch lag/running-sum sessionization
+    (events_sessionization_30m) — keyed by (user_id, session_start),
+    with identical event counts and value sums."""
+    from cassaforte_meter_transmission_gen_spark.plans import REGISTRY
+    from cassaforte_meter_transmission_gen_spark.streaming.pipeline import (
+        run_bounded_sessions,
+    )
+
+    # round the value sum: the streaming path sums doubles (summation
+    # order differs per micro-batch), the batch oracle sums decimals
+    streamed = run_bounded_sessions(spark, sf_small, "30 minutes")
+    got = {
+        (r["user_id"], r["session_start"]): (r["n_events"], round(float(r["total_value"]), 3))
+        for r in streamed.collect()
+    }
+    batch = REGISTRY["events_sessionization_30m"].fn(spark, sf_small)
+    want = {
+        (r["user_id"], r["session_start"]): (r["n_events"], round(float(r["total_value"]), 3))
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_watermark_drops_late_rows(spark):
+    """T2 extension: configurable lateness on a 1-minute tumbling
+    rollup with a 30 s watermark, ordered micro-batches (append mode).
+
+    Spark's semantics (verified empirically): a row behind the
+    watermark is dropped only once its window has been EVICTED from
+    the state store — eviction happens at the end of the batch where
+    watermark > window end, emitting the window. So:
+
+      batch 0: said 1, seconds 0..119 (joules 1 each) → wm for next: 89
+      batch 1: on-time second 150 → minute 0 (end 60 < 89) evicted,
+               emitted with 60; wm for next: 120
+      batch 2: LATE row at second 10 — minute 0 already evicted →
+               dropped, minute 0 NOT re-emitted
+      batch 3: second 400; final no-data batch flushes minute 1 & 2
+
+    Output: minute 0 exactly once with 60 (late row dropped), minute 1
+    with 60, minute 2 (the second-150 row) with 1."""
+    from cassaforte_meter_transmission_gen_spark.sources.meter_generator import (
+        T0_EPOCH,
+    )
+    from cassaforte_meter_transmission_gen_spark.streaming.pipeline import (
+        run_late_data_rollup,
+    )
+    import datetime as dt
+
+    batches = [
+        [(1, s, 1) for s in range(120)],
+        [(1, 150, 1)],
+        [(1, 10, 1)],
+        [(1, 400, 1)],
+    ]
+    out = run_late_data_rollup(spark, batches, delay="30 seconds", grain="1 minute")
+    rows = out.collect()
+    got = {r["datetime"]: r["joules"] for r in rows}
+    t0 = dt.datetime.fromtimestamp(T0_EPOCH, dt.timezone.utc).replace(tzinfo=None)
+    m0, m1, m2 = (t0 + dt.timedelta(minutes=k) for k in range(3))
+    assert got[m0] == 60  # late second-10 row dropped, not 61
+    assert sum(1 for r in rows if r["datetime"] == m0) == 1  # no re-emission
+    assert got[m1] == 60
+    assert got[m2] == 1
+
+
 def test_stateful_cumulative_counter_equals_batch_total(spark):
     from cassaforte_meter_transmission_gen_spark.streaming.pipeline import (
         run_bounded_cumulative,
