@@ -64,11 +64,6 @@ def main() -> None:
     from cassaforte_meter_transmission_gen_spark.operators.ingest import ingest_batch
 
     n_meters, n_seconds = 4, 7200
-    out = tempfile.mkdtemp(prefix="bench_ingest_")
-    t0 = time.perf_counter()
-    ingest_batch(spark, out, num_meters=n_meters, seconds=n_seconds)
-    ingest_sec = round(time.perf_counter() - t0, 3)
-    shutil.rmtree(out, ignore_errors=True)
 
     times: dict[str, float] = {}
     for name in HEADLINE:
@@ -78,6 +73,16 @@ def main() -> None:
         # drop persisted intermediates (e.g. dedup shingle caches) so
         # one query's cache doesn't pressure the next one's heap
         spark.catalog.clearCache()
+
+    # the write-heavy ingest benchmark runs AFTER the query loop: its
+    # 28800 × 15k-float raw arrays leave the heap under GC pressure
+    # that would otherwise bleed ~45 s into whichever query runs next
+    # (measured on q01 before the reorder)
+    out = tempfile.mkdtemp(prefix="bench_ingest_")
+    t0 = time.perf_counter()
+    ingest_batch(spark, out, num_meters=n_meters, seconds=n_seconds)
+    ingest_sec = round(time.perf_counter() - t0, 3)
+    shutil.rmtree(out, ignore_errors=True)
 
     total = round(sum(times.values()), 3)
     print(

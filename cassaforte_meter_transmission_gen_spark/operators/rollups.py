@@ -89,6 +89,30 @@ def choose_source_grain(
     return best
 
 
+def counter_merge(existing: DataFrame, increments: DataFrame) -> DataFrame:
+    """Batch-incremental COUNTER maintenance (reference K3-K5,
+    core.clj:122-153): merge a batch of new per-key increments into an
+    existing rollup table — ``UPDATE ... SET joules = joules + ?`` as a
+    set operation. Union + re-sum is exact because counter increments
+    are commutative/associative; keys present only on one side pass
+    through unchanged.
+
+    Scale shape: both sides shuffle on (said, datetime) once; if the
+    existing table is bucketed on said (sources.layout) the exchange
+    on its side disappears. State never lives in the driver — this is
+    the idempotent re-derivable alternative to Cassandra's non-retry-
+    safe counters (SURVEY §4 O7)."""
+    inc = increments.select(
+        "said", "datetime", F.col("joules").cast("long").alias("joules")
+    )
+    return (
+        existing.select("said", "datetime", F.col("joules").cast("long").alias("joules"))
+        .unionByName(inc)
+        .groupBy("said", "datetime")
+        .agg(F.sum("joules").cast("long").alias("joules"))
+    )
+
+
 def routed_energy_report(
     rollups: dict[str, DataFrame],
     grain: str,

@@ -150,6 +150,36 @@ def meter_rollup_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "meter_counter_merge",
+    oracle=_rollup_oracle("minute"),
+    tags=("meter", "rollup", "incremental"),
+)
+def meter_counter_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3's COUNTER-update semantics as batch-incremental maintenance
+    (operators.rollups.counter_merge): the minute table built from the
+    first hour of seconds, then a second hour of increments merged in —
+    must equal the minute rollup over both hours (same oracle as
+    meter_rollup_minute). The split is deliberately NOT minute-aligned
+    (second 3570), so the straddled minute's key exists on BOTH sides
+    and the merge must sum, not just union. This is the reference's
+    ``joules = joules + ?`` re-expressed idempotently: re-running the
+    merge re-derives, never double-counts (SURVEY §4 O7)."""
+    from ..operators.rollups import counter_merge, rollup_from_second
+
+    split = 3570  # mid-minute boundary
+    existing = rollup_from_second(
+        meter_samples_second(spark, seconds=split), "minute"
+    )
+    increments = rollup_from_second(
+        meter_samples_second(
+            spark, t0_epoch=T0_EPOCH + split, seconds=DEFAULT_SECONDS - split
+        ),
+        "minute",
+    )
+    return counter_merge(existing, increments)
+
+
+@register(
     "meter_daily_report",
     oracle=f"""WITH {GEN_CTE},{TICK_CTE}
 SELECT said, CAST(date_trunc('day', datetime) AS TIMESTAMP) AS day,
