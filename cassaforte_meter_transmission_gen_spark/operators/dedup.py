@@ -80,10 +80,20 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    return _spread(df).select(
-        F.col(id_col).alias("doc_id"),
-        word_shingles(tokens(F.col(text_col)), n).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
+    # filter on token COUNT before projecting the shingle array: a
+    # filter on size(shingles) would make Catalyst inline the whole
+    # shingle expression into the Filter and re-evaluate it in the
+    # Project above (codegen CSE works within one collapsed Project but
+    # not across Filter/Generate operators — measured 5× on sf0.1).
+    # size(tokens) >= n  ⟺  size(shingles) > 0 (word_shingles contract).
+    return (
+        _spread(df)
+        .filter(F.size(tokens(F.col(text_col))) >= n)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            word_shingles(tokens(F.col(text_col)), n).alias("shingles"),
+        )
+    )
 
 
 def minhash_signatures(
@@ -102,15 +112,26 @@ def minhash_signatures(
 
 
 def _signatures_from_shingles(sh: DataFrame, portable: bool) -> DataFrame:
+    # Per-row form: hash the shingle array once, then one array_min per
+    # permutation — a single narrow Project, NO explode and NO shuffle.
+    # Same values as the explode+groupBy(min) shape (min over the same
+    # multiset), but the whole signature is computed inside one
+    # WholeStageCodegen span where the hash array is CSE-shared; at
+    # scale this removes the (doc_id, h)-keyed exchange entirely.
     hash_fn = tok_hash_portable if portable else tok_hash_fast
-    exploded = sh.select("doc_id", F.explode("shingles").alias("s")).select(
-        "doc_id", (hash_fn(F.col("s")) % MINHASH_PRIME).alias("h")
+    hashed = sh.withColumn(
+        "h", F.transform("shingles", lambda s: hash_fn(s) % MINHASH_PRIME)
     )
-    aggs = [
-        F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % MINHASH_PRIME).alias(f"m{i}")
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                "h",
+                lambda h: (F.lit(MINHASH_A[i]) * h + F.lit(MINHASH_B[i])) % MINHASH_PRIME,
+            )
+        ).alias(f"m{i}")
         for i in range(N_PERM)
     ]
-    return exploded.groupBy("doc_id").agg(*aggs)
+    return hashed.select("doc_id", *sig_cols)
 
 
 def _band_keys(sig: DataFrame) -> DataFrame:
