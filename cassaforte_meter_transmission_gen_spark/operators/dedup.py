@@ -216,26 +216,44 @@ def simhash_signatures(
     portable: bool = True,
 ) -> DataFrame:
     """(doc_id, simhash): per-token 60-bit hash, ±1 vote per bit,
-    signature bit set where the vote is positive. One explode + one
-    grouped aggregation with 60 conditional sums (all JVM-side)."""
+    signature bit set where the vote is positive.
+
+    Per-row form: hash the distinct-token array once, then 60 array
+    aggregates count the set bits per position — a single narrow
+    Project, NO explode and NO shuffle (same rationale as the minhash
+    signature shape above). The ±1 vote over n tokens is positive iff
+    2·ones > n, so only the ones-count is accumulated. Docs with no
+    tokens are dropped, matching the explode form (explode of an empty
+    array emits no rows); the filter tests token count, not the hashed
+    array, to keep the expensive expression out of the Filter operator.
+    """
     hash_fn = tok_hash_portable if portable else tok_hash_fast
-    toks = _spread(df).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
-    ).select("doc_id", hash_fn(F.col("tok")).alias("h"))
-    votes = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
-            ).alias(f"v{i}")
-            for i in range(SIMHASH_BITS)
-        ]
+    hashed = (
+        _spread(df)
+        .filter(F.size(tokens(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.transform(F.array_distinct(tokens(F.col(text_col))), hash_fn).alias("hs"),
+        )
     )
+    n = F.size("hs")
+    def _ones(bit_mask: int) -> Column:
+        # NB: the merge lambda must take exactly (acc, x) — pyspark
+        # derives the number of lambda variables from the function
+        # arity, so the mask is closed over, not a default argument.
+        return F.aggregate(
+            "hs",
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(bit_mask)) != 0, F.lit(1)).otherwise(F.lit(0)),
+        )
+
+    ones = [_ones(1 << i) for i in range(SIMHASH_BITS)]
     sim = None
     for i in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        bit = F.when(ones[i] * 2 > n, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
         sim = bit if sim is None else sim + bit
-    return votes.select("doc_id", sim.alias("simhash"))
+    return hashed.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_near_duplicates(
