@@ -93,3 +93,28 @@ def test_exact_dedup_partial_aggregates(spark, sf_small):
     first_exchange = plan.index("Exchange")
     assert "HashAggregate" in plan[first_exchange:], plan
     assert "HashAggregate" in plan[:first_exchange] or "partial" in plan.lower()
+
+
+def test_minhash_signatures_shuffle_free(spark, sf_small):
+    """MinHash signatures are a narrow per-row Project (hash array once,
+    array_min per permutation): the plan must contain NO hash-partitioned
+    exchange and NO aggregate — at 100 TB the explode+groupBy(min) shape
+    would shuffle (doc_id, hash) pairs for every shingle."""
+    from cassaforte_meter_transmission_gen_spark.operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    plan = _plan(minhash_signatures(docs))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "HashAggregate" not in plan, plan
+
+
+def test_simhash_signatures_shuffle_free(spark, sf_small):
+    """Same property for SimHash: 60 bit-count array aggregates inside
+    one Project, no explode, no shuffle, no grouped aggregation."""
+    from cassaforte_meter_transmission_gen_spark.operators.dedup import simhash_signatures
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    plan = _plan(simhash_signatures(docs))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "HashAggregate" not in plan, plan
+    assert "Generate explode" not in plan, plan
