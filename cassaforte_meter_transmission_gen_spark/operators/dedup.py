@@ -7,16 +7,22 @@ and follow the standard distributed shapes:
 - **exact**: hash-groupBy on a content fingerprint. One shuffle on the
   fingerprint; at 100 TB this is the cheapest possible dedup (the
   shuffle carries (fingerprint, doc_id), not document text).
-- **MinHash+LSH**: shingle → hash → per-permutation min (one grouped
-  agg) → band keys → self-join per band (the LSH bucket join) →
+- **MinHash+LSH**: shingle → hash array → per-permutation array_min —
+  the whole signature is a narrow per-row Project (NO explode, NO
+  shuffle) → band keys → self-join per band (the LSH bucket join) →
   verified Jaccard on candidates only. The candidate join is the only
   quadratic-risk step and it is confined to same-bucket groups; at
   scale, bucket skew is handled by AQE skew-join (enabled in
   session.py).
-- **SimHash**: per-token hash bit-votes → 60-bit signature in one
-  grouped aggregation; near-dup pairs via the pigeonhole band join
-  (hamming ≤ 3 ⇒ at least one of 4 15-bit blocks equal), verified with
-  bit_count(xor).
+- **SimHash**: per-token hash bit-counts via 60 array aggregates →
+  60-bit signature, again one narrow Project with no shuffle; near-dup
+  pairs via the pigeonhole band join (hamming ≤ 3 ⇒ at least one of 4
+  15-bit blocks equal), verified with bit_count(xor).
+
+Signature computation is deliberately shuffle-free: the natural
+explode + groupBy shape shuffles one (doc_id, hash) row per shingle —
+at 100 TB that exchange dwarfs the actual hashing work, and measured
+16× slower even at sf0.1 (tests/test_plan_audit.py locks the shape).
 
 Hash family is pluggable (functions.text): md5-portable for the oracle
 gate, xxhash64 for production throughput.
@@ -103,10 +109,9 @@ def minhash_signatures(
     n: int = 3,
     portable: bool = True,
 ) -> DataFrame:
-    """(doc_id, m0..m{N_PERM-1}) minhash signature via one explode +
-    one grouped aggregation (N_PERM mins computed together — a single
-    shuffle keyed by doc_id)."""
-    hash_fn = tok_hash_portable if portable else tok_hash_fast
+    """(doc_id, m0..m{N_PERM-1}) minhash signature as one narrow
+    per-row projection — see `_signatures_from_shingles` for why this
+    deliberately avoids the explode + groupBy(min) shape."""
     sh = _shingled(df, text_col, id_col, n)
     return _signatures_from_shingles(sh, portable)
 
