@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.udtfs import CHUNK_SIZE
 from ..functions.text import (
     LANG_MARKERS,
     MINHASH_PRIME,
@@ -523,4 +524,37 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_idx",
         "frame_len",
         F.md5("frame_bytes").alias("frame_md5"),
+    )
+
+
+@register(
+    "tvf_python_udtf_chunks",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+  FROM documents WHERE length(trim(text)) > 0
+)
+SELECT doc_id, CAST(g AS INT) AS chunk_idx,
+       array_to_string(words[g * {CHUNK_SIZE} + 1 : (g + 1) * {CHUNK_SIZE}], ' ') AS chunk,
+       CAST(least({CHUNK_SIZE}, len(words) - g * {CHUNK_SIZE}) AS INT) AS n_words
+FROM d, LATERAL (
+  SELECT unnest(generate_series(0, CAST(ceil(len(words) / {CHUNK_SIZE}.0) AS BIGINT) - 1)) AS g
+) u
+""",
+    tags=("udtf", "text", "lateral"),
+)
+def tvf_python_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (functions.udtfs.ChunkWords) fanning each document
+    out into 32-word context-window chunks, invoked from SQL via
+    LATERAL — the user-defined-table-function member of the
+    extensibility trio (SURVEY §2.9; the reference has none,
+    core.clj is closed). Oracle reproduces the chunking with DuckDB
+    list slicing, so the Python row fan-out is value-hash gated."""
+    from ..functions.udtfs import ChunkWords
+
+    spark.udtf.register("chunk_words", ChunkWords)
+    _docs(spark, sf_dir).createOrReplaceTempView("udtf_docs_v")
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.chunk, c.n_words "
+        "FROM udtf_docs_v d, LATERAL chunk_words(d.text) c"
     )
