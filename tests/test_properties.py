@@ -1,0 +1,133 @@
+"""Property-based tests (hypothesis) for the invariants the example
+corpus can't sweep: hashing stability, chunking reassembly, rollup
+associativity, and connected-components correctness against a
+reference union-find. Spark-backed properties cap max_examples to keep
+job counts sane; pure-Python properties run the full default budget.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from cassaforte_meter_transmission_gen_spark.functions.hashing import (
+    HOST_HASH_MOD,
+    host_hash,
+)
+from cassaforte_meter_transmission_gen_spark.functions.udtfs import (
+    CHUNK_SIZE,
+    _ChunkWords,
+)
+
+# ---------------------------------------------------------------- pure
+
+
+@given(st.text(max_size=200))
+def test_host_hash_stable_and_in_range(s):
+    assert host_hash(s) == host_hash(s)
+    assert 0 <= host_hash(s) < HOST_HASH_MOD
+
+
+@given(st.text(alphabet=st.characters(codec="ascii"), max_size=500))
+def test_chunk_words_reassembles(text):
+    """Chunks rejoin to the whitespace-normalized document; word counts
+    sum to the token count; chunk indexes are dense from 0."""
+    rows = list(_ChunkWords().eval(text))
+    words = text.split()
+    assert sum(r[2] for r in rows) == len(words)
+    assert " ".join(r[1] for r in rows).split() == words
+    assert [r[0] for r in rows] == list(range(len(rows)))
+    assert all(1 <= r[2] <= CHUNK_SIZE for r in rows)
+
+
+# ------------------------------------------------------------ spark
+
+
+def _union_find_groups(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-label per component, matching duplicate_groups' contract
+    return {x: find(x) for x in parent}
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_duplicate_groups_matches_union_find(spark, edges):
+    from cassaforte_meter_transmission_gen_spark.operators.dedup import (
+        duplicate_groups,
+    )
+
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "doc_a int, doc_b int"
+    )
+    got = {
+        r["doc_id"]: r["group_id"] for r in duplicate_groups(pairs).collect()
+    }
+    assert got == _union_find_groups(edges)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),  # said
+            st.integers(0, 3 * 86400),  # seconds offset over 3 days
+            st.integers(0, 1000),  # joules
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_rollup_chain_associative(spark, rows):
+    """day-from-hour-from-minute-from-second == day-direct-from-second:
+    re-aggregating sums along the chain loses nothing (SURVEY §4 O4)."""
+    from pyspark.sql import functions as F
+
+    from cassaforte_meter_transmission_gen_spark.operators.rollups import (
+        rollup_chain,
+    )
+
+    t0 = dt.datetime(2013, 1, 1)
+    data = [
+        (said, t0 + dt.timedelta(seconds=off), joules)
+        for said, off, joules in rows
+    ]
+    second = spark.createDataFrame(
+        data, "said int, datetime timestamp, joules int"
+    )
+    chained_day = rollup_chain(second)["day"]
+    direct_day = second.groupBy(
+        "said", F.date_trunc("day", "datetime").alias("datetime")
+    ).agg(F.sum("joules").cast("long").alias("joules"))
+    assert sorted(map(tuple, chained_day.collect())) == sorted(
+        map(tuple, direct_day.collect())
+    )
