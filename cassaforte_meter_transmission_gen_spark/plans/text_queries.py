@@ -558,3 +558,105 @@ def tvf_python_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, c.chunk_idx, c.chunk, c.n_words "
         "FROM udtf_docs_v d, LATERAL chunk_words(d.text) c"
     )
+
+
+def _training_prep_sql() -> str:
+    en = ",".join(repr(w) for w in LANG_MARKERS["en"])
+    hits = ",\n         ".join(
+        f"len(list_filter(toks, w -> w IN ({', '.join(repr(w) for w in ws)}))) AS {lang}_hits"
+        for lang, ws in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    branches = []
+    for lang in langs:
+        conds = [f"{lang}_hits > 0"] + [
+            f"{lang}_hits >= {o}_hits" for o in langs if o != lang
+        ]
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "CASE " + " ".join(branches) + " ELSE 'und' END"
+    return f"""
+WITH d AS (
+  SELECT doc_id, text,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+k AS (SELECT fp, min(doc_id) AS keeper FROM d GROUP BY fp),
+kept AS (SELECT d.doc_id, d.text FROM d JOIN k ON d.fp = k.fp AND d.doc_id = k.keeper),
+t AS (
+  SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS toks,
+         length(text) AS lc,
+         length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS vowels
+  FROM kept
+),
+h AS (
+  SELECT doc_id, text, toks, lc, vowels,
+         {hits}
+  FROM t
+),
+s AS (
+  SELECT doc_id,
+         {case} AS predicted_lang,
+         0.5 * (CAST(len(list_filter(toks, w -> w IN ({en}))) AS DOUBLE) / len(toks))
+           + 0.3 * (CAST(vowels AS DOUBLE) / lc)
+           + 0.2 * (CAST(least(len(toks), 100) AS DOUBLE) / 100) AS quality_score,
+         len(toks) AS nws,
+         len(regexp_extract_all(text, '{_BPE_RE}')) AS nbpe
+  FROM h
+)
+SELECT doc_id, predicted_lang, quality_score,
+       CAST(nbpe AS INT) AS n_bpe_tokens,
+       CAST((nws + {CHUNK_SIZE} - 1) // {CHUNK_SIZE} AS INT) AS n_chunks
+FROM s
+WHERE quality_score >= 0.2 AND predicted_lang = 'en'
+"""
+
+
+@register(
+    "pipeline_training_prep",
+    oracle=_training_prep_sql(),
+    tags=("pipeline", "dedup", "quality", "langid", "tokens"),
+)
+def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data-prep flagship: exact-normalized dedup
+    (keep min doc_id per fingerprint) → heuristic quality gate (≥ 0.2)
+    → language filter (predicted 'en') → per-survivor token budget
+    (BPE-ish count) and 32-word context-chunk count.
+
+    One pass over the corpus: dedup costs one fingerprint-keyed
+    shuffle + one fingerprint join; everything downstream is narrow
+    per-row expression work inside a single codegen span, so the
+    pipeline's scale cost is the dedup exchange — exactly the minimum
+    any content-dedup pass pays at 100 TB."""
+    d = _docs(spark, sf_dir)
+    d = d.withColumn("fp", F.md5(normalize_text(F.col("text"))))
+    keepers = d.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    kept = (
+        d.join(keepers, "fp")
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "text")
+    )
+    toks = tokens(F.col("text"))
+    en = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
+    stop_ratio = (
+        F.size(F.filter(toks, lambda w: F.array_contains(en, w))).cast("double")
+        / F.size(toks)
+    )
+    vowel_ratio = (
+        (F.length("text") - F.length(F.regexp_replace("text", "[aeiou]", ""))).cast("double")
+        / F.length("text")
+    )
+    length_score = F.least(F.size(toks), F.lit(100)).cast("double") / 100
+    quality = 0.5 * stop_ratio + 0.3 * vowel_ratio + 0.2 * length_score
+    hit_cols = {lang: lang_hits(toks, lang) for lang in LANG_MARKERS}
+    bpe = F.expr(f"regexp_extract_all(text, '{_BPE_RE}', 0)")
+    n_chunks = F.floor((F.size(toks) + (CHUNK_SIZE - 1)) / CHUNK_SIZE).cast("int")
+    return (
+        kept.select(
+            "doc_id",
+            predicted_lang(hit_cols).alias("predicted_lang"),
+            quality.alias("quality_score"),
+            F.size(bpe).cast("int").alias("n_bpe_tokens"),
+            n_chunks.alias("n_chunks"),
+        )
+        .filter((F.col("quality_score") >= 0.2) & (F.col("predicted_lang") == "en"))
+    )
