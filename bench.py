@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_simhash_signatures",
     "ann_bruteforce_cosine_topk",
     "text_token_top50",
+    "pipeline_training_prep",
 ]
 
 
