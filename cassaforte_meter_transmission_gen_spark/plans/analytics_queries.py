@@ -410,14 +410,16 @@ SELECT p_partkey,
        p_brand || ':' || p_type AS brand_type,
        CAST(CASE WHEN p_name LIKE '%a%' THEN 1 ELSE 0 END AS INT) AS has_a,
        regexp_extract(p_name, '^[a-z]+') AS first_word,
-       trim(lpad(p_brand, 12, ' ')) AS brand_trim
+       trim(lpad(p_brand, 12, ' ')) AS brand_trim,
+       printf('%s #%d', p_brand, p_partkey) AS brand_label
 FROM part
 """,
     tags=("scalar", "string"),
 )
 def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String scalar catalog: case, length, substring, concat, LIKE,
-    regexp_extract, pad/trim — all JVM built-ins (no UDFs)."""
+    regexp_extract, pad/trim, printf-style format_string (reference F10,
+    core.clj:77,84,97) — all JVM built-ins (no UDFs)."""
     p = _t(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
@@ -428,6 +430,7 @@ def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("p_name").like("%a%"), 1).otherwise(0).cast("int").alias("has_a"),
         F.regexp_extract("p_name", "^[a-z]+", 0).alias("first_word"),
         F.trim(F.lpad("p_brand", 12, " ")).alias("brand_trim"),
+        F.format_string("%s #%d", "p_brand", "p_partkey").alias("brand_label"),
     )
 
 
