@@ -29,6 +29,7 @@ HEADLINE = [
     "meter_rollup_minute",
     "meter_rollup_day",
     "meter_daily_report",
+    "meter_rolling_energy_5m",
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q05_local_supplier_volume",

@@ -277,6 +277,53 @@ def meter_routed_hour_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "meter_rolling_energy_5m",
+    oracle=f"""WITH {GEN_CTE},{TICK_CTE},
+minute AS (
+  SELECT said, CAST(date_trunc('minute', datetime) AS TIMESTAMP) AS datetime,
+         CAST(SUM(joules) AS BIGINT) AS joules
+  FROM gen CROSS JOIN tick
+  GROUP BY 1, 2
+)
+SELECT said, datetime,
+       CAST(SUM(joules) OVER (
+              PARTITION BY said ORDER BY datetime
+              RANGE BETWEEN INTERVAL 4 MINUTE PRECEDING AND CURRENT ROW
+            ) AS BIGINT) AS joules_5m
+FROM minute""",
+    tags=("meter", "window", "rangeBetween"),
+)
+def meter_rolling_energy_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.7 rolling energy over the time series: trailing
+    5-minute energy per meter via a time-RANGE window frame (not row
+    counting — the frame is defined in seconds, so it stays correct if
+    minutes are missing). Runs over the MINUTE rollup, not raw seconds
+    (grain routing: 60× fewer rows under the window sort). The second
+    table is repartitioned on `said` BEFORE the rollup: hash(said)
+    satisfies the groupBy's (said, minute) distribution requirement, so
+    the single said-shuffle feeds both the aggregation and the window —
+    without it Spark plans two exchanges (said+minute, then said),
+    which at 100 TB doubles the shuffle bytes of the whole pass."""
+    from pyspark.sql import Window
+
+    from ..operators.rollups import rollup_from_second
+
+    minute = rollup_from_second(
+        meter_samples_second(spark).repartition("said"), "minute"
+    )
+    w = (
+        Window.partitionBy("said")
+        .orderBy(F.col("datetime").cast("long"))
+        .rangeBetween(-240, 0)
+    )
+    return minute.select(
+        "said",
+        "datetime",
+        F.sum("joules").over(w).cast("long").alias("joules_5m"),
+    )
+
+
+@register(
     "ingest_roundtrip_day",
     oracle=f"""
 WITH gen AS (

@@ -118,3 +118,15 @@ def test_simhash_signatures_shuffle_free(spark, sf_small):
     assert "Exchange hashpartitioning" not in plan, plan
     assert "HashAggregate" not in plan, plan
     assert "Generate explode" not in plan, plan
+
+
+def test_rolling_energy_single_shuffle_serves_agg_and_window(spark, sf_small):
+    """meter_rolling_energy_5m: repartition("said") before the rollup
+    makes hash(said) satisfy both the groupBy's (said, minute)
+    distribution and the window's partitionBy(said) — exactly ONE
+    hash-partitioned exchange for agg + time-range window combined.
+    The naive plan (agg keyed (said, minute), then window re-shuffling
+    on said) costs two."""
+    plan = _plan(REGISTRY["meter_rolling_energy_5m"].fn(spark, sf_small))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" in plan and "RangeFrame" in plan, plan
