@@ -186,16 +186,30 @@ def minhash_near_duplicates(
     sh = _shingled(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     sig = _signatures_from_shingles(sh, portable)
     bk = _band_keys(sig)
-    left = bk.select(
-        F.col("doc_id").alias("doc_a"), "band_idx", "band_key"
-    )
-    right = bk.select(
-        F.col("doc_id").alias("doc_b"), "band_idx", "band_key"
+    # Candidate pairs via groupBy-bucket instead of a band self-join:
+    # the self-join shuffles the band keys twice AND recomputes the
+    # N_PERM-permutation signature projection once per side (no
+    # ReusedExchange — the sides are distinct subplans). Grouping
+    # shuffles the band keys ONCE, computes signatures ONCE, and
+    # expands i<j pairs inside each bucket (buckets are small by LSH
+    # construction; a pathological hot bucket is quadratic under either
+    # formulation and belongs to an upstream boilerplate pre-filter).
+    ids = F.sort_array(F.collect_list("doc_id"))
+    pairs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + F.lit(2), F.size("ids")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
     )
     cand = (
-        left.join(right, ["band_idx", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        bk.groupBy("band_idx", "band_key")
+        .agg(ids.alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
