@@ -68,13 +68,22 @@ def main() -> None:
     n_meters, n_seconds = 4, 7200
 
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
-        REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
-        # drop persisted intermediates (e.g. dedup shingle caches) so
-        # one query's cache doesn't pressure the next one's heap
-        spark.catalog.clearCache()
+        # failure-isolated: one broken query must not null the whole
+        # round's bench — record the error and keep timing the rest
+        try:
+            REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            times[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+        finally:
+            # drop persisted intermediates (e.g. dedup shingle caches) so
+            # one query's cache doesn't pressure the next one's heap
+            spark.catalog.clearCache()
 
     # the write-heavy ingest benchmark runs AFTER the query loop: its
     # 28800 × 15k-float raw arrays leave the heap under GC pressure
@@ -82,9 +91,14 @@ def main() -> None:
     # (measured on q01 before the reorder)
     out = tempfile.mkdtemp(prefix="bench_ingest_")
     t0 = time.perf_counter()
-    ingest_batch(spark, out, num_meters=n_meters, seconds=n_seconds)
-    ingest_sec = round(time.perf_counter() - t0, 3)
-    shutil.rmtree(out, ignore_errors=True)
+    try:
+        ingest_batch(spark, out, num_meters=n_meters, seconds=n_seconds)
+        ingest_sec = round(time.perf_counter() - t0, 3)
+    except Exception as exc:  # noqa: BLE001
+        errors["ingest_five_tables"] = f"{type(exc).__name__}: {exc}"[:500]
+        ingest_sec = None
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
     total = round(sum(times.values()), 3)
     print(
@@ -94,10 +108,13 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "errors": errors,
                 "sf": sf,
                 "ingest_five_tables_sec": ingest_sec,
-                "ingest_samples_per_sec": round(
-                    n_meters * n_seconds * 15000 / ingest_sec
+                "ingest_samples_per_sec": (
+                    round(n_meters * n_seconds * 15000 / ingest_sec)
+                    if ingest_sec
+                    else None
                 ),
                 "reference_samples_per_sec": 30000,
             }

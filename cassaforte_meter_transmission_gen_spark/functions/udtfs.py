@@ -20,7 +20,24 @@ pickle transparently if Arrow UDTF support is unavailable.
 
 from __future__ import annotations
 
+import sys
+
 from pyspark.sql.functions import udtf
+
+try:
+    # UDTF handlers are classes, which cloudpickle serializes BY
+    # REFERENCE (module + qualname): the Python worker would then have
+    # to import this package, which fails whenever the driver process
+    # was launched from a cwd outside the repo (sys.path manipulation
+    # on the driver does not propagate to spawned workers). Registering
+    # the module for by-value pickling ships the class definition
+    # inside the serialized command instead — no import needed
+    # worker-side.
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # pragma: no cover - older pickler without the API
+    pass
 
 #: context-window size in words for `ChunkWords`
 CHUNK_SIZE = 32

@@ -337,7 +337,9 @@ def agg_distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_percentiles_quantity",
     oracle="""
 SELECT l_returnflag,
-       quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qty_quartiles,
+       quantile_cont(l_quantity, 0.25) AS q25,
+       quantile_cont(l_quantity, 0.50) AS q50,
+       quantile_cont(l_quantity, 0.75) AS q75,
        median(l_extendedprice) AS median_price
 FROM lineitem GROUP BY l_returnflag
 """,
@@ -346,15 +348,24 @@ FROM lineitem GROUP BY l_returnflag
 def agg_percentiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (linear interpolation — Spark ``percentile``
     and DuckDB ``quantile_cont`` share the (n-1)*p rank definition, so
-    the doubles match bit-for-bit). At scale exact percentiles sort
-    per group; swap in percentile_approx when the error budget allows
-    (see agg_approx_distinct_suppliers for the approx family)."""
+    the doubles match bit-for-bit). Quartiles are projected as three
+    scalar columns, not an array<double>: scalar columns survive any
+    order-insensitive canonicalizer (array cells are unhashable for
+    pandas sorting) and the internal plan is identical — Spark still
+    evaluates one shared percentile sort per group. At scale exact
+    percentiles sort per group; swap in percentile_approx when the
+    error budget allows (see agg_approx_distinct_suppliers for the
+    approx family)."""
     l = _t(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").alias(
-            "qty_quartiles"
-        ),
+        F.expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").alias("_qs"),
         F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
+    ).select(
+        "l_returnflag",
+        F.col("_qs")[0].alias("q25"),
+        F.col("_qs")[1].alias("q50"),
+        F.col("_qs")[2].alias("q75"),
+        "median_price",
     )
 
 

@@ -60,14 +60,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     prunes columns; at cluster scale these would be partitioned/bucketed
     layouts but the read API is identical.
 
-    ``events.ts`` is stored as TIMESTAMP(NANOS), which Spark 4 cannot
-    read natively; with ``spark.sql.legacy.parquet.nanosAsLong`` (set in
-    session.RUNTIME_CONFS) it arrives as a nanos long and is converted
-    here (lossless: the corpus has no sub-microsecond content, and
-    DuckDB performs the same ns→µs read on its side)."""
+    ``events.ts`` has been observed in three physical flavors across
+    corpus regenerations — TIMESTAMP(NANOS) (arrives as a nanos long
+    under ``spark.sql.legacy.parquet.nanosAsLong``), ``timestamp[us]``
+    with no timezone (arrives as TIMESTAMP_NTZ), and plain TIMESTAMP.
+    All are normalized to TimestampType here, losslessly under the
+    session's pinned UTC, so every downstream plan (`unix_micros`,
+    windowing, session gaps) sees one stable type regardless of how the
+    driver last wrote the file. DuckDB reads the same file natively, so
+    the oracle side agrees by construction."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
