@@ -22,6 +22,13 @@ import random
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+#: fixed-point scale for the k-means centroid update: a power of two so
+#: ``val * SCALE`` is exact in IEEE double; integer sums are
+#: order-independent, which makes the trained centroids — and therefore
+#: the whole IVF candidate set — bit-reproducible by a serial oracle
+#: (same trick as plans.vector_queries._CENTROID_SCALE).
+KMEANS_SCALE = float(1 << 40)
+
 
 def _as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
@@ -192,8 +199,12 @@ def kmeans_centroids(
     - assign: broadcast the centroid list as literals, pick argmin
       squared-L2 per row (JVM-side expression, no Python);
     - update: per-cluster dimension-wise means via posexplode +
-      grouped avg — one shuffle per iteration carrying
-      n_clusters × dim partial sums, never the vectors themselves.
+      grouped fixed-point integer sums — one shuffle per iteration
+      carrying n_clusters × dim partial sums, never the vectors
+      themselves. Integer sums (not float avg) make the means
+      independent of partial-aggregation order, so the training run is
+      bit-reproducible by a serial re-derivation (the DuckDB oracle for
+      ann_ivf_topk unrolls these exact iterations in SQL).
 
     Only the centroid list (n_clusters × dim floats) ever reaches the
     driver; the vector table is scanned n_iters+1 times. At 100 TB use
@@ -211,12 +222,21 @@ def kmeans_centroids(
         new = (
             assigned.select("cluster_id", F.posexplode(vec_col).alias("pos", "v"))
             .groupBy("cluster_id", "pos")
-            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .agg(
+                F.sum(
+                    F.floor(F.col("v").cast("double") * F.lit(KMEANS_SCALE)).cast(
+                        "long"
+                    )
+                ).alias("s"),
+                F.count("*").alias("n"),
+            )
             .collect()
         )
         by_cluster: dict[int, list[float]] = {}
         for r in new:
-            by_cluster.setdefault(r["cluster_id"], [0.0] * dim)[r["pos"]] = r["m"]
+            by_cluster.setdefault(r["cluster_id"], [0.0] * dim)[r["pos"]] = (
+                float(r["s"]) / KMEANS_SCALE / float(r["n"])
+            )
         # empty clusters keep their previous centroid
         centroids = [
             by_cluster.get(i, centroids[i]) for i in range(n_clusters)

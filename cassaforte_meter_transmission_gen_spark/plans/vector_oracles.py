@@ -1,0 +1,243 @@
+"""Generated DuckDB oracle SQL for the LSH / IVF vector scale paths.
+
+The scale-path operators (hyperplane-LSH dedup, LSH ANN, IVF ANN) were
+previously rows-only checked because their pruning structure lives in
+the Spark plan. But every source of randomness in those operators is a
+fixed-seed driver-side constant (operators.similarity.hyperplanes) or a
+deterministic derivation from the data (the fixed-point k-means in
+operators.similarity.kmeans_centroids), so the full candidate
+generation is re-derivable in serial SQL — the same technique as the
+MinHash oracle in plans.text_queries, extended to doubles:
+
+- float literals are emitted as ``CAST('<repr>' AS DOUBLE)``: DuckDB
+  parses bare decimal literals as DECIMAL and the decimal→double hop
+  double-rounds (measured: ~1/200 literals off by 1 ulp), while
+  string→double is correctly rounded and repr round-trips exactly;
+- every dot product / distance is the same sequential fold as the
+  Spark side (list_reduce ≡ F.aggregate), so doubles are bit-identical
+  and sign/argmin/threshold decisions agree exactly;
+- the k-means update uses order-independent fixed-point integer sums
+  (operators.similarity.KMEANS_SCALE), so the serial SQL derivation
+  and Spark's parallel aggregation produce the same centroids bit for
+  bit, and the 3 Lloyd iterations unroll into a CTE chain.
+"""
+
+from __future__ import annotations
+
+from ..operators.similarity import KMEANS_SCALE, hyperplanes
+
+DIM = 64
+
+#: sequential-fold cosine pieces shared with plans.vector_queries
+DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+    " list_transform(range(1, 65),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))),"
+    " (acc, x) -> acc + x)"
+)
+NORM = (
+    "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+    " list_transform({v}, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))),"
+    " (acc, x) -> acc + x))"
+)
+
+
+def _dlit(x: float) -> str:
+    """Exact double literal (string→double is correctly rounded)."""
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
+def _cosine(a: str, b: str) -> str:
+    return (
+        f"{DOT.format(a=a, b=b)}"
+        f" / ({NORM.format(v=a)} * {NORM.format(v=b)})"
+    )
+
+
+def _plane_proj(v: str, plane: list[float]) -> str:
+    """Sequential-fold projection of ``v`` onto a hyperplane literal —
+    mirrors operators.similarity.lsh_bucket's per-plane aggregate."""
+    lst = "[" + ", ".join(_dlit(x) for x in plane) + "]"
+    return (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        f" list_transform(range(1, {DIM + 1}),"
+        f" i -> CAST({v}[i] AS DOUBLE) * ({lst})[i])),"
+        " (acc, x) -> acc + x)"
+    )
+
+
+def _bucket(v: str, planes: list[list[float]]) -> str:
+    """Sign-bit bucket id — mirrors lsh_bucket's bit accumulation."""
+    bits = [
+        f"CASE WHEN {_plane_proj(v, p)} >= 0 THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+def _bucket_keys_cte(n_tables: int, n_planes: int) -> str:
+    """(vec_id, t, bucket) — one SELECT per hash table, same seeds as
+    the Spark operators (20130101 + 7919·t)."""
+    tables = [
+        hyperplanes(DIM, n_planes, seed=20130101 + 7919 * t)
+        for t in range(n_tables)
+    ]
+    return "\nUNION ALL\n".join(
+        f"SELECT vec_id, {t} AS t, {_bucket('embedding', planes)} AS bucket"
+        " FROM embeddings"
+        for t, planes in enumerate(tables)
+    )
+
+
+def dedup_embedding_cosine_lsh_sql(
+    threshold: float = 0.4, n_tables: int = 12, n_planes: int = 3
+) -> str:
+    """Oracle for operators.dedup.embedding_cosine_duplicates_lsh."""
+    cos = _cosine("va", "vb")
+    return f"""
+WITH bk AS (
+{_bucket_keys_cte(n_tables, n_planes)}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS dup_a, b.vec_id AS dup_b
+  FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket
+                     AND a.vec_id < b.vec_id
+),
+ea AS (SELECT vec_id, embedding AS va FROM embeddings),
+eb AS (SELECT vec_id, embedding AS vb FROM embeddings)
+SELECT dup_a, dup_b, {cos} AS cosine
+FROM cand
+JOIN ea ON ea.vec_id = dup_a
+JOIN eb ON eb.vec_id = dup_b
+WHERE {cos} >= {threshold}
+"""
+
+
+def ann_lsh_topk_sql(
+    k: int = 5, n_tables: int = 8, n_planes: int = 3, n_queries: int = 5
+) -> str:
+    """Oracle for operators.similarity.lsh_topk (queries: vec_id < 5)."""
+    cos = _cosine("qv", "cv")
+    return f"""
+WITH bk AS (
+{_bucket_keys_cte(n_tables, n_planes)}
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM bk c JOIN bk q ON c.t = q.t AND c.bucket = q.bucket
+  WHERE q.vec_id < {n_queries} AND c.vec_id <> q.vec_id
+),
+qe AS (SELECT vec_id, embedding AS qv FROM embeddings),
+ce AS (SELECT vec_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {cos} AS cosine
+  FROM cand
+  JOIN qe ON qe.vec_id = query_id
+  JOIN ce ON ce.vec_id = neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS INT)
+           AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def _sq_dist(v: str, cv: str) -> str:
+    """Sequential-fold squared-L2 — mirrors the zip_with/aggregate fold
+    in operators.similarity.assign_to_centroid."""
+    return (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        f" list_transform(range(1, {DIM + 1}),"
+        f" i -> ({v}[i] - {cv}[i]) * ({v}[i] - {cv}[i]))),"
+        " (acc, x) -> acc + x)"
+    )
+
+
+def ann_ivf_topk_sql(
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probes: int = 4,
+    n_iters: int = 3,
+    n_queries: int = 5,
+) -> str:
+    """Oracle for operators.similarity.ivf_topk: the deterministic
+    k-means training loop unrolled as CTEs (init = the ``n_clusters``
+    smallest vec_ids; assign = argmin sequential-fold squared-L2 with
+    first-min tie-break; update = fixed-point integer mean), then the
+    probe/score/rank pipeline."""
+    s = _dlit(KMEANS_SCALE)
+    parts = [
+        "WITH e AS (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        " FROM embeddings),",
+        # init: row_number over vec_id order — cid i = i-th smallest id
+        f"""c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid, v AS cv
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {n_clusters})
+),""",
+    ]
+    prev = "c0"
+    for it in range(1, n_iters + 1):
+        # assign: argmin distance, ties to the lowest cid (identical to
+        # the Spark fold's keep-first-strict-min behavior)
+        parts.append(f"""a{it} AS (
+  SELECT s.vec_id, (array_agg(s.cid ORDER BY s.d, s.cid))[1] AS cluster_id
+  FROM (SELECT e.vec_id, c.cid, {_sq_dist('e.v', 'c.cv')} AS d
+        FROM e CROSS JOIN {prev} c) s
+  GROUP BY s.vec_id
+),""")
+        # update: fixed-point integer sums per (cluster, dimension)
+        parts.append(f"""m{it} AS (
+  SELECT a.cluster_id AS cid, i,
+         CAST(CAST(SUM(CAST(floor(e.v[i] * {s}) AS BIGINT)) AS BIGINT)
+              AS DOUBLE) / {s} / count(*) AS m
+  FROM a{it} a JOIN e USING (vec_id) CROSS JOIN range(1, {DIM + 1}) t(i)
+  GROUP BY a.cluster_id, i
+),""")
+        # assemble: empty clusters keep the previous centroid
+        parts.append(f"""c{it} AS (
+  SELECT p.cid, COALESCE(mm.cv, p.cv) AS cv
+  FROM {prev} p LEFT JOIN (
+    SELECT cid, array_agg(m ORDER BY i) AS cv FROM m{it} GROUP BY cid
+  ) mm USING (cid)
+),""")
+        prev = f"c{it}"
+    cos = _cosine("qv", "cv2")
+    parts.append(f"""cands AS (
+  SELECT s.vec_id AS neighbor_id,
+         (array_agg(s.cid ORDER BY s.d, s.cid))[1] AS cluster_id
+  FROM (SELECT e.vec_id, c.cid, {_sq_dist('e.v', 'c.cv')} AS d
+        FROM e CROSS JOIN {prev} c) s
+  GROUP BY s.vec_id
+),
+probed AS (
+  SELECT s.vec_id AS query_id,
+         unnest(list_slice(array_agg(s.cid ORDER BY s.d, s.cid),
+                           1, {n_probes})) AS cluster_id
+  FROM (SELECT e.vec_id, c.cid, {_sq_dist('e.v', 'c.cv')} AS d
+        FROM e CROSS JOIN {prev} c WHERE e.vec_id < {n_queries}) s
+  GROUP BY s.vec_id
+),
+qe AS (SELECT vec_id, embedding AS qv FROM embeddings),
+ce AS (SELECT vec_id, embedding AS cv2 FROM embeddings),
+scored AS (
+  SELECT p.query_id, c.neighbor_id, {cos} AS cosine
+  FROM probed p
+  JOIN cands c ON c.cluster_id = p.cluster_id
+  JOIN qe ON qe.vec_id = p.query_id
+  JOIN ce ON ce.vec_id = c.neighbor_id
+  WHERE p.query_id <> c.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS INT)
+           AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}""")
+    return "\n".join(parts)

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..operators.similarity import brute_force_topk, l2_norm, lsh_topk
 from ..schemas import load_table
+from . import vector_oracles
 from .catalog import register
 
 #: DuckDB sequential-fold helpers mirroring operators.similarity
@@ -152,26 +153,34 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_embedding_cosine_lsh",
-    oracle=None,
+    oracle=vector_oracles.dedup_embedding_cosine_lsh_sql(),
     tags=("dedup", "vector", "cosine", "lsh"),
 )
 def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via hyperplane-LSH candidate buckets + exact
     cosine verification (operators.dedup.embedding_cosine_duplicates_
     lsh) — the 100 TB path: the quadratic join is confined to LSH
-    buckets. Rows-only checked (hyperplane literals are engine-side);
-    precision 1.0 / recall vs the exact form asserted in tests."""
+    buckets. Fully hash-gated: the hyperplanes are fixed-seed literals,
+    so the oracle (plans.vector_oracles) re-derives the identical
+    bucket structure in serial SQL — the scale path, not the O(n²)
+    baseline, is the externally verified form. Precision 1.0 / recall
+    vs the exact form additionally asserted in tests."""
     from ..operators.dedup import embedding_cosine_duplicates_lsh
 
     return embedding_cosine_duplicates_lsh(_emb(spark, sf_dir), threshold=0.4)
 
 
-@register("ann_lsh_bucketed_topk", oracle=None, tags=("vector", "ann", "lsh"))
+@register(
+    "ann_lsh_bucketed_topk",
+    oracle=vector_oracles.ann_lsh_topk_sql(),
+    tags=("vector", "ann", "lsh"),
+)
 def ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via random-hyperplane LSH buckets (operators.
     similarity.lsh_topk) — the 100 TB path: bucket equi-join instead of
-    a cross product. Rows-only checked (hyperplane literals are
-    engine-side); recall vs the exact baseline is asserted in tests."""
+    a cross product. Fully hash-gated via the generated hyperplane
+    oracle (plans.vector_oracles); recall vs the exact baseline is
+    asserted in tests."""
     e = _emb(spark, sf_dir)
     return lsh_topk(e, e.filter(F.col("vec_id") < 5), k=5)
 
@@ -262,8 +271,7 @@ def vector_centroid_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFram
 
 @register(
     "ann_ivf_topk",
-    oracle=None,  # candidate pruning is engine-specific: rows-only
-    # check here; tests/test_llm_ops.py bounds recall vs brute force
+    oracle=vector_oracles.ann_ivf_topk_sql(),
     tags=("vector", "ann", "ivf"),
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -271,7 +279,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-means coarse quantizer → inverted-file partition → probe the 4
     nearest of 16 cells per query. The second scale path next to the
     LSH variant: at 100 TB the cluster id becomes the storage
-    partition key, so probing prunes files instead of rows."""
+    partition key, so probing prunes files instead of rows. Fully
+    hash-gated: the k-means update uses order-independent fixed-point
+    sums, so the oracle (plans.vector_oracles) unrolls the identical
+    3-iteration training run as serial SQL CTEs."""
     from ..operators.similarity import ivf_topk
 
     e = _emb(spark, sf_dir)

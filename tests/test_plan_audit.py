@@ -130,3 +130,31 @@ def test_rolling_energy_single_shuffle_serves_agg_and_window(spark, sf_small):
     plan = _plan(REGISTRY["meter_rolling_energy_5m"].fn(spark, sf_small))
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Window" in plan and "RangeFrame" in plan, plan
+
+
+def test_lsh_ann_broadcasts_query_side(spark, sf_small):
+    """lsh_topk: the (tiny) query set must broadcast to the candidate
+    side — at 100 TB the candidate table never shuffles for this join;
+    only bucket keys are computed per row."""
+    plan = _plan(REGISTRY["ann_lsh_bucketed_topk"].fn(spark, sf_small))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_embedding_lsh_dedup_no_cartesian(spark, sf_small):
+    """The hyperplane-LSH dedup must plan its candidate join as a
+    bucket equi-join (SortMergeJoin/ShuffledHashJoin on table_idx +
+    bucket), never a cartesian/nested-loop over the vector table."""
+    plan = _plan(REGISTRY["dedup_embedding_cosine_lsh"].fn(spark, sf_small))
+    assert "CartesianProduct" not in plan, plan
+    # the only nested-loop allowed is none at all: both sides are the
+    # full table, so any BNLJ is a missed equi-join
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ivf_probe_join_broadcasts_queries(spark, sf_small):
+    """ivf_topk's final probe join: the exploded (query, probe-cell)
+    side is tiny and must broadcast; candidates are only ever joined by
+    cluster_id equality (no cross product)."""
+    plan = _plan(REGISTRY["ann_ivf_topk"].fn(spark, sf_small))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
