@@ -54,6 +54,83 @@ CORPUS_TABLES = (
     "embeddings",
 )
 
+#: canonical corpus column types (FIXTURES.md §B). The driver has
+#: regenerated parquet with changed physical types mid-build before
+#: (events.ts: TIMESTAMP(NANOS) → timestamp[us]-NTZ), so every read
+#: coerces to these; tests/test_schemas.py asserts the post-load schema
+#: per table per scale factor so the next silent regeneration fails in
+#: the repo's own suite, not in the external bench.
+CORPUS_SCHEMAS: dict[str, list[tuple[str, str]]] = {
+    "region": [("r_regionkey", "int"), ("r_name", "string")],
+    "nation": [
+        ("n_nationkey", "int"),
+        ("n_name", "string"),
+        ("n_regionkey", "int"),
+    ],
+    "customer": [
+        ("c_custkey", "bigint"),
+        ("c_name", "string"),
+        ("c_nationkey", "int"),
+        ("c_acctbal", "double"),
+        ("c_mktsegment", "string"),
+    ],
+    "supplier": [
+        ("s_suppkey", "bigint"),
+        ("s_name", "string"),
+        ("s_nationkey", "int"),
+        ("s_acctbal", "double"),
+    ],
+    "part": [
+        ("p_partkey", "bigint"),
+        ("p_name", "string"),
+        ("p_brand", "string"),
+        ("p_type", "string"),
+        ("p_size", "int"),
+        ("p_retailprice", "double"),
+    ],
+    "orders": [
+        ("o_orderkey", "bigint"),
+        ("o_custkey", "bigint"),
+        ("o_orderstatus", "string"),
+        ("o_totalprice", "double"),
+        ("o_orderdate", "timestamp"),
+        ("o_orderpriority", "string"),
+    ],
+    "lineitem": [
+        ("l_orderkey", "bigint"),
+        ("l_partkey", "bigint"),
+        ("l_suppkey", "bigint"),
+        ("l_linenumber", "int"),
+        ("l_quantity", "double"),
+        ("l_extendedprice", "double"),
+        ("l_discount", "double"),
+        ("l_tax", "double"),
+        ("l_returnflag", "string"),
+        ("l_linestatus", "string"),
+        ("l_shipdate", "timestamp"),
+    ],
+    "events": [
+        ("event_id", "bigint"),
+        ("ts", "timestamp"),
+        ("user_id", "bigint"),
+        ("event_type", "string"),
+        ("value", "double"),
+        ("props", "string"),
+    ],
+    "documents": [
+        ("doc_id", "bigint"),
+        ("text", "string"),
+        ("lang", "string"),
+        ("source", "string"),
+        ("n_chars", "bigint"),
+    ],
+    "embeddings": [
+        ("vec_id", "bigint"),
+        ("embedding", "array<float>"),
+        ("label", "int"),
+    ],
+}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one corpus table. Parquet scan → Catalyst pushes filters and
@@ -70,12 +147,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     driver last wrote the file. DuckDB reads the same file natively, so
     the oracle side agrees by construction."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        ts_type = df.schema["ts"].dataType
-        if isinstance(ts_type, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        elif isinstance(ts_type, T.TimestampNTZType):
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    for col_name, want in CORPUS_SCHEMAS.get(name, []):
+        if col_name not in df.columns:
+            raise ValueError(
+                f"corpus drift: {name}.parquet is missing column {col_name!r}"
+            )
+        have = df.schema[col_name].dataType
+        if have.simpleString() == want:
+            continue
+        if want == "timestamp" and isinstance(have, T.LongType):
+            # TIMESTAMP(NANOS) storage read as a nanos long under the
+            # nanosAsLong legacy conf
+            df = df.withColumn(
+                col_name, F.timestamp_micros(F.expr(f"{col_name} DIV 1000"))
+            )
+        else:
+            # covers TIMESTAMP_NTZ → TIMESTAMP (lossless under the
+            # pinned-UTC session), int-width drift, float/double drift
+            df = df.withColumn(col_name, F.col(col_name).cast(want))
     return df
 
 
