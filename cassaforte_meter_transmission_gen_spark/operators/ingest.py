@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Observation
 from pyspark.sql import functions as F
 
+from ..io import ParquetSink, TableSink
 from ..sources.layout import write_time_partitioned
 from ..sources.meter_generator import (
     DEFAULT_NUM_METERS,
@@ -62,9 +63,13 @@ def ingest_batch(
     seconds: int = DEFAULT_SECONDS,
     write_raw: bool = True,
     report: dict[str, int] | None = None,
+    sink: TableSink | None = None,
 ) -> dict[str, str]:
     """Generate ``num_meters × seconds`` transmissions and materialize
-    the reference's five tables under ``out_dir``. Returns
+    the reference's five tables through ``sink`` (default: a
+    :class:`~..io.ParquetSink` rooted at ``out_dir``; pass a
+    :class:`~..io.CassandraSink` to target the reference's actual table
+    family — same DataFrames, different physical writer). Returns
     {table_name: path}. ``write_raw=False`` skips the (bulky) raw
     sample table for rollup-only maintenance runs.
 
@@ -74,6 +79,7 @@ def ingest_batch(
     queries have succeeded" when the count reaches num_queries).
     Spark-native dual: an ``Observation`` per sink collects the row
     count from the job itself (no second scan, no driver loop)."""
+    sink = sink or ParquetSink(out_dir)
     paths = {t: os.path.join(out_dir, t) for t in TABLES}
 
     def _observed(df: DataFrame, table: str) -> DataFrame:
@@ -87,31 +93,30 @@ def ingest_batch(
 
     if write_raw:
         raw = transmissions(spark, num_meters, start_said, t0_epoch, seconds)
-        # generator range-splits are per-meter time slices → already
-        # clustered by (said, datetime): shuffle-free parallel write
-        write_time_partitioned(
-            _observed(raw, "meter_samples"), paths["meter_samples"], clustered=True
-        )
+        if isinstance(sink, ParquetSink):
+            # layout policy is parquet-specific: generator range-splits
+            # are per-meter time slices → already clustered by
+            # (said, datetime): shuffle-free parallel write into
+            # day-partitioned directories
+            write_time_partitioned(
+                _observed(raw, "meter_samples"),
+                paths["meter_samples"],
+                clustered=True,
+            )
+        else:  # connector sinks rely on their own partitioner
+            sink.write(_observed(raw, "meter_samples"), "meter_samples")
 
     second = meter_samples_second(spark, num_meters, start_said, t0_epoch, seconds)
-    (
-        _observed(second, "meter_samples_second")
-        .repartition("said")
-        .sortWithinPartitions("datetime")
-        .write.mode("overwrite")
-        .parquet(paths["meter_samples_second"])
+    sink.write(
+        _observed(second, "meter_samples_second").repartition("said"),
+        "meter_samples_second",
     )
 
-    finer = spark.read.parquet(paths["meter_samples_second"])
+    finer = sink.read(spark, "meter_samples_second")
     for grain in CHAIN:
         finer = rollup_from_second(finer, grain)
-        (
-            _observed(finer, f"meter_samples_{grain}")
-            .sortWithinPartitions("said", "datetime")
-            .write.mode("overwrite")
-            .parquet(paths[f"meter_samples_{grain}"])
-        )
-        finer = spark.read.parquet(paths[f"meter_samples_{grain}"])
+        sink.write(_observed(finer, f"meter_samples_{grain}"), f"meter_samples_{grain}")
+        finer = sink.read(spark, f"meter_samples_{grain}")
 
     if report is not None:
         for table, obs in _OBSERVATIONS.items():

@@ -166,11 +166,17 @@ def streaming_ingest_batch_fn(paths: dict[str, str]):
     from ..operators.rollups import CHAIN, counter_merge, rollup_from_second
 
     def _swap_write(df: DataFrame, path: str) -> None:
-        tmp = path + ".new"
+        # two renames, then delete: the table path is absent only
+        # between the renames (microseconds), not for the duration of
+        # an rmtree — concurrent readers and query.stop() interrupts
+        # see either the old or the new table
+        tmp, old = path + ".new", path + ".old"
         df.sortWithinPartitions("said", "datetime").write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(old, ignore_errors=True)
         if os.path.exists(path):
-            shutil.rmtree(path)
+            os.rename(path, old)
         os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
 
     def fn(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
