@@ -365,26 +365,51 @@ def embedding_cosine_duplicates_lsh(
     candidates are verified with the exact cosine — precision 1.0,
     recall governed by n_tables × n_planes (same banding math as
     MinHash LSH; at cosine ≥ 0.4 agreement ≈ 0.63/plane ⇒ recall
-    ≈ 1-(1-0.63³)¹² ≈ 0.97). Same output schema as the exact form."""
+    ≈ 1-(1-0.63³)¹² ≈ 0.97). Same output schema as the exact form.
+
+    Candidate-rate regime (tune per corpus): a random pair (cosine ≈ 0)
+    collides per table with prob ≈ 0.5^n_planes, so the expected
+    candidate fraction is ≈ n_tables·0.5^n_planes. The defaults (12×3)
+    are sized for the VERIFICATION threshold 0.4 — close enough to the
+    random regime that heavy pruning is mathematically impossible
+    (0.63 vs 0.5 per-plane gap), so the candidate set stays near-
+    quadratic and this config only wins over the exact form by
+    confining the join. Real near-dup corpora sit at cosine ≥ 0.8
+    (per-plane agreement 0.795): 16 tables × 8 planes gives recall
+    ≈ 1-(1-0.795⁸)¹⁶ ≈ 0.94 while pruning candidates to
+    ≈ 16·0.5⁸ ≈ 6% of pairs — that is the 100 TB configuration."""
     from .similarity import _bucket_keys, cosine, hyperplanes
 
     tables = [
         hyperplanes(dim, n_planes, seed=20130101 + 7919 * t)
         for t in range(n_tables)
     ]
-    left = _bucket_keys(vectors, "dup_a", "va", tables, id_col, vec_col)
-    right = _bucket_keys(vectors, "dup_b", "vb", tables, id_col, vec_col)
+    left = _bucket_keys(vectors, "dup_a", tables, id_col, vec_col)
+    right = _bucket_keys(vectors, "dup_b", tables, id_col, vec_col)
+    # candidates stay NARROW (id pairs only) through the bucket join
+    # and the distinct; vectors re-attach via one equi-join per side
+    # afterwards (tiny dimension → AQE broadcasts locally; at scale a
+    # shuffle join on the id key). Carrying the arrays through the
+    # T-way explode + join + distinct multiplied shuffle bytes by
+    # ~2·dim·T and measured 3-4× slower at sf0.1.
     cand = (
         left.join(right, ["table_idx", "bucket"])
         .filter(F.col("dup_a") < F.col("dup_b"))
-        .select("dup_a", "va", "dup_b", "vb")
-        .dropDuplicates(["dup_a", "dup_b"])
+        .select("dup_a", "dup_b")
+        .distinct()
     )
-    return cand.select(
-        "dup_a",
-        "dup_b",
-        cosine(F.col("va"), F.col("vb")).alias("cosine"),
-    ).filter(F.col("cosine") >= threshold)
+    va = vectors.select(F.col(id_col).alias("dup_a"), F.col(vec_col).alias("va"))
+    vb = vectors.select(F.col(id_col).alias("dup_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "dup_a")
+        .join(vb, "dup_b")
+        .select(
+            "dup_a",
+            "dup_b",
+            cosine(F.col("va"), F.col("vb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
 
 
 def duplicate_groups(

@@ -35,7 +35,14 @@ def _as_double(arr: Column) -> Column:
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Sequential-fold dot product (bit-reproducible in the oracle)."""
+    """Sequential-fold dot product (bit-reproducible in the oracle).
+
+    Kept as a higher-order-function fold deliberately: expanding the
+    sum into 64 flat chained adds keeps the same float order but builds
+    expression trees thousands of nodes deep, and Catalyst's tree
+    transforms + codegen on those measured 4-8× SLOWER end-to-end at
+    sf0.1 than the interpreted fold. The fold's interpretation overhead
+    is the cheaper side of that trade."""
     return F.aggregate(
         F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
         F.lit(0.0),
@@ -95,7 +102,8 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 20130101) -> list[list[floa
 
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id under the given hyperplanes."""
+    """Sign-bit bucket id under the given hyperplanes (fold-form
+    projections — see the expression-depth note on :func:`dot`)."""
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         proj = F.aggregate(
@@ -112,10 +120,19 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
 
 
 def _bucket_keys(
-    df: DataFrame, id_alias: str, vec_alias: str, tables: list[list[list[float]]],
+    df: DataFrame, id_alias: str, tables: list[list[list[float]]],
     id_col: str, vec_col: str,
 ) -> DataFrame:
-    """(id, vec, table_idx, bucket) — one row per hash table."""
+    """(id, table_idx, bucket) — one row per hash table.
+
+    Deliberately NARROW: the vector itself is dropped after hashing.
+    Candidate generation then shuffles/dedupes id pairs only; vectors
+    are re-attached exactly once by an id equi-join before scoring. The
+    previous shape carried the embedding array through the T-way
+    explode, the bucket join, and the distinct — at a weak threshold
+    (coarse buckets) that multiplied the shuffled bytes by
+    ~2·dim·(candidates/vector) and was measured 3-4× slower end-to-end
+    at sf0.1 despite identical results."""
     buckets = F.array(
         *[
             F.struct(
@@ -127,10 +144,9 @@ def _bucket_keys(
     )
     return df.select(
         F.col(id_col).alias(id_alias),
-        F.col(vec_col).alias(vec_alias),
         F.explode(buckets).alias("tb"),
     ).select(
-        id_alias, vec_alias,
+        id_alias,
         F.col("tb.table_idx").alias("table_idx"),
         F.col("tb.bucket").alias("bucket"),
     )
@@ -160,18 +176,28 @@ def lsh_topk(
     tables = [
         hyperplanes(dim, n_planes, seed=20130101 + 7919 * t) for t in range(n_tables)
     ]
-    q = _bucket_keys(queries, "query_id", "q_vec", tables, id_col, vec_col)
-    c = _bucket_keys(vectors, "neighbor_id", "c_vec", tables, id_col, vec_col)
+    q = _bucket_keys(queries, "query_id", tables, id_col, vec_col)
+    c = _bucket_keys(vectors, "neighbor_id", tables, id_col, vec_col)
     cand = (
         c.join(F.broadcast(q), ["table_idx", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "q_vec", "neighbor_id", "c_vec")
-        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    cv = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
@@ -249,7 +275,9 @@ def assign_to_centroid(
 ) -> DataFrame:
     """Add ``cluster_id`` = argmin squared-L2 distance to the centroid
     literals. Pure expression: per row, a fold over the (small)
-    centroid array — no join, no shuffle, codegen-side."""
+    centroid array — no join, no shuffle. Ties resolve to the lowest
+    centroid index (keep-first-strict-min), matching the oracle's
+    ORDER BY (d, cid)."""
     cents = F.array(
         *[
             F.struct(
