@@ -82,6 +82,45 @@ def extract_features(df: DataFrame, decode_stub: str = "fake") -> DataFrame:
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+#: output schema of the resize stage (payload in, payload out)
+RESIZE_SCHEMA = "item_id bigint, payload binary, n_bytes int, format string"
+
+
+def resize_payloads(df: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """Resize plumbing (image downscale / audio resample stand-in):
+    stride-subsample each payload to at most ``target_bytes`` bytes
+    (stride = ceil(n / target)). Deterministic and byte-exact, so the
+    binary→binary Arrow round-trip is oracle-verifiable; a real
+    PIL/ffmpeg resize plugs into the same mapInPandas seam with the
+    same payload-in/payload-out schema.
+
+    Scale shape matches the real thing: the heavy payload never leaves
+    the task (no shuffle), output payloads are strictly smaller, and
+    downstream stages see the same multimodal schema."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd  # local import: executed on executors
+
+        for pdf in batches:
+            payloads, sizes = [], []
+            for b in pdf["payload"]:
+                b = b or b""
+                stride = max(1, -(-len(b) // target_bytes))
+                rb = b[::stride]
+                payloads.append(rb)
+                sizes.append(len(rb))
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"],
+                    "payload": payloads,
+                    "n_bytes": pd.Series(sizes, dtype="int32"),
+                    "format": pdf["format"],
+                }
+            )
+
+    return df.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
 #: output schema of the frame sampler
 FRAME_SCHEMA = "item_id bigint, frame_idx int, frame_bytes binary, frame_len int"
 

@@ -528,6 +528,87 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_feature_extract",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n,
+         CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE 0 END AS fb,
+         CASE WHEN length(text) > 0 THEN ascii(substr(text, length(text), 1)) ELSE 0 END AS lb
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id AS item_id,
+       CAST(n AS INT) AS n_bytes,
+       'text' AS format,
+       CAST(fb % 64 + 1 AS INT) AS width,
+       CAST(lb % 64 + 1 AS INT) AS height,
+       n * 1000003 + fb * 31 + lb AS feature_hash
+FROM d
+""",
+    tags=("multimodal", "features", "pandas-udf"),
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction end-to-end (operators.multimodal.
+    extract_features, mapInPandas): binary payloads → narrow typed
+    feature rows. The decode itself is the documented stub — the fake
+    path derives width/height/feature-hash deterministically from the
+    payload bytes, so the oracle recomputes them from the same ASCII
+    text and the whole Arrow plumbing (schema, batching, byte access)
+    is value-hash gated; a real PIL/librosa decoder plugs into the
+    same seam."""
+    from ..operators.multimodal import extract_features, to_binary_payloads
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    payloads = to_binary_payloads(d, "doc_id", "text", "text")
+    return extract_features(payloads, decode_stub="fake")
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS n
+  FROM documents WHERE doc_id < 200
+),
+k AS (
+  SELECT doc_id, text, n,
+         greatest(1, CAST(ceil(n / 64.0) AS BIGINT)) AS stride
+  FROM d
+),
+r AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(range(1, n + 1, stride),
+                          p -> substr(text, CAST(p AS BIGINT), 1)),
+           '') AS res
+  FROM k
+)
+SELECT doc_id AS item_id,
+       CAST(length(res) AS INT) AS n_bytes,
+       md5(res) AS resized_md5
+FROM r
+""",
+    tags=("multimodal", "resize", "pandas-udf"),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize end-to-end (operators.multimodal.resize_payloads,
+    mapInPandas): every payload stride-subsampled to ≤ 64 bytes, binary
+    in → binary out. The oracle replays the identical stride rule with
+    character slicing (corpus is ASCII ⇒ byte ≡ char) and md5-gates the
+    resized payload content byte-for-byte."""
+    from ..operators.multimodal import resize_payloads, to_binary_payloads
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    payloads = to_binary_payloads(d, "doc_id", "text", "text")
+    resized = resize_payloads(payloads, target_bytes=64)
+    return resized.select(
+        "item_id",
+        "n_bytes",
+        F.md5("payload").alias("resized_md5"),
+    )
+
+
+@register(
     "tvf_python_udtf_chunks",
     oracle=f"""
 WITH d AS (

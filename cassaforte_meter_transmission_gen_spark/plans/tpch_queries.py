@@ -1142,3 +1142,38 @@ def q20_excess_shipment_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("s_name", "s_suppkey")
         .dropDuplicates()
     )
+
+
+@register(
+    "join_salted_skew_supplier_revenue",
+    oracle=f"""
+SELECT s_nationkey, count(*) AS n_items,
+       {sql_dec_sum("l_extendedprice")} AS revenue
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+""",
+    tags=("join", "skew", "salted"),
+)
+def join_salted_skew_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit salted join (operators.skew.salted_join) gated against
+    the plain-join oracle: the fact side's key is salted 8 ways
+    (deterministic pmod(xxhash64(l_orderkey))), the supplier side
+    replicated once per salt, joined on (key, salt) — a hot supplier's
+    rows spread across 8 tasks instead of one straggler. Semantically
+    identical to the unsalted join, which is exactly what the oracle
+    asserts. This is the manual fallback for skew AQE can't split
+    (e.g. a replicated build side); session.py keeps AQE skew-join on
+    as the first line of defense."""
+    from ..operators.skew import salted_join
+
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_extendedprice"
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    joined = salted_join(l, s, on="l_suppkey", n_salts=8, salt_by="l_orderkey")
+    return joined.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_items"),
+        dec_sum(F.col("l_extendedprice")).alias("revenue"),
+    )
