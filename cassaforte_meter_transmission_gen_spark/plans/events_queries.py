@@ -170,6 +170,32 @@ def streaming_sessionization_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_interval_join_30m",
+    oracle="""
+SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+       p.value AS purchase_value,
+       c.event_id AS click_id, c.ts AS click_ts
+FROM events p JOIN events c
+  ON p.event_type = 'purchase' AND c.event_type = 'click'
+ AND p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+""",
+    tags=("events", "streaming", "stream-stream-join"),
+)
+def streaming_interval_join_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE stream-stream event-time interval join (streaming.pipeline.
+    run_bounded_interval_join): purchases ⋈ same-user clicks within the
+    preceding 30 minutes, both sides unbounded watermarked streams,
+    append mode — gated against the batch interval-join oracle. The
+    remaining member of the Structured Streaming surface next to
+    windowed aggregation (T3), session windows (T6), and custom state
+    (applyInPandasWithState)."""
+    from ..streaming.pipeline import run_bounded_interval_join
+
+    return run_bounded_interval_join(spark, sf_dir, "30 minutes")
+
+
+@register(
     "events_json_extract_props",
     oracle="""
 SELECT event_type,

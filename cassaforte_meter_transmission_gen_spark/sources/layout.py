@@ -100,3 +100,39 @@ def write_bucketed(
         .format("parquet")
         .saveAsTable(table)
     )
+
+
+def write_ivf_partitioned(
+    vectors: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Persist an embedding table as an on-disk inverted file: directory
+    partitioned by nearest-centroid ``cluster_id`` (the IVF cell).
+
+    This is the 100 TB form of operators.similarity.ivf_topk's pruning:
+    instead of an equi-join filtering candidate ROWS by probed cell,
+    the probe list becomes a partition predicate and Catalyst prunes
+    whole directories — a 4-of-16-probe query reads 1/4 of the FILES,
+    before any row decoding happens. The centroids come from the same
+    deterministic k-means, so the layout and the query-time assignment
+    agree exactly."""
+    from ..operators.similarity import assign_to_centroid
+
+    assigned = assign_to_centroid(vectors, centroids, vec_col)
+    # one directory per cell; repartition by the partition column so a
+    # hot cell writes from one task set, not every input task × cell
+    (
+        assigned.repartition("cluster_id")
+        .write.mode(mode)
+        .partitionBy("cluster_id")
+        .parquet(path)
+    )
+
+
+def read_ivf_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read an IVF layout; ``cluster_id`` is the partition column, so
+    ``filter(col("cluster_id").isin(probes))`` directory-prunes."""
+    return spark.read.parquet(path)

@@ -310,6 +310,83 @@ def run_bounded_sessions(
     return spark.table(name)
 
 
+def run_bounded_interval_join(
+    spark: SparkSession, sf_dir: str, window: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream event-time interval join (the last big Structured
+    Streaming surface next to windowed aggs, sessions, and custom
+    state): purchases joined to the same user's clicks from the
+    preceding ``window``, both sides unbounded streams.
+
+    Mechanics at scale: both sides are watermarked, so the state store
+    retains only rows inside the interval bound — a click can be
+    evicted once the watermark passes click_ts + window, giving O(users
+    × window-rate) state regardless of stream length; the join shuffles
+    both streams on user_id, so 1000 executors shard the state by user.
+    Driven here over bounded file streams to completion (append mode —
+    the only mode stream-stream joins support) so the result is gated
+    against the batch interval-join oracle. The replay watermark delay
+    is set beyond the corpus's full time span: the staged files replay
+    in arbitrary event-time order, so any tighter bound would (per
+    append-mode semantics, correctly!) drop "late" rows and make the
+    result depend on file order — a live deployment tunes the delay to
+    its real lateness, which also bounds the state store."""
+    from ..schemas import load_table
+
+    stage = tempfile.mkdtemp(prefix="events_typed_stream_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    ev.write.mode("overwrite").parquet(stage)
+
+    def _reader() -> DataFrame:
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 8)
+            .parquet(stage)
+        )
+
+    clicks = (
+        _reader().filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "3650 days")
+    )
+    purchases = (
+        _reader().filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "3650 days")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "user_id = c_user AND "
+            f"click_ts >= purchase_ts - interval {window} AND "
+            "click_ts <= purchase_ts"
+        ),
+    ).select("user_id", "purchase_id", "purchase_ts", "purchase_value", "click_id", "click_ts")
+    name = f"stream_ssjoin_{abs(hash((sf_dir, window))) % 10**8}"
+    with tempfile.TemporaryDirectory(prefix="ssjoin_ckpt_") as ckpt:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
 def run_late_data_rollup(
     spark: SparkSession,
     batches: list[list[tuple[int, int, int]]],

@@ -57,3 +57,38 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_bucketed_second")
         spark.sql("DROP TABLE IF EXISTS t_bucketed_totals")
+
+
+def test_ivf_partitioned_layout_prunes_cells(spark, sf_med):
+    """The IVF storage layout: writing embeddings partitioned by
+    k-means cell and probing 4 of 16 cells must (a) partition-prune the
+    scan and (b) return exactly the rows the in-plan assignment gives
+    those cells."""
+    from cassaforte_meter_transmission_gen_spark.operators.similarity import (
+        assign_to_centroid,
+        kmeans_centroids,
+    )
+    from cassaforte_meter_transmission_gen_spark.schemas import load_table
+    from cassaforte_meter_transmission_gen_spark.sources.layout import (
+        read_ivf_partitioned,
+        write_ivf_partitioned,
+    )
+
+    e = load_table(spark, sf_med, "embeddings")
+    cents = kmeans_centroids(e, n_clusters=16)
+    with tempfile.TemporaryDirectory(prefix="ivf_layout_") as d:
+        path = f"{d}/ivf"
+        write_ivf_partitioned(e, path, cents)
+        back = read_ivf_partitioned(spark, path)
+        probes = [0, 3, 7, 11]
+        probed = back.filter(F.col("cluster_id").isin(probes))
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        assert "cluster_id" in plan
+        expected = (
+            assign_to_centroid(e, cents)
+            .filter(F.col("cluster_id").isin(probes))
+            .count()
+        )
+        assert probed.count() == expected
+        # full roundtrip: nothing lost across cells
+        assert back.count() == e.count()
