@@ -387,6 +387,27 @@ def agg_approx_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "agg_approx_percentiles_quantity",
+    oracle=None,  # sketch values are engine-specific (KLL vs t-digest
+    # etc. disagree by construction): rows-only check here;
+    # tests/test_approx.py bounds the rank error vs the exact quartiles
+    tags=("agg", "approx", "percentile", "sketch"),
+)
+def agg_approx_percentiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for the exact agg_percentiles_quantity: Spark's
+    percentile_approx (a mergeable quantile sketch) — one pass, no
+    per-group sort, fixed memory per group, partials merge across
+    executors. accuracy=10000 bounds the rank error at 1/10000 of the
+    group size."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", 0.25, 10000).alias("q25"),
+        F.percentile_approx("l_quantity", 0.50, 10000).alias("q50"),
+        F.percentile_approx("l_quantity", 0.75, 10000).alias("q75"),
+    )
+
+
+@register(
     "pivot_qty_by_linestatus",
     oracle=f"""
 SELECT l_returnflag,
