@@ -56,9 +56,12 @@ def run_unbounded(
         start_said = host_hash(os.uname().nodename)
     paths = {t: os.path.join(out_dir, t) for t in TABLES}
     ckpt = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
+    commits = os.path.join(out_dir, "_commits")
     stream = rate_transmission_stream(spark, num_meters, start_said)
     return (
-        stream.writeStream.foreachBatch(streaming_ingest_batch_fn(paths))
+        stream.writeStream.foreachBatch(
+            streaming_ingest_batch_fn(paths, commits)
+        )
         .option("checkpointLocation", ckpt)
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()

@@ -142,62 +142,115 @@ def cumulative_energy_stream(stream: DataFrame) -> DataFrame:
     )
 
 
-def streaming_ingest_batch_fn(paths: dict[str, str]):
+def _committed_batches(commits_dir: str) -> list[int]:
+    import os
+
+    if not os.path.isdir(commits_dir):
+        return []
+    return sorted(int(f) for f in os.listdir(commits_dir) if f.isdigit())
+
+
+def streaming_ingest_batch_fn(paths: dict[str, str], commits_dir: str):
     """foreachBatch body for the five-table write fan-out (K1-K5,
-    core.clj:100-153) maintained continuously: per micro-batch, append
+    core.clj:100-153) maintained continuously: per micro-batch, write
     the raw arrays and the per-second energy rows, then COUNTER-merge
     each rollup grain (operators.rollups.counter_merge) into its table.
 
-    Delivery semantics: the reference fires-and-forgets (T5); this sink
-    is at-least-once on retry (parquet append is not idempotent by
-    batchId). Production hardening = a transactional table format or a
-    batchId high-watermark in the sink — noted, not simulated here.
+    Delivery semantics — EXACTLY-ONCE, strictly stronger than the
+    reference's fire-and-forget (T5), via a batch-id commit protocol on
+    plain parquet (the poor-man's transaction log; a table format like
+    Delta/Iceberg replaces this wholesale):
 
-    Scale notes: the raw append is shuffle-free (narrow write of the
+    - raw + second rows land in ``<table>/batch=<id>/`` with overwrite
+      — a replayed batch rewrites its own directory, never duplicates;
+    - each grain is written as a full new VERSION
+      ``<table>/v=<id>/`` = counter_merge(last COMMITTED version,
+      this batch's increment) — a replay re-reads the same committed
+      base and overwrites the same version directory, so double-merge
+      is impossible;
+    - the commit point is one empty marker file per batch id
+      (os.replace — atomic), written only after all five tables are
+      durable; readers resolve grains through the latest committed
+      marker, so a crash mid-batch is invisible to them;
+    - versions older than (current, previous) are GC'd after commit.
+
+    Scale notes: the raw write is shuffle-free (narrow write of the
     arriving partitions); each grain merge shuffles only (said, bucket)
-    keys of the increment plus the existing table — tiny relative to
-    raw, and the rewrite cost is bounded by the rollup table size, not
-    the stream history. The grain chain derives each increment from the
-    previous (finer) one, so raw rows are folded exactly once."""
+    keys of the increment plus the existing rollup table — tiny
+    relative to raw, and the rewrite cost is bounded by the rollup
+    table size, not the stream history. The grain chain derives each
+    increment from the previous (finer) one, so raw rows are folded
+    exactly once."""
     import os
     import shutil
 
     from ..functions.energy import joules_over_second
     from ..operators.rollups import CHAIN, counter_merge, rollup_from_second
 
-    def _swap_write(df: DataFrame, path: str) -> None:
-        # two renames, then delete: the table path is absent only
-        # between the renames (microseconds), not for the duration of
-        # an rmtree — concurrent readers and query.stop() interrupts
-        # see either the old or the new table
-        tmp, old = path + ".new", path + ".old"
-        df.sortWithinPartitions("said", "datetime").write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.exists(path):
-            os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old, ignore_errors=True)
+    os.makedirs(commits_dir, exist_ok=True)
 
     def fn(batch: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(commits_dir, str(batch_id))
+        if os.path.exists(marker):
+            return  # replayed, fully applied — exactly-once
         spark = batch.sparkSession
-        batch.write.mode("append").parquet(paths["meter_samples"])
+        batch.write.mode("overwrite").parquet(
+            f"{paths['meter_samples']}/batch={batch_id}"
+        )
         second = batch.select(
             "said",
             "datetime",
             joules_over_second(F.col("watts")).alias("joules"),
         )
-        second.write.mode("append").parquet(paths["meter_samples_second"])
+        second.write.mode("overwrite").parquet(
+            f"{paths['meter_samples_second']}/batch={batch_id}"
+        )
+        committed = _committed_batches(commits_dir)
+        prev = committed[-1] if committed else None
         inc = second
         for grain in CHAIN:
             inc = rollup_from_second(inc, grain)
-            path = paths[f"meter_samples_{grain}"]
-            if os.path.exists(path):
-                merged = counter_merge(spark.read.parquet(path), inc)
+            gpath = paths[f"meter_samples_{grain}"]
+            if prev is not None:
+                merged = counter_merge(
+                    spark.read.parquet(f"{gpath}/v={prev}"), inc
+                )
             else:
                 merged = inc
-            _swap_write(merged, path)
+            (
+                merged.sortWithinPartitions("said", "datetime")
+                .write.mode("overwrite")
+                .parquet(f"{gpath}/v={batch_id}")
+            )
+        tmp = marker + ".tmp"
+        open(tmp, "w").close()
+        os.replace(tmp, marker)  # commit point
+        # GC: keep current + previous version (previous covers readers
+        # that resolved the commit list just before this marker landed)
+        for grain in CHAIN:
+            gpath = paths[f"meter_samples_{grain}"]
+            for d in os.listdir(gpath):
+                if d.startswith("v=") and int(d[2:]) not in (batch_id, prev):
+                    shutil.rmtree(os.path.join(gpath, d), ignore_errors=True)
 
     return fn
+
+
+def read_stream_table(
+    spark: SparkSession, paths: dict[str, str], table: str, commits_dir: str
+) -> DataFrame:
+    """Read one table maintained by :func:`streaming_ingest_batch_fn`,
+    resolving the exactly-once layout: raw/second tables are the union
+    of their batch directories (the ``batch`` provenance column is
+    dropped); grain tables resolve to the latest COMMITTED version."""
+    path = paths[table]
+    if table in ("meter_samples", "meter_samples_second"):
+        df = spark.read.parquet(path)
+        return df.drop("batch") if "batch" in df.columns else df
+    committed = _committed_batches(commits_dir)
+    if not committed:
+        raise FileNotFoundError(f"no committed version of {table} yet")
+    return spark.read.parquet(f"{path}/v={committed[-1]}")
 
 
 def run_bounded_streaming_ingest(
@@ -205,10 +258,11 @@ def run_bounded_streaming_ingest(
     out_dir: str,
     num_meters: int = 2,
     seconds: int = 600,
-) -> dict[str, str]:
+) -> tuple[dict[str, str], str]:
     """Drive the foreachBatch five-table ingest over a bounded raw
-    transmission stream to completion; returns {table: path}. The test
-    asserts every table equals its batch-ingest dual."""
+    transmission stream to completion; returns ({table: path},
+    commits_dir) — read results through :func:`read_stream_table`. The
+    test asserts every table equals its batch-ingest dual."""
     from ..schemas import METER_SAMPLES
     from ..sources.meter_generator import transmissions
 
@@ -231,15 +285,18 @@ def run_bounded_streaming_ingest(
             "meter_samples_day",
         )
     }
+    commits_dir = f"{out_dir}/_commits"
     with tempfile.TemporaryDirectory(prefix="ingest_ckpt_") as ckpt:
         q = (
-            stream.writeStream.foreachBatch(streaming_ingest_batch_fn(paths))
+            stream.writeStream.foreachBatch(
+                streaming_ingest_batch_fn(paths, commits_dir)
+            )
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
-    return paths
+    return paths, commits_dir
 
 
 def session_rollup(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:

@@ -20,35 +20,39 @@ def test_unbounded_runner_maintains_rollups(spark, tmp_path):
     rows and all rollup grains must appear and the minute rollup must
     equal a re-aggregation of the second table at the time of check."""
     out = str(tmp_path / "run")
+    from cassaforte_meter_transmission_gen_spark.streaming.pipeline import (
+        read_stream_table,
+    )
+
     q = run_unbounded(
         spark, out, num_meters=2, start_said=77, trigger_seconds=1.0
     )
+    paths = {t: f"{out}/{t}" for t in TABLES}
+    commits = f"{out}/_commits"
     try:
-        sink = ParquetSink(out)
         deadline = time.time() + 120
         minute_rows = 0
-        # poll for the LAST table in a batch's write order (the grain
-        # chain) so stop() can't interrupt before a full fan-out landed
+        # poll for a COMMITTED batch (the marker is the last step of a
+        # batch) so stop() can't interrupt before a full fan-out landed
         while time.time() < deadline:
             time.sleep(1.0)
-            if not all(sink.exists(t) for t in TABLES):
-                continue
             try:
-                minute_rows = sink.read(spark, "meter_samples_minute").count()
-            except Exception:  # a table mid-swap-write
+                minute_rows = read_stream_table(
+                    spark, paths, "meter_samples_minute", commits
+                ).count()
+            except Exception:  # nothing committed yet
                 continue
             if minute_rows >= 1:
                 break
-        assert minute_rows >= 1, "no full five-table fan-out landed in 120s"
+        assert minute_rows >= 1, "no committed five-table fan-out in 120s"
     finally:
         q.stop()
-    # after stop: every table exists; grains are consistent with the
-    # second table (sum preserved — counter semantics). stop() can
-    # land between the second-append and the grain merge of the final
-    # micro-batch, so the minute total may trail by at most one batch,
-    # never lead.
-    second = sink.read(spark, "meter_samples_second")
-    minute = sink.read(spark, "meter_samples_minute")
+    # after stop: grains are consistent with the second table. The
+    # second table may carry one extra uncommitted batch directory
+    # (stop() before the marker), so its total may lead the committed
+    # minute total, never trail.
+    second = read_stream_table(spark, paths, "meter_samples_second", commits)
+    minute = read_stream_table(spark, paths, "meter_samples_minute", commits)
     assert minute.count() >= 1
     second_sum = second.groupBy().sum("joules").first()[0]
     minute_sum = minute.groupBy().sum("joules").first()[0]

@@ -88,11 +88,12 @@ def test_streaming_foreachbatch_ingest_equals_batch_ingest(spark, tmp_path):
         read_table,
     )
     from cassaforte_meter_transmission_gen_spark.streaming.pipeline import (
+        read_stream_table,
         run_bounded_streaming_ingest,
     )
 
     n_meters, seconds = 2, 600
-    stream_paths = run_bounded_streaming_ingest(
+    stream_paths, commits = run_bounded_streaming_ingest(
         spark, str(tmp_path / "stream"), num_meters=n_meters, seconds=seconds
     )
     batch_paths = ingest_batch(
@@ -100,7 +101,7 @@ def test_streaming_foreachbatch_ingest_equals_batch_ingest(spark, tmp_path):
     )
 
     for table in stream_paths:
-        got = spark.read.parquet(stream_paths[table])
+        got = read_stream_table(spark, stream_paths, table, commits)
         want = read_table(spark, batch_paths, table)
         if table == "meter_samples":
             # arrays are identical by construction; compare scalars
@@ -200,3 +201,50 @@ def test_stateful_cumulative_counter_equals_batch_total(spark):
     assert final == batch
     # multiple micro-batches actually exercised state carry-over
     assert len(emitted) > len(final)
+
+
+def test_streaming_ingest_replay_is_exactly_once(spark, tmp_path):
+    """The batch-id commit protocol (T5 hardened): re-delivering a
+    committed batch is a no-op, and replaying a batch whose crash lost
+    the commit marker re-merges from the same committed base — so the
+    grain totals are identical either way, never double-counted."""
+    import os
+
+    from cassaforte_meter_transmission_gen_spark.operators.ingest import TABLES
+    from cassaforte_meter_transmission_gen_spark.sources.meter_generator import (
+        transmissions,
+    )
+    from cassaforte_meter_transmission_gen_spark.streaming.pipeline import (
+        read_stream_table,
+        streaming_ingest_batch_fn,
+    )
+
+    paths = {t: str(tmp_path / t) for t in TABLES}
+    commits = str(tmp_path / "_commits")
+    fn = streaming_ingest_batch_fn(paths, commits)
+
+    b0 = transmissions(spark, num_meters=2, seconds=60)
+    b1 = transmissions(spark, num_meters=2, seconds=60, t0_epoch=1356998400 + 60)
+    fn(b0, 0)
+    fn(b1, 1)
+
+    def snap():
+        return {
+            t: sorted(
+                map(tuple, read_stream_table(spark, paths, t, commits)
+                    .drop("watts").collect())
+            )
+            for t in TABLES
+        }
+
+    committed = snap()
+
+    # case 1: re-delivery of a committed batch is a pure no-op
+    fn(b1, 1)
+    assert snap() == committed
+
+    # case 2: crash lost the marker AFTER the writes — replay must
+    # rebuild batch 1 from the committed base (v=0), not double-merge
+    os.remove(os.path.join(commits, "1"))
+    fn(b1, 1)
+    assert snap() == committed
