@@ -38,6 +38,37 @@ from .streaming.pipeline import rate_transmission_stream, streaming_ingest_batch
 DEFAULT_NUM_METERS = 2
 
 
+def make_accounting_listener():
+    """The reference's success/failure write accounting (A5,
+    core.clj:68-85: every async write fires a counted callback, and
+    "All N queries have succeeded" prints when the count lands) as the
+    Spark-native streaming dual: a StreamingQueryListener fed by the
+    engine, counting micro-batches and input rows and recording any
+    terminating exception. Returns (listener, counters) where counters
+    is a plain dict updated in place: {"batches", "rows", "errors"}.
+    """
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    counters = {"batches": 0, "rows": 0, "errors": []}
+
+    class _Accounting(StreamingQueryListener):
+        def onQueryStarted(self, event):  # noqa: N802
+            pass
+
+        def onQueryProgress(self, event):  # noqa: N802
+            counters["batches"] += 1
+            counters["rows"] += event.progress.numInputRows
+
+        def onQueryIdle(self, event):  # noqa: N802
+            pass
+
+        def onQueryTerminated(self, event):  # noqa: N802
+            if event.exception is not None:
+                counters["errors"].append(str(event.exception))
+
+    return _Accounting(), counters
+
+
 def run_unbounded(
     spark: SparkSession,
     out_dir: str,

@@ -85,3 +85,46 @@ def test_cassandra_sink_unavailable_raises_clearly(spark):
     documented option path), not at .save() time."""
     with pytest.raises(RuntimeError, match="Cassandra Connector"):
         CassandraSink(spark)
+
+
+def test_streaming_accounting_listener_counts_writes(spark, tmp_path):
+    """A5's streaming dual: the query listener must observe the
+    runner's micro-batches and input rows (the reference's counted
+    success callbacks), with no terminating errors on a clean stop."""
+    from cassaforte_meter_transmission_gen_spark.runner import (
+        make_accounting_listener,
+        run_unbounded,
+    )
+    from cassaforte_meter_transmission_gen_spark.streaming.pipeline import (
+        read_stream_table,
+    )
+
+    listener, counters = make_accounting_listener()
+    spark.streams.addListener(listener)
+    out = str(tmp_path / "acct")
+    q = run_unbounded(
+        spark, out, num_meters=2, start_said=55, trigger_seconds=1.0
+    )
+    paths = {t: f"{out}/{t}" for t in TABLES}
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            time.sleep(1.0)
+            try:
+                if (
+                    read_stream_table(
+                        spark, paths, "meter_samples_minute", f"{out}/_commits"
+                    ).count()
+                    >= 1
+                ):
+                    break
+            except Exception:
+                continue
+    finally:
+        q.stop()
+        # listener events are delivered async; give the bus a moment
+        time.sleep(2.0)
+        spark.streams.removeListener(listener)
+    assert counters["batches"] >= 1
+    assert counters["rows"] >= 1
+    assert counters["errors"] == []
