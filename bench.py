@@ -51,6 +51,7 @@ HEADLINE = [
 #: near-quadratic — see operators/dedup.py)
 SCALE_PATHS = [
     "dedup_embedding_cosine_lsh",
+    "dedup_embedding_cosine_lsh_hi",
     "ann_lsh_bucketed_topk",
     "ann_ivf_topk",
 ]
@@ -109,6 +110,24 @@ def main() -> None:
         finally:
             spark.catalog.clearCache()
 
+    # the 100 TB LSH-dedup pruning claim, measured: the hi config
+    # (16 tables × 8 planes, threshold 0.8) should confine the verify
+    # join to ≈ 16·0.5⁸ ≈ 6% of all pairs (vs the documented
+    # near-quadratic 0.4-threshold regime). Single-row stats query —
+    # the same plan the dedup_embedding_cosine_lsh_hi oracle gates.
+    lsh_hi_stats = None
+    try:
+        row = REGISTRY["dedup_embedding_cosine_lsh_hi"].fn(spark, sf_dir).head()
+        lsh_hi_stats = {
+            "n_candidates": row["n_candidates"],
+            "n_pairs": row["n_pairs"],
+            "candidate_fraction": round(row["candidate_fraction"], 6),
+        }
+    except Exception as exc:  # noqa: BLE001
+        errors["lsh_hi_stats"] = f"{type(exc).__name__}: {exc}"[:500]
+    finally:
+        spark.catalog.clearCache()
+
     # the write-heavy ingest benchmark runs AFTER the query loop: its
     # 28800 × 15k-float raw arrays leave the heap under GC pressure
     # that would otherwise bleed ~45 s into whichever query runs next
@@ -133,6 +152,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "scale_path_queries": scale_times,
+                "lsh_hi_candidate_pruning": lsh_hi_stats,
                 "errors": errors,
                 "sf": sf,
                 "ingest_five_tables_sec": ingest_sec,

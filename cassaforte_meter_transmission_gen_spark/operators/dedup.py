@@ -351,6 +351,39 @@ def embedding_cosine_duplicates(
     )
 
 
+def _lsh_candidate_pairs(
+    vectors: DataFrame,
+    n_tables: int,
+    n_planes: int,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+) -> DataFrame:
+    """Narrow (dup_a, dup_b) candidate pairs under the hyperplane-LSH
+    bucket join — the shared candidate generator for the pairs form and
+    the stats form below. Ids only; vectors re-attach downstream."""
+    from .similarity import _bucket_keys, hyperplanes
+
+    tables = [
+        hyperplanes(dim, n_planes, seed=20130101 + 7919 * t)
+        for t in range(n_tables)
+    ]
+    left = _bucket_keys(vectors, "dup_a", tables, id_col, vec_col)
+    right = _bucket_keys(vectors, "dup_b", tables, id_col, vec_col)
+    # candidates stay NARROW (id pairs only) through the bucket join
+    # and the distinct; vectors re-attach via one equi-join per side
+    # afterwards (tiny dimension → AQE broadcasts locally; at scale a
+    # shuffle join on the id key). Carrying the arrays through the
+    # T-way explode + join + distinct multiplied shuffle bytes by
+    # ~2·dim·T and measured 3-4× slower at sf0.1.
+    return (
+        left.join(right, ["table_idx", "bucket"])
+        .filter(F.col("dup_a") < F.col("dup_b"))
+        .select("dup_a", "dup_b")
+        .distinct()
+    )
+
+
 def embedding_cosine_duplicates_lsh(
     vectors: DataFrame,
     threshold: float = 0.4,
@@ -377,27 +410,11 @@ def embedding_cosine_duplicates_lsh(
     confining the join. Real near-dup corpora sit at cosine ≥ 0.8
     (per-plane agreement 0.795): 16 tables × 8 planes gives recall
     ≈ 1-(1-0.795⁸)¹⁶ ≈ 0.94 while pruning candidates to
-    ≈ 16·0.5⁸ ≈ 6% of pairs — that is the 100 TB configuration."""
-    from .similarity import _bucket_keys, cosine, hyperplanes
+    ≈ 16·0.5⁸ ≈ 6% of pairs — that is the 100 TB configuration
+    (measured: see :func:`embedding_cosine_lsh_stats`)."""
+    from .similarity import cosine
 
-    tables = [
-        hyperplanes(dim, n_planes, seed=20130101 + 7919 * t)
-        for t in range(n_tables)
-    ]
-    left = _bucket_keys(vectors, "dup_a", tables, id_col, vec_col)
-    right = _bucket_keys(vectors, "dup_b", tables, id_col, vec_col)
-    # candidates stay NARROW (id pairs only) through the bucket join
-    # and the distinct; vectors re-attach via one equi-join per side
-    # afterwards (tiny dimension → AQE broadcasts locally; at scale a
-    # shuffle join on the id key). Carrying the arrays through the
-    # T-way explode + join + distinct multiplied shuffle bytes by
-    # ~2·dim·T and measured 3-4× slower at sf0.1.
-    cand = (
-        left.join(right, ["table_idx", "bucket"])
-        .filter(F.col("dup_a") < F.col("dup_b"))
-        .select("dup_a", "dup_b")
-        .distinct()
-    )
+    cand = _lsh_candidate_pairs(vectors, n_tables, n_planes, id_col, vec_col, dim)
     va = vectors.select(F.col(id_col).alias("dup_a"), F.col(vec_col).alias("va"))
     vb = vectors.select(F.col(id_col).alias("dup_b"), F.col(vec_col).alias("vb"))
     return (
@@ -409,6 +426,60 @@ def embedding_cosine_duplicates_lsh(
             cosine(F.col("va"), F.col("vb")).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_cosine_lsh_stats(
+    vectors: DataFrame,
+    threshold: float = 0.8,
+    n_tables: int = 16,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """One-row pruning profile of the hyperplane-LSH dedup under the
+    high-threshold (100 TB) configuration: how hard do the buckets
+    actually prune on this corpus?
+
+    Returns ``(n_candidates, n_pairs, candidate_fraction, n_matches)``:
+    candidate pairs surviving the bucket join, total possible pairs
+    n·(n-1)/2, their ratio (predicted ≈ n_tables·0.5^n_planes — 6.25%
+    for 16×8 — because a random pair agrees with a hyperplane sign with
+    prob 1/2), and verified matches at ``threshold``. Every value is
+    deterministic given the data and the fixed-seed hyperplanes, so the
+    whole profile is value-hash verifiable by a serial SQL re-derivation
+    (plans.vector_oracles.dedup_embedding_cosine_lsh_stats_sql) — the
+    candidate-pruning claim itself is the externally gated quantity,
+    not just the matched pairs.
+
+    The three inputs are single-row aggregates combined by crossJoin —
+    broadcast-of-one-row scalars, not a data cross product."""
+    from .similarity import cosine
+
+    cand = _lsh_candidate_pairs(vectors, n_tables, n_planes, id_col, vec_col, dim)
+    va = vectors.select(F.col(id_col).alias("dup_a"), F.col(vec_col).alias("va"))
+    vb = vectors.select(F.col(id_col).alias("dup_b"), F.col(vec_col).alias("vb"))
+    matches = (
+        cand.join(va, "dup_a")
+        .join(vb, "dup_b")
+        .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+    )
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    n_vec = vectors.agg(F.count("*").alias("n_vectors"))
+    n_match = matches.agg(F.count("*").alias("n_matches"))
+    n_pairs = (F.col("n_vectors") * (F.col("n_vectors") - 1) / 2).cast("long")
+    return (
+        n_cand.crossJoin(n_vec)
+        .crossJoin(n_match)
+        .select(
+            "n_candidates",
+            n_pairs.alias("n_pairs"),
+            (
+                F.col("n_candidates").cast("double") / n_pairs.cast("double")
+            ).alias("candidate_fraction"),
+            "n_matches",
+        )
     )
 
 

@@ -113,6 +113,44 @@ WHERE {cos} >= {threshold}
 """
 
 
+def dedup_embedding_cosine_lsh_stats_sql(
+    threshold: float = 0.8, n_tables: int = 16, n_planes: int = 8
+) -> str:
+    """Oracle for operators.dedup.embedding_cosine_lsh_stats: the
+    one-row pruning profile of the high-threshold LSH configuration,
+    re-derived serially from the same fixed-seed hyperplanes. The
+    candidate_fraction division is DOUBLE/DOUBLE of identical integers
+    on both engines, so it is bit-identical."""
+    cos = _cosine("va", "vb")
+    return f"""
+WITH bk AS (
+{_bucket_keys_cte(n_tables, n_planes)}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS dup_a, b.vec_id AS dup_b
+  FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket
+                     AND a.vec_id < b.vec_id
+),
+ea AS (SELECT vec_id, embedding AS va FROM embeddings),
+eb AS (SELECT vec_id, embedding AS vb FROM embeddings),
+nc AS (SELECT count(*) AS n_candidates FROM cand),
+nv AS (SELECT CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS n_pairs
+       FROM embeddings),
+nm AS (
+  SELECT count(*) AS n_matches
+  FROM cand
+  JOIN ea ON ea.vec_id = dup_a
+  JOIN eb ON eb.vec_id = dup_b
+  WHERE {cos} >= {threshold}
+)
+SELECT n_candidates, n_pairs,
+       CAST(n_candidates AS DOUBLE) / CAST(n_pairs AS DOUBLE)
+         AS candidate_fraction,
+       n_matches
+FROM nc, nv, nm
+"""
+
+
 def ann_lsh_topk_sql(
     k: int = 5, n_tables: int = 8, n_planes: int = 3, n_queries: int = 5
 ) -> str:

@@ -171,6 +171,29 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_embedding_cosine_lsh_hi",
+    oracle=vector_oracles.dedup_embedding_cosine_lsh_stats_sql(),
+    tags=("dedup", "vector", "cosine", "lsh", "scale"),
+)
+def dedup_embedding_cosine_lsh_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB LSH-dedup configuration (threshold 0.8, 16 tables ×
+    8 planes — operators.dedup.embedding_cosine_lsh_stats), gated on
+    its PRUNING PROFILE: one row (n_candidates, n_pairs,
+    candidate_fraction, n_matches). Unlike the 0.4-threshold form
+    (where per-plane agreement 0.63 vs 0.5 random makes pruning
+    mathematically impossible), this regime prunes candidates to
+    ≈ 16·0.5⁸ ≈ 6% of all pairs — and because the hyperplanes are
+    fixed-seed literals, that measured fraction is value-hash verified
+    against the serial DuckDB re-derivation, not just asserted. The
+    test corpus has no pairs at cosine ≥ 0.8 (max ≈ 0.5 at sf0.01), so
+    n_matches = 0 here; the matched-pairs path is exercised by the
+    0.4-threshold twin."""
+    from ..operators.dedup import embedding_cosine_lsh_stats
+
+    return embedding_cosine_lsh_stats(_emb(spark, sf_dir), threshold=0.8)
+
+
+@register(
     "ann_lsh_bucketed_topk",
     oracle=vector_oracles.ann_lsh_topk_sql(),
     tags=("vector", "ann", "lsh"),

@@ -75,9 +75,11 @@ def test_lsh_recall_vs_bruteforce(spark, sf_small):
         (r["query_id"], r["neighbor_id"]) for r in lsh_topk(e, q, k=5).collect()
     }
     # corpus embeddings are weakly clustered (top-5 cosine ≈ 0.3), so
-    # 8 tables × 3 planes targets recall ≈ 0.86; assert a safe floor
+    # 8 tables × 3 planes targets recall ≈ 0.86; measured 0.78 on this
+    # corpus — the floor leaves headroom for noise, not for a config
+    # regression (halving recall must fail)
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.5, f"LSH recall too low: {recall}"
+    assert recall >= 0.70, f"LSH recall too low: {recall}"
 
 
 def test_multimodal_plumbing(spark, sf_small):
@@ -109,8 +111,28 @@ def test_embedding_cosine_dedup_exact_and_lsh(spark, sf_small):
     assert exact, "corpus should contain at least one cosine>=0.4 pair"
     # exact cosine verification on candidates ⇒ precision 1.0
     assert approx <= exact
+    # 12×3 at threshold 0.4 derives recall ≈ 0.97 (operators/dedup.py);
+    # measured 0.985 on this corpus — floor set tight to it
     recall = len(approx & exact) / len(exact)
-    assert recall >= 0.6, f"LSH recall too low: {recall}"
+    assert recall >= 0.85, f"LSH recall too low: {recall}"
+
+
+def test_lsh_hi_config_prunes_candidates(spark, sf_small):
+    """The 100 TB LSH-dedup configuration (16 tables × 8 planes) must
+    actually prune: candidate fraction ≈ 16·0.5⁸ ≈ 6.25% of all pairs
+    (measured 6.9% at sf0.01). The 0.4-threshold default (12×3) is
+    documented as near-quadratic — this is the regime that isn't."""
+    from cassaforte_meter_transmission_gen_spark.operators.dedup import (
+        embedding_cosine_lsh_stats,
+    )
+
+    e = load_table(spark, sf_small, "embeddings")
+    row = embedding_cosine_lsh_stats(e, threshold=0.8).head()
+    assert row["n_pairs"] > 0
+    assert row["candidate_fraction"] < 0.12, (
+        f"hi-threshold LSH config failed to prune: "
+        f"{row['candidate_fraction']:.3f} of all pairs are candidates"
+    )
 
 
 def test_asof_join_backward_semantics(spark):
@@ -146,8 +168,9 @@ def test_ivf_recall_vs_bruteforce(spark, sf_small):
         (r["query_id"], r["neighbor_id"])
         for r in ivf_topk(e, q, k=5, n_clusters=16, n_probes=4).collect()
     }
+    # measured 0.90 on this corpus (16 cells, 4 probes)
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    assert recall >= 0.80, f"IVF recall too low: {recall}"
     # every IVF hit must carry the exact cosine (verified scoring):
     # spot-check one query's ranking is internally sorted
     rows = sorted(
