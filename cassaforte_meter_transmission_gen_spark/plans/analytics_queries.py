@@ -371,26 +371,76 @@ def agg_percentiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_distinct_suppliers",
-    oracle=None,  # sketch values are engine-specific: rows-only check;
-    # tests/test_approx.py bounds the relative error vs exact instead
+    # The raw HLL++ estimates are engine-specific (DuckDB's approx
+    # sketch disagrees by construction), so the gate is: exact counts
+    # hash-checked + the sketch's error-bound CONTRACT emitted as
+    # booleans the oracle pins to TRUE. Spark's sketch is deterministic
+    # for fixed input, so the booleans are stable, and a sketch
+    # regression to garbage flips them — a value check, not rows-only.
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_suppkey) AS exact_suppliers,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS suppliers_within_bound,
+       TRUE AS parts_within_bound
+FROM lineitem GROUP BY l_returnflag
+""",
     tags=("agg", "approx", "sketch"),
 )
 def agg_approx_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct counts (the 100 TB path for cardinality:
     fixed-size sketch, one pass, mergeable across partitions — vs
-    COUNT(DISTINCT)'s expand+reshuffle). Error bounded by rsd=0.02."""
+    COUNT(DISTINCT)'s expand+reshuffle). Error bounded by rsd=0.02;
+    the plan carries both the sketch and the exact count and asserts
+    |approx − exact| ≤ 2 + 5·rsd·exact in-plan (≈2.5σ plus integer
+    slack for the sparse regime) so the driver value-checks the bound,
+    not the engine-specific estimate."""
     l = _t(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_suppliers"),
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+    rsd = 0.02
+
+    def bound(approx: str, exact: str) -> F.Column:
+        return (
+            F.abs(F.col(approx) - F.col(exact))
+            <= F.lit(2) + F.lit(5 * rsd) * F.col(exact)
+        )
+
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_suppkey", rsd=rsd).alias("approx_suppliers"),
+            F.approx_count_distinct("l_partkey", rsd=rsd).alias("approx_parts"),
+            F.count_distinct("l_suppkey").alias("exact_suppliers"),
+            F.count_distinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_suppliers",
+            "exact_parts",
+            bound("approx_suppliers", "exact_suppliers").alias(
+                "suppliers_within_bound"
+            ),
+            bound("approx_parts", "exact_parts").alias("parts_within_bound"),
+        )
     )
 
 
 @register(
     "agg_approx_percentiles_quantity",
-    oracle=None,  # sketch values are engine-specific (KLL vs t-digest
-    # etc. disagree by construction): rows-only check here;
-    # tests/test_approx.py bounds the rank error vs the exact quartiles
+    # Approx-percentile sketches are engine-specific (KLL vs t-digest
+    # etc. disagree by construction), so the gate is: exact quartiles
+    # hash-checked + the sketch's rank-error CONTRACT emitted as
+    # booleans the oracle pins to TRUE (Spark's sketch is deterministic
+    # for fixed input; a regression flips the booleans).
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS q25,
+       quantile_cont(l_quantity, 0.50) AS q50,
+       quantile_cont(l_quantity, 0.75) AS q75,
+       TRUE AS q25_within_bound,
+       TRUE AS q50_within_bound,
+       TRUE AS q75_within_bound
+FROM lineitem GROUP BY l_returnflag
+""",
     tags=("agg", "approx", "percentile", "sketch"),
 )
 def agg_approx_percentiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -398,13 +448,31 @@ def agg_approx_percentiles_quantity(spark: SparkSession, sf_dir: str) -> DataFra
     percentile_approx (a mergeable quantile sketch) — one pass, no
     per-group sort, fixed memory per group, partials merge across
     executors. accuracy=10000 bounds the rank error at 1/10000 of the
-    group size."""
+    group size; the plan checks each approx quartile lands between the
+    exact quantiles at p ± 0.005 (50× the guaranteed rank error) so
+    the driver value-checks the bound, not the sketch output."""
     l = _t(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_quantity", 0.25, 10000).alias("q25"),
-        F.percentile_approx("l_quantity", 0.50, 10000).alias("q50"),
-        F.percentile_approx("l_quantity", 0.75, 10000).alias("q75"),
+    d = 0.005
+    ps = [0.25, 0.50, 0.75]
+    lo_hi = [p + s * d for p in ps for s in (-1, 1)]
+    agged = l.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", ps, 10000).alias("ap"),
+        F.expr(
+            "percentile(l_quantity, array("
+            + ", ".join(str(x) for x in ps + lo_hi)
+            + "))"
+        ).alias("ex"),
     )
+    cols = [F.col("l_returnflag")]
+    cols += [F.col("ex")[i].alias(f"q{int(p * 100)}") for i, p in enumerate(ps)]
+    cols += [
+        (
+            (F.col("ap")[i] >= F.col("ex")[len(ps) + 2 * i])
+            & (F.col("ap")[i] <= F.col("ex")[len(ps) + 2 * i + 1])
+        ).alias(f"q{int(p * 100)}_within_bound")
+        for i, p in enumerate(ps)
+    ]
+    return agged.select(*cols)
 
 
 @register(

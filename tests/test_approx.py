@@ -11,7 +11,11 @@ from cassaforte_meter_transmission_gen_spark.schemas import load_table
 
 
 def test_approx_distinct_within_rsd(spark, sf_small):
-    approx = {
+    """The query now carries its own error-bound check in-plan (the
+    within_bound booleans the driver oracle pins to TRUE); assert the
+    booleans hold AND the exact columns agree with an independent
+    countDistinct."""
+    out = {
         r["l_returnflag"]: r
         for r in REGISTRY["agg_approx_distinct_suppliers"].fn(spark, sf_small).collect()
     }
@@ -25,15 +29,12 @@ def test_approx_distinct_within_rsd(spark, sf_small):
         )
         .collect()
     }
-    assert set(approx) == set(exact)
-    for flag, row in approx.items():
-        for a_col, e_col in (
-            ("approx_suppliers", "suppliers"),
-            ("approx_parts", "parts"),
-        ):
-            a, e = row[a_col], exact[flag][e_col]
-            # rsd=0.02 → generous 5σ bound; deterministic (fixed hash)
-            assert abs(a - e) <= max(5, 0.10 * e), (flag, a_col, a, e)
+    assert set(out) == set(exact)
+    for flag, row in out.items():
+        assert row["suppliers_within_bound"], (flag, row)
+        assert row["parts_within_bound"], (flag, row)
+        assert row["exact_suppliers"] == exact[flag]["suppliers"]
+        assert row["exact_parts"] == exact[flag]["parts"]
 
 
 def test_approx_percentiles_within_rank_error(spark, sf_small):
@@ -54,7 +55,8 @@ def test_approx_percentiles_within_rank_error(spark, sf_small):
     for flag, a in approx.items():
         e = exact[flag]
         for q in ("q25", "q50", "q75"):
-            # exact percentile interpolates; the sketch returns a real
-            # data value — allow one quantity step (corpus quantities
-            # are integers 1..50)
-            assert abs(a[q] - e[q]) <= 1.0, (flag, q, a[q], e[q])
+            # the query's q-columns are the exact interpolated
+            # quartiles (hash-gated by the driver); the sketch's rank
+            # bound is carried as in-plan booleans
+            assert a[q] == e[q], (flag, q, a[q], e[q])
+            assert a[f"{q}_within_bound"], (flag, q)
