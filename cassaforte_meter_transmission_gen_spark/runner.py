@@ -76,13 +76,22 @@ def run_unbounded(
     start_said: int | None = None,
     checkpoint_dir: str | None = None,
     trigger_seconds: float = 1.0,
+    retain_versions: int = 4,
+    compact_every: int | None = 60,
 ) -> StreamingQuery:
     """Start the unbounded five-table pipeline; returns the running
     query (caller owns ``awaitTermination``/``stop``).
 
     ``start_said`` defaults to the host-hash seed (core.clj:170 →
     27-35): same host ⇒ same range, different hosts ⇒ disjoint ranges —
-    computed once, driver-side, never inside the plan."""
+    computed once, driver-side, never inside the plan.
+
+    Long-running hygiene: grain versions and commit markers retain the
+    newest ``retain_versions`` (the reader-consistency window — size it
+    above the longest expected reader, in trigger intervals), and every
+    ``compact_every`` commits the raw/second batch dirs fold into one
+    compacted segment — so metadata, marker count, and file count stay
+    bounded no matter how long the 1 Hz loop runs."""
     if start_said is None:
         start_said = host_hash(os.uname().nodename)
     paths = {t: os.path.join(out_dir, t) for t in TABLES}
@@ -91,7 +100,12 @@ def run_unbounded(
     stream = rate_transmission_stream(spark, num_meters, start_said)
     return (
         stream.writeStream.foreachBatch(
-            streaming_ingest_batch_fn(paths, commits)
+            streaming_ingest_batch_fn(
+                paths,
+                commits,
+                retain_versions=retain_versions,
+                compact_every=compact_every,
+            )
         )
         .option("checkpointLocation", ckpt)
         .trigger(processingTime=f"{trigger_seconds} seconds")

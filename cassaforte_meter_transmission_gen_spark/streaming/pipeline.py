@@ -22,6 +22,7 @@ tests/test_streaming.py and by the catalog entry
 
 from __future__ import annotations
 
+import hashlib
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -29,6 +30,13 @@ from pyspark.sql import functions as F
 
 from ..schemas import METER_SAMPLES_SECOND
 from ..sources.meter_generator import meter_samples_second
+
+
+def _slug(*parts) -> str:
+    """Deterministic memory-sink name suffix: Python's ``hash()`` is
+    salted per process, so sink/view names built from it would differ
+    across runs — md5 of the repr is stable everywhere."""
+    return hashlib.md5(repr(parts).encode()).hexdigest()[:10]
 
 
 def rate_transmission_stream(
@@ -95,7 +103,7 @@ def run_bounded_rollup(
     return the final result table — byte-equal to the batch rollup."""
     stream, _ = bounded_second_stream(spark, num_meters, seconds)
     rollup = windowed_rollup(stream, grain_duration)
-    name = f"stream_rollup_{abs(hash((grain_duration, num_meters, seconds))) % 10**8}"
+    name = f"stream_rollup_{_slug(grain_duration, num_meters, seconds)}"
     with tempfile.TemporaryDirectory(prefix="meter_ckpt_") as ckpt:
         q = (
             rollup.writeStream.format("memory")
@@ -150,7 +158,45 @@ def _committed_batches(commits_dir: str) -> list[int]:
     return sorted(int(f) for f in os.listdir(commits_dir) if f.isdigit())
 
 
-def streaming_ingest_batch_fn(paths: dict[str, str], commits_dir: str):
+def _high_watermark(commits_dir: str) -> int | None:
+    """Latest committed batch id. foreachBatch delivers batches strictly
+    in order and the marker is each batch's last step, so EVERY id ≤ the
+    max marker is committed — which is what lets old markers be pruned
+    (the max marker alone carries the committed set)."""
+    committed = _committed_batches(commits_dir)
+    return committed[-1] if committed else None
+
+
+#: raw/second tables: per-batch append dirs (grains are versioned instead)
+BATCH_DIR_TABLES = ("meter_samples", "meter_samples_second")
+
+
+def _compacted_state(table_path: str) -> tuple[int, str | None]:
+    """(upto, dir) of the newest compacted segment under
+    ``<table>/_compacted`` — rows of batches 0..upto folded into one
+    parquet dir. (-1, None) when nothing is compacted yet."""
+    import os
+
+    root = os.path.join(table_path, "_compacted")
+    if not os.path.isdir(root):
+        return -1, None
+    best_upto, best = -1, None
+    for d in os.listdir(root):
+        if d.startswith("upto="):
+            upto = int(d[5:])
+            if upto > best_upto:
+                best_upto, best = upto, os.path.join(root, d)
+    return best_upto, best
+
+
+def streaming_ingest_batch_fn(
+    paths: dict[str, str],
+    commits_dir: str,
+    retain_versions: int = 4,
+    crash_before_commit=None,
+    compact_every: int | None = None,
+    compact_keep_batches: int = 8,
+):
     """foreachBatch body for the five-table write fan-out (K1-K5,
     core.clj:100-153) maintained continuously: per micro-batch, write
     the raw arrays and the per-second energy rows, then COUNTER-merge
@@ -171,8 +217,26 @@ def streaming_ingest_batch_fn(paths: dict[str, str], commits_dir: str):
     - the commit point is one empty marker file per batch id
       (os.replace — atomic), written only after all five tables are
       durable; readers resolve grains through the latest committed
-      marker, so a crash mid-batch is invisible to them;
-    - versions older than (current, previous) are GC'd after commit.
+      marker AND filter raw/second reads to committed batch dirs
+      (:func:`read_stream_table`), so a crash mid-batch is invisible
+      to them for every table;
+    - grain versions and commit markers older than the newest
+      ``retain_versions`` are GC'd after commit. Retention is the
+      reader-consistency window: a grain reader that resolved version
+      N keeps a valid directory for ``retain_versions - 1`` further
+      commits (≈ that many trigger intervals) — size it above the max
+      expected reader duration. Markers prune to the same horizon; the
+      max marker alone carries the committed set (see
+      :func:`_high_watermark`), so pruning never widens reads.
+
+    ``crash_before_commit(batch_id) -> bool`` is a fault-injection seam
+    for the restart tests: when it returns True the fn raises AFTER all
+    five tables are written but BEFORE the marker lands — the worst
+    crash point, which replay must make invisible.
+
+    ``compact_every=N`` folds old raw/second batch dirs into one
+    compacted segment every N commits (:func:`compact_stream_tables`) —
+    bounding small-file growth on the unbounded runner.
 
     Scale notes: the raw write is shuffle-free (narrow write of the
     arriving partitions); each grain merge shuffles only (said, bucket)
@@ -191,7 +255,8 @@ def streaming_ingest_batch_fn(paths: dict[str, str], commits_dir: str):
 
     def fn(batch: DataFrame, batch_id: int) -> None:
         marker = os.path.join(commits_dir, str(batch_id))
-        if os.path.exists(marker):
+        hw = _high_watermark(commits_dir)
+        if hw is not None and batch_id <= hw:
             return  # replayed, fully applied — exactly-once
         spark = batch.sparkSession
         batch.write.mode("overwrite").parquet(
@@ -205,8 +270,7 @@ def streaming_ingest_batch_fn(paths: dict[str, str], commits_dir: str):
         second.write.mode("overwrite").parquet(
             f"{paths['meter_samples_second']}/batch={batch_id}"
         )
-        committed = _committed_batches(commits_dir)
-        prev = committed[-1] if committed else None
+        prev = hw
         inc = second
         for grain in CHAIN:
             inc = rollup_from_second(inc, grain)
@@ -222,35 +286,132 @@ def streaming_ingest_batch_fn(paths: dict[str, str], commits_dir: str):
                 .write.mode("overwrite")
                 .parquet(f"{gpath}/v={batch_id}")
             )
+        if crash_before_commit is not None and crash_before_commit(batch_id):
+            raise RuntimeError(
+                f"injected crash before commit of batch {batch_id}"
+            )
         tmp = marker + ".tmp"
         open(tmp, "w").close()
         os.replace(tmp, marker)  # commit point
-        # GC: keep current + previous version (previous covers readers
-        # that resolved the commit list just before this marker landed)
+        # GC: keep the newest `retain_versions` grain versions — the
+        # reader-consistency window (a reader that resolved an older
+        # committed version keeps its directory for that many commits)
         for grain in CHAIN:
             gpath = paths[f"meter_samples_{grain}"]
-            for d in os.listdir(gpath):
-                if d.startswith("v=") and int(d[2:]) not in (batch_id, prev):
-                    shutil.rmtree(os.path.join(gpath, d), ignore_errors=True)
+            vers = sorted(
+                int(d[2:]) for d in os.listdir(gpath) if d.startswith("v=")
+            )
+            for v in vers[:-retain_versions]:
+                shutil.rmtree(os.path.join(gpath, f"v={v}"), ignore_errors=True)
+        # prune markers to the same horizon; the retained max marker is
+        # the high-watermark that carries the whole committed set
+        committed = _committed_batches(commits_dir)
+        for b in committed[:-retain_versions]:
+            try:
+                os.remove(os.path.join(commits_dir, str(b)))
+            except OSError:
+                pass
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_stream_tables(
+                spark, paths, commits_dir, keep_batches=compact_keep_batches
+            )
 
     return fn
+
+
+def compact_stream_tables(
+    spark: SparkSession,
+    paths: dict[str, str],
+    commits_dir: str,
+    keep_batches: int = 8,
+) -> None:
+    """Fold old raw/second ``batch=<id>`` dirs into one compacted
+    segment per table — the maintenance job that bounds metadata and
+    small-file growth on the unbounded 1 Hz runner (one dir per second
+    otherwise). Idempotent and crash-safe:
+
+    - the new segment ``_compacted/upto=<U>`` (U = high-watermark −
+      ``keep_batches``; recent dirs stay out for reader-race safety) is
+      written to a dotted temp dir and ``os.replace``d into place —
+      readers never see a partial segment, and a crash mid-compaction
+      leaves the previous segment authoritative;
+    - batch dirs are DELETED only up to the *previous* segment's upto,
+      so a reader that resolved the previous segment keeps every dir it
+      may touch for one full compaction cycle (same bounded-race window
+      as grain-version retention);
+    - the previous segment itself is kept (current + previous), older
+      ones removed.
+
+    Readers (:func:`read_stream_table`) take the newest segment plus
+    batch dirs in (upto, high-watermark] — exclusive bounds, so rows
+    are never double-read. At real scale this runs as a scheduled
+    maintenance job; the runner inlines it every ``compact_every``
+    commits."""
+    import os
+    import shutil
+
+    hw = _high_watermark(commits_dir)
+    if hw is None:
+        return
+    new_upto = hw - keep_batches
+    for table in BATCH_DIR_TABLES:
+        path = paths[table]
+        prev_upto, prev_dir = _compacted_state(path)
+        fold = [
+            d
+            for d in os.listdir(path)
+            if d.startswith("batch=") and prev_upto < int(d[6:]) <= new_upto
+        ]
+        if not fold or new_upto <= prev_upto:
+            continue
+        parts = [os.path.join(path, d) for d in sorted(fold)]
+        if prev_dir is not None:
+            parts.append(prev_dir)
+        root = os.path.join(path, "_compacted")
+        os.makedirs(root, exist_ok=True)
+        tmp = os.path.join(root, f".tmp_upto={new_upto}")
+        final = os.path.join(root, f"upto={new_upto}")
+        # coalesce to a handful of files: the segment is bounded by the
+        # compaction period, not stream history, so small counts hold
+        spark.read.parquet(*parts).coalesce(4).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(final, ignore_errors=True)
+        os.replace(tmp, final)  # publish point
+        # delete only what BOTH retained segments cover
+        for d in os.listdir(path):
+            if d.startswith("batch=") and int(d[6:]) <= prev_upto:
+                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+        for d in os.listdir(root):
+            if d.startswith("upto=") and int(d[5:]) not in (new_upto, prev_upto):
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
 
 
 def read_stream_table(
     spark: SparkSession, paths: dict[str, str], table: str, commits_dir: str
 ) -> DataFrame:
     """Read one table maintained by :func:`streaming_ingest_batch_fn`,
-    resolving the exactly-once layout: raw/second tables are the union
-    of their batch directories (the ``batch`` provenance column is
-    dropped); grain tables resolve to the latest COMMITTED version."""
+    resolving the exactly-once layout for EVERY table: raw/second
+    tables are the newest compacted segment (if any) plus the batch
+    directories in (segment upto, high-watermark] — an uncommitted or
+    partially-written in-flight ``batch=`` dir is never touched, so a
+    crash mid-batch is invisible to readers here exactly as it is for
+    grains; grain tables resolve to the latest COMMITTED version."""
+    import os
+
     path = paths[table]
-    if table in ("meter_samples", "meter_samples_second"):
-        df = spark.read.parquet(path)
-        return df.drop("batch") if "batch" in df.columns else df
-    committed = _committed_batches(commits_dir)
-    if not committed:
+    hw = _high_watermark(commits_dir)
+    if hw is None:
         raise FileNotFoundError(f"no committed version of {table} yet")
-    return spark.read.parquet(f"{path}/v={committed[-1]}")
+    if table in BATCH_DIR_TABLES:
+        upto, seg = _compacted_state(path)
+        parts = [
+            os.path.join(path, d)
+            for d in sorted(os.listdir(path))
+            if d.startswith("batch=") and upto < int(d[6:]) <= hw
+        ]
+        if seg is not None:
+            parts.append(seg)
+        return spark.read.parquet(*parts)
+    return spark.read.parquet(f"{path}/v={hw}")
 
 
 def run_bounded_streaming_ingest(
@@ -353,7 +514,7 @@ def run_bounded_sessions(
     final session table (complete mode: every closed + open session)."""
     stream = bounded_events_stream(spark, sf_dir)
     sessions = session_rollup(stream, gap)
-    name = f"stream_sessions_{abs(hash((sf_dir, gap))) % 10**8}"
+    name = f"stream_sessions_{_slug(sf_dir, gap)}"
     with tempfile.TemporaryDirectory(prefix="sess_ckpt_") as ckpt:
         q = (
             sessions.writeStream.format("memory")
@@ -430,17 +591,23 @@ def run_bounded_interval_join(
             "click_ts <= purchase_ts"
         ),
     ).select("user_id", "purchase_id", "purchase_ts", "purchase_value", "click_id", "click_ts")
-    name = f"stream_ssjoin_{abs(hash((sf_dir, window))) % 10**8}"
-    with tempfile.TemporaryDirectory(prefix="ssjoin_ckpt_") as ckpt:
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    name = f"stream_ssjoin_{_slug(sf_dir, window)}"
+    try:
+        with tempfile.TemporaryDirectory(prefix="ssjoin_ckpt_") as ckpt:
+            q = (
+                joined.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        # the memory sink owns the rows now; the staged copy is done
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
     return spark.table(name)
 
 
@@ -503,7 +670,7 @@ def run_late_data_rollup(
         .agg(F.sum("joules").cast("long").alias("joules"))
         .select("said", F.col("w.start").alias("datetime"), "joules")
     )
-    name = f"stream_late_{abs(hash((stage, delay, grain))) % 10**8}"
+    name = f"stream_late_{_slug(stage, delay, grain)}"
     with tempfile.TemporaryDirectory(prefix="late_ckpt_") as ckpt:
         q = (
             rollup.writeStream.format("memory")
@@ -524,7 +691,7 @@ def run_bounded_cumulative(
     every emitted checkpoint row (memory sink, update mode)."""
     stream, _ = bounded_second_stream(spark, num_meters, seconds)
     counted = cumulative_energy_stream(stream)
-    name = f"stream_cumulative_{abs(hash((num_meters, seconds))) % 10**8}"
+    name = f"stream_cumulative_{_slug(num_meters, seconds)}"
     with tempfile.TemporaryDirectory(prefix="meter_ckpt_") as ckpt:
         q = (
             counted.writeStream.format("memory")

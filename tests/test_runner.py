@@ -47,16 +47,15 @@ def test_unbounded_runner_maintains_rollups(spark, tmp_path):
         assert minute_rows >= 1, "no committed five-table fan-out in 120s"
     finally:
         q.stop()
-    # after stop: grains are consistent with the second table. The
-    # second table may carry one extra uncommitted batch directory
-    # (stop() before the marker), so its total may lead the committed
-    # minute total, never trail.
+    # after stop: reads resolve through the commit log, so even if
+    # stop() interrupted a batch mid-write, every table reflects the
+    # SAME committed prefix — the totals agree exactly
     second = read_stream_table(spark, paths, "meter_samples_second", commits)
     minute = read_stream_table(spark, paths, "meter_samples_minute", commits)
     assert minute.count() >= 1
     second_sum = second.groupBy().sum("joules").first()[0]
     minute_sum = minute.groupBy().sum("joules").first()[0]
-    assert 0 < minute_sum <= second_sum
+    assert 0 < minute_sum == second_sum
     # checkpoint exists → restart would resume offsets
     assert (tmp_path / "run" / "_checkpoint").exists()
 

@@ -248,3 +248,243 @@ def test_streaming_ingest_replay_is_exactly_once(spark, tmp_path):
     os.remove(os.path.join(commits, "1"))
     fn(b1, 1)
     assert snap() == committed
+
+
+def test_uncommitted_batch_is_invisible_to_readers(spark, tmp_path):
+    """The reader side of the commit protocol: a batch whose tables are
+    fully written but whose marker never landed (crash at the worst
+    point) must be invisible through read_stream_table for EVERY table
+    — raw/second included, not just the versioned grains."""
+    import os
+
+    import pytest
+
+    from cassaforte_meter_transmission_gen_spark.operators.ingest import TABLES
+    from cassaforte_meter_transmission_gen_spark.sources.meter_generator import (
+        T0_EPOCH,
+        transmissions,
+    )
+    from cassaforte_meter_transmission_gen_spark.streaming.pipeline import (
+        read_stream_table,
+        streaming_ingest_batch_fn,
+    )
+
+    paths = {t: str(tmp_path / t) for t in TABLES}
+    commits = str(tmp_path / "_commits")
+    fn = streaming_ingest_batch_fn(
+        paths, commits, crash_before_commit=lambda b: b == 1
+    )
+    fn(transmissions(spark, num_meters=2, seconds=60), 0)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        fn(
+            transmissions(spark, num_meters=2, seconds=60, t0_epoch=T0_EPOCH + 60),
+            1,
+        )
+    # batch 1's data is on disk, but uncommitted → readers see batch 0 only
+    assert os.path.isdir(f"{paths['meter_samples_second']}/batch=1")
+    for t in ("meter_samples", "meter_samples_second"):
+        assert read_stream_table(spark, paths, t, commits).count() == 2 * 60, t
+    minute = read_stream_table(spark, paths, "meter_samples_minute", commits)
+    assert minute.count() == 2 * 1  # one committed minute per meter
+
+
+def test_restart_after_crash_is_exactly_once(spark, tmp_path):
+    """T5 under an ACTUAL failure (reference behavior: core.clj:80-85
+    fire-and-forget; ours claims strictly stronger): crash the stream
+    after batch 1's five tables are written but before its commit
+    marker, restart from the same checkpoint, and the final state must
+    equal the batch-ingest truth with zero duplicate (said, datetime)
+    keys in every table — the replayed batch overwrites itself instead
+    of double-applying."""
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from cassaforte_meter_transmission_gen_spark.operators.ingest import (
+        TABLES,
+        ingest_batch,
+        read_table,
+    )
+    from cassaforte_meter_transmission_gen_spark.schemas import METER_SAMPLES
+    from cassaforte_meter_transmission_gen_spark.sources.meter_generator import (
+        transmissions,
+    )
+    from cassaforte_meter_transmission_gen_spark.streaming.pipeline import (
+        _high_watermark,
+        read_stream_table,
+        streaming_ingest_batch_fn,
+    )
+
+    n_meters, seconds = 2, 600
+    stage = str(tmp_path / "stage")
+    transmissions(spark, num_meters=n_meters, seconds=seconds).write.parquet(stage)
+
+    def stream():
+        return (
+            spark.readStream.schema(METER_SAMPLES)
+            .option("maxFilesPerTrigger", 8)
+            .parquet(stage)
+        )
+
+    paths = {t: str(tmp_path / t) for t in TABLES}
+    commits = str(tmp_path / "_commits")
+    ckpt = str(tmp_path / "_ckpt")  # SHARED across both runs — the restart
+
+    # run 1: dies mid-stream at the worst crash point of batch 1
+    q1 = (
+        stream()
+        .writeStream.foreachBatch(
+            streaming_ingest_batch_fn(
+                paths, commits, crash_before_commit=lambda b: b == 1
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException):
+        q1.awaitTermination()
+    assert _high_watermark(commits) == 0  # batch 0 landed, batch 1 did not
+    partial = read_stream_table(spark, paths, "meter_samples_second", commits).count()
+    assert 0 < partial < n_meters * seconds  # mid-stream, reader-consistent
+
+    # run 2: same checkpoint, fault cleared → Spark replays batch 1 and
+    # drains the rest
+    q2 = (
+        stream()
+        .writeStream.foreachBatch(streaming_ingest_batch_fn(paths, commits))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+
+    truth_paths = ingest_batch(
+        spark, str(tmp_path / "truth"), num_meters=n_meters, seconds=seconds
+    )
+    for t in TABLES:
+        got = read_stream_table(spark, paths, t, commits)
+        dups = (
+            got.groupBy("said", "datetime").count().filter("count > 1").count()
+        )
+        assert dups == 0, f"{t}: duplicate (said, datetime) keys after restart"
+        want = read_table(spark, truth_paths, t)
+        if t == "meter_samples":
+            got = got.select("said", "datetime", F.size("watts").alias("n"))
+            want = want.select("said", "datetime", F.size("watts").alias("n"))
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), t
+
+
+def test_version_and_marker_retention(spark, tmp_path):
+    """Long-running hygiene: grain versions AND commit markers retain
+    only the newest `retain_versions`; the surviving max marker still
+    carries the full committed set (high-watermark semantics), so
+    reads stay complete after pruning."""
+    import os
+
+    from cassaforte_meter_transmission_gen_spark.functions.energy import TICK_JOULES
+    from cassaforte_meter_transmission_gen_spark.operators.ingest import TABLES
+    from cassaforte_meter_transmission_gen_spark.sources.meter_generator import (
+        T0_EPOCH,
+        transmissions,
+    )
+    from cassaforte_meter_transmission_gen_spark.streaming.pipeline import (
+        _committed_batches,
+        read_stream_table,
+        streaming_ingest_batch_fn,
+    )
+
+    paths = {t: str(tmp_path / t) for t in TABLES}
+    commits = str(tmp_path / "_commits")
+    fn = streaming_ingest_batch_fn(paths, commits, retain_versions=3)
+    for i in range(6):
+        fn(
+            transmissions(
+                spark, num_meters=1, seconds=30, t0_epoch=T0_EPOCH + i * 30
+            ),
+            i,
+        )
+    assert _committed_batches(commits) == [3, 4, 5]
+    for g in ("minute", "hour", "day"):
+        vers = sorted(os.listdir(paths[f"meter_samples_{g}"]))
+        assert vers == ["v=3", "v=4", "v=5"], g
+    # the retained head still covers every batch ever committed
+    minute = read_stream_table(spark, paths, "meter_samples_minute", commits)
+    assert minute.groupBy().sum("joules").first()[0] == 6 * 30 * TICK_JOULES
+
+
+def test_compaction_bounds_batch_dirs(spark, tmp_path):
+    """The small-file story for the unbounded runner: every
+    `compact_every` commits the old raw/second batch dirs fold into one
+    segment; readers lose nothing, and dirs older than the previous
+    segment are deleted — file count is bounded by the compaction
+    period, not stream history."""
+    import os
+
+    from cassaforte_meter_transmission_gen_spark.operators.ingest import TABLES
+    from cassaforte_meter_transmission_gen_spark.sources.meter_generator import (
+        T0_EPOCH,
+        transmissions,
+    )
+    from cassaforte_meter_transmission_gen_spark.streaming.pipeline import (
+        read_stream_table,
+        streaming_ingest_batch_fn,
+    )
+
+    paths = {t: str(tmp_path / t) for t in TABLES}
+    commits = str(tmp_path / "_commits")
+    fn = streaming_ingest_batch_fn(
+        paths, commits, compact_every=3, compact_keep_batches=1
+    )
+    for i in range(10):
+        fn(
+            transmissions(
+                spark, num_meters=1, seconds=20, t0_epoch=T0_EPOCH + i * 20
+            ),
+            i,
+        )
+    second_path = paths["meter_samples_second"]
+    batch_dirs = sorted(
+        int(d[6:]) for d in os.listdir(second_path) if d.startswith("batch=")
+    )
+    assert batch_dirs == [6, 7, 8, 9]  # 0..5 folded into segments
+    segs = sorted(os.listdir(os.path.join(second_path, "_compacted")))
+    assert segs == ["upto=5", "upto=8"]  # current + previous retained
+    # nothing lost, nothing doubled
+    got = read_stream_table(spark, paths, "meter_samples_second", commits)
+    assert got.count() == 10 * 20
+    assert got.select("datetime").distinct().count() == 10 * 20
+
+
+def test_streaming_interval_join_equals_batch(spark, sf_small):
+    """The stream-stream interval join must produce exactly the batch
+    range join's pairs on the same events — every (purchase, click ≤
+    30 min before it, same user) pair, no more, no fewer."""
+    from cassaforte_meter_transmission_gen_spark.schemas import load_table
+    from cassaforte_meter_transmission_gen_spark.streaming.pipeline import (
+        run_bounded_interval_join,
+    )
+
+    streamed = run_bounded_interval_join(spark, sf_small, "30 minutes")
+    ev = load_table(spark, sf_small, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    batch = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("interval 30 minutes"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+    ).select("user_id", "purchase_id", "click_id")
+    got = sorted(map(tuple, streamed.select("user_id", "purchase_id", "click_id").collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want and len(got) > 0
