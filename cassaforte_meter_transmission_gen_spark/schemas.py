@@ -132,6 +132,37 @@ CORPUS_SCHEMAS: dict[str, list[tuple[str, str]]] = {
 }
 
 
+#: plausible corpus epoch range: 1990-01-01 .. 2130-01-01 (UTC seconds)
+_EPOCH_LO, _EPOCH_HI = 631152000, 5048352000
+
+def _epoch_to_ts(unit: str, col_name: str) -> F.Column:
+    if unit == "s":
+        return F.timestamp_seconds(F.col(col_name))
+    if unit == "ms":
+        return F.timestamp_millis(F.col(col_name))
+    if unit == "us":
+        return F.timestamp_micros(F.col(col_name))
+    # ns: integer DIV — float division would lose precision above 2^53
+    return F.timestamp_micros(F.expr(f"{col_name} DIV 1000"))
+
+
+def _infer_epoch_unit(table: str, col: str, lo, hi) -> str:
+    """Pick the epoch unit whose conversion lands BOTH min and max in
+    the plausible corpus range; raise a corpus-drift error otherwise."""
+    if lo is None:  # empty table — any unit is vacuously fine
+        return "us"
+    for unit, scale in (("s", 1), ("ms", 10**3), ("us", 10**6), ("ns", 10**9)):
+        if (
+            _EPOCH_LO * scale <= lo <= _EPOCH_HI * scale
+            and _EPOCH_LO * scale <= hi <= _EPOCH_HI * scale
+        ):
+            return unit
+    raise ValueError(
+        f"corpus drift: {table}.{col} long values [{lo}, {hi}] match no "
+        "epoch unit (s/ms/us/ns) within 1990..2130 — refusing to guess"
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one corpus table. Parquet scan → Catalyst pushes filters and
     prunes columns; at cluster scale these would be partitioned/bucketed
@@ -157,10 +188,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             continue
         if want == "timestamp" and isinstance(have, T.LongType):
             # TIMESTAMP(NANOS) storage read as a nanos long under the
-            # nanosAsLong legacy conf
-            df = df.withColumn(
-                col_name, F.timestamp_micros(F.expr(f"{col_name} DIV 1000"))
-            )
+            # nanosAsLong legacy conf — but a regenerated corpus could
+            # just as well store epoch seconds/millis/micros as long, so
+            # infer the unit from the value magnitude instead of
+            # assuming: each unit maps the plausible corpus epoch range
+            # (1990..2130) to a disjoint band ~3 orders apart, so min/
+            # max pick exactly one. Out-of-band values raise instead of
+            # silently scaling 1000× wrong. The one-column min/max scan
+            # only runs on the drift path, never on clean reads.
+            lo, hi = df.select(F.min(col_name), F.max(col_name)).first()
+            unit = _infer_epoch_unit(name, col_name, lo, hi)
+            df = df.withColumn(col_name, _epoch_to_ts(unit, col_name))
         else:
             # covers TIMESTAMP_NTZ → TIMESTAMP (lossless under the
             # pinned-UTC session), int-width drift, float/double drift

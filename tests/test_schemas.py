@@ -49,3 +49,58 @@ def test_corpus_schema_is_canonical(spark, sf_dir, name):
         f"canonical is {CORPUS_SCHEMAS[name]} — if the coercion in "
         "schemas.load_table cannot absorb the new physical type, extend it"
     )
+
+
+def test_epoch_unit_inference_covers_all_units_and_refuses_garbage():
+    """ADVICE r3: the long→timestamp coercion must not assume nanos —
+    it infers the epoch unit from value magnitude and refuses values
+    outside every plausible band instead of silently scaling wrong."""
+    from cassaforte_meter_transmission_gen_spark.schemas import _infer_epoch_unit
+
+    t_2013 = 1356998400  # the fixture t0, well inside 1990..2130
+    assert _infer_epoch_unit("events", "ts", t_2013, t_2013 + 86400) == "s"
+    assert _infer_epoch_unit("events", "ts", t_2013 * 10**3, t_2013 * 10**3) == "ms"
+    assert _infer_epoch_unit("events", "ts", t_2013 * 10**6, t_2013 * 10**6) == "us"
+    assert _infer_epoch_unit("events", "ts", t_2013 * 10**9, t_2013 * 10**9) == "ns"
+    assert _infer_epoch_unit("events", "ts", None, None) == "us"  # empty table
+    with pytest.raises(ValueError, match="corpus drift"):
+        _infer_epoch_unit("events", "ts", 12345, 12345)  # 1970 in any unit
+    with pytest.raises(ValueError, match="corpus drift"):
+        # min in seconds-band but max in millis-band → ambiguous, refuse
+        _infer_epoch_unit("events", "ts", t_2013, t_2013 * 10**3)
+
+
+def test_nanos_long_column_roundtrips_to_timestamp(spark, tmp_path):
+    """End-to-end drift absorption: a table whose ts column is stored
+    as an epoch-long (any unit) must load as the canonical timestamp
+    with the exact original instants."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = 1356998400
+    for unit, scale in (("s", 1), ("ms", 10**3), ("us", 10**6), ("ns", 10**9)):
+        d = str(tmp_path / unit)
+        os.makedirs(d)
+        tbl = pa.table(
+            {
+                "event_id": pa.array([1, 2], pa.int64()),
+                "ts": pa.array([base * scale, (base + 61) * scale], pa.int64()),
+                "user_id": pa.array([7, 8], pa.int64()),
+                "event_type": pa.array(["click", "view"]),
+                "value": pa.array([1.0, 2.0], pa.float64()),
+                "props": pa.array(["{}", "{}"]),
+            }
+        )
+        pq.write_table(tbl, f"{d}/events.parquet")
+        got = load_table(spark, d, "events")
+        assert got.schema["ts"].dataType.simpleString() == "timestamp", unit
+        vals = sorted(r["ts"] for r in got.select("ts").collect())
+        want = [
+            dt.datetime.fromtimestamp(base, dt.timezone.utc).replace(tzinfo=None),
+            dt.datetime.fromtimestamp(base + 61, dt.timezone.utc).replace(
+                tzinfo=None
+            ),
+        ]
+        assert vals == want, unit
