@@ -76,10 +76,77 @@ def write_time_partitioned(
 
 def read_time_partitioned(spark: SparkSession, path: str) -> DataFrame:
     """Read a layout written by :func:`write_time_partitioned`; the
-    partition columns stay available for explicit pruning predicates
-    (Catalyst also derives pruning from ``ts_col`` predicates when the
-    query filters on the data column directly)."""
+    partition columns stay available for explicit pruning predicates.
+
+    NOTE (measured, not assumed): plain parquet carries no
+    generated-column metadata, so Catalyst can NOT derive a ``p_day``
+    bound from a ``ts_col`` range predicate — a query filtering only on
+    the data column scans every partition (scan metrics:
+    numPartitions == all). Use :func:`read_meter_time_range` for the
+    flagship read; it derives the partition predicates itself."""
     return spark.read.parquet(path)
+
+
+def read_meter_time_range(
+    spark: SparkSession,
+    path: str,
+    t0_epoch: int,
+    t1_epoch: int,
+    meters: list[int] | None = None,
+    said_buckets: int | None = None,
+    ts_col: str = "datetime",
+) -> DataFrame:
+    """The reference's flagship read — "meters S over [t0, t1)"
+    (setup_and_notes.txt:46) — over the :func:`write_time_partitioned`
+    layout, with partition predicates DERIVED from the logical ones.
+
+    Why derivation is explicit: ``p_day = to_date(datetime)`` is a
+    functional dependency only the writer knows; plain parquet has no
+    generated-column metadata (a lakehouse format would carry it), so
+    without these literals Catalyst scans all days (measured — see
+    :func:`read_time_partitioned`). The reader therefore adds:
+
+    - ``p_day IN [date(t0) .. date(t1)]`` — directory-prunes to the
+      matching days; at 100 TB this is the difference between reading
+      a century and reading a week;
+    - ``p_said_bucket IN pmod(hash(said), n)`` for the requested
+      meters when the layout was said-bucketed (the bucket values come
+      from a one-row Spark job so the hash is bit-identical to the
+      writer's);
+    - the exact ``datetime``/``said`` row predicates, which parquet
+      row-group (said, ts)-sorted min/max stats then prune INSIDE each
+      day directory.
+
+    File-level proof: tests/test_layout.py asserts the scan's
+    numPartitions/numOutputRows metrics, not just plan text."""
+    import datetime as _dt
+
+    df = spark.read.parquet(path)
+    d0 = _dt.datetime.fromtimestamp(t0_epoch, _dt.timezone.utc).date()
+    # t1 is exclusive; the day containing t1-1s is the last to read
+    d1 = _dt.datetime.fromtimestamp(t1_epoch - 1, _dt.timezone.utc).date()
+    days = [d0 + _dt.timedelta(days=i) for i in range((d1 - d0).days + 1)]
+    df = df.filter(F.col("p_day").isin(days))
+    df = df.filter(
+        (F.col(ts_col) >= F.timestamp_seconds(F.lit(t0_epoch)))
+        & (F.col(ts_col) < F.timestamp_seconds(F.lit(t1_epoch)))
+    )
+    if meters is not None:
+        df = df.filter(F.col("said").isin(meters))
+        if said_buckets and "p_said_bucket" in df.columns:
+            buckets = sorted(
+                {
+                    r[0]
+                    for r in spark.createDataFrame(
+                        [(m,) for m in meters], "said int"
+                    )
+                    .select(F.pmod(F.hash("said"), F.lit(said_buckets)))
+                    .collect()
+                }
+            )
+            df = df.filter(F.col("p_said_bucket").isin(buckets))
+    drop = [c for c in ("p_day", "p_said_bucket") if c in df.columns]
+    return df.drop(*drop)
 
 
 def write_bucketed(
@@ -100,6 +167,47 @@ def write_bucketed(
         .format("parquet")
         .saveAsTable(table)
     )
+
+
+def write_rollup_tables_bucketed(
+    rollups: dict[str, DataFrame],
+    prefix: str,
+    n_buckets: int = 32,
+    mode: str = "overwrite",
+) -> dict[str, str]:
+    """Persist the whole rollup chain (operators.rollups.rollup_chain)
+    as said-bucketed, datetime-sorted tables ``<prefix>_<grain>`` — the
+    storage layout that makes grain routing end-to-end exchange-free:
+
+    - a routed report whose source grain == output grain is a pure
+      filtered scan (no shuffle by construction);
+    - a routed report that re-aggregates a finer grain groups on
+      (said, trunc(datetime)); the bucketed scan's hash partitioning on
+      ``said`` already clusters every such group, so Catalyst plans the
+      aggregation WITHOUT an Exchange (hash partitioning on a subset of
+      the grouping keys satisfies the clustered distribution);
+    - any meter-aligned join between two chain tables is co-bucketed →
+      no Exchange either (test_layout.py).
+
+    This is the reference's PRIMARY KEY (said, datetime) read path
+    (setup_and_notes.txt:20-44): all work for one meter lives in one
+    bucket, reads never reshuffle. Returns {grain: table_name}."""
+    names: dict[str, str] = {}
+    for grain, df in rollups.items():
+        table = f"{prefix}_{grain}"
+        write_bucketed(df, table, n_buckets=n_buckets, mode=mode)
+        names[grain] = table
+    return names
+
+
+def read_rollup_tables(
+    spark: SparkSession, names: dict[str, str]
+) -> dict[str, DataFrame]:
+    """Open the bucketed chain as {grain: DataFrame} — the shape
+    operators.rollups.routed_energy_report consumes. Reading via the
+    catalog preserves the bucket spec, which is what lets downstream
+    plans drop their Exchanges."""
+    return {grain: spark.table(t) for grain, t in names.items()}
 
 
 def write_ivf_partitioned(
