@@ -453,33 +453,37 @@ def embedding_cosine_lsh_stats(
     candidate-pruning claim itself is the externally gated quantity,
     not just the matched pairs.
 
-    The three inputs are single-row aggregates combined by crossJoin —
-    broadcast-of-one-row scalars, not a data cross product."""
+    The two inputs are single-row aggregates combined by crossJoin —
+    broadcast-of-one-row scalars, not a data cross product. Candidate
+    count and verified-match count come from ONE pass over the
+    candidate pipeline (count + conditional count in the same
+    aggregation) — a separate ``matches`` subtree would recompute the
+    signature/bucket/distinct chain a second time (measured ≈ 2× the
+    whole query)."""
     from .similarity import cosine
 
     cand = _lsh_candidate_pairs(vectors, n_tables, n_planes, id_col, vec_col, dim)
     va = vectors.select(F.col(id_col).alias("dup_a"), F.col(vec_col).alias("va"))
     vb = vectors.select(F.col(id_col).alias("dup_b"), F.col(vec_col).alias("vb"))
-    matches = (
+    cand_stats = (
         cand.join(va, "dup_a")
         .join(vb, "dup_b")
-        .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
-    )
-    n_cand = cand.agg(F.count("*").alias("n_candidates"))
-    n_vec = vectors.agg(F.count("*").alias("n_vectors"))
-    n_match = matches.agg(F.count("*").alias("n_matches"))
-    n_pairs = (F.col("n_vectors") * (F.col("n_vectors") - 1) / 2).cast("long")
-    return (
-        n_cand.crossJoin(n_vec)
-        .crossJoin(n_match)
-        .select(
-            "n_candidates",
-            n_pairs.alias("n_pairs"),
-            (
-                F.col("n_candidates").cast("double") / n_pairs.cast("double")
-            ).alias("candidate_fraction"),
-            "n_matches",
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.sum(
+                (cosine(F.col("va"), F.col("vb")) >= threshold).cast("long")
+            ).alias("n_matches"),
         )
+    )
+    n_vec = vectors.agg(F.count("*").alias("n_vectors"))
+    n_pairs = (F.col("n_vectors") * (F.col("n_vectors") - 1) / 2).cast("long")
+    return cand_stats.crossJoin(n_vec).select(
+        "n_candidates",
+        n_pairs.alias("n_pairs"),
+        (
+            F.col("n_candidates").cast("double") / n_pairs.cast("double")
+        ).alias("candidate_fraction"),
+        "n_matches",
     )
 
 

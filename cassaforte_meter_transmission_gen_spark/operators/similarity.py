@@ -103,7 +103,14 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 20130101) -> list[list[floa
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit bucket id under the given hyperplanes (fold-form
-    projections — see the expression-depth note on :func:`dot`)."""
+    projections — see the expression-depth note on :func:`dot`).
+
+    Column-API form, kept as the semantic definition; the hot path
+    (:func:`_bucket_keys`) builds the bit-identical expression as ONE
+    server-parsed SQL string instead — constructing it plane-by-plane
+    through the Column API costs one py4j round trip per literal
+    (tables × planes × dim of them: measured 18.7 s of pure DRIVER time
+    for the 16×8×64 config before any execution)."""
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         proj = F.aggregate(
@@ -117,6 +124,30 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
         )
         bucket = bucket + F.when(proj >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
     return bucket
+
+
+def _buckets_sql(vec_col: str, tables: list[list[list[float]]]) -> str:
+    """The whole (table_idx, bucket) array as one SQL expression string
+    — bit-identical to :func:`lsh_bucket` per table (same ascending
+    fold order, same bit weights; ``repr`` round-trips every float64
+    exactly), but parsed server-side in one call. The unrolled shape is
+    deliberate: it stays inside WholeStageCodegen, where the
+    higher-order-function alternative (planes as a nested array
+    literal) executes interpreted and measured ~2× slower."""
+    v = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
+    structs = []
+    for t, planes in enumerate(tables):
+        terms = []
+        for i, p in enumerate(planes):
+            arr = "array(" + ",".join(repr(x) + "D" for x in p) + ")"
+            proj = (
+                f"aggregate(zip_with({v}, {arr}, (x, y) -> x * y), "
+                "0.0D, (acc, x) -> acc + x)"
+            )
+            terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << i}L ELSE 0L END)")
+        bucket = "CAST(0 AS LONG) + " + " + ".join(terms)
+        structs.append(f"named_struct('table_idx', {t}, 'bucket', {bucket})")
+    return "array(" + ",".join(structs) + ")"
 
 
 def _bucket_keys(
@@ -133,18 +164,9 @@ def _bucket_keys(
     (coarse buckets) that multiplied the shuffled bytes by
     ~2·dim·(candidates/vector) and was measured 3-4× slower end-to-end
     at sf0.1 despite identical results."""
-    buckets = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table_idx"),
-                lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-            )
-            for t, planes in enumerate(tables)
-        ]
-    )
     return df.select(
         F.col(id_col).alias(id_alias),
-        F.explode(buckets).alias("tb"),
+        F.explode(F.expr(_buckets_sql(vec_col, tables))).alias("tb"),
     ).select(
         id_alias,
         F.col("tb.table_idx").alias("table_idx"),
