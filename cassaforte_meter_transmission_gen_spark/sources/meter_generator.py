@@ -36,13 +36,24 @@ DEFAULT_SECONDS = 7200
 def sawtooth_watts() -> F.Column:
     """The reference's sample array: first 15000 of cycle(range 0 120),
     as float (core.clj:37-41,158). Identical for every row by
-    construction — so it is emitted as ONE array literal (the
+    construction — so it is emitted as ONE constant array (the
     reference's shared-array optimization, core.clj:158-161, SURVEY §4
-    O8): Catalyst constant-folds the float cast and every row copies
-    the same array, instead of evaluating 15k modulo expressions per
-    row (`transform(sequence(...))`, ~8× slower measured)."""
-    vals = [float(i % SAW_PERIOD) for i in range(SAMPLE_RATE)]
-    return F.lit(vals).cast("array<float>")
+    O8): every row copies the same folded array, instead of evaluating
+    15k modulo expressions per row (`transform(sequence(...))`, ~8×
+    slower measured).
+
+    Built as ``flatten(array_repeat(<one 120-value period>, 125))`` in
+    a single server-parsed expression: Catalyst constant-folds it to
+    the same literal as the spelled-out list (verified element-wise),
+    but shipping 15000 floats through ``F.lit`` cost 5.7 s of pure
+    driver-side py4j time PER QUERY BUILD — it dominated the ingest
+    benchmark and every raw-array query's construction."""
+    reps = -(-SAMPLE_RATE // SAW_PERIOD)  # ceil: slice trims any tail
+    period = ",".join(f"{i}D" for i in range(SAW_PERIOD))
+    return F.expr(
+        f"CAST(slice(flatten(array_repeat(array({period}), {reps})), "
+        f"1, {SAMPLE_RATE}) AS ARRAY<FLOAT>)"
+    )
 
 
 def tick_joules_df(spark: SparkSession, sample_rate: int = SAMPLE_RATE) -> DataFrame:
