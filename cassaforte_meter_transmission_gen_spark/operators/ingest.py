@@ -106,11 +106,13 @@ def ingest_batch(
         else:  # connector sinks rely on their own partitioner
             sink.write(_observed(raw, "meter_samples"), "meter_samples")
 
+    # the generator's range splits are per-meter time slices, so the
+    # second table is already clustered by (said, datetime): write the
+    # slices directly — shuffle-free, and row-group stats still prune
+    # both meter and time predicates (a repartition("said") here costs
+    # a shuffle and buys nothing the clustering doesn't already give)
     second = meter_samples_second(spark, num_meters, start_said, t0_epoch, seconds)
-    sink.write(
-        _observed(second, "meter_samples_second").repartition("said"),
-        "meter_samples_second",
-    )
+    sink.write(_observed(second, "meter_samples_second"), "meter_samples_second")
 
     finer = sink.read(spark, "meter_samples_second")
     for grain in CHAIN:
