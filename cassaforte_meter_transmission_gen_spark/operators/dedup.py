@@ -127,12 +127,13 @@ def _signatures_from_shingles(sh: DataFrame, portable: bool) -> DataFrame:
     hashed = sh.withColumn(
         "h", F.transform("shingles", lambda s: hash_fn(s) % MINHASH_PRIME)
     )
+    # one server-parsed expression per permutation (the Column-API
+    # lambda form paid ~10 py4j round trips per permutation); long
+    # arithmetic is identical: a < 2^30, h < 2^32 ⇒ a·h + b < 2^62
     sig_cols = [
-        F.array_min(
-            F.transform(
-                "h",
-                lambda h: (F.lit(MINHASH_A[i]) * h + F.lit(MINHASH_B[i])) % MINHASH_PRIME,
-            )
+        F.expr(
+            f"array_min(transform(h, h -> "
+            f"({MINHASH_A[i]}L * h + {MINHASH_B[i]}L) % {MINHASH_PRIME}L))"
         ).alias(f"m{i}")
         for i in range(N_PERM)
     ]
@@ -255,24 +256,22 @@ def simhash_signatures(
             F.transform(F.array_distinct(tokens(F.col(text_col))), hash_fn).alias("hs"),
         )
     )
-    n = F.size("hs")
-    def _ones(bit_mask: int) -> Column:
-        # NB: the merge lambda must take exactly (acc, x) — pyspark
-        # derives the number of lambda variables from the function
-        # arity, so the mask is closed over, not a default argument.
-        return F.aggregate(
-            "hs",
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(bit_mask)) != 0, F.lit(1)).otherwise(F.lit(0)),
-        )
-
-    ones = [_ones(1 << i) for i in range(SIMHASH_BITS)]
-    sim = None
+    # the 60-bit vote sum as ONE server-parsed SQL expression: built
+    # through the Column API (60 aggregates × lambda plumbing) this
+    # cost ≈ 1.9 s of pure driver-side py4j time per query build —
+    # integer semantics are identical (same per-bit aggregate, same
+    # bit weights), locked by the DuckDB oracle re-derivation
+    terms = []
     for i in range(SIMHASH_BITS):
-        bit = F.when(ones[i] * 2 > n, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-        sim = bit if sim is None else sim + bit
-    return hashed.select("doc_id", sim.alias("simhash"))
+        ones = (
+            "aggregate(hs, CAST(0 AS LONG), (acc, h) -> acc + "
+            f"(CASE WHEN (h & {1 << i}) != 0 THEN 1 ELSE 0 END))"
+        )
+        terms.append(
+            f"(CASE WHEN 2 * {ones} > size(hs) THEN {1 << i}L ELSE 0L END)"
+        )
+    sim = "CAST(0 AS LONG) + " + " + ".join(terms)
+    return hashed.select("doc_id", F.expr(sim).alias("simhash"))
 
 
 def simhash_near_duplicates(

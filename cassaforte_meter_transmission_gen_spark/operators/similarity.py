@@ -304,7 +304,10 @@ def assign_to_centroid(
         *[
             F.struct(
                 F.lit(i).alias("cid"),
-                F.array(*[F.lit(x) for x in c]).alias("cv"),
+                # one nested-array literal per centroid, NOT one F.lit
+                # per component (k × dim py4j round trips of pure
+                # driver time before any task runs)
+                F.lit([float(x) for x in c]).alias("cv"),
             )
             for i, c in enumerate(centroids)
         ]
@@ -390,7 +393,10 @@ def assign_probes(
         *[
             F.struct(
                 F.lit(i).alias("cid"),
-                F.array(*[F.lit(x) for x in c]).alias("cv"),
+                # one nested-array literal per centroid, NOT one F.lit
+                # per component (k × dim py4j round trips of pure
+                # driver time before any task runs)
+                F.lit([float(x) for x in c]).alias("cv"),
             )
             for i, c in enumerate(centroids)
         ]

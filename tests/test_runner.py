@@ -127,3 +127,70 @@ def test_streaming_accounting_listener_counts_writes(spark, tmp_path):
     assert counters["batches"] >= 1
     assert counters["rows"] >= 1
     assert counters["errors"] == []
+
+
+def test_live_runner_compaction_keeps_readers_consistent(spark, tmp_path):
+    """Compaction wired into the live 1 Hz runner: with an aggressive
+    compact_every, segments must appear while the stream runs, batch-dir
+    count must stay bounded, and committed reads must remain exactly
+    consistent (second total == minute total) throughout."""
+    import os
+
+    from cassaforte_meter_transmission_gen_spark.streaming.pipeline import (
+        _compacted_state,
+        read_stream_table,
+    )
+
+    out = str(tmp_path / "compact_run")
+    q = run_unbounded(
+        spark,
+        out,
+        num_meters=2,
+        start_said=33,
+        trigger_seconds=0.5,
+        retain_versions=4,
+        compact_every=4,
+    )
+    paths = {t: f"{out}/{t}" for t in TABLES}
+    commits = f"{out}/_commits"
+    second_path = paths["meter_samples_second"]
+    try:
+        deadline = time.time() + 120
+        seg = None
+        while time.time() < deadline:
+            time.sleep(1.0)
+            upto, seg = _compacted_state(second_path)
+            if seg is not None:
+                break
+        assert seg is not None, "no compacted segment appeared in 120s"
+    finally:
+        q.stop()
+    # after stop: compacted segment + surviving batch dirs must still
+    # reconstruct EXACTLY the committed prefix (nothing lost to the
+    # folds, nothing doubled), across every table
+    second_sum = (
+        read_stream_table(spark, paths, "meter_samples_second", commits)
+        .groupBy()
+        .sum("joules")
+        .first()[0]
+    )
+    minute_sum = (
+        read_stream_table(spark, paths, "meter_samples_minute", commits)
+        .groupBy()
+        .sum("joules")
+        .first()[0]
+    )
+    assert 0 < minute_sum == second_sum
+    dup = (
+        read_stream_table(spark, paths, "meter_samples_second", commits)
+        .groupBy("said", "datetime")
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert dup == 0
+    # batch-dir count bounded by the compaction horizon, not history:
+    # keep_batches(8) + up to compact_every(4) since the last fold,
+    # plus slack for the one-cycle deferred deletion
+    n_dirs = sum(1 for d in os.listdir(second_path) if d.startswith("batch="))
+    assert n_dirs <= 8 + 4 + 4, f"{n_dirs} batch dirs survived compaction"
