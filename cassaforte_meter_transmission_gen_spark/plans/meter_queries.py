@@ -375,3 +375,28 @@ def streaming_cumulative_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emitted.groupBy("said").agg(
         F.max("cumulative_joules").alias("cumulative_joules")
     )
+
+
+@register(
+    "streaming_dedup_transmissions",
+    oracle=f"""WITH
+gen AS (
+  SELECT CAST({DEFAULT_START_SAID} + (i // 600) AS INT) AS said,
+         {T0_SQL} + (i % 600) * INTERVAL 1 SECOND AS datetime
+  FROM range(0, 1200) t(i)
+),{TICK_CTE}
+SELECT g.said, g.datetime, t.joules FROM gen g CROSS JOIN tick t""",
+    tags=("meter", "streaming", "dedup"),
+)
+def streaming_dedup_transmissions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming duplicate-transmission suppression
+    (streaming.pipeline.dedup_transmission_stream,
+    dropDuplicatesWithinWatermark): every 3rd second-grain row is staged
+    twice — a retry storm under the reference's at-least-once producer
+    (core.clj:80-85) — and the guarded stream must emit exactly the
+    clean table: one row per (said, datetime), value-gated against the
+    deterministic generator oracle. Dedup state is bounded by
+    rate × lateness, never stream history."""
+    from ..streaming.pipeline import run_bounded_dedup_ingest
+
+    return run_bounded_dedup_ingest(spark, num_meters=2, seconds=600, dup_fraction=3)

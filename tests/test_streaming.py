@@ -488,3 +488,54 @@ def test_streaming_interval_join_equals_batch(spark, sf_small):
     got = sorted(map(tuple, streamed.select("user_id", "purchase_id", "click_id").collect()))
     want = sorted(map(tuple, batch.collect()))
     assert got == want and len(got) > 0
+
+
+def test_streaming_dedup_suppresses_retry_duplicates(spark):
+    """The at-least-once guard (reference core.clj:80-85: failures only
+    logged, client retries re-send whole transmissions): with every 3rd
+    row staged twice, dropDuplicatesWithinWatermark must emit exactly
+    one row per (said, datetime) — byte-equal to the clean batch table."""
+    from cassaforte_meter_transmission_gen_spark.streaming.pipeline import (
+        run_bounded_dedup_ingest,
+    )
+
+    n_meters, seconds = 2, 600
+    got = run_bounded_dedup_ingest(
+        spark, num_meters=n_meters, seconds=seconds, dup_fraction=3
+    )
+    want = meter_samples_second(spark, num_meters=n_meters, seconds=seconds)
+    assert got.count() == n_meters * seconds  # duplicates gone, nothing lost
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_transform_with_state_counter_matches_v1_and_batch(spark):
+    """T4 on Spark 4's transformWithState API (RocksDB-backed state):
+    the StatefulProcessor counter must converge to the same per-meter
+    lifetime totals as both the applyInPandasWithState operator and the
+    batch sum. Skipped where the protocol's protobuf dependency is not
+    installed (this sandbox) — the gate itself is asserted either way."""
+    import pytest
+
+    from cassaforte_meter_transmission_gen_spark.streaming.pipeline import (
+        run_bounded_cumulative_v2,
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available():
+        with pytest.raises(ImportError):
+            import google.protobuf.descriptor  # noqa: F401
+        pytest.skip("transformWithState needs google.protobuf (not in sandbox)")
+
+    emitted = run_bounded_cumulative_v2(spark, num_meters=3, seconds=1800).collect()
+    final: dict[int, int] = {}
+    for r in emitted:
+        final[r["said"]] = max(final.get(r["said"], 0), r["cumulative_joules"])
+    batch = {
+        r["said"]: r["total"]
+        for r in meter_samples_second(spark, num_meters=3, seconds=1800)
+        .groupBy("said")
+        .agg(F.sum("joules").cast("long").alias("total"))
+        .collect()
+    }
+    assert final == batch
+    assert len(emitted) > len(final)  # state actually carried across batches
