@@ -210,6 +210,60 @@ def read_rollup_tables(
     return {grain: spark.table(t) for grain, t in names.items()}
 
 
+def zorder_key(col_a: str, col_b: str, bits: int = 16) -> F.Column:
+    """Morton (Z-order) interleave of two non-negative integer columns,
+    ``bits`` bits each → one long sort key. Built as a single
+    server-parsed expression (2·bits unrolled bit tests — the same
+    py4j-avoidance as the LSH signatures)."""
+    # shift in LONG space: an int column's bit 15 lands at position 31
+    # and overflows 32-bit arithmetic (caught by the property test)
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((CAST(`{col_a}` AS BIGINT) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((CAST(`{col_b}` AS BIGINT) >> {i}) & 1) << {2 * i + 1})")
+    return F.expr("CAST(" + " + ".join(terms) + " AS LONG)")
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    bits: int = 16,
+    n_files: int = 8,
+    mode: str = "overwrite",
+    parquet_block_bytes: int | None = None,
+) -> None:
+    """Write parquet clustered on the Z-order curve of two dimensions —
+    the multi-dimensional generalization of the (said, datetime) sort:
+
+    a file sorted by time alone packs EVERY meter into every row group,
+    so a single-meter predicate prunes nothing; sorted by meter alone,
+    a time predicate prunes nothing. Z-ordering interleaves the bits of
+    both dimensions, so row groups occupy compact rectangles in
+    (a, b)-space and parquet min/max stats prune on EITHER predicate —
+    the standard lakehouse technique (Delta/Iceberg ``OPTIMIZE ZORDER``)
+    reproduced on plain parquet. tests/test_layout.py proves it against
+    the footers: row groups actually skipped, vs ~none for the linear
+    sort, same data.
+
+    ``repartitionByRange`` on the key gives globally disjoint z-ranges
+    per file (each file = a contiguous curve segment); the in-file sort
+    then makes every row group a sub-segment. One range-exchange at
+    write time — read-side pruning is free forever after, exactly the
+    economics of the bucketed layout."""
+    keyed = df.withColumn("__z", zorder_key(col_a, col_b, bits))
+    writer = (
+        keyed.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+    )
+    if parquet_block_bytes:  # row-group granularity = pruning granularity
+        writer = writer.option("parquet.block.size", parquet_block_bytes)
+    writer.parquet(path)
+
+
 def write_ivf_partitioned(
     vectors: DataFrame,
     path: str,

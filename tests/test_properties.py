@@ -131,3 +131,37 @@ def test_rollup_chain_associative(spark, rows):
     assert sorted(map(tuple, chained_day.collect())) == sorted(
         map(tuple, direct_day.collect())
     )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 65535), st.integers(0, 65535)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_zorder_key_matches_python_model(spark, pairs):
+    """The server-parsed Morton expression equals the textbook Python
+    bit-interleave for arbitrary 16-bit inputs (and is therefore
+    monotone along the curve by construction)."""
+    from cassaforte_meter_transmission_gen_spark.sources.layout import zorder_key
+
+    def morton(a: int, b: int, bits: int = 16) -> int:
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(pairs, "a int, b int")
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select("a", "b", zorder_key("a", "b").alias("z")).collect()
+    }
+    for a, b in pairs:
+        assert got[(a, b)] == morton(a, b)
