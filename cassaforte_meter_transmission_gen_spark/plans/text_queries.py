@@ -741,3 +741,82 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("quality_score") >= 0.2) & (F.col("predicted_lang") == "en"))
     )
+
+
+@register(
+    "text_token_budget_packing",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS prev
+  FROM toks
+)
+SELECT CAST(prev // 2048 AS BIGINT) AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM cum
+GROUP BY 1
+""",
+    tags=("text", "tokens", "packing"),
+)
+def text_token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators.packing): documents greedily fill
+    2048-BPE-token packs in doc_id order — the training-batch assembly
+    step. The engine computes the global prefix sum with the two-pass
+    parallel shape (per-partition partials + broadcast offsets), the
+    oracle with DuckDB's serial window — identical by associativity,
+    which is exactly the scale claim under test."""
+    from ..operators.packing import token_budget_packs
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(text, '{_BPE_RE}', 0)"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return token_budget_packs(toks, budget=2048)
+
+
+@register(
+    "text_stratified_sample",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         {_H.format(x="CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket
+FROM h
+WHERE bucket < (CASE WHEN lang = 'en' THEN 10 ELSE 50 END)
+""",
+    tags=("text", "sampling"),
+)
+def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling — the language-rebalancing
+    step of a training-data pipeline (keep 10% of the dominant 'en',
+    50% of everything else). The keep decision is a pure hash of the
+    stable doc_id (md5-prefix, portable to the oracle), NOT rand(): the
+    sample is reproducible across runs, resumable mid-job, and
+    partition-order-independent — properties Spark's sample()/sampleBy()
+    cannot give at 100 TB. Narrow filter, no shuffle."""
+    d = _docs(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return (
+        d.select("doc_id", "lang", bucket.alias("bucket"))
+        .filter(
+            F.col("bucket")
+            < F.when(F.col("lang") == "en", F.lit(10)).otherwise(F.lit(50))
+        )
+    )

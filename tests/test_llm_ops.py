@@ -217,3 +217,25 @@ def test_duplicate_groups_transitive_chain(spark):
     )
     groups = {r["doc_id"]: r["group_id"] for r in duplicate_groups(pairs).collect()}
     assert groups == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+
+def test_global_running_total_is_partition_independent(spark):
+    """The two-pass parallel prefix sum (operators.packing) must equal
+    the serial single-task window for ANY partition count — the
+    associativity that makes the packing operator scale."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cassaforte_meter_transmission_gen_spark.operators.packing import (
+        global_running_total,
+    )
+
+    rows = [(i * 7 % 101, (i * 13) % 50 + 1) for i in range(101)]  # unique ids
+    df = spark.createDataFrame(rows, "id int, v int")
+    serial = df.withColumn(
+        "rt", F.sum("v").over(Window.orderBy("id")) - F.col("v")
+    )
+    want = sorted((r["id"], r["rt"]) for r in serial.collect())
+    for n_parts in (1, 3, 32):
+        got = global_running_total(df, "id", "v", out_col="rt", n_partitions=n_parts)
+        assert sorted((r["id"], r["rt"]) for r in got.collect()) == want, n_parts
