@@ -220,6 +220,28 @@ def main() -> None:
             shutil.rmtree(out, ignore_errors=True)
     ingest_sec = min(ingest_runs) if ingest_runs else None
 
+    # the STREAMING five-table path (exactly-once commit-log sink),
+    # measured separately: the honest price of delivery semantics the
+    # reference doesn't have. Bounded file stream driven to completion;
+    # per-micro-batch fixed costs dominate at this scale, so this is a
+    # floor, not a ceiling.
+    stream_meters, stream_seconds = 4, 1800
+    stream_ingest_sec = None
+    try:
+        from cassaforte_meter_transmission_gen_spark.streaming.pipeline import (
+            run_bounded_streaming_ingest,
+        )
+
+        sout = tempfile.mkdtemp(prefix="bench_stream_ingest_")
+        t0 = time.perf_counter()
+        run_bounded_streaming_ingest(
+            spark, sout, num_meters=stream_meters, seconds=stream_seconds
+        )
+        stream_ingest_sec = round(time.perf_counter() - t0, 3)
+        shutil.rmtree(sout, ignore_errors=True)
+    except Exception as exc:  # noqa: BLE001
+        errors["streaming_ingest"] = f"{type(exc).__name__}: {exc}"[:500]
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -235,6 +257,14 @@ def main() -> None:
                 "sf": sf,
                 "ingest_five_tables_sec": ingest_sec,
                 "ingest_runs_sec": ingest_runs,
+                "streaming_ingest_sec": stream_ingest_sec,
+                "streaming_ingest_samples_per_sec": (
+                    round(
+                        stream_meters * stream_seconds * 15000 / stream_ingest_sec
+                    )
+                    if stream_ingest_sec
+                    else None
+                ),
                 "ingest_samples_per_sec": (
                     round(n_meters * n_seconds * 15000 / ingest_sec)
                     if ingest_sec
