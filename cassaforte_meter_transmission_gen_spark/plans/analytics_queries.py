@@ -840,3 +840,72 @@ def scalar_map_struct_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.map_keys(mp)).alias("n_keys"),
         nested.getField("inner").getField("name").alias("nested_name"),
     )
+
+
+@register(
+    "agg_sketch_rollup_distinct_users",
+    # Same gating technique as agg_approx_distinct_suppliers: the
+    # Datasketches estimate is engine-specific, so the oracle pins the
+    # exact weekly distinct + the bound contract as TRUE.
+    oracle="""
+SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_bound
+FROM events
+GROUP BY 1
+""",
+    tags=("agg", "approx", "sketch", "rollup"),
+)
+def agg_sketch_rollup_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch ROLLUP TABLES — the reference's insert-time
+    pre-aggregation philosophy (counter tables, core.clj:122-153)
+    applied to a metric plain counters cannot pre-aggregate: distinct
+    users. Per-day Datasketches HLL sketches are materialized to
+    parquet (binary column — the stored rollup), re-read, and merged
+    with ``hll_union_agg`` into weekly estimates WITHOUT touching raw
+    events again.
+
+    This is the 100 TB pattern: a day's raw events are scanned once
+    ever; any coarser window (week/month/year, or ad-hoc day ranges)
+    is a union of fixed-size sketches — the same read-path economics
+    the joules rollup chain gives sums. Gate: exact weekly distinct
+    (recomputed from raw here, hash-checked by the oracle) plus the
+    merged estimate's error contract as a boolean (Datasketches HLL
+    lgK=12 ⇒ rse ≈ 1.6%; bound 5·rse + 8 covers the tail)."""
+    import shutil
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events")
+    day_sketches = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("user_sketch"))
+
+    stage = tempfile.mkdtemp(prefix="sketch_rollup_")
+    try:
+        day_sketches.write.mode("overwrite").parquet(stage)
+        stored = spark.read.parquet(stage)
+        weekly_est = stored.groupBy(
+            F.date_trunc("week", "day").cast("date").alias("week")
+        ).agg(
+            F.hll_sketch_estimate(F.hll_union_agg("user_sketch")).alias(
+                "approx_users"
+            )
+        )
+        weekly_exact = ev.groupBy(
+            F.date_trunc("week", "ts").cast("date").alias("week")
+        ).agg(F.count_distinct("user_id").alias("exact_users"))
+        out = (
+            weekly_exact.join(weekly_est, "week")
+            .select(
+                "week",
+                "exact_users",
+                (
+                    F.abs(F.col("approx_users") - F.col("exact_users"))
+                    <= F.lit(8) + F.lit(5 * 0.016) * F.col("exact_users")
+                ).alias("within_bound"),
+            )
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach from stage
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return out
