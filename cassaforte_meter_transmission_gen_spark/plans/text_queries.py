@@ -820,3 +820,119 @@ def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             < F.when(F.col("lang") == "en", F.lit(10)).otherwise(F.lit(50))
         )
     )
+
+
+#: portable email pattern (same semantics in java.util.regex and RE2)
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+@register(
+    "text_pii_scrub_emails",
+    oracle=f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0
+              THEN text || ' contact: user' || doc_id || '@example.com'
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS INT)
+         AS n_emails_redacted,
+       regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g') AS scrubbed
+FROM aug
+""",
+    tags=("text", "pii", "scrub"),
+)
+def text_pii_scrub_emails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction step every training-data pipeline
+    runs before text leaves the pipeline. Deterministic fixture: every
+    10th doc gets a synthetic email appended IN-PLAN (both engines
+    construct the identical augmented text), then emails are counted
+    and replaced with ``<EMAIL>``. One regexp pass per row, JVM-side,
+    no shuffle — the 100 TB shape is exactly this narrow map."""
+    d = _docs(spark, sf_dir).withColumn(
+        "aug_text",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact: user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(aug_text, '{_EMAIL_RE}', 0)"))
+        .cast("int")
+        .alias("n_emails_redacted"),
+        F.regexp_replace("aug_text", _EMAIL_RE, "<EMAIL>").alias("scrubbed"),
+    )
+
+
+@register(
+    "text_benchmark_decontamination",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 3),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                  || toks[i+3] || ' ' || toks[i+4])) AS shingles
+  FROM t WHERE len(toks) >= 5
+),
+bench AS (
+  SELECT DISTINCT doc_id AS bench_doc, {_H.format(x='s')} AS h
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id < 20) u
+),
+train AS (
+  SELECT doc_id, {_H.format(x='s')} AS h
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id >= 20) u
+)
+SELECT train.doc_id,
+       CAST(COUNT(DISTINCT train.h) AS BIGINT) AS n_shared_shingles,
+       CAST(COUNT(DISTINCT bench.bench_doc) AS BIGINT) AS n_benchmark_docs
+FROM train JOIN bench ON train.h = bench.h
+GROUP BY train.doc_id
+HAVING COUNT(DISTINCT train.h) >= 2
+""",
+    tags=("text", "decontamination"),
+)
+def text_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — flag training documents sharing ≥2
+    distinct 5-gram shingles with a held-out benchmark set (here:
+    doc_id < 20). The load-bearing LLM-data step that keeps eval
+    contamination out of training corpora.
+
+    Scale shape: the BENCHMARK side is small by construction, so its
+    shingle-hash set broadcasts; the training side is one linear
+    explode of its shingles filtered through that broadcast — no
+    shuffle proportional to the corpus, no pairwise join. At 100 TB
+    this is a map-side semi-join over the training scan."""
+    from ..functions.text import word_shingles
+
+    d = _docs(spark, sf_dir)
+    sh = d.filter(F.size(tokens(F.col("text"))) >= 5).select(
+        "doc_id",
+        F.explode(word_shingles(tokens(F.col("text")), 5)).alias("s"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long")
+    bench = (
+        sh.filter(F.col("doc_id") < 20)
+        .select(F.col("doc_id").alias("bench_doc"), h.alias("h"))
+        .distinct()
+    )
+    train = sh.filter(F.col("doc_id") >= 20).select("doc_id", h.alias("h"))
+    return (
+        train.join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("h").alias("n_shared_shingles"),
+            F.count_distinct("bench_doc").alias("n_benchmark_docs"),
+        )
+        .filter(F.col("n_shared_shingles") >= 2)
+    )
