@@ -539,3 +539,70 @@ def test_transform_with_state_counter_matches_v1_and_batch(spark):
     }
     assert final == batch
     assert len(emitted) > len(final)  # state actually carried across batches
+
+
+def test_read_stream_table_refuses_uncommitted_state(spark, tmp_path):
+    """Before any commit marker exists, every table read must refuse
+    loudly (FileNotFoundError) rather than return partial data — even
+    if uncommitted batch directories are already on disk."""
+    import pytest
+
+    from cassaforte_meter_transmission_gen_spark.operators.ingest import TABLES
+    from cassaforte_meter_transmission_gen_spark.sources.meter_generator import (
+        transmissions,
+    )
+    from cassaforte_meter_transmission_gen_spark.streaming.pipeline import (
+        read_stream_table,
+        streaming_ingest_batch_fn,
+    )
+
+    paths = {t: str(tmp_path / t) for t in TABLES}
+    commits = str(tmp_path / "_commits")
+    fn = streaming_ingest_batch_fn(
+        paths, commits, crash_before_commit=lambda b: True
+    )
+    with pytest.raises(RuntimeError, match="injected crash"):
+        fn(transmissions(spark, num_meters=1, seconds=30), 0)
+    for t in ("meter_samples_second", "meter_samples_minute"):
+        with pytest.raises(FileNotFoundError, match="no committed"):
+            read_stream_table(spark, paths, t, commits)
+
+
+def test_read_stream_table_compacted_only_state(spark, tmp_path):
+    """After compaction has folded EVERY batch dir into a segment (no
+    per-batch dirs newer than the segment), raw/second reads must
+    resolve from the segment alone."""
+    import os
+    import shutil
+
+    from cassaforte_meter_transmission_gen_spark.operators.ingest import TABLES
+    from cassaforte_meter_transmission_gen_spark.sources.meter_generator import (
+        T0_EPOCH,
+        transmissions,
+    )
+    from cassaforte_meter_transmission_gen_spark.streaming.pipeline import (
+        compact_stream_tables,
+        read_stream_table,
+    )
+    from cassaforte_meter_transmission_gen_spark.streaming.pipeline import (
+        streaming_ingest_batch_fn,
+    )
+
+    paths = {t: str(tmp_path / t) for t in TABLES}
+    commits = str(tmp_path / "_commits")
+    fn = streaming_ingest_batch_fn(paths, commits)
+    for i in range(3):
+        fn(
+            transmissions(spark, num_meters=1, seconds=20, t0_epoch=T0_EPOCH + i * 20),
+            i,
+        )
+    # fold everything (keep_batches=0 → upto == high-watermark)
+    compact_stream_tables(spark, paths, commits, keep_batches=0)
+    second_path = paths["meter_samples_second"]
+    # simulate the steady state where even recent dirs were removed by
+    # a later cycle: nothing newer than the segment remains
+    for d in os.listdir(second_path):
+        if d.startswith("batch="):
+            shutil.rmtree(os.path.join(second_path, d))
+    got = read_stream_table(spark, paths, "meter_samples_second", commits)
+    assert got.count() == 3 * 20
