@@ -51,7 +51,7 @@ HEADLINE = [
 #: near-quadratic — see operators/dedup.py)
 SCALE_PATHS = [
     "dedup_embedding_cosine_lsh",
-    "dedup_embedding_cosine_lsh_hi",
+    "vector_dedup_cosine_lsh_hi",
     "ann_lsh_bucketed_topk",
     "ann_ivf_topk",
 ]
@@ -114,10 +114,10 @@ def main() -> None:
     # (16 tables × 8 planes, threshold 0.8) should confine the verify
     # join to ≈ 16·0.5⁸ ≈ 6% of all pairs (vs the documented
     # near-quadratic 0.4-threshold regime). Single-row stats query —
-    # the same plan the dedup_embedding_cosine_lsh_hi oracle gates.
+    # the same plan the vector_dedup_cosine_lsh_hi oracle gates.
     lsh_hi_stats = None
     try:
-        row = REGISTRY["dedup_embedding_cosine_lsh_hi"].fn(spark, sf_dir).head()
+        row = REGISTRY["vector_dedup_cosine_lsh_hi"].fn(spark, sf_dir).head()
         lsh_hi_stats = {
             "n_candidates": row["n_candidates"],
             "n_pairs": row["n_pairs"],

@@ -41,6 +41,19 @@ def global_running_total(
         .sortWithinPartitions(order_col)
         .withColumn("__pid", F.spark_partition_id())
     )
+    # PERSIST before the two actions below: repartitionByRange picks its
+    # range boundaries by reservoir-sampling the input per JOB, so two
+    # separate evaluations of this lineage may legally place boundary
+    # rows in different partitions once the sample no longer covers all
+    # rows (exactly the >memory regime this operator exists for). The
+    # totals job below materializes the cache; the caller's action then
+    # reads the SAME partitioning instead of re-rolling it — without
+    # this, the collected per-pid offsets can disagree with the output
+    # job's __pid assignment (silently wrong sums / NULL offsets).
+    # MEMORY_AND_DISK: evicted blocks spill, they are not recomputed.
+    # The cache is released when the returned DataFrame's lineage is
+    # garbage-collected (ContextCleaner), or by the caller via unpersist.
+    parted = parted.persist()
     w = Window.partitionBy("__pid").orderBy(order_col)
     local = parted.withColumn(
         "__local", F.sum(value_col).over(w) - F.col(value_col)

@@ -110,21 +110,41 @@ def read_meter_time_range(
       matching days; at 100 TB this is the difference between reading
       a century and reading a week;
     - ``p_said_bucket IN pmod(hash(said), n)`` for the requested
-      meters when the layout was said-bucketed (the bucket values come
-      from a one-row Spark job so the hash is bit-identical to the
-      writer's);
+      meters when the layout was said-bucketed — computed DRIVER-side
+      (functions.hashing.murmur3_hash_int, property-tested bit-equal to
+      ``F.hash``), so the flagship read plans exactly ONE Spark job
+      instead of paying a hash-job round trip per read;
     - the exact ``datetime``/``said`` row predicates, which parquet
       row-group (said, ts)-sorted min/max stats then prune INSIDE each
       day directory.
+
+    The day literals resolve in the SESSION timezone (the writer's
+    ``p_day = to_date(datetime)`` does too) — deriving them in UTC
+    under a non-UTC session would silently DROP boundary-day rows, a
+    correctness bug, not a missed optimization. Zones the driver can't
+    resolve fall back to widening the UTC day range by one day per
+    side, which keeps the row-level predicate authoritative.
 
     File-level proof: tests/test_layout.py asserts the scan's
     numPartitions/numOutputRows metrics, not just plan text."""
     import datetime as _dt
 
+    from ..functions.hashing import said_bucket
+
     df = spark.read.parquet(path)
-    d0 = _dt.datetime.fromtimestamp(t0_epoch, _dt.timezone.utc).date()
-    # t1 is exclusive; the day containing t1-1s is the last to read
-    d1 = _dt.datetime.fromtimestamp(t1_epoch - 1, _dt.timezone.utc).date()
+    tz_name = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        from zoneinfo import ZoneInfo
+
+        tz = ZoneInfo(tz_name)
+        d0 = _dt.datetime.fromtimestamp(t0_epoch, tz).date()
+        # t1 is exclusive; the day containing t1-1s is the last to read
+        d1 = _dt.datetime.fromtimestamp(t1_epoch - 1, tz).date()
+    except Exception:  # unresolvable zone id: widen, stay correct
+        d0 = _dt.datetime.fromtimestamp(t0_epoch, _dt.timezone.utc).date()
+        d1 = _dt.datetime.fromtimestamp(t1_epoch - 1, _dt.timezone.utc).date()
+        d0 -= _dt.timedelta(days=1)
+        d1 += _dt.timedelta(days=1)
     days = [d0 + _dt.timedelta(days=i) for i in range((d1 - d0).days + 1)]
     df = df.filter(F.col("p_day").isin(days))
     df = df.filter(
@@ -134,16 +154,7 @@ def read_meter_time_range(
     if meters is not None:
         df = df.filter(F.col("said").isin(meters))
         if said_buckets and "p_said_bucket" in df.columns:
-            buckets = sorted(
-                {
-                    r[0]
-                    for r in spark.createDataFrame(
-                        [(m,) for m in meters], "said int"
-                    )
-                    .select(F.pmod(F.hash("said"), F.lit(said_buckets)))
-                    .collect()
-                }
-            )
+            buckets = sorted({said_bucket(m, said_buckets) for m in meters})
             df = df.filter(F.col("p_said_bucket").isin(buckets))
     drop = [c for c in ("p_day", "p_said_bucket") if c in df.columns]
     return df.drop(*drop)

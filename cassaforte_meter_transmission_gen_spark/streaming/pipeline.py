@@ -342,6 +342,12 @@ def _high_watermark(commits_dir: str) -> int | None:
 #: raw/second tables: per-batch append dirs (grains are versioned instead)
 BATCH_DIR_TABLES = ("meter_samples", "meter_samples_second")
 
+#: rollup-grain table schema — pinned so the per-batch read of the
+#: previous committed version skips parquet schema inference (one less
+#: driver job per grain per micro-batch; fixed costs dominate streaming
+#: throughput at bench scale, see bench.py's batch-size curve)
+GRAIN_SCHEMA = "said int, datetime timestamp, joules long"
+
 
 def _compacted_state(table_path: str) -> tuple[int, str | None]:
     """(upto, dir) of the newest compacted segment under
@@ -449,7 +455,8 @@ def streaming_ingest_batch_fn(
             gpath = paths[f"meter_samples_{grain}"]
             if prev is not None:
                 merged = counter_merge(
-                    spark.read.parquet(f"{gpath}/v={prev}"), inc
+                    spark.read.schema(GRAIN_SCHEMA).parquet(f"{gpath}/v={prev}"),
+                    inc,
                 )
             else:
                 merged = inc
@@ -541,6 +548,14 @@ def compact_stream_tables(
             parts.append(prev_dir)
         root = os.path.join(path, "_compacted")
         os.makedirs(root, exist_ok=True)
+        # GC stale temp dirs from cycles that crashed between the temp
+        # write and the publish: later cycles compute a different
+        # new_upto, so the orphaned name would never be reused and the
+        # upto=-only segment GC below never sees it. Readers ignore
+        # dotted dirs, so this sweep is race-free.
+        for d in os.listdir(root):
+            if d.startswith(".tmp_upto="):
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
         tmp = os.path.join(root, f".tmp_upto={new_upto}")
         final = os.path.join(root, f"upto={new_upto}")
         # coalesce to a handful of files: the segment is bounded by the
@@ -591,11 +606,18 @@ def run_bounded_streaming_ingest(
     out_dir: str,
     num_meters: int = 2,
     seconds: int = 600,
+    max_files_per_trigger: int = 8,
 ) -> tuple[dict[str, str], str]:
     """Drive the foreachBatch five-table ingest over a bounded raw
     transmission stream to completion; returns ({table: path},
     commits_dir) — read results through :func:`read_stream_table`. The
-    test asserts every table equals its batch-ingest dual."""
+    test asserts every table equals its batch-ingest dual.
+
+    ``max_files_per_trigger`` sets the micro-batch size — the
+    throughput lever: per-batch fixed costs (trigger planning, five
+    table writes, three version merges, the commit marker) are constant
+    per batch, so samples/s scales with rows-per-batch until the batch
+    no longer fits the cluster. bench.py measures this curve."""
     from ..schemas import METER_SAMPLES
     from ..sources.meter_generator import transmissions
 
@@ -605,7 +627,7 @@ def run_bounded_streaming_ingest(
     ).parquet(stage)
     stream = (
         spark.readStream.schema(METER_SAMPLES)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(stage)
     )
     paths = {

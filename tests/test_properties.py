@@ -165,3 +165,36 @@ def test_zorder_key_matches_python_model(spark, pairs):
     }
     for a, b in pairs:
         assert got[(a, b)] == morton(a, b)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.integers(-(2**31), 2**31 - 1), min_size=1, max_size=100
+    )
+)
+def test_murmur3_hash_int_matches_spark_hash(spark, vals):
+    """The driver-side Murmur3 x86_32 (functions.hashing) is bit-equal
+    to Spark's F.hash over arbitrary int32 inputs — the contract that
+    lets read_meter_time_range derive said-bucket partition predicates
+    without launching a hash job per read."""
+    from pyspark.sql import functions as F
+
+    from cassaforte_meter_transmission_gen_spark.functions.hashing import (
+        murmur3_hash_int,
+        said_bucket,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "v int")
+    rows = df.select(
+        "v",
+        F.hash("v").alias("h"),
+        F.pmod(F.hash("v"), F.lit(7)).alias("b"),
+    ).collect()
+    for r in rows:
+        assert murmur3_hash_int(r["v"]) == r["h"]
+        assert said_bucket(r["v"], 7) == r["b"]
