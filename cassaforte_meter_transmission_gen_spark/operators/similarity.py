@@ -29,6 +29,32 @@ from pyspark.sql import functions as F
 #: (same trick as plans.vector_queries._CENTROID_SCALE).
 KMEANS_SCALE = float(1 << 40)
 
+#: Knuth multiplicative-hash constants for the deterministic training
+#: sample (see :func:`train_sample_predicate`). All-integer arithmetic,
+#: so Spark and DuckDB evaluate the predicate identically bit for bit.
+TRAIN_HASH_A = 2654435761  # 2^32 / golden ratio, odd
+TRAIN_HASH_MOD = 1 << 32
+#: ids are reduced mod 2^31 first so the product stays < 2^63 — BIGINT
+#: multiplication must not overflow (DuckDB errors, Spark wraps; either
+#: would break the bit-equal oracle contract)
+TRAIN_HASH_ID_MOD = 1 << 31
+
+
+def train_sample_sql(id_col: str, denom: int, floor_ids: int) -> str:
+    """The training-sample predicate as ANSI SQL, shared verbatim by
+    the Spark plan (via ``F.expr``) and the DuckDB oracle: keep a row
+    when the Knuth multiplicative hash of its id lands in the first
+    1/``denom`` of the 32-bit range, OR its id is below ``floor_ids``
+    (guaranteeing the deterministic k-means init set survives the
+    sample at any scale factor). Pure int64 arithmetic — no float, no
+    engine-specific hash — so both engines agree exactly."""
+    threshold = TRAIN_HASH_MOD // denom
+    return (
+        f"((({id_col} % {TRAIN_HASH_ID_MOD}) * {TRAIN_HASH_A})"
+        f" % {TRAIN_HASH_MOD}) < {threshold}"
+        f" OR {id_col} < {floor_ids}"
+    )
+
 
 def _as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
@@ -238,6 +264,7 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    train_sample_denom: int | None = None,
 ) -> list[list[float]]:
     """Deterministic mini k-means for IVF coarse quantization, run as
     iterative DataFrame jobs (Lloyd's algorithm):
@@ -255,18 +282,30 @@ def kmeans_centroids(
       ann_ivf_topk unrolls these exact iterations in SQL).
 
     Only the centroid list (n_clusters × dim floats) ever reaches the
-    driver; the vector table is scanned n_iters+1 times. At 100 TB use
-    a sampled subset for training — the operator signature is the same.
-    """
+    driver.
+
+    ``train_sample_denom=K`` is the 100 TB lever: training scans a
+    deterministic ~1/K hash sample of the table
+    (:func:`train_sample_sql` — Knuth multiplicative hash of the id,
+    OR id < n_clusters so the init set always survives) instead of the
+    full table, shrinking the n_iters+1 training scans by ~K× while the
+    final ASSIGNMENT still covers every vector. The predicate is pure
+    integer SQL, so the sampled training run stays bit-reproducible by
+    the serial oracle. ``None`` trains on everything (tiny tables)."""
+    train = vectors
+    if train_sample_denom is not None:
+        train = vectors.filter(
+            F.expr(train_sample_sql(id_col, train_sample_denom, n_clusters))
+        )
     init = (
-        vectors.orderBy(id_col)
+        train.orderBy(id_col)
         .limit(n_clusters)
         .select(vec_col)
         .collect()
     )
     centroids = [[float(x) for x in r[0]] for r in init]
     for _ in range(n_iters):
-        assigned = assign_to_centroid(vectors, centroids, vec_col)
+        assigned = assign_to_centroid(train, centroids, vec_col)
         new = (
             assigned.select("cluster_id", F.posexplode(vec_col).alias("pos", "v"))
             .groupBy("cluster_id", "pos")
@@ -339,6 +378,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    train_sample_denom: int | None = 8,
 ) -> DataFrame:
     """IVF ANN: train coarse centroids, partition candidates by nearest
     centroid (the inverted file), then for each query probe only the
@@ -348,9 +388,19 @@ def ivf_topk(
     16-value key locally; at scale the inverted file is the storage
     partitioning, so probes prune files instead).
 
+    Training defaults to a deterministic ~1/8 hash sample of the table
+    (see :func:`kmeans_centroids`): at 100 TB the n_iters+1 training
+    scans touch ~12.5% of the data instead of all of it; assignment
+    (one scan) still covers every vector. Pass ``None`` to train full.
+
     Returns (query_id, neighbor_id, cosine, rank ≤ k)."""
     centroids = kmeans_centroids(
-        vectors, n_clusters=n_clusters, id_col=id_col, vec_col=vec_col, dim=dim
+        vectors,
+        n_clusters=n_clusters,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        train_sample_denom=train_sample_denom,
     )
     cands = assign_to_centroid(vectors, centroids, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
