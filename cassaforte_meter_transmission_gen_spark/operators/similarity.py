@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 KMEANS_SCALE = float(1 << 40)
 
 #: Knuth multiplicative-hash constants for the deterministic training
-#: sample (see :func:`train_sample_predicate`). All-integer arithmetic,
+#: sample (see :func:`train_sample_sql`). All-integer arithmetic,
 #: so Spark and DuckDB evaluate the predicate identically bit for bit.
 TRAIN_HASH_A = 2654435761  # 2^32 / golden ratio, odd
 TRAIN_HASH_MOD = 1 << 32
@@ -38,6 +38,24 @@ TRAIN_HASH_MOD = 1 << 32
 #: multiplication must not overflow (DuckDB errors, Spark wraps; either
 #: would break the bit-equal oracle contract)
 TRAIN_HASH_ID_MOD = 1 << 31
+
+#: ``train_sample_denom="auto"`` sizes the k-means training sample so
+#: it keeps roughly this many vectors PER CLUSTER: denom =
+#: max(1, n // (AUTO_TRAIN_TARGET_PER_CLUSTER * n_clusters)). On a tiny
+#: corpus that resolves to denom=1 (full training — a 1/8 sample of 500
+#: rows left ~25 vectors for 16 clusters and collapsed recall to 0.68);
+#: at 100 TB it converges to a fixed-size training set, so the
+#: n_iters+1 training scans cost O(sample), not O(table).
+AUTO_TRAIN_TARGET_PER_CLUSTER = 50
+
+
+def auto_train_denom(n_rows: int, n_clusters: int) -> int:
+    """The ``"auto"`` sampling denominator — shared formula, mirrored
+    in pure SQL by the DuckDB oracle (plans.vector_oracles.
+    ann_ivf_topk_sql computes ``greatest(1, count(*) // T)`` with the
+    same integer division), so both engines derive the identical denom
+    from the identical table at any scale factor."""
+    return max(1, n_rows // (AUTO_TRAIN_TARGET_PER_CLUSTER * n_clusters))
 
 
 def train_sample_sql(id_col: str, denom: int, floor_ids: int) -> str:
@@ -47,7 +65,14 @@ def train_sample_sql(id_col: str, denom: int, floor_ids: int) -> str:
     1/``denom`` of the 32-bit range, OR its id is below ``floor_ids``
     (guaranteeing the deterministic k-means init set survives the
     sample at any scale factor). Pure int64 arithmetic — no float, no
-    engine-specific hash — so both engines agree exactly."""
+    engine-specific hash — so both engines agree exactly.
+
+    Assumes NON-NEGATIVE ids (both engines' ``%`` is truncated
+    division, so a negative id hashes negative and always passes — the
+    engines still agree, but the rate silently becomes 100%) and that
+    the init-survival OR-clause keeps the ``floor_ids`` SMALLEST ids
+    only when ids are dense from 0 — exactly the shape of the
+    ``vec_id`` key this operator family is defined over."""
     threshold = TRAIN_HASH_MOD // denom
     return (
         f"((({id_col} % {TRAIN_HASH_ID_MOD}) * {TRAIN_HASH_A})"
@@ -264,7 +289,7 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    train_sample_denom: int | None = None,
+    train_sample_denom: int | str | None = None,
 ) -> list[list[float]]:
     """Deterministic mini k-means for IVF coarse quantization, run as
     iterative DataFrame jobs (Lloyd's algorithm):
@@ -291,9 +316,16 @@ def kmeans_centroids(
     full table, shrinking the n_iters+1 training scans by ~K× while the
     final ASSIGNMENT still covers every vector. The predicate is pure
     integer SQL, so the sampled training run stays bit-reproducible by
-    the serial oracle. ``None`` trains on everything (tiny tables)."""
+    the serial oracle. ``None`` trains on everything (tiny tables).
+    ``"auto"`` derives K from one count() so the sample keeps
+    ~:data:`AUTO_TRAIN_TARGET_PER_CLUSTER` vectors per cluster
+    (:func:`auto_train_denom`) — full training on small corpora, a
+    bounded sample at scale; the one count scan amortizes against the
+    n_iters+1 training scans it shrinks."""
+    if train_sample_denom == "auto":
+        train_sample_denom = auto_train_denom(vectors.count(), n_clusters)
     train = vectors
-    if train_sample_denom is not None:
+    if train_sample_denom is not None and train_sample_denom > 1:
         train = vectors.filter(
             F.expr(train_sample_sql(id_col, train_sample_denom, n_clusters))
         )
@@ -378,7 +410,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    train_sample_denom: int | None = 8,
+    train_sample_denom: int | str | None = "auto",
 ) -> DataFrame:
     """IVF ANN: train coarse centroids, partition candidates by nearest
     centroid (the inverted file), then for each query probe only the
@@ -388,10 +420,13 @@ def ivf_topk(
     16-value key locally; at scale the inverted file is the storage
     partitioning, so probes prune files instead).
 
-    Training defaults to a deterministic ~1/8 hash sample of the table
-    (see :func:`kmeans_centroids`): at 100 TB the n_iters+1 training
-    scans touch ~12.5% of the data instead of all of it; assignment
-    (one scan) still covers every vector. Pass ``None`` to train full.
+    Training defaults to ``"auto"`` sampling (see
+    :func:`kmeans_centroids`): a deterministic hash sample sized to
+    keep ~50 vectors per cluster — full training on small corpora
+    (recall holds), a bounded sample at 100 TB where the n_iters+1
+    training scans would otherwise each touch the whole table;
+    assignment (one scan) still covers every vector. Pass ``None`` to
+    always train full, or an explicit int denom to pin the rate.
 
     Returns (query_id, neighbor_id, cosine, rank ≤ k)."""
     centroids = kmeans_centroids(

@@ -201,23 +201,65 @@ def ann_ivf_topk_sql(
     n_probes: int = 4,
     n_iters: int = 3,
     n_queries: int = 5,
+    train_sample_denom: int | str | None = "auto",
 ) -> str:
     """Oracle for operators.similarity.ivf_topk: the deterministic
     k-means training loop unrolled as CTEs (init = the ``n_clusters``
     smallest vec_ids; assign = argmin sequential-fold squared-L2 with
     first-min tie-break; update = fixed-point integer mean), then the
-    probe/score/rank pipeline."""
+    probe/score/rank pipeline.
+
+    ``train_sample_denom`` mirrors the Spark plan's training sample
+    exactly: ``"auto"`` re-derives the denominator IN SQL from the same
+    count(*) / integer-division formula as operators.similarity.
+    auto_train_denom (so both engines compute the identical denom from
+    the identical table at any scale factor); an int applies
+    operators.similarity.train_sample_sql verbatim; ``None`` trains on
+    the full table. Only the TRAINING CTEs (init, assign, update) read
+    the sample — candidate assignment and probing read full ``e``, just
+    like the plan."""
+    from ..operators.similarity import (
+        AUTO_TRAIN_TARGET_PER_CLUSTER,
+        TRAIN_HASH_A,
+        TRAIN_HASH_ID_MOD,
+        TRAIN_HASH_MOD,
+        train_sample_sql,
+    )
+
     s = _dlit(KMEANS_SCALE)
     parts = [
         "WITH e AS (SELECT vec_id,"
         " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
         " FROM embeddings),",
-        # init: row_number over vec_id order — cid i = i-th smallest id
-        f"""c0 AS (
-  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid, v AS cv
-  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {n_clusters})
-),""",
     ]
+    if train_sample_denom is None:
+        train = "e"
+    elif train_sample_denom == "auto":
+        # denom = greatest(1, n // (target * k)): same integer division
+        # as the Python-side auto_train_denom, evaluated on the same
+        # table — the two engines stay in lockstep at any sf. With
+        # denom 1 the hash predicate is trivially true (hash < 2^32),
+        # so tr ≡ e exactly when the Spark side skips the filter.
+        t = AUTO_TRAIN_TARGET_PER_CLUSTER * n_clusters
+        parts.append(f"""den AS (SELECT greatest(1, count(*) // {t}) AS d FROM e),
+tr AS (
+  SELECT e.vec_id, e.v FROM e, den
+  WHERE (((e.vec_id % {TRAIN_HASH_ID_MOD}) * {TRAIN_HASH_A})
+         % {TRAIN_HASH_MOD}) < ({TRAIN_HASH_MOD} // den.d)
+     OR e.vec_id < {n_clusters}
+),""")
+        train = "tr"
+    else:
+        parts.append(f"""tr AS (
+  SELECT vec_id, v FROM e
+  WHERE {train_sample_sql('vec_id', train_sample_denom, n_clusters)}
+),""")
+        train = "tr"
+    # init: row_number over vec_id order — cid i = i-th smallest id
+    parts.append(f"""c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid, v AS cv
+  FROM (SELECT vec_id, v FROM {train} ORDER BY vec_id LIMIT {n_clusters})
+),""")
     prev = "c0"
     for it in range(1, n_iters + 1):
         # assign: argmin distance, ties to the lowest cid (identical to
@@ -225,7 +267,7 @@ def ann_ivf_topk_sql(
         parts.append(f"""a{it} AS (
   SELECT s.vec_id, (array_agg(s.cid ORDER BY s.d, s.cid))[1] AS cluster_id
   FROM (SELECT e.vec_id, c.cid, {_sq_dist('e.v', 'c.cv')} AS d
-        FROM e CROSS JOIN {prev} c) s
+        FROM {train} e CROSS JOIN {prev} c) s
   GROUP BY s.vec_id
 ),""")
         # update: fixed-point integer sums per (cluster, dimension)
@@ -233,7 +275,7 @@ def ann_ivf_topk_sql(
   SELECT a.cluster_id AS cid, i,
          CAST(CAST(SUM(CAST(floor(e.v[i] * {s}) AS BIGINT)) AS BIGINT)
               AS DOUBLE) / {s} / count(*) AS m
-  FROM a{it} a JOIN e USING (vec_id) CROSS JOIN range(1, {DIM + 1}) t(i)
+  FROM a{it} a JOIN {train} e USING (vec_id) CROSS JOIN range(1, {DIM + 1}) t(i)
   GROUP BY a.cluster_id, i
 ),""")
         # assemble: empty clusters keep the previous centroid
