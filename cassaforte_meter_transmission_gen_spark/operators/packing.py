@@ -4,19 +4,35 @@ order — the step between "clean corpus" and "training batches".
 
 The core primitive is an exact GLOBAL running total. The naive form is
 ``sum().over(Window.orderBy(col))`` with no partition key, which Spark
-executes on ONE task — the classic 100 TB trap. The two-pass form here
-is the scale-correct shape:
+executes on ONE task — the classic 100 TB trap. The scale-correct shape
+here is a two-pass prefix sum over DETERMINISTIC range buckets:
 
-1. range-partition by the order column and sort within partitions
-   (parallel, one exchange);
-2. per-partition partial sums via a window PARTITIONED by the physical
-   partition id (parallel — each task scans its own slice once);
-3. per-partition totals (one tiny row per partition) are collected,
-   prefix-summed on the driver, and broadcast back as offsets.
+1. compute ``n_partitions - 1`` approximate quantile boundaries of the
+   order column driver-side (one lightweight Greenwald-Khanna job) and
+   bake them into the plan as literals;
+2. assign every row a bucket id as a PURE FUNCTION of its order-column
+   value (count of boundaries below it) — monotone in the order column,
+   so bucket i's rows all precede bucket i+1's;
+3. per-bucket partial sums via a window partitioned by bucket id
+   (parallel — one hash exchange);
+4. per-bucket totals (one tiny row per bucket) are collected,
+   prefix-summed on the driver, and broadcast back as a literal map.
 
-The result is identical to the single-task window for any partitioning
-(prefix sums are associative), so the DuckDB oracle can use the plain
-window form while the engine runs the parallel one.
+Because the bucket id is a pure function of the data — NOT
+``spark_partition_id()`` after a ``repartitionByRange`` — every job and
+every task-retry derives the identical assignment. An earlier shape
+used physical partition ids and had to ``persist()`` the repartitioned
+input to pin reservoir-sampled range boundaries across jobs; that cache
+had no release path (blocks accumulated over a long session) and was
+fragile under block loss (a recompute could legally re-roll the
+boundaries). This form needs no cache at all, and its lineage is safe
+to recompute anywhere.
+
+Boundary placement only affects load balance, never correctness: the
+result equals the single-task global window for ANY boundaries (prefix
+sums are associative and the assignment is order-monotone), so the
+DuckDB oracle can use the plain window form while the engine runs the
+parallel one.
 """
 
 from __future__ import annotations
@@ -34,32 +50,34 @@ def global_running_total(
 ) -> DataFrame:
     """Exact exclusive prefix sum of ``value_col`` in ascending
     ``order_col`` order (out_col = sum of all STRICTLY EARLIER rows),
-    computed with per-partition parallelism as described above.
-    ``order_col`` must be unique (it is the global tiebreak)."""
-    parted = (
-        df.repartitionByRange(n_partitions, order_col)
-        .sortWithinPartitions(order_col)
-        .withColumn("__pid", F.spark_partition_id())
-    )
-    # PERSIST before the two actions below: repartitionByRange picks its
-    # range boundaries by reservoir-sampling the input per JOB, so two
-    # separate evaluations of this lineage may legally place boundary
-    # rows in different partitions once the sample no longer covers all
-    # rows (exactly the >memory regime this operator exists for). The
-    # totals job below materializes the cache; the caller's action then
-    # reads the SAME partitioning instead of re-rolling it — without
-    # this, the collected per-pid offsets can disagree with the output
-    # job's __pid assignment (silently wrong sums / NULL offsets).
-    # MEMORY_AND_DISK: evicted blocks spill, they are not recomputed.
-    # The cache is released when the returned DataFrame's lineage is
-    # garbage-collected (ContextCleaner), or by the caller via unpersist.
-    parted = parted.persist()
+    computed with per-bucket parallelism as described in the module
+    docstring. ``order_col`` must be unique (it is the global tiebreak)
+    and numeric (bucket boundaries come from ``approxQuantile``)."""
+    bounds: list[float] = []
+    if n_partitions > 1:
+        probs = [i / n_partitions for i in range(1, n_partitions)]
+        # relativeError 0.001: boundary placement affects only balance,
+        # so a cheap sketch is enough — exactness buys nothing here
+        bounds = sorted(set(df.stat.approxQuantile(order_col, probs, 0.001)))
+    if bounds:
+        # bucket = number of boundaries strictly below the value: a pure,
+        # order-monotone function of order_col (ties at a boundary all
+        # land in the lower bucket), identical in every job that
+        # evaluates it. The double cast is monotone, so even precision
+        # loss on huge int64 ids cannot break the ordering invariant.
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        pid = F.size(
+            F.filter(barr, lambda b: b < F.col(order_col).cast("double"))
+        )
+    else:
+        pid = F.lit(0)
+    parted = df.withColumn("__pid", pid.cast("int"))
     w = Window.partitionBy("__pid").orderBy(order_col)
     local = parted.withColumn(
         "__local", F.sum(value_col).over(w) - F.col(value_col)
     )
-    # one row per partition reaches the driver — bounded by the
-    # partition count, never the data
+    # one row per bucket reaches the driver — bounded by the bucket
+    # count, never the data
     totals = {
         r["__pid"]: r["__t"]
         for r in parted.groupBy("__pid")
@@ -67,16 +85,31 @@ def global_running_total(
         .collect()
     }
     offsets, acc = {}, 0
-    for pid in sorted(totals):
-        offsets[pid] = acc
-        acc += totals[pid]
+    for p in sorted(totals):
+        offsets[p] = acc
+        acc += totals[p]
     offset_col = F.element_at(
         F.create_map(
             *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
         ),
         F.col("__pid"),
     )
-    return local.withColumn(out_col, (F.col("__local") + offset_col)).drop(
+    # defense-in-depth: a bucket id outside the offsets map means the
+    # output job disagreed with the totals job about the assignment —
+    # impossible for a pure function over the same rows, but if it ever
+    # happens (e.g. a nondeterministic upstream), fail LOUDLY instead
+    # of emitting NULL/wrong sums
+    guarded = F.coalesce(
+        offset_col,
+        F.raise_error(
+            F.concat(
+                F.lit("global_running_total: bucket "),
+                F.col("__pid").cast("string"),
+                F.lit(" missing from offsets map"),
+            )
+        ).cast("long"),
+    )
+    return local.withColumn(out_col, (F.col("__local") + guarded)).drop(
         "__pid", "__local"
     )
 

@@ -239,3 +239,60 @@ def test_global_running_total_is_partition_independent(spark):
     for n_parts in (1, 3, 32):
         got = global_running_total(df, "id", "v", out_col="rt", n_partitions=n_parts)
         assert sorted((r["id"], r["rt"]) for r in got.collect()) == want, n_parts
+
+
+def test_global_running_total_skewed_ids_no_residual_cache(spark):
+    """Stress the prefix sum where the old physical-partition-id design
+    was fragile: heavily skewed order keys (90% of ids packed into a
+    narrow band, so quantile boundaries collide and buckets are
+    unbalanced), many input partitions, low shuffle parallelism. The
+    deterministic-bucket rewrite must (a) still equal the serial
+    window exactly — a bucket/offset mismatch raises via the
+    raise_error guard instead of silently corrupting — and (b) leave
+    NO persisted RDD behind (the old design cached the repartitioned
+    input with no release path)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cassaforte_meter_transmission_gen_spark.operators.packing import (
+        global_running_total,
+        token_budget_packs,
+    )
+
+    # 90% of ids in [0, 500), the rest flung across [10^6, 10^6 + 500)
+    rows = [
+        ((i if i % 10 else 1_000_000 + i), i % 97 + 1) for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "id long, v int").repartition(16)
+    serial = df.withColumn(
+        "rt", F.sum("v").over(Window.orderBy("id")) - F.col("v")
+    )
+    want = sorted((r["id"], r["rt"]) for r in serial.collect())
+
+    def cached_ids():
+        return {int(k) for k in spark.sparkContext._jsc.getPersistentRDDs().keySet()}
+
+    # compare ID SETS, not counts: other tests' caches may be GC'd by
+    # the ContextCleaner while this test runs (count would drop), but a
+    # leak HERE would mint a NEW id
+    ids_before = cached_ids()
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        for n_parts in (2, 8):
+            got = global_running_total(
+                df, "id", "v", out_col="rt", n_partitions=n_parts
+            )
+            assert sorted((r["id"], r["rt"]) for r in got.collect()) == want
+        # the composed operator too, end to end
+        packs = token_budget_packs(
+            df.select(F.col("id").alias("doc_id"), F.col("v").alias("n_tokens")),
+            budget=512,
+        ).collect()
+        assert sum(r["n_docs"] for r in packs) == 5000
+        assert sum(r["pack_tokens"] for r in packs) == sum(v for _, v in rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
+    assert cached_ids() <= ids_before, (
+        "global_running_total left persisted RDDs behind"
+    )
