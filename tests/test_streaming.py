@@ -457,6 +457,122 @@ def test_compaction_bounds_batch_dirs(spark, tmp_path):
     assert got.select("datetime").distinct().count() == 10 * 20
 
 
+def test_compaction_crash_before_publish_is_invisible(spark, tmp_path, monkeypatch):
+    """T5's worst compaction crash: the segment temp dir is fully
+    written but the process dies BEFORE the atomic ``os.replace``
+    publish. The previous state must stay authoritative (readers see
+    exactly-once data throughout), and the next compaction cycle must
+    recover — GC'ing the orphaned temp dir and publishing cleanly."""
+    import os
+    import shutil
+
+    from cassaforte_meter_transmission_gen_spark.operators.ingest import TABLES
+    from cassaforte_meter_transmission_gen_spark.sources.meter_generator import (
+        T0_EPOCH,
+        transmissions,
+    )
+    from cassaforte_meter_transmission_gen_spark.streaming.pipeline import (
+        compact_stream_tables,
+        read_stream_table,
+        streaming_ingest_batch_fn,
+    )
+
+    paths = {t: str(tmp_path / t) for t in TABLES}
+    commits = str(tmp_path / "_commits")
+    fn = streaming_ingest_batch_fn(paths, commits)
+    for i in range(8):
+        fn(
+            transmissions(spark, num_meters=1, seconds=20, t0_epoch=T0_EPOCH + i * 20),
+            i,
+        )
+
+    real_replace = os.replace
+
+    def dying_replace(src, dst):
+        if "_compacted" in str(dst):
+            raise RuntimeError("injected crash before segment publish")
+        return real_replace(src, dst)
+
+    import pytest
+
+    monkeypatch.setattr(os, "replace", dying_replace)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        compact_stream_tables(spark, paths, commits, keep_batches=2)
+    monkeypatch.setattr(os, "replace", real_replace)
+
+    # the crash hit the FIRST table's publish: its orphan temp exists,
+    # no segment was published anywhere, every batch dir survives — and
+    # every reader sees exactly the committed rows
+    raw_root = os.path.join(paths["meter_samples"], "_compacted")
+    assert any(d.startswith(".tmp_upto=") for d in os.listdir(raw_root))
+    assert not any(d.startswith("upto=") for d in os.listdir(raw_root))
+    assert not os.path.exists(
+        os.path.join(paths["meter_samples_second"], "_compacted")
+    )
+    for t in ("meter_samples", "meter_samples_second"):
+        got = read_stream_table(spark, paths, t, commits)
+        assert got.count() == 8 * 20, t
+        assert got.select("datetime").distinct().count() == 8 * 20, t
+
+    # recovery: the next cycle GCs the orphan and publishes both tables
+    compact_stream_tables(spark, paths, commits, keep_batches=2)
+    for t in ("meter_samples", "meter_samples_second"):
+        root = os.path.join(paths[t], "_compacted")
+        assert not any(d.startswith(".tmp_upto=") for d in os.listdir(root))
+        assert sorted(os.listdir(root)) == ["upto=5"], t
+        got = read_stream_table(spark, paths, t, commits)
+        assert got.count() == 8 * 20, t
+        assert got.select("datetime").distinct().count() == 8 * 20, t
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def test_reader_survives_concurrent_compaction_cycle(spark, tmp_path):
+    """The bounded reader-race window T5 documents: a reader that
+    resolved its file list BEFORE a compaction cycle must stay valid
+    WHILE that cycle rewrites the table — the cycle only deletes batch
+    dirs the retained previous segment covers, which the reader (who
+    resolved that segment or newer) never references. Polling during
+    and after the cycle must neither error nor see partial data."""
+    from cassaforte_meter_transmission_gen_spark.operators.ingest import TABLES
+    from cassaforte_meter_transmission_gen_spark.sources.meter_generator import (
+        T0_EPOCH,
+        transmissions,
+    )
+    from cassaforte_meter_transmission_gen_spark.streaming.pipeline import (
+        read_stream_table,
+        streaming_ingest_batch_fn,
+    )
+
+    paths = {t: str(tmp_path / t) for t in TABLES}
+    commits = str(tmp_path / "_commits")
+    fn = streaming_ingest_batch_fn(
+        paths, commits, compact_every=3, compact_keep_batches=1
+    )
+    for i in range(10):
+        fn(
+            transmissions(spark, num_meters=1, seconds=20, t0_epoch=T0_EPOCH + i * 20),
+            i,
+        )
+    # reader resolves NOW: segment upto=8 + batch dir 9
+    reader = read_stream_table(spark, paths, "meter_samples_second", commits)
+    assert reader.count() == 10 * 20  # first poll, pre-compaction
+
+    # three more commits trigger the next compaction cycle (at id 12):
+    # new segment upto=11, batch dirs <= 8 deleted, segment upto=5
+    # dropped — everything the reader references survives
+    for i in range(10, 13):
+        fn(
+            transmissions(spark, num_meters=1, seconds=20, t0_epoch=T0_EPOCH + i * 20),
+            i,
+        )
+    assert reader.count() == 10 * 20  # same snapshot, no error, no loss
+    assert reader.select("datetime").distinct().count() == 10 * 20
+    # a fresh resolution sees the post-compaction state, still exact
+    fresh = read_stream_table(spark, paths, "meter_samples_second", commits)
+    assert fresh.count() == 13 * 20
+    assert fresh.select("datetime").distinct().count() == 13 * 20
+
+
 def test_streaming_interval_join_equals_batch(spark, sf_small):
     """The stream-stream interval join must produce exactly the batch
     range join's pairs on the same events — every (purchase, click ≤
