@@ -144,42 +144,44 @@ def main() -> None:
         )
 
         lay = tempfile.mkdtemp(prefix="bench_layout_")
-        write_time_partitioned(
-            meter_samples_second(spark, num_meters=8, seconds=3 * 86400),
-            lay,
-            said_buckets=4,
-        )
-        q = read_meter_time_range(
-            spark,
-            lay,
-            T0_EPOCH + 86400,
-            T0_EPOCH + 86400 + 6 * 3600,
-            meters=[42000, 42003],
-            said_buckets=4,
-        )
-        rows_out = q.count()
-        q.collect()
+        try:
+            write_time_partitioned(
+                meter_samples_second(spark, num_meters=8, seconds=3 * 86400),
+                lay,
+                said_buckets=4,
+            )
+            q = read_meter_time_range(
+                spark,
+                lay,
+                T0_EPOCH + 86400,
+                T0_EPOCH + 86400 + 6 * 3600,
+                meters=[42000, 42003],
+                said_buckets=4,
+            )
+            rows_out = q.count()
+            q.collect()
 
-        def _scan_metrics(node, out):
-            if "Scan" in node.nodeName():
-                m, keys = node.metrics(), node.metrics().keys().iterator()
-                d = {}
-                while keys.hasNext():
-                    k = keys.next()
-                    d[k] = m.apply(k).value()
-                out.append(d)
-            for i in range(node.children().size()):
-                _scan_metrics(node.children().apply(i), out)
+            def _scan_metrics(node, out):
+                if "Scan" in node.nodeName():
+                    m, keys = node.metrics(), node.metrics().keys().iterator()
+                    d = {}
+                    while keys.hasNext():
+                        k = keys.next()
+                        d[k] = m.apply(k).value()
+                    out.append(d)
+                for i in range(node.children().size()):
+                    _scan_metrics(node.children().apply(i), out)
 
-        scans: list[dict] = []
-        _scan_metrics(q._jdf.queryExecution().executedPlan(), scans)
-        flagship_prune = {
-            "partitions_total": 12,
-            "partitions_read": scans[0]["numPartitions"],
-            "files_read": scans[0]["numFiles"],
-            "rows_out": rows_out,
-        }
-        shutil.rmtree(lay, ignore_errors=True)
+            scans: list[dict] = []
+            _scan_metrics(q._jdf.queryExecution().executedPlan(), scans)
+            flagship_prune = {
+                "partitions_total": 12,
+                "partitions_read": scans[0]["numPartitions"],
+                "files_read": scans[0]["numFiles"],
+                "rows_out": rows_out,
+            }
+        finally:
+            shutil.rmtree(lay, ignore_errors=True)
     except Exception as exc:  # noqa: BLE001
         errors["flagship_prune"] = f"{type(exc).__name__}: {exc}"[:500]
 
@@ -222,23 +224,44 @@ def main() -> None:
 
     # the STREAMING five-table path (exactly-once commit-log sink),
     # measured separately: the honest price of delivery semantics the
-    # reference doesn't have. Bounded file stream driven to completion;
-    # per-micro-batch fixed costs dominate at this scale, so this is a
-    # floor, not a ceiling.
+    # reference doesn't have. Bounded file stream driven to completion.
+    # Measured across micro-batch SIZES (maxFilesPerTrigger over the
+    # 32-file stage): per-batch fixed costs (trigger planning, five
+    # writes, three version merges, the marker) are constant per batch,
+    # so samples/s should rise with batch size — the curve quantifies
+    # how much of the default-size figure is fixed cost. The default
+    # size (8 → 4 micro-batches) stays the headline
+    # `streaming_ingest_sec` for cross-round comparability.
     stream_meters, stream_seconds = 4, 1800
     stream_ingest_sec = None
+    stream_curve: dict[str, dict] = {}
     try:
         from cassaforte_meter_transmission_gen_spark.streaming.pipeline import (
             run_bounded_streaming_ingest,
         )
 
-        sout = tempfile.mkdtemp(prefix="bench_stream_ingest_")
-        t0 = time.perf_counter()
-        run_bounded_streaming_ingest(
-            spark, sout, num_meters=stream_meters, seconds=stream_seconds
-        )
-        stream_ingest_sec = round(time.perf_counter() - t0, 3)
-        shutil.rmtree(sout, ignore_errors=True)
+        for files_per_trigger in (4, 8, 32):
+            sout = tempfile.mkdtemp(prefix="bench_stream_ingest_")
+            t0 = time.perf_counter()
+            try:
+                run_bounded_streaming_ingest(
+                    spark,
+                    sout,
+                    num_meters=stream_meters,
+                    seconds=stream_seconds,
+                    max_files_per_trigger=files_per_trigger,
+                )
+                sec = round(time.perf_counter() - t0, 3)
+            finally:
+                shutil.rmtree(sout, ignore_errors=True)
+            stream_curve[str(files_per_trigger)] = {
+                "sec": sec,
+                "samples_per_sec": round(
+                    stream_meters * stream_seconds * 15000 / sec
+                ),
+            }
+            if files_per_trigger == 8:
+                stream_ingest_sec = sec
     except Exception as exc:  # noqa: BLE001
         errors["streaming_ingest"] = f"{type(exc).__name__}: {exc}"[:500]
 
@@ -258,6 +281,7 @@ def main() -> None:
                 "ingest_five_tables_sec": ingest_sec,
                 "ingest_runs_sec": ingest_runs,
                 "streaming_ingest_sec": stream_ingest_sec,
+                "streaming_ingest_batch_size_curve": stream_curve,
                 "streaming_ingest_samples_per_sec": (
                     round(
                         stream_meters * stream_seconds * 15000 / stream_ingest_sec

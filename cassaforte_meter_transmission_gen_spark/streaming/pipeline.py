@@ -618,40 +618,47 @@ def run_bounded_streaming_ingest(
     table writes, three version merges, the commit marker) are constant
     per batch, so samples/s scales with rows-per-batch until the batch
     no longer fits the cluster. bench.py measures this curve."""
+    import shutil
+
     from ..schemas import METER_SAMPLES
     from ..sources.meter_generator import transmissions
 
     stage = tempfile.mkdtemp(prefix="raw_stream_")
-    transmissions(spark, num_meters=num_meters, seconds=seconds).write.mode(
-        "overwrite"
-    ).parquet(stage)
-    stream = (
-        spark.readStream.schema(METER_SAMPLES)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(stage)
-    )
-    paths = {
-        t: f"{out_dir}/{t}"
-        for t in (
-            "meter_samples",
-            "meter_samples_second",
-            "meter_samples_minute",
-            "meter_samples_hour",
-            "meter_samples_day",
+    try:
+        transmissions(spark, num_meters=num_meters, seconds=seconds).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        stream = (
+            spark.readStream.schema(METER_SAMPLES)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(stage)
         )
-    }
-    commits_dir = f"{out_dir}/_commits"
-    with tempfile.TemporaryDirectory(prefix="ingest_ckpt_") as ckpt:
-        q = (
-            stream.writeStream.foreachBatch(
-                streaming_ingest_batch_fn(paths, commits_dir)
+        paths = {
+            t: f"{out_dir}/{t}"
+            for t in (
+                "meter_samples",
+                "meter_samples_second",
+                "meter_samples_minute",
+                "meter_samples_hour",
+                "meter_samples_day",
             )
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return paths, commits_dir
+        }
+        commits_dir = f"{out_dir}/_commits"
+        with tempfile.TemporaryDirectory(prefix="ingest_ckpt_") as ckpt:
+            q = (
+                stream.writeStream.foreachBatch(
+                    streaming_ingest_batch_fn(paths, commits_dir)
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return paths, commits_dir
+    finally:
+        # the staged raw input is only read by the (now finished)
+        # stream — multi-GB at bench sizes, so never leave it behind
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 def session_rollup(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
