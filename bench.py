@@ -54,6 +54,8 @@ SCALE_PATHS = [
     "vector_dedup_cosine_lsh_hi",
     "ann_lsh_bucketed_topk",
     "ann_ivf_topk",
+    "ann_int8_quantized_topk",
+    "dedup_semantic_clusters",
 ]
 
 

