@@ -10,7 +10,7 @@ value-hash gated, not just rows-only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.udtfs import CHUNK_SIZE
@@ -935,4 +935,181 @@ def text_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFram
             F.count_distinct("bench_doc").alias("n_benchmark_docs"),
         )
         .filter(F.col("n_shared_shingles") >= 2)
+    )
+
+
+@register(
+    "text_repetition_filter",
+    oracle="""
+WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+           FROM documents),
+b AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) < 2 THEN []
+              ELSE list_transform(range(1, len(toks)),
+                                  i -> toks[i] || ' ' || toks[i+1]) END AS bg
+  FROM t
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INT) AS n_tokens,
+         CASE WHEN len(bg) = 0 THEN 0.0
+              ELSE CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE)
+                   / CAST(len(bg) AS DOUBLE) END AS dup_2gram_fraction,
+         CAST(list_max(list_transform(list_distinct(toks),
+                x -> len(list_filter(toks, y -> y = x)))) AS DOUBLE)
+           / CAST(len(toks) AS DOUBLE) AS top_token_fraction
+  FROM b
+)
+SELECT doc_id, n_tokens, dup_2gram_fraction, top_token_fraction,
+       dup_2gram_fraction <= 0.05 AND top_token_fraction <= 0.12 AS keep
+FROM m
+""",
+    tags=("text", "quality", "repetition"),
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition quality filter (the Gopher-rules
+    family): per doc, the fraction of duplicate word 2-grams and the
+    frequency share of the single most repeated token; ``keep`` gates
+    on both (thresholds sit between the corpus p50 and p90 so the
+    filter does real work here). Everything is per-row array math over
+    JVM built-ins — narrow map, no shuffle, no Python; exactly the
+    shape a 100 TB quality pass needs. 1-indexed element_at mirrors
+    DuckDB's 1-indexed lists; both engines guard the <2-token edge
+    identically (Spark's sequence(1, 0) would DESCEND, not empty)."""
+    d = _docs(spark, sf_dir)
+    t = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    bg = F.when(F.size("toks") < 2, F.array().cast("array<string>")).otherwise(
+        F.expr(
+            "transform(sequence(1, size(toks) - 1),"
+            " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+        )
+    )
+    b = t.select("doc_id", "toks", bg.alias("bg"))
+    dup2 = F.when(F.size("bg") == 0, F.lit(0.0)).otherwise(
+        (F.size("bg") - F.size(F.array_distinct("bg"))).cast("double")
+        / F.size("bg").cast("double")
+    )
+    topfrac = (
+        F.array_max(
+            F.transform(
+                F.array_distinct("toks"),
+                lambda x: F.size(F.filter(F.col("toks"), lambda y: y == x)),
+            )
+        ).cast("double")
+        / F.size("toks").cast("double")
+    )
+    m = b.select(
+        "doc_id",
+        F.size("toks").cast("int").alias("n_tokens"),
+        dup2.alias("dup_2gram_fraction"),
+        topfrac.alias("top_token_fraction"),
+    )
+    return m.withColumn(
+        "keep",
+        (F.col("dup_2gram_fraction") <= 0.05)
+        & (F.col("top_token_fraction") <= 0.12),
+    )
+
+
+@register(
+    "text_per_stratum_fixed_sample",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         {_H.format(x="CAST(doc_id AS VARCHAR)")} AS hkey
+  FROM documents
+)
+SELECT doc_id, lang,
+       CAST(row_number() OVER (PARTITION BY lang ORDER BY hkey, doc_id)
+            AS INT) AS sample_rank
+FROM h
+QUALIFY sample_rank <= 20
+""",
+    tags=("text", "sampling", "stratified"),
+)
+def text_per_stratum_fixed_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-SIZE per-stratum sampling (exactly 20 docs per language),
+    complementing the fixed-FRACTION ``text_stratified_sample``: rank
+    each stratum by a pure hash of the stable doc_id (md5-prefix,
+    portable to the oracle) and keep the first 20 — deterministic,
+    reproducible, resumable, unlike rand()-ordered sampling. One
+    shuffle on the stratum key. At extreme stratum skew the per-stratum
+    window serializes per key; the standard fix is a pre-filter by
+    hash-threshold (text_stratified_sample's shape) sized from
+    approximate stratum counts, then this exact rank over the
+    survivors."""
+    d = _docs(spark, sf_dir)
+    hkey = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+    )
+    w = Window.partitionBy("lang").orderBy("hkey", "doc_id")
+    return (
+        d.select("doc_id", "lang", hkey.alias("hkey"))
+        .withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("sample_rank") <= 20)
+        .drop("hkey")
+    )
+
+
+@register(
+    "dedup_canonical_docs",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_minhash_sql()}) q
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach AS (
+  SELECT node, node AS label FROM nodes
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+),
+grp AS (
+  SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS group_id
+  FROM reach GROUP BY node
+),
+allg AS (
+  SELECT d.doc_id, COALESCE(g.group_id, d.doc_id) AS group_id, d.n_chars
+  FROM documents d LEFT JOIN grp g USING (doc_id)
+)
+SELECT group_id,
+       (array_agg(doc_id ORDER BY n_chars DESC, doc_id))[1] AS canonical_doc,
+       CAST(count(*) AS BIGINT) AS n_members
+FROM allg GROUP BY group_id
+""",
+    tags=("dedup", "minhash", "canonical"),
+)
+def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection — the KEEP side of dedup (pairs and
+    groups say what's duplicated; pipelines must then choose which copy
+    survives): per duplicate group (MinHash pairs → connected
+    components; singletons form their own group), keep the longest doc,
+    ties to the smallest doc_id. The argmax is a single min(struct)
+    aggregate — no per-group sort, no window over the full corpus; the
+    groups join stays narrow (doc_id, group_id). Returns (group_id,
+    canonical_doc, n_members)."""
+    from ..operators.dedup import duplicate_groups
+
+    d = _docs(spark, sf_dir)
+    pairs = minhash_near_duplicates(d, threshold=0.7, portable=True)
+    groups = duplicate_groups(pairs)
+    allg = (
+        d.select("doc_id", "n_chars")
+        .join(groups, "doc_id", "left")
+        .withColumn("group_id", F.coalesce("group_id", F.col("doc_id")))
+    )
+    best = F.min(
+        F.struct(
+            (-F.col("n_chars")).alias("neg_chars"), F.col("doc_id").alias("d")
+        )
+    )
+    return allg.groupBy("group_id").agg(
+        best["d"].alias("canonical_doc"),
+        F.count("*").cast("long").alias("n_members"),
     )

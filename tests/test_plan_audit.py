@@ -158,3 +158,31 @@ def test_ivf_probe_join_broadcasts_queries(spark, sf_small):
     plan = _plan(REGISTRY["ann_ivf_topk"].fn(spark, sf_small))
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_int8_ann_band_and_rerank_broadcast(spark, sf_small):
+    """int8_topk: the quantized query side broadcasts into the scoring
+    pass (the candidate table never shuffles to be scored), and the
+    rerank band's query-vector re-attach broadcasts too. No cartesian
+    over the candidate table — the only nested-loop is the deliberate
+    broadcast of the tiny query set."""
+    plan = _plan(REGISTRY["ann_int8_quantized_topk"].fn(spark, sf_small))
+    assert "CartesianProduct" not in plan, plan
+    assert "Broadcast" in plan, plan
+
+
+def test_semantic_dedup_cluster_equijoin_no_cartesian(spark, sf_small):
+    """semantic_duplicates_clustered: the pairwise pass must plan as an
+    equi-join on cluster_id (the whole point — quadratic work confined
+    to cells), never a cartesian over the vector table; the verify
+    joins re-attach vectors by id equality."""
+    plan = _plan(REGISTRY["dedup_semantic_clusters"].fn(spark, sf_small))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_repetition_filter_is_narrow_map(spark, sf_small):
+    """The repetition quality filter is per-row array math — any
+    Exchange would shuffle the full corpus at 100 TB for no reason."""
+    plan = _plan(REGISTRY["text_repetition_filter"].fn(spark, sf_small))
+    assert "Exchange" not in plan, plan
