@@ -1113,3 +1113,49 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         best["d"].alias("canonical_doc"),
         F.count("*").cast("long").alias("n_members"),
     )
+
+
+@register(
+    "text_lang_mix_rebalance",
+    oracle=f"""
+WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+m AS (SELECT min(cnt) AS min_cnt FROM c),
+t AS (SELECT lang, (min_cnt * 10000) // cnt AS thr FROM c, m),
+h AS (
+  SELECT doc_id, lang,
+         {_H.format(x="CAST(doc_id AS VARCHAR)")} % 10000 AS b
+  FROM documents
+)
+SELECT doc_id, lang FROM h JOIN t USING (lang) WHERE b < thr
+""",
+    tags=("text", "sampling", "mixture"),
+)
+def text_lang_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture rebalancing: downsample every language to the
+    smallest stratum's share (the equal-mix special case of target-
+    proportion reweighting). Per-stratum keep thresholds are derived
+    IN-PLAN from the counts — (min_cnt * 10000) DIV cnt, pure integer
+    arithmetic so both engines compute identical thresholds — and the
+    keep decision is the portable md5-prefix hash of the stable doc_id
+    against that threshold: reproducible, resumable, and exact to
+    ±1/10000 of the target rate. Scale shape: two tiny aggregates
+    (stratum cardinality), one broadcast join of the ~|strata|-row
+    threshold table, then a narrow filter over the corpus — the scan
+    never shuffles."""
+    d = _docs(spark, sf_dir)
+    counts = d.groupBy("lang").agg(F.count("*").alias("cnt"))
+    mn = counts.agg(F.min("cnt").alias("min_cnt"))
+    thr = counts.crossJoin(F.broadcast(mn)).select(
+        "lang", F.expr("(min_cnt * 10000) DIV cnt").alias("thr")
+    )
+    b = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 10000
+    )
+    return (
+        d.select("doc_id", "lang", b.alias("b"))
+        .join(F.broadcast(thr), "lang")
+        .filter(F.col("b") < F.col("thr"))
+        .select("doc_id", "lang")
+    )

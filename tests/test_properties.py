@@ -198,3 +198,93 @@ def test_murmur3_hash_int_matches_spark_hash(spark, vals):
     for r in rows:
         assert murmur3_hash_int(r["v"]) == r["h"]
         assert said_bucket(r["v"], 7) == r["b"]
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 10_000_000),  # sparse, unordered ids
+            st.integers(1, 5000),  # token counts
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_global_running_total_matches_serial_model(spark, rows):
+    """The parallel prefix sum equals the trivial Python model for ANY
+    id distribution (sparse, clustered, adversarial) and any bucket
+    count — the associativity claim that lets the oracle use the serial
+    window while the engine runs the bucketed form."""
+    from cassaforte_meter_transmission_gen_spark.operators.packing import (
+        global_running_total,
+    )
+
+    df = spark.createDataFrame(
+        [(int(i), int(v)) for i, v in rows], "id long, v long"
+    )
+    acc, want = 0, {}
+    for i, v in sorted(rows):
+        want[i] = acc
+        acc += v
+    for n_parts in (1, 4):
+        got = {
+            r["id"]: r["rt"]
+            for r in global_running_total(
+                df, "id", "v", out_col="rt", n_partitions=n_parts
+            ).collect()
+        }
+        assert got == want, n_parts
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-1e6,
+                max_value=1e6,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_int8_quantization_codes_bounded_and_deterministic(spark, vecs):
+    """int8 prep invariants for arbitrary float vectors (including the
+    all-zero vector, which the eps guard must keep finite): codes stay
+    in [-128, 127] (floor can hit -128 exactly), the scale is positive
+    and finite, and re-running produces identical codes."""
+    from cassaforte_meter_transmission_gen_spark.operators.similarity import (
+        _int8_prep,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id int, embedding array<double>",
+    )
+    out1 = {
+        r["c_id"]: (list(r["c_q"]), r["c_scale"])
+        for r in _int8_prep(df, "c", "vec_id", "embedding").collect()
+    }
+    out2 = {
+        r["c_id"]: (list(r["c_q"]), r["c_scale"])
+        for r in _int8_prep(df, "c", "vec_id", "embedding").collect()
+    }
+    assert out1 == out2
+    for codes, scale in out1.values():
+        assert scale > 0.0
+        assert all(-128 <= c <= 127 for c in codes), (codes, scale)
