@@ -904,3 +904,111 @@ def run_bounded_cumulative(
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+def sketch_rollup_batch_fn(table_dir: str, commits_dir: str):
+    """foreachBatch body maintaining a SKETCH rollup table: per
+    micro-batch, the day-grain HLL sketches of the arriving events are
+    ``hll_union``-merged with the last COMMITTED version into a new
+    version of the day-sketch table — the counter-merge protocol of
+    :func:`streaming_ingest_batch_fn` applied to mergeable Datasketches
+    state instead of additive counters, maintaining a metric plain
+    counters cannot (distinct users). Exactly-once by the same
+    argument: a replayed batch re-reads the same committed base and
+    overwrites its own version directory; the atomic marker is the
+    commit point."""
+    import os
+
+    os.makedirs(commits_dir, exist_ok=True)
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        hw = _high_watermark(commits_dir)
+        if hw is not None and batch_id <= hw:
+            return  # replayed, fully applied
+        sk = batch.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+            F.hll_sketch_agg("user_id").alias("user_sketch")
+        )
+        if hw is not None:
+            prev = batch.sparkSession.read.schema(
+                "day timestamp, user_sketch binary"
+            ).parquet(f"{table_dir}/v={hw}")
+            sk = (
+                prev.unionByName(sk)
+                .groupBy("day")
+                .agg(F.hll_union_agg("user_sketch").alias("user_sketch"))
+            )
+        sk.write.mode("overwrite").parquet(f"{table_dir}/v={batch_id}")
+        tmp = os.path.join(commits_dir, f"{batch_id}.tmp")
+        open(tmp, "w").close()
+        os.replace(tmp, os.path.join(commits_dir, str(batch_id)))
+
+    return fn
+
+
+def run_bounded_sketch_rollup(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> DataFrame:
+    """Drive :func:`sketch_rollup_batch_fn` over a bounded stream of the
+    ``events`` table (restaged as ``n_files`` parquet files, one file
+    per micro-batch), then gate the maintained sketch table: weekly
+    estimates from the FINAL committed version against exact weekly
+    distincts recomputed from raw — the streaming dual of the batch
+    ``sketch_rollup_distinct_users``. At 100 TB this is the insert-time
+    pre-aggregation economics for distinct metrics: each event is
+    folded into a fixed-size sketch once, any coarser window is a union
+    of sketches — raw is never rescanned."""
+    import atexit
+    import os
+    import shutil
+
+    from ..schemas import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id")
+    stage = tempfile.mkdtemp(prefix="sketch_stream_in_")
+    out = tempfile.mkdtemp(prefix="sketch_stream_out_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    try:
+        ev.repartition(n_files).write.mode("overwrite").parquet(f"{stage}/in")
+        table_dir = f"{out}/day_sketches"
+        commits = f"{out}/_commits"
+        stream = (
+            spark.readStream.schema("ts timestamp, user_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{stage}/in")
+        )
+        with tempfile.TemporaryDirectory(prefix="sketch_ckpt_") as ckpt:
+            q = (
+                stream.writeStream.foreachBatch(
+                    sketch_rollup_batch_fn(table_dir, commits)
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        hw = _high_watermark(commits)
+        stored = spark.read.schema("day timestamp, user_sketch binary").parquet(
+            f"{table_dir}/v={hw}"
+        )
+        weekly_est = stored.groupBy(
+            F.date_trunc("week", "day").cast("date").alias("week")
+        ).agg(
+            F.hll_sketch_estimate(F.hll_union_agg("user_sketch")).alias(
+                "approx_users"
+            )
+        )
+        weekly_exact = ev.groupBy(
+            F.date_trunc("week", "ts").cast("date").alias("week")
+        ).agg(F.count_distinct("user_id").alias("exact_users"))
+        res = weekly_exact.join(weekly_est, "week").select(
+            "week",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= F.lit(8) + F.lit(5 * 0.016) * F.col("exact_users")
+            ).alias("within_bound"),
+        )
+        res.write.mode("overwrite").parquet(f"{out}/weekly")
+        return spark.read.parquet(f"{out}/weekly")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

@@ -722,3 +722,42 @@ def test_read_stream_table_compacted_only_state(spark, tmp_path):
             shutil.rmtree(os.path.join(second_path, d))
     got = read_stream_table(spark, paths, "meter_samples_second", commits)
     assert got.count() == 3 * 20
+
+
+def test_sketch_rollup_replay_is_exactly_once(spark, tmp_path):
+    """The sketch counter-merge must be idempotent under batch replay:
+    re-delivering a committed batch id is a no-op (marker short-
+    circuit), and the merged estimate equals the union of the distinct
+    batches — a double-merge would NOT change an HLL union's estimate
+    for identical values, so the gate instead replays a batch with
+    DIFFERENT values under the same id: exactly-once means those new
+    values must NOT appear."""
+    import pyspark.sql.functions as F
+
+    from cassaforte_meter_transmission_gen_spark.streaming.pipeline import (
+        sketch_rollup_batch_fn,
+    )
+
+    table = str(tmp_path / "day_sketches")
+    commits = str(tmp_path / "_commits")
+    fn = sketch_rollup_batch_fn(table, commits)
+
+    def batch(users):
+        return spark.createDataFrame(
+            [("2024-01-01 00:00:00", u) for u in users], "ts string, user_id long"
+        ).select(F.col("ts").cast("timestamp").alias("ts"), "user_id")
+
+    fn(batch(range(0, 100)), 0)
+    fn(batch(range(100, 200)), 1)
+    # replay id 1 with NEW users — must be ignored entirely
+    fn(batch(range(200, 300)), 1)
+
+    stored = spark.read.schema("day timestamp, user_sketch binary").parquet(
+        f"{table}/v=1"
+    )
+    est = stored.select(
+        F.hll_sketch_estimate("user_sketch").alias("e")
+    ).first()["e"]
+    # 200 distinct users; HLL lgK=12 rse ~1.6% — 300 would mean the
+    # replayed batch leaked in
+    assert abs(est - 200) <= 8 + 5 * 0.016 * 200, est
