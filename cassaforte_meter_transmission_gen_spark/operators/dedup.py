@@ -229,6 +229,64 @@ def minhash_near_duplicates(
     )
 
 
+def minhash_incremental_duplicates(
+    corpus: DataFrame,
+    increment: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.7,
+    portable: bool = True,
+) -> DataFrame:
+    """INCREMENTAL near-dup: which NEW documents duplicate the existing
+    corpus — the continuous-ingestion production shape. The increment's
+    band keys join against the corpus's band keys only: never
+    corpus × corpus (the already-deduped history is not re-paired) and
+    never increment × increment (run the symmetric
+    :func:`minhash_near_duplicates` on the increment separately if
+    intra-batch dups matter).
+
+    Scale shape: the increment is small relative to the corpus, so its
+    band keys and shingle sets BROADCAST — the corpus is scanned once
+    for signatures and once for the verify join's shingle fetch, with
+    no corpus-sized shuffle at all. At 100 TB with persisted corpus
+    signatures (the natural incremental refinement) the corpus scan
+    drops to the candidate ids only.
+
+    Returns (new_doc, corpus_doc, jaccard ≥ threshold)."""
+    sh_c = _shingled(corpus, text_col, id_col, n)
+    sh_i = _shingled(increment, text_col, id_col, n)
+    bk_c = _band_keys(_signatures_from_shingles(sh_c, portable)).withColumnRenamed(
+        "doc_id", "corpus_doc"
+    )
+    bk_i = _band_keys(_signatures_from_shingles(sh_i, portable)).withColumnRenamed(
+        "doc_id", "new_doc"
+    )
+    cand = (
+        bk_c.join(F.broadcast(bk_i), ["band_idx", "band_key"])
+        .select("new_doc", "corpus_doc")
+        .distinct()
+    )
+    sa = sh_c.select(
+        F.col("doc_id").alias("corpus_doc"), F.col("shingles").alias("sh_a")
+    )
+    sb = sh_i.select(
+        F.col("doc_id").alias("new_doc"), F.col("shingles").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(sa, "corpus_doc")
+        .join(F.broadcast(sb), "new_doc")
+        .select(
+            "new_doc",
+            "corpus_doc",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash_signatures(
     df: DataFrame,
     text_col: str = "text",

@@ -291,7 +291,11 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- MinHash + LSH near-dup, fully oracle-gated ---
 
-def _minhash_sql(threshold: float = 0.7) -> str:
+def _minhash_sql(threshold: float = 0.7, split: int | None = None) -> str:
+    """Symmetric pairs when ``split`` is None; with ``split`` set, the
+    INCREMENTAL form — corpus (doc_id < split) × increment
+    (doc_id >= split) candidates only, output (new_doc, corpus_doc,
+    jaccard) — mirroring operators.dedup.minhash_incremental_duplicates."""
     p = MINHASH_PRIME
     mins = ",\n         ".join(
         f"MIN(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {p}) AS m{i}"
@@ -329,9 +333,12 @@ bands AS (
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
-    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND {f"a.doc_id < {split} AND b.doc_id >= {split}" if split is not None
+        else "a.doc_id < b.doc_id"}
 )
-SELECT doc_a, doc_b, jaccard FROM (
+SELECT {"doc_b AS new_doc, doc_a AS corpus_doc" if split is not None
+        else "doc_a, doc_b"}, jaccard FROM (
   SELECT doc_a, doc_b,
          CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
            / CAST(len(sa.shingles) + len(sb.shingles)
@@ -1158,4 +1165,27 @@ def text_lang_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(thr), "lang")
         .filter(F.col("b") < F.col("thr"))
         .select("doc_id", "lang")
+    )
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=_minhash_sql(split=400),
+    tags=("dedup", "minhash", "incremental", "scale"),
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup (operators.dedup.minhash_incremental_duplicates):
+    an arriving batch (doc_id ≥ 400) checked against the existing
+    corpus (doc_id < 400) only — the continuous-ingestion shape: the
+    deduped history is never re-paired with itself, and the small
+    increment's band keys and shingles broadcast, so the corpus incurs
+    no shuffle. Value-hash gated via the split form of the generated
+    MinHash oracle."""
+    from ..operators.dedup import minhash_incremental_duplicates
+
+    d = _docs(spark, sf_dir)
+    return minhash_incremental_duplicates(
+        d.filter(F.col("doc_id") < 400),
+        d.filter(F.col("doc_id") >= 400),
+        threshold=0.7,
     )

@@ -186,3 +186,13 @@ def test_repetition_filter_is_narrow_map(spark, sf_small):
     Exchange would shuffle the full corpus at 100 TB for no reason."""
     plan = _plan(REGISTRY["text_repetition_filter"].fn(spark, sf_small))
     assert "Exchange" not in plan, plan
+
+
+def test_incremental_minhash_broadcasts_increment(spark, sf_small):
+    """dedup_incremental_minhash: the arriving batch's band keys and
+    shingles broadcast; the corpus side never self-joins and never
+    cartesians — the whole point of the incremental form is zero
+    corpus-sized shuffle."""
+    plan = _plan(REGISTRY["dedup_incremental_minhash"].fn(spark, sf_small))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
