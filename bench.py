@@ -56,6 +56,7 @@ SCALE_PATHS = [
     "ann_ivf_topk",
     "ann_int8_quantized_topk",
     "dedup_semantic_clusters",
+    "dedup_incremental_minhash",
 ]
 
 
