@@ -393,16 +393,26 @@ def embedding_cosine_duplicates(
     baseline; use :func:`embedding_cosine_duplicates_lsh` at scale.
 
     Returns (dup_a, dup_b, cosine)."""
-    from .similarity import cosine
+    from .similarity import cosine_pre, l2_norm
 
-    a = vectors.select(F.col(id_col).alias("dup_a"), F.col(vec_col).alias("va"))
-    b = vectors.select(F.col(id_col).alias("dup_b"), F.col(vec_col).alias("vb"))
+    a = vectors.select(
+        F.col(id_col).alias("dup_a"),
+        F.col(vec_col).alias("va"),
+        l2_norm(F.col(vec_col)).alias("na"),
+    )
+    b = vectors.select(
+        F.col(id_col).alias("dup_b"),
+        F.col(vec_col).alias("vb"),
+        l2_norm(F.col(vec_col)).alias("nb"),
+    )
     return (
         a.join(b, F.col("dup_a") < F.col("dup_b"))
         .select(
             "dup_a",
             "dup_b",
-            cosine(F.col("va"), F.col("vb")).alias("cosine"),
+            cosine_pre(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -469,18 +479,28 @@ def embedding_cosine_duplicates_lsh(
     ≈ 1-(1-0.795⁸)¹⁶ ≈ 0.94 while pruning candidates to
     ≈ 16·0.5⁸ ≈ 6% of pairs — that is the 100 TB configuration
     (measured: see :func:`embedding_cosine_lsh_stats`)."""
-    from .similarity import cosine
+    from .similarity import cosine_pre, l2_norm
 
     cand = _lsh_candidate_pairs(vectors, n_tables, n_planes, id_col, vec_col, dim)
-    va = vectors.select(F.col(id_col).alias("dup_a"), F.col(vec_col).alias("va"))
-    vb = vectors.select(F.col(id_col).alias("dup_b"), F.col(vec_col).alias("vb"))
+    va = vectors.select(
+        F.col(id_col).alias("dup_a"),
+        F.col(vec_col).alias("va"),
+        l2_norm(F.col(vec_col)).alias("na"),
+    )
+    vb = vectors.select(
+        F.col(id_col).alias("dup_b"),
+        F.col(vec_col).alias("vb"),
+        l2_norm(F.col(vec_col)).alias("nb"),
+    )
     return (
         cand.join(va, "dup_a")
         .join(vb, "dup_b")
         .select(
             "dup_a",
             "dup_b",
-            cosine(F.col("va"), F.col("vb")).alias("cosine"),
+            cosine_pre(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -517,18 +537,29 @@ def embedding_cosine_lsh_stats(
     aggregation) — a separate ``matches`` subtree would recompute the
     signature/bucket/distinct chain a second time (measured ≈ 2× the
     whole query)."""
-    from .similarity import cosine
+    from .similarity import cosine_pre, l2_norm
 
     cand = _lsh_candidate_pairs(vectors, n_tables, n_planes, id_col, vec_col, dim)
-    va = vectors.select(F.col(id_col).alias("dup_a"), F.col(vec_col).alias("va"))
-    vb = vectors.select(F.col(id_col).alias("dup_b"), F.col(vec_col).alias("vb"))
+    va = vectors.select(
+        F.col(id_col).alias("dup_a"),
+        F.col(vec_col).alias("va"),
+        l2_norm(F.col(vec_col)).alias("na"),
+    )
+    vb = vectors.select(
+        F.col(id_col).alias("dup_b"),
+        F.col(vec_col).alias("vb"),
+        l2_norm(F.col(vec_col)).alias("nb"),
+    )
     cand_stats = (
         cand.join(va, "dup_a")
         .join(vb, "dup_b")
         .agg(
             F.count("*").alias("n_candidates"),
             F.sum(
-                (cosine(F.col("va"), F.col("vb")) >= threshold).cast("long")
+                (
+                    cosine_pre(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+                    >= threshold
+                ).cast("long")
             ).alias("n_matches"),
         )
     )
@@ -574,7 +605,12 @@ def semantic_duplicates_clustered(
     join are all deterministic given the data, so the serial SQL dual
     (plans.vector_oracles.dedup_semantic_clusters_sql) re-derives the
     identical pair set bit for bit."""
-    from .similarity import assign_to_centroid, cosine, kmeans_centroids
+    from .similarity import (
+        assign_to_centroid,
+        cosine_pre,
+        kmeans_centroids,
+        l2_norm,
+    )
 
     centroids = kmeans_centroids(
         vectors,
@@ -597,15 +633,25 @@ def semantic_duplicates_clustered(
         .filter(F.col("dup_a") < F.col("dup_b"))
         .select("dup_a", "dup_b")
     )
-    va = vectors.select(F.col(id_col).alias("dup_a"), F.col(vec_col).alias("va"))
-    vb = vectors.select(F.col(id_col).alias("dup_b"), F.col(vec_col).alias("vb"))
+    va = vectors.select(
+        F.col(id_col).alias("dup_a"),
+        F.col(vec_col).alias("va"),
+        l2_norm(F.col(vec_col)).alias("na"),
+    )
+    vb = vectors.select(
+        F.col(id_col).alias("dup_b"),
+        F.col(vec_col).alias("vb"),
+        l2_norm(F.col(vec_col)).alias("nb"),
+    )
     return (
         cand.join(va, "dup_a")
         .join(vb, "dup_b")
         .select(
             "dup_a",
             "dup_b",
-            cosine(F.col("va"), F.col("vb")).alias("cosine"),
+            cosine_pre(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= F.lit(threshold))
     )

