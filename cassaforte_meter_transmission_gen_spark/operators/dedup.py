@@ -215,15 +215,29 @@ def minhash_near_duplicates(
     )
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
+    # two-step select so the intersection is computed ONCE per pair:
+    # jaccard references it in numerator AND denominator, and inlining
+    # the array_intersect into both (the single-select form) doubles
+    # the per-pair set work (CollapseProject keeps this split — the
+    # producer is non-cheap and referenced twice)
+    sized = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("__i"),
+            (F.size("sh_a") + F.size("sh_b")).alias("__t"),
+        )
+    )
+    return (
+        sized.select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("__i").cast("double")
+                / (F.col("__t") - F.col("__i")).cast("double")
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -273,15 +287,25 @@ def minhash_incremental_duplicates(
     sb = sh_i.select(
         F.col("doc_id").alias("new_doc"), F.col("shingles").alias("sh_b")
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
+    # same one-eval intersection split as minhash_near_duplicates
+    sized = (
         cand.join(sa, "corpus_doc")
         .join(F.broadcast(sb), "new_doc")
         .select(
             "new_doc",
             "corpus_doc",
-            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("__i"),
+            (F.size("sh_a") + F.size("sh_b")).alias("__t"),
+        )
+    )
+    return (
+        sized.select(
+            "new_doc",
+            "corpus_doc",
+            (
+                F.col("__i").cast("double")
+                / (F.col("__t") - F.col("__i")).cast("double")
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
