@@ -267,3 +267,123 @@ def events_asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFra
     return asof_join(
         purch, clicks, on=["user_id"], value_cols=["value"]
     )
+
+
+@register(
+    "events_funnel_view_click_purchase",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click'
+    AND e.ts >= v.t1 AND e.ts <= v.t1 + INTERVAL 24 HOUR
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase'
+    AND e.ts >= c.t2 AND e.ts <= c.t2 + INTERVAL 24 HOUR
+  GROUP BY e.user_id
+)
+SELECT 1 AS step, 'view' AS event_type, CAST(count(*) AS BIGINT) AS users FROM v
+UNION ALL
+SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM c
+UNION ALL
+SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM p
+""",
+    tags=("events", "funnel", "sequential"),
+)
+def events_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel analysis: users whose first 'view' is followed
+    by a 'click' within 24 h, then a 'purchase' within 24 h of that
+    click — the ordered-steps product-analytics shape (each step's
+    timestamp must be at-or-after the previous step's). Three narrow
+    per-user min-aggregations chained by broadcast-sized joins — one
+    shuffle per step on user_id, no self cross-product, no window over
+    the full event table. Returns one row per step: (step, event_type,
+    users)."""
+    ev = _ev(spark, sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def step(df: DataFrame, n: int, et: str) -> DataFrame:
+        return df.agg(F.count("*").cast("long").alias("users")).select(
+            F.lit(n).alias("step"), F.lit(et).alias("event_type"), "users"
+        )
+
+    return step(v, 1, "view").unionByName(step(c, 2, "click")).unionByName(
+        step(p, 3, "purchase")
+    )
+
+
+@register(
+    "events_weekly_retention_cohorts",
+    oracle="""
+WITH wk AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events
+)
+SELECT a.week,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS active_users,
+       CAST(count(DISTINCT b.user_id) AS BIGINT) AS retained_next_week
+FROM wk a LEFT JOIN wk b
+  ON b.user_id = a.user_id AND b.week = a.week + INTERVAL 7 DAY
+GROUP BY a.week
+""",
+    tags=("events", "retention", "cohort"),
+)
+def events_weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week retention: of the users active in week W, how
+    many are also active in week W+1 — the cohort-retention shape. One
+    distinct pass builds the (user, week) activity set; the next-week
+    presence is a self equi-join on (user, week+7d) — narrow keys only,
+    never the event rows. Returns (week, active_users,
+    retained_next_week)."""
+    ev = _ev(spark, sf_dir)
+    wk = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    ).distinct()
+    nxt = wk.select(
+        F.col("user_id").alias("b_user"), F.col("week").alias("b_week")
+    )
+    return (
+        wk.join(
+            nxt,
+            (F.col("b_user") == F.col("user_id"))
+            & (F.col("b_week") == F.date_add(F.col("week"), 7)),
+            "left",
+        )
+        .groupBy("week")
+        .agg(
+            F.count_distinct("user_id").alias("active_users"),
+            F.count_distinct("b_user").alias("retained_next_week"),
+        )
+    )
