@@ -288,3 +288,44 @@ def test_int8_quantization_codes_bounded_and_deterministic(spark, vecs):
     for codes, scale in out1.values():
         assert scale > 0.0
         assert all(-128 <= c <= 127 for c in codes), (codes, scale)
+
+
+@given(
+    st.lists(st.integers(0, 2**40), min_size=1, max_size=50, unique=True),
+    st.integers(1, 64),
+    st.integers(1, 16),
+)
+def test_train_sample_sql_matches_python_model(ids, denom, floor_ids):
+    """The training-sample predicate (operators.similarity.
+    train_sample_sql) must select exactly the ids the pure-Python model
+    selects when DuckDB evaluates it — the engine-agreement half of the
+    sampled-training oracle contract (the Spark half is covered by the
+    ann_ivf_* parity gates). Exercises ids far beyond the corpus range,
+    including > 2^31 where the pre-reduction mod matters."""
+    import duckdb
+
+    from cassaforte_meter_transmission_gen_spark.operators.similarity import (
+        TRAIN_HASH_A,
+        TRAIN_HASH_ID_MOD,
+        TRAIN_HASH_MOD,
+        train_sample_sql,
+    )
+
+    threshold = TRAIN_HASH_MOD // denom
+    want = {
+        i
+        for i in ids
+        if ((i % TRAIN_HASH_ID_MOD) * TRAIN_HASH_A) % TRAIN_HASH_MOD < threshold
+        or i < floor_ids
+    }
+    con = duckdb.connect()
+    vals = ", ".join(f"({i})" for i in ids)
+    got = {
+        r[0]
+        for r in con.sql(
+            f"SELECT vec_id FROM (VALUES {vals}) t(vec_id)"
+            f" WHERE {train_sample_sql('vec_id', denom, floor_ids)}"
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
