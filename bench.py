@@ -60,6 +60,20 @@ SCALE_PATHS = [
 ]
 
 
+def _scan_metrics(node, out: list) -> None:
+    """Collect per-Scan metric maps from an executed plan tree — the
+    measured partitions/files evidence behind the pruning claims."""
+    if "Scan" in node.nodeName():
+        m, keys = node.metrics(), node.metrics().keys().iterator()
+        d = {}
+        while keys.hasNext():
+            k = keys.next()
+            d[k] = m.apply(k).value()
+        out.append(d)
+    for i in range(node.children().size()):
+        _scan_metrics(node.children().apply(i), out)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -164,17 +178,6 @@ def main() -> None:
             rows_out = q.count()
             q.collect()
 
-            def _scan_metrics(node, out):
-                if "Scan" in node.nodeName():
-                    m, keys = node.metrics(), node.metrics().keys().iterator()
-                    d = {}
-                    while keys.hasNext():
-                        k = keys.next()
-                        d[k] = m.apply(k).value()
-                    out.append(d)
-                for i in range(node.children().size()):
-                    _scan_metrics(node.children().apply(i), out)
-
             scans: list[dict] = []
             _scan_metrics(q._jdf.queryExecution().executedPlan(), scans)
             flagship_prune = {
@@ -187,6 +190,57 @@ def main() -> None:
             shutil.rmtree(lay, ignore_errors=True)
     except Exception as exc:  # noqa: BLE001
         errors["flagship_prune"] = f"{type(exc).__name__}: {exc}"[:500]
+
+    # the IVF storage-layout claim, measured like flagship_prune: the
+    # embedding table persisted as an inverted file (one directory per
+    # k-means cell) must serve a 4-of-16-probe ANN read by scanning
+    # ~4/16 of the partitions/files — probing prunes DIRECTORIES, not
+    # rows, which is the 100 TB form of ann_ivf_topk's candidate
+    # reduction.
+    ivf_prune = None
+    try:
+        from pyspark.sql import functions as F
+
+        from cassaforte_meter_transmission_gen_spark.operators.similarity import (
+            assign_probes,
+            kmeans_centroids,
+        )
+        from cassaforte_meter_transmission_gen_spark.schemas import load_table
+        from cassaforte_meter_transmission_gen_spark.sources.layout import (
+            read_ivf_partitioned,
+            write_ivf_partitioned,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = kmeans_centroids(emb, n_clusters=16, train_sample_denom="auto")
+        ivf_dir = tempfile.mkdtemp(prefix="bench_ivf_layout_")
+        try:
+            write_ivf_partitioned(emb, ivf_dir, cents)
+            probes = [
+                r["p"]
+                for r in assign_probes(
+                    emb.filter(F.col("vec_id") == 0), cents, n_probes=4
+                )
+                .select(F.explode("probe_ids").alias("p"))
+                .collect()
+            ]
+            q = read_ivf_partitioned(spark, ivf_dir).filter(
+                F.col("cluster_id").isin(probes)
+            )
+            rows_out = q.count()
+            q.collect()
+            scans: list[dict] = []
+            _scan_metrics(q._jdf.queryExecution().executedPlan(), scans)
+            ivf_prune = {
+                "partitions_total": 16,
+                "partitions_read": scans[0]["numPartitions"],
+                "files_read": scans[0]["numFiles"],
+                "rows_out": rows_out,
+            }
+        finally:
+            shutil.rmtree(ivf_dir, ignore_errors=True)
+    except Exception as exc:  # noqa: BLE001
+        errors["ivf_prune"] = f"{type(exc).__name__}: {exc}"[:500]
 
     # the write-heavy ingest benchmark runs AFTER the query loop: its
     # 28800 × 15k-float raw arrays leave the heap under GC pressure
@@ -279,6 +333,7 @@ def main() -> None:
                 "scale_path_queries": scale_times,
                 "lsh_hi_candidate_pruning": lsh_hi_stats,
                 "flagship_prune": flagship_prune,
+                "ivf_prune": ivf_prune,
                 "errors": errors,
                 "sf": sf,
                 "ingest_five_tables_sec": ingest_sec,

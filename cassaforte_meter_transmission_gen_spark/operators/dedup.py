@@ -219,7 +219,10 @@ def minhash_near_duplicates(
     # jaccard references it in numerator AND denominator, and inlining
     # the array_intersect into both (the single-select form) doubles
     # the per-pair set work (CollapseProject keeps this split — the
-    # producer is non-cheap and referenced twice)
+    # producer is non-cheap and referenced twice). At sf0.1 the verify
+    # is ~10² pairs so this is inside noise; at real candidate volumes
+    # (millions of pairs, 50-100-shingle sets) the intersection IS the
+    # verify cost
     sized = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")

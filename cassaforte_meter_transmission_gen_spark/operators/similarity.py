@@ -116,8 +116,10 @@ def cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
     (same fold produces ``na``/``nb``, same division order), but norms
     are computed once per VECTOR before a join instead of once per
     PAIR after it: a near-quadratic candidate verify does one fold per
-    pair (the dot) instead of three. Measured at sf0.1: LSH dedup
-    6.6 → 4.1 s, brute-force top-k 0.67 → 0.33 s, end to end."""
+    pair (the dot) instead of three. Measured bench-to-bench at sf0.1
+    (2M candidate pairs): LSH dedup 6.6 → 4.5 s, semantic dedup
+    6.3 → 4.7 s; on the small-candidate ANN paths the saving is inside
+    run-to-run noise — it grows with candidate volume."""
     return dot(a, b) / (na * nb)
 
 
@@ -533,9 +535,10 @@ def assign_to_centroid(
     # lexicographic, so the minimum is (lowest d, then lowest cid) —
     # exactly the keep-first-strict-min tie-break of the previous
     # explicit fold, with each distance evaluated ONCE instead of twice
-    # (the fold's condition + struct both re-evaluated dist) — with the
-    # norm precompute, ivf_topk 4.6 → 3.9 s and semantic dedup
-    # 6.3 → 4.3 s at sf0.1, bit-identical output.
+    # (the fold's condition + struct both re-evaluated dist) — halves
+    # the assignment pass's distance work with bit-identical output
+    # (the n_iters+1 full-table assignment scans are where IVF spends
+    # its time at scale).
     best = F.array_min(
         F.transform(
             cents,

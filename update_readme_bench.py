@@ -77,6 +77,13 @@ def render(b: dict, src_name: str) -> str:
             f"read for the 6-hour/2-meter range query "
             f"({fp['rows_out']:,} rows)."
         )
+    ivf = b.get("ivf_prune")
+    if ivf:
+        lines.append(
+            f"- **IVF layout pruning**: {ivf['partitions_read']}/"
+            f"{ivf['partitions_total']} cells, {ivf['files_read']} files read "
+            f"for a 4-probe ANN scan ({ivf['rows_out']:,} rows)."
+        )
     lsh = b.get("lsh_hi_candidate_pruning")
     if lsh:
         lines.append(
