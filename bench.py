@@ -55,6 +55,7 @@ SCALE_PATHS = [
     "ann_lsh_bucketed_topk",
     "ann_ivf_topk",
     "ann_int8_quantized_topk",
+    "ann_pq_topk",
     "dedup_semantic_clusters",
     "dedup_incremental_minhash",
 ]

@@ -654,3 +654,234 @@ def assign_probes(
     return queries.withColumn(
         "probe_ids", F.transform(probes, lambda s: s["cid"])
     )
+
+
+# --- PQ (product quantization) ANN: the asymmetric-distance scale path ---
+
+
+def pq_codebooks(
+    vectors: DataFrame,
+    n_subspaces: int = 16,
+    n_codes: int = 16,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    train_sample_denom: int | str | None = None,
+) -> list[list[list[float]]]:
+    """Train one deterministic codebook per subspace: split each vector
+    into ``n_subspaces`` contiguous ``dim / n_subspaces``-dim blocks and
+    run the same fixed-point k-means (:func:`kmeans_centroids`) on each
+    block independently — the PQ trainer of Jégou et al.'s product
+    quantization, expressed as ``n_subspaces`` short DataFrame job
+    chains. Everything that made IVF training bit-reproducible carries
+    over per subspace (smallest-id init, argmin assignment, integer-sum
+    update), so the DuckDB oracle re-derives all codebooks exactly
+    (plans.vector_oracles.ann_pq_topk_sql unrolls one k-means CTE chain
+    per subspace over the sliced vectors).
+
+    ``train_sample_denom`` is resolved ONCE here (``"auto"`` from a
+    single count) and shared by every subspace — one training-sample
+    id set, n_subspaces codebooks. Only the codebooks
+    (n_subspaces × n_codes × sub floats) reach the driver."""
+    sub = dim // n_subspaces
+    if train_sample_denom == "auto":
+        train_sample_denom = auto_train_denom(vectors.count(), n_codes)
+    books: list[list[list[float]]] = []
+    for j in range(n_subspaces):
+        sv = vectors.select(
+            F.col(id_col),
+            F.slice(_as_double(F.col(vec_col)), j * sub + 1, sub).alias(vec_col),
+        )
+        books.append(
+            kmeans_centroids(
+                sv,
+                n_clusters=n_codes,
+                n_iters=n_iters,
+                id_col=id_col,
+                vec_col=vec_col,
+                dim=sub,
+                train_sample_denom=train_sample_denom,
+            )
+        )
+    return books
+
+
+def _argmin_code(svec: Column, book: list[list[float]]) -> Column:
+    """Argmin-distance code for one subvector against one codebook —
+    the same array_min-over-(d, cid)-structs expression as
+    :func:`assign_to_centroid` (lowest distance, ties to lowest cid),
+    inlined so one select can emit every subspace's code."""
+    cents = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cid"),
+                F.lit([float(x) for x in c]).alias("cv"),
+            )
+            for i, c in enumerate(book)
+        ]
+    )
+    best = F.array_min(
+        F.transform(
+            cents,
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(svec, c["cv"], lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+    return best["cid"]
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as ``n_subspaces`` small integer codes —
+    (id, code_0..code_{m-1}), the NARROW representation that travels
+    through the candidate join. At 64 dims / 4 subspaces / 16 codes the
+    encoded table is ~4 bytes a row against 256 for float32 vectors:
+    the 100 TB candidate scan reads codes, never embeddings. One
+    projection, no shuffle, no Python."""
+    sub = len(codebooks[0][0])
+    cols: list[Column] = [F.col(id_col)]
+    for j, book in enumerate(codebooks):
+        svec = F.slice(_as_double(F.col(vec_col)), j * sub + 1, sub)
+        cols.append(_argmin_code(svec, book).alias(f"code_{j}"))
+    return vectors.select(*cols)
+
+
+def pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_subspaces: int = 16,
+    n_codes: int = 16,
+    n_iters: int = 3,
+    rerank_factor: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    train_sample_denom: int | str | None = "auto",
+) -> DataFrame:
+    """ANN via product quantization with asymmetric distance
+    computation (ADC) + exact rerank — the fourth scale path next to
+    LSH buckets, IVF probing, and int8 scalar quantization:
+
+    - TRAIN: one codebook per subspace (:func:`pq_codebooks`);
+    - ENCODE: each candidate becomes ``n_subspaces`` integer codes
+      (:func:`pq_encode`) — the only per-candidate state the scoring
+      join touches;
+    - SCORE (ADC): per query and subspace, precompute the dot product
+      of the query subvector with every codebook entry (an
+      ``n_codes``-slot lookup table, built once per query on the
+      broadcast side); a candidate's approximate dot is then
+      ``n_subspaces`` array lookups + adds — no per-pair fold over the
+      64 dims at all, which is the whole point of ADC at 100 TB;
+    - RERANK: the top ``k * rerank_factor`` band per approximate
+      cosine (reconstructed-norm denominator, same lookup trick) is
+      rescored with the exact cosine on full vectors re-attached by id.
+
+    Deterministic end to end — codebooks are fixed-point k-means,
+    lookup tables and the 4-term sums evaluate in fixed subspace order
+    — so even the approximate band is value-hash reproducible by the
+    serial DuckDB oracle (plans.vector_oracles.ann_pq_topk_sql).
+
+    Returns (query_id, neighbor_id, cosine, rank ≤ k) with EXACT
+    cosines; only the ranking beyond the band is approximate."""
+    books = pq_codebooks(
+        vectors,
+        n_subspaces=n_subspaces,
+        n_codes=n_codes,
+        n_iters=n_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        train_sample_denom=train_sample_denom,
+    )
+    sub = dim // n_subspaces
+    codes = pq_encode(vectors, books, id_col, vec_col)
+
+    qcols: list[Column] = [
+        F.col(id_col).alias("query_id"),
+        l2_norm(F.col(vec_col)).alias("q_nrm"),
+    ]
+    # closure factory, NOT a defaulted second lambda arg: F.transform
+    # treats a 2-parameter lambda as (element, index) and would bind
+    # the query subvector slot to the array index
+    def _dt_fn(qs: Column):
+        return lambda cv: F.aggregate(
+            F.zip_with(qs, cv, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    for j, book in enumerate(books):
+        bl = F.lit([[float(x) for x in c] for c in book])
+        qsub = F.slice(_as_double(F.col(vec_col)), j * sub + 1, sub)
+        qcols.append(F.transform(bl, _dt_fn(qsub)).alias(f"dt_{j}"))
+        # reconstructed-norm² table: ||codebook[j][c]||² per code, the
+        # same sequential sum-of-squares fold as l2_norm (pre-sqrt)
+        qcols.append(
+            F.transform(
+                bl,
+                lambda cv: F.aggregate(
+                    cv, F.lit(0.0), lambda acc, x: acc + x * x
+                ),
+            ).alias(f"rn_{j}")
+        )
+    q = queries.select(*qcols)
+
+    adot = F.element_at(F.col("dt_0"), F.col("code_0") + 1)
+    rsum = F.element_at(F.col("rn_0"), F.col("code_0") + 1)
+    for j in range(1, n_subspaces):
+        adot = adot + F.element_at(F.col(f"dt_{j}"), F.col(f"code_{j}") + 1)
+        rsum = rsum + F.element_at(F.col(f"rn_{j}"), F.col(f"code_{j}") + 1)
+
+    approx = (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            (adot / (F.col("q_nrm") * F.sqrt(rsum))).alias("ascore"),
+        )
+    )
+    wa = W.partitionBy("query_id").orderBy(F.desc("ascore"), "neighbor_id")
+    band = (
+        approx.withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") <= k * rerank_factor)
+        .select("query_id", "neighbor_id")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("qr_nrm"),
+    )
+    cv = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("cr_nrm"),
+    )
+    rescored = (
+        band.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_pre(
+                F.col("q_vec"), F.col("c_vec"), F.col("qr_nrm"), F.col("cr_nrm")
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        rescored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

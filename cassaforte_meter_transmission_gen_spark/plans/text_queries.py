@@ -1189,3 +1189,109 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("doc_id") >= 400),
         threshold=0.7,
     )
+
+
+#: duplicated-span window width (tokens) — long enough that a shared
+#: window means copied text, short enough that the synthetic corpus
+#: still contains organic duplication to find
+SPAN_WINDOW = 8
+
+#: Knuth multiplicative constants for the deterministic corpus shuffle
+#: (same pair as operators.similarity's training sample — pure int64
+#: arithmetic, identical in both engines)
+SHUFFLE_HASH_A = 2654435761
+SHUFFLE_HASH_MOD = 1 << 32
+SHUFFLE_ID_MOD = 1 << 31
+N_SHARDS = 16
+
+
+@register(
+    "dedup_duplicated_ngram_spans",
+    oracle=f"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+           FROM documents),
+w AS (
+  SELECT doc_id, md5(array_to_string(toks[i:i+{SPAN_WINDOW - 1}], ' ')) AS fp
+  FROM t CROSS JOIN UNNEST(range(1, len(toks) - {SPAN_WINDOW} + 2)) AS u(i)
+  WHERE len(toks) >= {SPAN_WINDOW}
+)
+SELECT fp, CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       min(doc_id) AS first_doc
+FROM w GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+""",
+    tags=("dedup", "text", "substring", "spans"),
+)
+def dedup_duplicated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated token windows — the exact-substring
+    dedup shape of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), approximated at n-gram granularity: every
+    8-token window (SPAN_WINDOW) is fingerprinted (md5 — the portable
+    hash family the MinHash oracle established) and windows appearing
+    in ≥ 2 distinct documents are reported with occurrence counts and
+    an exemplar doc. At 100 TB this is one explode + one hash-keyed
+    aggregation: the shuffle carries (32-char fp, doc_id) — never the
+    text — and map-side partial aggregation collapses each document's
+    repeats before the exchange. Downstream removal is a semi-join of
+    (doc, pos) against the flagged fps."""
+    d = _docs(spark, sf_dir)
+    W = SPAN_WINDOW
+    toks = d.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= W
+    )
+    spans = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (W - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i, W))),
+            )
+        ).alias("fp"),
+    )
+    return (
+        spans.groupBy("fp")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+@register(
+    "pipeline_shuffle_shard_assignment",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id,
+         (((doc_id % {SHUFFLE_ID_MOD}) * {SHUFFLE_HASH_A})
+          % {SHUFFLE_HASH_MOD}) AS hv
+  FROM documents
+)
+SELECT doc_id,
+       CAST(hv % {N_SHARDS} AS INT) AS shard_id,
+       CAST(row_number() OVER (PARTITION BY hv % {N_SHARDS}
+                               ORDER BY hv, doc_id) AS INT) AS shard_pos
+FROM h
+""",
+    tags=("pipeline", "shuffle", "sharding"),
+)
+def pipeline_shuffle_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle into N_SHARDS=16 training
+    shards: shard = Knuth-hash(doc_id) mod N, position within shard =
+    rank by (hash, doc_id) — a seedless, replayable permutation (the
+    property a resumable 100 TB training job needs: any shard can be
+    regenerated independently and identically). The shuffle carries
+    only (doc_id, int64 hash); at scale the physical write is
+    ``repartition(N, shard_id)`` + ``sortWithinPartitions(hv,
+    doc_id)``, so the window here never becomes a global sort — each
+    shard orders locally."""
+    d = load_table(spark, sf_dir, "documents")
+    hv = ((F.col("doc_id") % SHUFFLE_ID_MOD) * SHUFFLE_HASH_A) % SHUFFLE_HASH_MOD
+    h = d.select("doc_id", hv.alias("hv"))
+    w = Window.partitionBy(F.col("hv") % N_SHARDS).orderBy("hv", "doc_id")
+    return h.select(
+        "doc_id",
+        (F.col("hv") % N_SHARDS).cast("int").alias("shard_id"),
+        F.row_number().over(w).cast("int").alias("shard_pos"),
+    )

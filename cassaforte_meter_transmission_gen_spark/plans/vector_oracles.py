@@ -184,12 +184,12 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
 """
 
 
-def _sq_dist(v: str, cv: str) -> str:
+def _sq_dist(v: str, cv: str, dim: int = DIM) -> str:
     """Sequential-fold squared-L2 — mirrors the zip_with/aggregate fold
     in operators.similarity.assign_to_centroid."""
     return (
         "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
-        f" list_transform(range(1, {DIM + 1}),"
+        f" list_transform(range(1, {dim + 1}),"
         f" i -> ({v}[i] - {cv}[i]) * ({v}[i] - {cv}[i]))),"
         " (acc, x) -> acc + x)"
     )
@@ -199,13 +199,18 @@ def _kmeans_chain(
     n_clusters: int,
     n_iters: int,
     train_sample_denom: int | str | None,
+    prefix: str = "",
+    src: str = "e",
+    dim: int = DIM,
 ) -> tuple[list[str], str]:
     """The deterministic k-means training loop unrolled as CTEs (init =
     the ``n_clusters`` smallest vec_ids of the training set; assign =
     argmin sequential-fold squared-L2 with first-min tie-break; update
-    = fixed-point integer mean). Assumes a prior ``e(vec_id, v)`` CTE.
-    Returns (cte_parts, final_centroid_cte_name) — shared by the IVF
-    ANN oracle and the clustered semantic-dedup oracle.
+    = fixed-point integer mean). Assumes a prior ``{src}(vec_id, v)``
+    CTE with ``dim``-element vectors. Returns (cte_parts,
+    final_centroid_cte_name) — shared by the IVF ANN oracle, the
+    clustered semantic-dedup oracle, and (``prefix``-ed, one chain per
+    subspace over sliced vectors) the PQ oracle.
 
     ``train_sample_denom`` mirrors the Spark plan's training sample
     exactly: ``"auto"`` re-derives the denominator IN SQL from the same
@@ -223,61 +228,62 @@ def _kmeans_chain(
     )
 
     s = _dlit(KMEANS_SCALE)
+    p = prefix
     parts: list[str] = []
     if train_sample_denom is None:
-        train = "e"
+        train = src
     elif train_sample_denom == "auto":
         # denom = greatest(1, n // (target * k)): same integer division
         # as the Python-side auto_train_denom, evaluated on the same
         # table — the two engines stay in lockstep at any sf. With
         # denom 1 the hash predicate is trivially true (hash < 2^32),
-        # so tr ≡ e exactly when the Spark side skips the filter.
+        # so tr ≡ src exactly when the Spark side skips the filter.
         t = AUTO_TRAIN_TARGET_PER_CLUSTER * n_clusters
-        parts.append(f"""den AS (SELECT greatest(1, count(*) // {t}) AS d FROM e),
-tr AS (
-  SELECT e.vec_id, e.v FROM e, den
+        parts.append(f"""{p}den AS (SELECT greatest(1, count(*) // {t}) AS d FROM {src}),
+{p}tr AS (
+  SELECT e.vec_id, e.v FROM {src} e, {p}den
   WHERE (((e.vec_id % {TRAIN_HASH_ID_MOD}) * {TRAIN_HASH_A})
-         % {TRAIN_HASH_MOD}) < ({TRAIN_HASH_MOD} // den.d)
+         % {TRAIN_HASH_MOD}) < ({TRAIN_HASH_MOD} // {p}den.d)
      OR e.vec_id < {n_clusters}
 ),""")
-        train = "tr"
+        train = f"{p}tr"
     else:
-        parts.append(f"""tr AS (
-  SELECT vec_id, v FROM e
+        parts.append(f"""{p}tr AS (
+  SELECT vec_id, v FROM {src}
   WHERE {train_sample_sql('vec_id', train_sample_denom, n_clusters)}
 ),""")
-        train = "tr"
+        train = f"{p}tr"
     # init: row_number over vec_id order — cid i = i-th smallest id
-    parts.append(f"""c0 AS (
+    parts.append(f"""{p}c0 AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid, v AS cv
   FROM (SELECT vec_id, v FROM {train} ORDER BY vec_id LIMIT {n_clusters})
 ),""")
-    prev = "c0"
+    prev = f"{p}c0"
     for it in range(1, n_iters + 1):
         # assign: argmin distance, ties to the lowest cid (identical to
         # the Spark fold's keep-first-strict-min behavior)
-        parts.append(f"""a{it} AS (
+        parts.append(f"""{p}a{it} AS (
   SELECT s.vec_id, (array_agg(s.cid ORDER BY s.d, s.cid))[1] AS cluster_id
-  FROM (SELECT e.vec_id, c.cid, {_sq_dist('e.v', 'c.cv')} AS d
+  FROM (SELECT e.vec_id, c.cid, {_sq_dist('e.v', 'c.cv', dim)} AS d
         FROM {train} e CROSS JOIN {prev} c) s
   GROUP BY s.vec_id
 ),""")
         # update: fixed-point integer sums per (cluster, dimension)
-        parts.append(f"""m{it} AS (
+        parts.append(f"""{p}m{it} AS (
   SELECT a.cluster_id AS cid, i,
          CAST(CAST(SUM(CAST(floor(e.v[i] * {s}) AS BIGINT)) AS BIGINT)
               AS DOUBLE) / {s} / count(*) AS m
-  FROM a{it} a JOIN {train} e USING (vec_id) CROSS JOIN range(1, {DIM + 1}) t(i)
+  FROM {p}a{it} a JOIN {train} e USING (vec_id) CROSS JOIN range(1, {dim + 1}) t(i)
   GROUP BY a.cluster_id, i
 ),""")
         # assemble: empty clusters keep the previous centroid
-        parts.append(f"""c{it} AS (
+        parts.append(f"""{p}c{it} AS (
   SELECT p.cid, COALESCE(mm.cv, p.cv) AS cv
   FROM {prev} p LEFT JOIN (
-    SELECT cid, array_agg(m ORDER BY i) AS cv FROM m{it} GROUP BY cid
+    SELECT cid, array_agg(m ORDER BY i) AS cv FROM {p}m{it} GROUP BY cid
   ) mm USING (cid)
 ),""")
-        prev = f"c{it}"
+        prev = f"{p}c{it}"
     return parts, prev
 
 
@@ -452,3 +458,130 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
 """
+
+
+def _dot_sub(a: str, b: str, dim: int) -> str:
+    """Sequential-fold dot over ``dim``-element lists — mirrors the
+    zip_with/aggregate fold the PQ lookup tables use."""
+    return (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        f" list_transform(range(1, {dim + 1}),"
+        f" i -> {a}[i] * {b}[i])),"
+        " (acc, x) -> acc + x)"
+    )
+
+
+def _sumsq(v: str) -> str:
+    """Sequential sum-of-squares fold (pre-sqrt norm²) — mirrors
+    ``F.aggregate(cv, 0.0, acc + x·x)`` on the Spark side."""
+    return (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        f" list_transform({v}, x -> x * x)),"
+        " (acc, x) -> acc + x)"
+    )
+
+
+def ann_pq_topk_sql(
+    k: int = 5,
+    n_subspaces: int = 16,
+    n_codes: int = 16,
+    n_iters: int = 3,
+    n_queries: int = 5,
+    rerank_factor: int = 8,
+    train_sample_denom: int | str | None = "auto",
+) -> str:
+    """Oracle for operators.similarity.pq_topk — product quantization
+    with asymmetric distance computation, fully re-derived in serial
+    SQL: one :func:`_kmeans_chain` per subspace over the sliced
+    vectors (identical codebooks bit for bit), per-vector code
+    assignment, per-query lookup tables (dot of the query subvector
+    with every codebook entry, plus the reconstructed-norm² table),
+    then the approximate-cosine band of ``k * rerank_factor`` and the
+    exact-cosine rerank — the same band/rerank tail as the int8
+    oracle. Every float expression is the same sequential fold in the
+    same subspace order as the Spark plan, so the approximate band is
+    value-hash reproducible."""
+    sub = DIM // n_subspaces
+    parts = [
+        "WITH e AS (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        " FROM embeddings),",
+    ]
+    finals: list[str] = []
+    for j in range(n_subspaces):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        parts.append(f"e{j} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM e),")
+        chain, prev = _kmeans_chain(
+            n_codes, n_iters, train_sample_denom,
+            prefix=f"s{j}", src=f"e{j}", dim=sub,
+        )
+        parts.extend(chain)
+        finals.append(prev)
+    # per-subspace code assignment over the FULL sliced table (argmin
+    # distance, ties to lowest cid — same as the Spark _argmin_code)
+    for j, cb in enumerate(finals):
+        parts.append(f"""k{j} AS (
+  SELECT s.vec_id, (array_agg(s.cid ORDER BY s.d, s.cid))[1] AS code
+  FROM (SELECT x.vec_id, c.cid, {_sq_dist('x.v', 'c.cv', sub)} AS d
+        FROM e{j} x CROSS JOIN {cb} c) s
+  GROUP BY s.vec_id
+),""")
+    code_cols = ", ".join(f"k{j}.code AS c{j}" for j in range(n_subspaces))
+    code_joins = " ".join(
+        f"JOIN k{j} USING (vec_id)" for j in range(1, n_subspaces)
+    )
+    parts.append(f"codes AS (SELECT vec_id, {code_cols} FROM k0 {code_joins}),")
+    # query set: full-vector norm + per-subspace lookup tables ordered
+    # by code id (dt = dot of query subvector with each codebook entry,
+    # rn = reconstructed-norm² per entry)
+    parts.append(
+        f"q AS (SELECT vec_id AS query_id, {NORM.format(v='v')} AS q_nrm"
+        f" FROM e WHERE vec_id < {n_queries}),"
+    )
+    for j, cb in enumerate(finals):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        parts.append(f"""qt{j} AS (
+  SELECT s.query_id,
+         array_agg({_dot_sub('s.sv', 'c.cv', sub)} ORDER BY c.cid) AS dt,
+         array_agg({_sumsq('c.cv')} ORDER BY c.cid) AS rn
+  FROM (SELECT vec_id AS query_id, v[{lo}:{hi}] AS sv FROM e
+        WHERE vec_id < {n_queries}) s
+  CROSS JOIN {cb} c
+  GROUP BY s.query_id
+),""")
+    adot = " + ".join(f"qt{j}.dt[c.c{j} + 1]" for j in range(n_subspaces))
+    rsum = " + ".join(f"qt{j}.rn[c.c{j} + 1]" for j in range(n_subspaces))
+    qt_joins = " ".join(
+        f"JOIN qt{j} USING (query_id)" for j in range(n_subspaces)
+    )
+    cos = _cosine("qe.va", "ce.vb")
+    parts.append(f"""approx AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         ({adot}) / (q.q_nrm * sqrt({rsum})) AS ascore
+  FROM codes c CROSS JOIN q {qt_joins}
+  WHERE q.query_id <> c.vec_id
+),
+band AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY ascore DESC, neighbor_id) AS arank
+  FROM approx
+),
+qe AS (SELECT vec_id, embedding AS va FROM embeddings),
+ce AS (SELECT vec_id, embedding AS vb FROM embeddings),
+rescored AS (
+  SELECT b.query_id, b.neighbor_id, {cos} AS cosine
+  FROM band b
+  JOIN qe ON qe.vec_id = b.query_id
+  JOIN ce ON ce.vec_id = b.neighbor_id
+  WHERE b.arank <= {k * rerank_factor}
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS INT)
+           AS rank
+  FROM rescored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}""")
+    return "\n".join(parts)

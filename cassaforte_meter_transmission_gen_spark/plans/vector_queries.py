@@ -387,3 +387,28 @@ def ann_ivf_sampled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         e, e.filter(F.col("vec_id") < 5), k=5, train_sample_denom=4
     )
+
+
+@register(
+    "ann_pq_topk",
+    oracle=vector_oracles.ann_pq_topk_sql(),
+    tags=("vector", "ann", "pq", "quantization", "scale"),
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via product quantization + asymmetric distance computation
+    (operators.similarity.pq_topk): per-subspace fixed-point-k-means
+    codebooks, 4-integer codes per candidate, per-query lookup tables
+    — scoring a candidate is 4 array lookups instead of a 64-dim dot,
+    and the encoded table the candidate scan reads is ~64× narrower
+    than the float32 vectors. The top k×4 band per approximate cosine
+    is reranked with the exact cosine on full vectors re-attached by
+    id. Deterministic end to end, so even the approximate band is
+    value-hash gated against the serial oracle
+    (plans.vector_oracles.ann_pq_topk_sql: one unrolled k-means CTE
+    chain per subspace over the sliced vectors). Training uses the
+    same ``"auto"`` hash-sample sizing as IVF, mirrored in the
+    oracle's SQL-computed denominator."""
+    from ..operators.similarity import pq_topk
+
+    e = _emb(spark, sf_dir)
+    return pq_topk(e, e.filter(F.col("vec_id") < 5), k=5)
