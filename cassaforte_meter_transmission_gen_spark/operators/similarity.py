@@ -671,14 +671,23 @@ def pq_codebooks(
 ) -> list[list[list[float]]]:
     """Train one deterministic codebook per subspace: split each vector
     into ``n_subspaces`` contiguous ``dim / n_subspaces``-dim blocks and
-    run the same fixed-point k-means (:func:`kmeans_centroids`) on each
-    block independently — the PQ trainer of Jégou et al.'s product
-    quantization, expressed as ``n_subspaces`` short DataFrame job
-    chains. Everything that made IVF training bit-reproducible carries
-    over per subspace (smallest-id init, argmin assignment, integer-sum
-    update), so the DuckDB oracle re-derives all codebooks exactly
+    run the fixed-point k-means of :func:`kmeans_centroids` on each
+    block — the PQ trainer of Jégou et al.'s product quantization.
+    Everything that made IVF training bit-reproducible carries over per
+    subspace (smallest-id init, argmin assignment, integer-sum update),
+    so the DuckDB oracle re-derives all codebooks exactly
     (plans.vector_oracles.ann_pq_topk_sql unrolls one k-means CTE chain
     per subspace over the sliced vectors).
+
+    All subspaces train TOGETHER, one scan per Lloyd iteration: a
+    single job computes every subspace's argmin assignment and the
+    (subspace, code, dimension) integer partial sums — per-row work is
+    identical to n_subspaces separate trainers, but the driver runs
+    n_iters jobs instead of n_subspaces × n_iters (measured: the
+    separate-loops form spent 26 s at sf0.01 on ~64 job round trips;
+    this form runs 4). The per-(j, cid, pos) int64 sums are the same
+    numbers in the same fixed-point arithmetic, so the codebooks are
+    bit-identical to the per-subspace derivation the oracle unrolls.
 
     ``train_sample_denom`` is resolved ONCE here (``"auto"`` from a
     single count) and shared by every subspace — one training-sample
@@ -687,54 +696,86 @@ def pq_codebooks(
     sub = dim // n_subspaces
     if train_sample_denom == "auto":
         train_sample_denom = auto_train_denom(vectors.count(), n_codes)
-    books: list[list[list[float]]] = []
-    for j in range(n_subspaces):
-        sv = vectors.select(
-            F.col(id_col),
-            F.slice(_as_double(F.col(vec_col)), j * sub + 1, sub).alias(vec_col),
+    train = vectors
+    if train_sample_denom is not None and train_sample_denom > 1:
+        train = vectors.filter(
+            F.expr(train_sample_sql(id_col, train_sample_denom, n_codes))
         )
-        books.append(
-            kmeans_centroids(
-                sv,
-                n_clusters=n_codes,
-                n_iters=n_iters,
-                id_col=id_col,
-                vec_col=vec_col,
-                dim=sub,
-                train_sample_denom=train_sample_denom,
+    # init: the n_codes smallest ids, sliced driver-side (float→double
+    # of the same stored values the sliced-column path would cast)
+    init = train.orderBy(id_col).limit(n_codes).select(vec_col).collect()
+    books: list[list[list[float]]] = [
+        [[float(x) for x in r[0][j * sub : (j + 1) * sub]] for r in init]
+        for j in range(n_subspaces)
+    ]
+    for _ in range(n_iters):
+        per_sub = []
+        for j in range(n_subspaces):
+            sv = _svec_sql(vec_col, j * sub + 1, sub)
+            per_sub.append(
+                f"named_struct('j', {j},"
+                f" 'cid', {_argmin_code_sql(sv, books[j])},"
+                f" 'sv', {sv})"
             )
+        new = (
+            train.select(F.explode(F.expr(f"array({', '.join(per_sub)})")).alias("s"))
+            .select("s.j", "s.cid", F.posexplode("s.sv").alias("pos", "v"))
+            .groupBy("j", "cid", "pos")
+            .agg(
+                F.sum(
+                    F.floor(F.col("v") * F.lit(KMEANS_SCALE)).cast("long")
+                ).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .collect()
         )
+        by_jc: dict[tuple[int, int], list[float]] = {}
+        for r in new:
+            by_jc.setdefault((r["j"], r["cid"]), [0.0] * sub)[r["pos"]] = (
+                float(r["s"]) / KMEANS_SCALE / float(r["n"])
+            )
+        # empty codes keep their previous centroid, per subspace
+        books = [
+            [by_jc.get((j, c), books[j][c]) for c in range(n_codes)]
+            for j in range(n_subspaces)
+        ]
     return books
 
 
-def _argmin_code(svec: Column, book: list[list[float]]) -> Column:
+def _sdlit(x: float) -> str:
+    """Exact Spark-SQL double literal — string→double parse is
+    correctly rounded and repr round-trips, the same guarantee the
+    DuckDB oracle's _dlit relies on."""
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
+def _svec_sql(vec_col: str, lo: int, n: int) -> str:
+    """SQL text for the ``n``-element double subvector at 1-based
+    offset ``lo`` — same expression F.slice(_as_double(col)) builds."""
+    return f"slice(transform({vec_col}, x -> CAST(x AS DOUBLE)), {lo}, {n})"
+
+
+def _argmin_code_sql(svec: str, book: list[list[float]]) -> str:
     """Argmin-distance code for one subvector against one codebook —
-    the same array_min-over-(d, cid)-structs expression as
+    the array_min-over-(d, cid)-structs expression of
     :func:`assign_to_centroid` (lowest distance, ties to lowest cid),
-    inlined so one select can emit every subspace's code."""
-    cents = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("cid"),
-                F.lit([float(x) for x in c]).alias("cv"),
-            )
-            for i, c in enumerate(book)
-        ]
-    )
-    best = F.array_min(
-        F.transform(
-            cents,
-            lambda c: F.struct(
-                F.aggregate(
-                    F.zip_with(svec, c["cv"], lambda x, y: (x - y) * (x - y)),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("d"),
-                c["cid"].alias("cid"),
-            ),
+    emitted as ONE server-parsed SQL string: the PQ surfaces evaluate
+    it n_subspaces × n_codes times per plan, and building those trees
+    through the Column API costs seconds of py4j round trips and
+    Catalyst tree churn before any task runs (the lsh _buckets_sql
+    lesson — measured 13 s → sub-second plan build at sf0.001)."""
+    entries = ", ".join(
+        "named_struct('cid', {i}, 'cv', array({vs}))".format(
+            i=i, vs=", ".join(_sdlit(x) for x in c)
         )
+        for i, c in enumerate(book)
     )
-    return best["cid"]
+    return (
+        f"array_min(transform(array({entries}),"
+        f" c -> named_struct('d', aggregate(zip_with({svec}, c.cv,"
+        " (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE),"
+        " (acc, x) -> acc + x), 'cid', c.cid))).cid"
+    )
 
 
 def pq_encode(
@@ -752,8 +793,8 @@ def pq_encode(
     sub = len(codebooks[0][0])
     cols: list[Column] = [F.col(id_col)]
     for j, book in enumerate(codebooks):
-        svec = F.slice(_as_double(F.col(vec_col)), j * sub + 1, sub)
-        cols.append(_argmin_code(svec, book).alias(f"code_{j}"))
+        sv = _svec_sql(vec_col, j * sub + 1, sub)
+        cols.append(F.expr(_argmin_code_sql(sv, book)).alias(f"code_{j}"))
     return vectors.select(*cols)
 
 
@@ -812,28 +853,28 @@ def pq_topk(
         F.col(id_col).alias("query_id"),
         l2_norm(F.col(vec_col)).alias("q_nrm"),
     ]
-    # closure factory, NOT a defaulted second lambda arg: F.transform
-    # treats a 2-parameter lambda as (element, index) and would bind
-    # the query subvector slot to the array index
-    def _dt_fn(qs: Column):
-        return lambda cv: F.aggregate(
-            F.zip_with(qs, cv, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
+    # lookup tables as server-parsed SQL strings (see _argmin_code_sql)
     for j, book in enumerate(books):
-        bl = F.lit([[float(x) for x in c] for c in book])
-        qsub = F.slice(_as_double(F.col(vec_col)), j * sub + 1, sub)
-        qcols.append(F.transform(bl, _dt_fn(qsub)).alias(f"dt_{j}"))
+        bl = "array({})".format(
+            ", ".join(
+                "array({})".format(", ".join(_sdlit(x) for x in c))
+                for c in book
+            )
+        )
+        qsub = _svec_sql(vec_col, j * sub + 1, sub)
+        qcols.append(
+            F.expr(
+                f"transform({bl}, cv -> aggregate(zip_with({qsub}, cv,"
+                " (x, y) -> x * y), CAST(0.0 AS DOUBLE),"
+                " (acc, x) -> acc + x))"
+            ).alias(f"dt_{j}")
+        )
         # reconstructed-norm² table: ||codebook[j][c]||² per code, the
         # same sequential sum-of-squares fold as l2_norm (pre-sqrt)
         qcols.append(
-            F.transform(
-                bl,
-                lambda cv: F.aggregate(
-                    cv, F.lit(0.0), lambda acc, x: acc + x * x
-                ),
+            F.expr(
+                f"transform({bl}, cv -> aggregate(cv,"
+                " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))"
             ).alias(f"rn_{j}")
         )
     q = queries.select(*qcols)
