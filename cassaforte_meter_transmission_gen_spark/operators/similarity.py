@@ -513,39 +513,19 @@ def assign_to_centroid(
     literals. Pure expression: per row, a fold over the (small)
     centroid array — no join, no shuffle. Ties resolve to the lowest
     centroid index (keep-first-strict-min), matching the oracle's
-    ORDER BY (d, cid)."""
-    cents = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("cid"),
-                # one nested-array literal per centroid, NOT one F.lit
-                # per component (k × dim py4j round trips of pure
-                # driver time before any task runs)
-                F.lit([float(x) for x in c]).alias("cv"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    ORDER BY (d, cid).
+
+    argmin as array_min over (d, cid) structs: struct ordering is
+    lexicographic, so the minimum is (lowest d, then lowest cid), with
+    each distance evaluated ONCE (the n_iters+1 full-table assignment
+    scans are where IVF spends its time at scale). Emitted as one
+    server-parsed SQL string (:func:`_argmin_code_sql`, whole vector =
+    one "subspace") — centroid-literal trees through the Column API
+    cost py4j/Catalyst driver time on every training iteration."""
+    dvec = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    return vectors.withColumn(
+        "cluster_id", F.expr(_argmin_code_sql(dvec, centroids))
     )
-    dist = lambda cv: F.aggregate(  # noqa: E731
-        F.zip_with(_as_double(F.col(vec_col)), cv, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    # argmin as array_min over (d, cid) structs: struct ordering is
-    # lexicographic, so the minimum is (lowest d, then lowest cid) —
-    # exactly the keep-first-strict-min tie-break of the previous
-    # explicit fold, with each distance evaluated ONCE instead of twice
-    # (the fold's condition + struct both re-evaluated dist) — halves
-    # the assignment pass's distance work with bit-identical output
-    # (the n_iters+1 full-table assignment scans are where IVF spends
-    # its time at scale).
-    best = F.array_min(
-        F.transform(
-            cents,
-            lambda c: F.struct(dist(c["cv"]).alias("d"), c["cid"].alias("cid")),
-        )
-    )
-    return vectors.withColumn("cluster_id", best["cid"])
 
 
 def ivf_topk(

@@ -1295,3 +1295,70 @@ def pipeline_shuffle_shard_assignment(spark: SparkSession, sf_dir: str) -> DataF
         (F.col("hv") % N_SHARDS).cast("int").alias("shard_id"),
         F.row_number().over(w).cast("int").alias("shard_pos"),
     )
+
+
+@register(
+    "text_duplicated_span_fraction",
+    oracle=f"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+           FROM documents),
+w AS (
+  SELECT doc_id, md5(array_to_string(toks[i:i+{SPAN_WINDOW - 1}], ' ')) AS fp
+  FROM t CROSS JOIN UNNEST(range(1, len(toks) - {SPAN_WINDOW} + 2)) AS u(i)
+  WHERE len(toks) >= {SPAN_WINDOW}
+),
+flagged AS (
+  SELECT fp FROM w GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT w.doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(count(*) FILTER (WHERE flagged.fp IS NOT NULL) AS BIGINT)
+         AS n_dup_windows,
+       CAST(count(*) FILTER (WHERE flagged.fp IS NOT NULL) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS dup_fraction
+FROM w LEFT JOIN flagged USING (fp)
+GROUP BY w.doc_id
+""",
+    tags=("text", "dedup", "substring", "quality"),
+)
+def text_duplicated_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-text fraction: of a document's 8-token
+    windows, how many also appear in at least one OTHER document — the
+    removal criterion downstream of ``dedup_duplicated_ngram_spans``
+    (drop or trim documents whose dup_fraction exceeds a policy
+    threshold, the C4/RefinedWeb-style cleanup step). Two hash-keyed
+    aggregations over the same exploded windows: flag cross-doc fps,
+    then a fp-keyed LEFT join back (narrow 32-char keys, never text)
+    and one per-doc count — at 100 TB both shuffles carry (fp, doc_id)
+    pairs only, with map-side partial aggregation on each."""
+    d = _docs(spark, sf_dir)
+    W_ = SPAN_WINDOW
+    toks = d.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= W_
+    )
+    w = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (W_ - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i, W_))),
+            )
+        ).alias("fp"),
+    )
+    flagged = (
+        w.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("fp", F.lit(1).alias("hit"))
+    )
+    return (
+        w.join(flagged, "fp", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.count("hit").cast("long").alias("n_dup_windows"),
+            (
+                F.count("hit").cast("double") / F.count("*").cast("double")
+            ).alias("dup_fraction"),
+        )
+    )
