@@ -196,3 +196,53 @@ def test_incremental_minhash_broadcasts_increment(spark, sf_small):
     plan = _plan(REGISTRY["dedup_incremental_minhash"].fn(spark, sf_small))
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_duplicated_spans_partial_agg_single_shuffle(spark, sf_small):
+    """The duplicated-span detector must collapse each document's
+    repeated windows map-side before anything travels: the correct
+    distributed count-distinct is TWO phases — partial (fp, doc_id)
+    dedup+counts before a (fp, doc_id) exchange, then the per-fp merge
+    on an fp exchange — and both exchanges carry fingerprints and
+    partial counts, never window text. Assert exactly that shape (a
+    third shuffle or a missing partial agg means rows travel raw)."""
+    plan = _plan(REGISTRY["dedup_duplicated_ngram_spans"].fn(spark, sf_small))
+    assert "partial_count" in plan, plan
+    import re
+
+    shuffles = re.findall(r"Exchange hashpartitioning", plan)
+    assert len(shuffles) == 2, f"expected 2 shuffles, got {len(shuffles)}:\n{plan}"
+    # the window text itself must die at the Generate: no exchange row
+    # wider than (fp, doc_id, counts) — text/toks never reach one
+    for ex in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in ex.group(1) and "toks" not in ex.group(1), plan
+
+
+def test_shard_assignment_single_shuffle_no_global_sort(spark, sf_small):
+    """The corpus shuffle partitions by shard hash and ranks WITHIN
+    each shard: exactly one hash exchange, and no global (range) sort
+    — a rangepartitioning exchange here would serialize the 100 TB
+    corpus through a total order."""
+    plan = _plan(REGISTRY["pipeline_shuffle_shard_assignment"].fn(spark, sf_small))
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_pq_encode_is_narrow_map(spark, sf_small):
+    """PQ encoding is a pure projection: codes must come out of the
+    scan stage with no exchange at all — at 100 TB the encoded table
+    is written partition-local."""
+    from pyspark.sql import functions as F
+
+    from cassaforte_meter_transmission_gen_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+    from cassaforte_meter_transmission_gen_spark.schemas import load_table
+
+    e = load_table(spark, sf_small, "embeddings")
+    books = pq_codebooks(e, train_sample_denom=None)
+    plan = _plan(pq_encode(e, books))
+    assert "Exchange" not in plan, plan

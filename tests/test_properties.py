@@ -329,3 +329,48 @@ def test_train_sample_sql_matches_python_model(ids, denom, floor_ids):
     }
     con.close()
     assert got == want
+
+
+@given(
+    st.lists(st.integers(0, 2**40), min_size=1, max_size=60, unique=True),
+    st.integers(2, 64),
+)
+def test_shuffle_shard_hash_matches_python_model(ids, n_shards):
+    """The corpus-shuffle shard hash (plans.text_queries.
+    pipeline_shuffle_shard_assignment) must give every engine the same
+    shard and the same within-shard order. DuckDB evaluates the
+    documented expression over random id sets (including > 2^31 where
+    the pre-reduction modulus matters); the pure-Python model must
+    agree on both the shard id and the (hash, id) sort key."""
+    import duckdb
+
+    from cassaforte_meter_transmission_gen_spark.plans.text_queries import (
+        N_SHARDS,
+        SHUFFLE_HASH_A,
+        SHUFFLE_HASH_MOD,
+        SHUFFLE_ID_MOD,
+    )
+
+    del N_SHARDS  # the query pins 16; the property holds for any modulus
+    want = {
+        i: (
+            ((i % SHUFFLE_ID_MOD) * SHUFFLE_HASH_A) % SHUFFLE_HASH_MOD % n_shards,
+            ((i % SHUFFLE_ID_MOD) * SHUFFLE_HASH_A) % SHUFFLE_HASH_MOD,
+        )
+        for i in ids
+    }
+    con = duckdb.connect()
+    vals = ", ".join(f"({i})" for i in ids)
+    got = {
+        r[0]: (r[1], r[2])
+        for r in con.sql(
+            f"SELECT doc_id,"
+            f" (((doc_id % {SHUFFLE_ID_MOD}) * {SHUFFLE_HASH_A})"
+            f" % {SHUFFLE_HASH_MOD}) % {n_shards},"
+            f" ((doc_id % {SHUFFLE_ID_MOD}) * {SHUFFLE_HASH_A})"
+            f" % {SHUFFLE_HASH_MOD}"
+            f" FROM (VALUES {vals}) t(doc_id)"
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
