@@ -243,6 +243,40 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["ivf_prune"] = f"{type(exc).__name__}: {exc}"[:500]
 
+    # the PQ IO claim, measured: the encoded table (16 int codes per
+    # vector) written as parquet vs the float32 embedding table it
+    # replaces for candidate scans — the on-disk ratio IS the 100 TB
+    # scan/shuffle reduction ann_pq_topk's ADC path buys.
+    pq_io = None
+    try:
+        from cassaforte_meter_transmission_gen_spark.operators.similarity import (
+            pq_codebooks,
+            pq_encode,
+        )
+        from cassaforte_meter_transmission_gen_spark.schemas import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        books = pq_codebooks(emb, train_sample_denom="auto")
+        pq_dir = tempfile.mkdtemp(prefix="bench_pq_codes_")
+        try:
+            pq_encode(emb, books).write.mode("overwrite").parquet(pq_dir)
+            codes_bytes = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(pq_dir)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+            emb_bytes = os.path.getsize(os.path.join(sf_dir, "embeddings.parquet"))
+            pq_io = {
+                "embeddings_bytes": emb_bytes,
+                "codes_bytes": codes_bytes,
+                "scan_reduction": round(emb_bytes / max(codes_bytes, 1), 2),
+            }
+        finally:
+            shutil.rmtree(pq_dir, ignore_errors=True)
+    except Exception as exc:  # noqa: BLE001
+        errors["pq_io"] = f"{type(exc).__name__}: {exc}"[:500]
+
     # the write-heavy ingest benchmark runs AFTER the query loop: its
     # 28800 × 15k-float raw arrays leave the heap under GC pressure
     # that would otherwise bleed ~45 s into whichever query runs next
@@ -335,6 +369,7 @@ def main() -> None:
                 "lsh_hi_candidate_pruning": lsh_hi_stats,
                 "flagship_prune": flagship_prune,
                 "ivf_prune": ivf_prune,
+                "pq_io": pq_io,
                 "errors": errors,
                 "sf": sf,
                 "ingest_five_tables_sec": ingest_sec,

@@ -723,10 +723,14 @@ def pq_codebooks(
 
 
 def _sdlit(x: float) -> str:
-    """Exact Spark-SQL double literal — string→double parse is
-    correctly rounded and repr round-trips, the same guarantee the
-    DuckDB oracle's _dlit relies on."""
-    return f"CAST('{x!r}' AS DOUBLE)"
+    """Exact Spark-SQL double literal: ``<repr>D`` — the D suffix makes
+    the lexer hand repr straight to Java's correctly-rounded double
+    parse (verified equal to CAST('<repr>' AS DOUBLE) over random
+    magnitudes), without a DECIMAL hop and at ~2.5× less SQL text than
+    the CAST-string form (these literals appear n_subspaces × n_codes
+    × dim times per generated expression, so parse size is plan-build
+    latency)."""
+    return f"{x!r}D"
 
 
 def _svec_sql(vec_col: str, lo: int, n: int) -> str:

@@ -84,6 +84,14 @@ def render(b: dict, src_name: str) -> str:
             f"{ivf['partitions_total']} cells, {ivf['files_read']} files read "
             f"for a 4-probe ANN scan ({ivf['rows_out']:,} rows)."
         )
+    pq = b.get("pq_io")
+    if pq:
+        lines.append(
+            f"- **PQ candidate-scan reduction**: encoded table "
+            f"{pq['codes_bytes']:,} B vs embeddings "
+            f"{pq['embeddings_bytes']:,} B on disk — "
+            f"{pq['scan_reduction']}× less IO for ADC scoring."
+        )
     lsh = b.get("lsh_hi_candidate_pruning")
     if lsh:
         lines.append(
