@@ -585,3 +585,37 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}""")
     return "\n".join(parts)
+
+
+def cluster_doc_quality_sql(
+    n_clusters: int = 16,
+    n_iters: int = 3,
+    train_sample_denom: int | str | None = "auto",
+) -> str:
+    """Oracle for the cross-modal curation report: the shared k-means
+    chain assigns every embedding to a cell, then document metadata
+    joins on doc_id = vec_id and aggregates per cell. All aggregates
+    are order-independent (integer sums, counts) with one final
+    double division, so the report is value-hash gated."""
+    parts = [
+        "WITH e AS (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        " FROM embeddings),",
+    ]
+    chain, prev = _kmeans_chain(n_clusters, n_iters, train_sample_denom)
+    parts.extend(chain)
+    parts.append(f"""cands AS (
+  SELECT s.vec_id, (array_agg(s.cid ORDER BY s.d, s.cid))[1] AS cluster_id
+  FROM (SELECT e.vec_id, c.cid, {_sq_dist('e.v', 'c.cv')} AS d
+        FROM e CROSS JOIN {prev} c) s
+  GROUP BY s.vec_id
+)
+SELECT c.cluster_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+       CAST(CAST(SUM(d.n_chars) AS BIGINT) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS avg_chars,
+       CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs
+FROM cands c JOIN documents d ON d.doc_id = c.vec_id
+GROUP BY c.cluster_id""")
+    return "\n".join(parts)

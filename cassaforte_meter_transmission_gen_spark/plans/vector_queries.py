@@ -412,3 +412,67 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _emb(spark, sf_dir)
     return pq_topk(e, e.filter(F.col("vec_id") < 5), k=5)
+
+
+@register(
+    "ann_pq_sampled_topk",
+    oracle=vector_oracles.ann_pq_topk_sql(train_sample_denom=4),
+    tags=("vector", "ann", "pq", "sampled", "scale"),
+)
+def ann_pq_sampled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN with a PINNED 1/4 training sample — the explicit proof
+    that PQ's sampled-training path stays bit-lockstep with the serial
+    oracle when the sample is a strict subset (the same role
+    ``ann_ivf_sampled_topk`` plays for IVF: the flagship
+    ``ann_pq_topk`` uses ``"auto"`` sizing, which resolves to full
+    training on the small verification corpora, so without this twin
+    the sampled branch would never face the external hash gate). All
+    16 subspace codebooks train on the same deterministic hash-sample
+    id set (operators.similarity.train_sample_sql, floor_ids =
+    n_codes), mirrored verbatim into each subspace's training CTEs.
+    Hash-gated only — recall floors apply to the auto path, not a
+    deliberately coarse fixture."""
+    from ..operators.similarity import pq_topk
+
+    e = _emb(spark, sf_dir)
+    return pq_topk(
+        e, e.filter(F.col("vec_id") < 5), k=5, train_sample_denom=4
+    )
+
+
+@register(
+    "pipeline_cluster_quality_report",
+    oracle=vector_oracles.cluster_doc_quality_sql(),
+    tags=("pipeline", "vector", "text", "curation", "kmeans"),
+)
+def pipeline_cluster_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal curation report: every embedding is assigned to its
+    deterministic k-means cell (the same coarse quantizer IVF and
+    semantic dedup share), document metadata joins on doc_id = vec_id,
+    and each cell reports document count, total/average length, and
+    language diversity — the ranking a curation pass uses to decide
+    which semantic clusters to prune or downsample (SemDeDup + quality
+    filtering operate per cluster, not per corpus). At 100 TB the
+    assignment is a narrow projection, the join is id-on-id
+    (co-partitionable by the shared key), and the aggregates are
+    order-independent integer sums with one final double division —
+    value-hash gated through the unrolled-k-means oracle chain."""
+    from ..operators.similarity import assign_to_centroid, kmeans_centroids
+
+    e = _emb(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    cents = kmeans_centroids(e, n_clusters=16, train_sample_denom="auto")
+    cells = assign_to_centroid(e, cents).select("vec_id", "cluster_id")
+    return (
+        cells.join(d, cells["vec_id"] == d["doc_id"])
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            (
+                F.sum("n_chars").cast("long").cast("double")
+                / F.count("*").cast("double")
+            ).alias("avg_chars"),
+            F.count_distinct("lang").cast("long").alias("n_langs"),
+        )
+    )
