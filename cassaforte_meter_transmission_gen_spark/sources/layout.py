@@ -309,3 +309,32 @@ def read_ivf_partitioned(spark: SparkSession, path: str) -> DataFrame:
     """Read an IVF layout; ``cluster_id`` is the partition column, so
     ``filter(col("cluster_id").isin(probes))`` directory-prunes."""
     return spark.read.parquet(path)
+
+
+def append_ivf_partitioned(
+    new_vectors: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> None:
+    """Grow an existing inverted-file layout with a new vector batch
+    under the FIXED coarse quantizer — incremental index maintenance
+    (how IVF indexes grow in practice: the quantizer is trained once,
+    arriving vectors are assigned and appended to their cell's
+    directory; retraining is a rare offline rebuild). Append mode adds
+    files inside each cell directory without touching existing data,
+    so a continuous embedding pipeline can call this per micro-batch
+    (e.g. from a Structured Streaming ``foreachBatch``) and probing
+    readers keep directory-pruning correctly across the growing table
+    — the resulting layout is row-identical to a from-scratch
+    ``write_ivf_partitioned`` of the union, because assignment depends
+    only on the (fixed) centroid literals."""
+    from ..operators.similarity import assign_to_centroid
+
+    assigned = assign_to_centroid(new_vectors, centroids, vec_col)
+    (
+        assigned.repartition("cluster_id")
+        .write.mode("append")
+        .partitionBy("cluster_id")
+        .parquet(path)
+    )

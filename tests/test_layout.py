@@ -347,3 +347,41 @@ def test_flagship_read_correct_under_non_utc_session_tz(spark):
             assert q.count() == 3600
     finally:
         spark.conf.set(tz_key, prev)
+
+
+def test_ivf_append_equals_batch_rebuild(spark, sf_med):
+    """Incremental IVF maintenance: an initial layout plus two appended
+    batches (fixed coarse quantizer) must be row-identical — per cell —
+    to a from-scratch build over the full table, and a probed read of
+    the grown layout must still partition-prune."""
+    from cassaforte_meter_transmission_gen_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+    from cassaforte_meter_transmission_gen_spark.schemas import load_table
+    from cassaforte_meter_transmission_gen_spark.sources.layout import (
+        append_ivf_partitioned,
+        read_ivf_partitioned,
+        write_ivf_partitioned,
+    )
+
+    e = load_table(spark, sf_med, "embeddings")
+    # quantizer trained ONCE on the initial batch only — appends must
+    # not depend on retraining
+    first = e.filter(F.col("vec_id") % 3 == 0)
+    cents = kmeans_centroids(first, n_clusters=16)
+    with tempfile.TemporaryDirectory(prefix="ivf_grow_") as d:
+        grown, full = f"{d}/grown", f"{d}/full"
+        write_ivf_partitioned(first, grown, cents)
+        append_ivf_partitioned(e.filter(F.col("vec_id") % 3 == 1), grown, cents)
+        append_ivf_partitioned(e.filter(F.col("vec_id") % 3 == 2), grown, cents)
+        write_ivf_partitioned(e, full, cents)
+        g = read_ivf_partitioned(spark, grown).select("vec_id", "cluster_id")
+        f = read_ivf_partitioned(spark, full).select("vec_id", "cluster_id")
+        assert sorted(map(tuple, g.collect())) == sorted(map(tuple, f.collect()))
+        # pruning still holds on the grown layout
+        probed = read_ivf_partitioned(spark, grown).filter(
+            F.col("cluster_id").isin([0, 5])
+        )
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "cluster_id" in plan
+        assert probed.count() == f.filter(F.col("cluster_id").isin([0, 5])).count()

@@ -374,3 +374,26 @@ def test_pq_recall_vs_bruteforce(spark, sf_small):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.80, f"PQ recall too low: {recall}"
+
+
+def test_pq_encode_codes_bounded_and_deterministic(spark, sf_small):
+    """Every PQ code must index its codebook (0 ≤ code < n_codes for
+    all 16 subspaces), and two independent train+encode runs over the
+    same table must produce identical codes — the determinism the
+    oracle contract and the incremental layout story both stand on."""
+    from cassaforte_meter_transmission_gen_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    e = load_table(spark, sf_small, "embeddings")
+    books = pq_codebooks(e, train_sample_denom="auto")
+    assert len(books) == 16 and all(len(b) == 16 for b in books)
+    out1 = {r["vec_id"]: tuple(r[f"code_{j}"] for j in range(16))
+            for r in pq_encode(e, books).collect()}
+    for codes in out1.values():
+        assert all(0 <= c < 16 for c in codes), codes
+    books2 = pq_codebooks(e, train_sample_denom="auto")
+    out2 = {r["vec_id"]: tuple(r[f"code_{j}"] for j in range(16))
+            for r in pq_encode(e, books2).collect()}
+    assert out1 == out2
