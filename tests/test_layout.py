@@ -385,3 +385,47 @@ def test_ivf_append_equals_batch_rebuild(spark, sf_med):
         plan = probed._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters" in plan and "cluster_id" in plan
         assert probed.count() == f.filter(F.col("cluster_id").isin([0, 5])).count()
+
+
+def test_ivf_append_composes_with_streaming_foreachbatch(spark, sf_med):
+    """The incremental-IVF docstring claim, exercised: a Structured
+    Streaming file source delivering the embedding table in
+    micro-batches, each appended to the inverted file from
+    foreachBatch, must produce the same per-cell contents as a
+    from-scratch batch build — continuous embedding ingestion keeps
+    the probing index correct."""
+    from cassaforte_meter_transmission_gen_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+    from cassaforte_meter_transmission_gen_spark.schemas import load_table
+    from cassaforte_meter_transmission_gen_spark.sources.layout import (
+        append_ivf_partitioned,
+        read_ivf_partitioned,
+        write_ivf_partitioned,
+    )
+
+    e = load_table(spark, sf_med, "embeddings")
+    cents = kmeans_centroids(e, n_clusters=16)
+    with tempfile.TemporaryDirectory(prefix="ivf_stream_") as d:
+        src, grown, full, ckpt = f"{d}/src", f"{d}/grown", f"{d}/full", f"{d}/ck"
+        # stage the table as 4 files so the stream sees several batches
+        e.repartition(4).write.parquet(src)
+        write_ivf_partitioned(e.limit(0), grown, cents)  # empty layout
+        stream = (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda batch, _bid: append_ivf_partitioned(batch, grown, cents)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        write_ivf_partitioned(e, full, cents)
+        g = read_ivf_partitioned(spark, grown).select("vec_id", "cluster_id")
+        f = read_ivf_partitioned(spark, full).select("vec_id", "cluster_id")
+        assert sorted(map(tuple, g.collect())) == sorted(map(tuple, f.collect()))
