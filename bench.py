@@ -58,6 +58,7 @@ SCALE_PATHS = [
     "ann_pq_topk",
     "dedup_semantic_clusters",
     "dedup_incremental_minhash",
+    "text_duplicated_span_fraction",
 ]
 
 
