@@ -397,10 +397,11 @@ def ann_ivf_sampled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via product quantization + asymmetric distance computation
     (operators.similarity.pq_topk): per-subspace fixed-point-k-means
-    codebooks, 4-integer codes per candidate, per-query lookup tables
-    — scoring a candidate is 4 array lookups instead of a 64-dim dot,
-    and the encoded table the candidate scan reads is ~64× narrower
-    than the float32 vectors. The top k×4 band per approximate cosine
+    codebooks, 16 integer codes per candidate, per-query lookup tables
+    — scoring a candidate is 16 array lookups instead of a 64-dim dot,
+    and the encoded table the candidate scan reads is ~16× narrower
+    than the float32 vectors (25.9× measured on disk, bench pq_io).
+    The top k×8 band per approximate cosine
     is reranked with the exact cosine on full vectors re-attached by
     id. Deterministic end to end, so even the approximate band is
     value-hash gated against the serial oracle
