@@ -604,35 +604,17 @@ def assign_probes(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Add ``probe_ids``: the n_probes nearest centroid ids per query
-    (sorted centroid-distance structs, sliced)."""
-    cents = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("cid"),
-                # one nested-array literal per centroid, NOT one F.lit
-                # per component (k × dim py4j round trips of pure
-                # driver time before any task runs)
-                F.lit([float(x) for x in c]).alias("cv"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
-    dist_structs = F.transform(
-        cents,
-        lambda c: F.struct(
-            F.aggregate(
-                F.zip_with(
-                    _as_double(F.col(vec_col)), c["cv"], lambda x, y: (x - y) * (x - y)
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("d"),
-            c["cid"].alias("cid"),
-        ),
-    )
-    probes = F.slice(F.array_sort(dist_structs), 1, n_probes)
+    (sorted centroid-distance structs, sliced) — the (d, cid) struct
+    array as one server-parsed SQL string (see :func:`_argmin_code_sql`;
+    array_sort on structs is lexicographic (d, cid), identical to the
+    previous Column-API form)."""
+    dvec = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
     return queries.withColumn(
-        "probe_ids", F.transform(probes, lambda s: s["cid"])
+        "probe_ids",
+        F.expr(
+            f"transform(slice(array_sort({_dist_structs_sql(dvec, centroids)}),"
+            f" 1, {n_probes}), s -> s.cid)"
+        ),
     )
 
 
@@ -739,6 +721,30 @@ def _svec_sql(vec_col: str, lo: int, n: int) -> str:
     return f"slice(transform({vec_col}, x -> CAST(x AS DOUBLE)), {lo}, {n})"
 
 
+def _cents_sql(book: list[list[float]]) -> str:
+    """The codebook/centroid list as a SQL array-of-(cid, cv)-structs
+    literal, repr-exact doubles."""
+    return "array({})".format(
+        ", ".join(
+            "named_struct('cid', {i}, 'cv', array({vs}))".format(
+                i=i, vs=", ".join(_sdlit(x) for x in c)
+            )
+            for i, c in enumerate(book)
+        )
+    )
+
+
+def _dist_structs_sql(svec: str, book: list[list[float]]) -> str:
+    """(d, cid) struct array: squared-L2 fold per centroid, in cid
+    order — the shared core of argmin assignment and probe ranking."""
+    return (
+        f"transform({_cents_sql(book)},"
+        f" c -> named_struct('d', aggregate(zip_with({svec}, c.cv,"
+        " (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE),"
+        " (acc, x) -> acc + x), 'cid', c.cid))"
+    )
+
+
 def _argmin_code_sql(svec: str, book: list[list[float]]) -> str:
     """Argmin-distance code for one subvector against one codebook —
     the array_min-over-(d, cid)-structs expression of
@@ -748,18 +754,7 @@ def _argmin_code_sql(svec: str, book: list[list[float]]) -> str:
     through the Column API costs seconds of py4j round trips and
     Catalyst tree churn before any task runs (the lsh _buckets_sql
     lesson — measured 13 s → sub-second plan build at sf0.001)."""
-    entries = ", ".join(
-        "named_struct('cid', {i}, 'cv', array({vs}))".format(
-            i=i, vs=", ".join(_sdlit(x) for x in c)
-        )
-        for i, c in enumerate(book)
-    )
-    return (
-        f"array_min(transform(array({entries}),"
-        f" c -> named_struct('d', aggregate(zip_with({svec}, c.cv,"
-        " (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE),"
-        " (acc, x) -> acc + x), 'cid', c.cid))).cid"
-    )
+    return f"array_min({_dist_structs_sql(svec, book)}).cid"
 
 
 def pq_encode(

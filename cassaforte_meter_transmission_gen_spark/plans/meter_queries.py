@@ -400,3 +400,65 @@ def streaming_dedup_transmissions(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..streaming.pipeline import run_bounded_dedup_ingest
 
     return run_bounded_dedup_ingest(spark, num_meters=2, seconds=600, dup_fraction=3)
+
+
+#: EWMA weights 0.8^k over a 10-minute trailing window, materialized
+#: driver-side and shipped to BOTH engines as repr-exact double
+#: literals: java.lang.Math.pow and libm pow are not guaranteed
+#: bit-identical, so neither engine may compute the decay itself.
+EWMA_DECAY = 0.8
+EWMA_LAGS = 10
+EWMA_WEIGHTS = [EWMA_DECAY**k for k in range(EWMA_LAGS)]
+
+
+def _ewma_oracle_sql() -> str:
+    terms = " + ".join(
+        f"CAST('{w!r}' AS DOUBLE)"
+        f" * COALESCE(lag(joules, {k}) OVER"
+        " (PARTITION BY said ORDER BY datetime), 0)"
+        for k, w in enumerate(EWMA_WEIGHTS)
+    )
+    return f"""WITH {GEN_CTE},{TICK_CTE},
+minute AS (
+  SELECT said, CAST(date_trunc('minute', datetime) AS TIMESTAMP) AS datetime,
+         CAST(SUM(joules) AS BIGINT) AS joules
+  FROM gen CROSS JOIN tick
+  GROUP BY 1, 2
+)
+SELECT said, datetime, joules, {terms} AS ewma_joules
+FROM minute"""
+
+
+@register(
+    "meter_ewma_energy_10m",
+    oracle=_ewma_oracle_sql(),
+    tags=("meter", "window", "ewma", "smoothing"),
+)
+def meter_ewma_energy_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of minute energy per meter
+    (decay 0.8/minute, 10-lag truncated kernel) — the smoothing a
+    monitoring dashboard runs over the rollup to damp meter noise.
+    Expressed as an explicit lag-chain weighted sum rather than a
+    recursive state or a collect_list fold: each term is
+    ``w_k · lag(joules, k)`` with the weights as driver-computed
+    repr-exact literals, summed in fixed k-order — deterministic on
+    both engines (lag/window semantics are identical, and integer
+    joules × exact double weights leave no summation-order ambiguity
+    untested by the hash gate). ROW-lag equals minute-lag because the
+    generator's rollup is contiguous per meter (documented assumption;
+    gap-tolerant smoothing would pre-densify the grid first). Same
+    single-shuffle grain routing as meter_rolling_energy_5m: one said
+    repartition feeds both the rollup and the window."""
+    from pyspark.sql import Window
+
+    from ..operators.rollups import rollup_from_second
+
+    minute = rollup_from_second(
+        meter_samples_second(spark).repartition("said"), "minute"
+    )
+    w = Window.partitionBy("said").orderBy("datetime")
+    expr = None
+    for k, wk in enumerate(EWMA_WEIGHTS):
+        term = F.lit(wk) * F.coalesce(F.lag("joules", k).over(w), F.lit(0))
+        expr = term if expr is None else expr + term
+    return minute.select("said", "datetime", "joules", expr.alias("ewma_joules"))
