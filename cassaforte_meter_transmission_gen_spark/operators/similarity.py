@@ -394,32 +394,7 @@ def int8_topk(
         .filter(F.col("arank") <= k * rerank_factor)
         .select("query_id", "neighbor_id")
     )
-    qv = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        l2_norm(F.col(vec_col)).alias("qr_nrm"),
-    )
-    cv = vectors.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        l2_norm(F.col(vec_col)).alias("cr_nrm"),
-    )
-    rescored = (
-        band.join(F.broadcast(qv), "query_id")
-        .join(cv, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_pre(
-                F.col("q_vec"), F.col("c_vec"), F.col("qr_nrm"), F.col("cr_nrm")
-            ).alias("cosine"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
-    return (
-        rescored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-    )
+    return _exact_rerank_topk(band, vectors, queries, k, id_col, vec_col)
 
 
 # --- IVF (inverted-file) ANN: the second scale path ---
@@ -778,6 +753,94 @@ def pq_encode(
     return vectors.select(*cols)
 
 
+def _adc_query_cols(
+    books: list[list[list[float]]], sub: int, vec_col: str
+) -> list[Column]:
+    """Per-subspace ADC lookup-table columns for the query side:
+    ``dt_j`` = dot of the query subvector with every codebook entry (in
+    code order), ``rn_j`` = reconstructed-norm² per entry — both as
+    server-parsed SQL strings (see :func:`_argmin_code_sql`). Shared by
+    :func:`pq_topk` and :func:`ivfpq_topk`."""
+    cols: list[Column] = []
+    for j, book in enumerate(books):
+        bl = "array({})".format(
+            ", ".join(
+                "array({})".format(", ".join(_sdlit(x) for x in c))
+                for c in book
+            )
+        )
+        qsub = _svec_sql(vec_col, j * sub + 1, sub)
+        cols.append(
+            F.expr(
+                f"transform({bl}, cv -> aggregate(zip_with({qsub}, cv,"
+                " (x, y) -> x * y), CAST(0.0 AS DOUBLE),"
+                " (acc, x) -> acc + x))"
+            ).alias(f"dt_{j}")
+        )
+        cols.append(
+            F.expr(
+                f"transform({bl}, cv -> aggregate(cv,"
+                " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))"
+            ).alias(f"rn_{j}")
+        )
+    return cols
+
+
+def _adc_score(n_subspaces: int) -> Column:
+    """ADC approximate cosine from the lookup tables: n_subspaces array
+    lookups + adds for the dot, same for the reconstructed norm² — no
+    per-pair fold over the full dimensions (the whole point of PQ
+    scoring at 100 TB). Fixed subspace evaluation order keeps the
+    float sum bit-reproducible by the serial oracle."""
+    adot = F.element_at(F.col("dt_0"), F.col("code_0") + 1)
+    rsum = F.element_at(F.col("rn_0"), F.col("code_0") + 1)
+    for j in range(1, n_subspaces):
+        adot = adot + F.element_at(F.col(f"dt_{j}"), F.col(f"code_{j}") + 1)
+        rsum = rsum + F.element_at(F.col(f"rn_{j}"), F.col(f"code_{j}") + 1)
+    return adot / (F.col("q_nrm") * F.sqrt(rsum))
+
+
+def _exact_rerank_topk(
+    band: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Rescore a (query_id, neighbor_id) candidate band with the exact
+    cosine on full vectors re-attached by id, rank to top ``k`` — the
+    shared tail of every quantized ANN path (int8 / PQ / IVF-PQ): the
+    wide arrays only ever join against the O(k·rerank) band, never the
+    full candidate set."""
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("qr_nrm"),
+    )
+    cv = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("cr_nrm"),
+    )
+    rescored = (
+        band.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_pre(
+                F.col("q_vec"), F.col("c_vec"), F.col("qr_nrm"), F.col("cr_nrm")
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        rescored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def pq_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -829,49 +892,18 @@ def pq_topk(
     sub = dim // n_subspaces
     codes = pq_encode(vectors, books, id_col, vec_col)
 
-    qcols: list[Column] = [
+    q = queries.select(
         F.col(id_col).alias("query_id"),
         l2_norm(F.col(vec_col)).alias("q_nrm"),
-    ]
-    # lookup tables as server-parsed SQL strings (see _argmin_code_sql)
-    for j, book in enumerate(books):
-        bl = "array({})".format(
-            ", ".join(
-                "array({})".format(", ".join(_sdlit(x) for x in c))
-                for c in book
-            )
-        )
-        qsub = _svec_sql(vec_col, j * sub + 1, sub)
-        qcols.append(
-            F.expr(
-                f"transform({bl}, cv -> aggregate(zip_with({qsub}, cv,"
-                " (x, y) -> x * y), CAST(0.0 AS DOUBLE),"
-                " (acc, x) -> acc + x))"
-            ).alias(f"dt_{j}")
-        )
-        # reconstructed-norm² table: ||codebook[j][c]||² per code, the
-        # same sequential sum-of-squares fold as l2_norm (pre-sqrt)
-        qcols.append(
-            F.expr(
-                f"transform({bl}, cv -> aggregate(cv,"
-                " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))"
-            ).alias(f"rn_{j}")
-        )
-    q = queries.select(*qcols)
-
-    adot = F.element_at(F.col("dt_0"), F.col("code_0") + 1)
-    rsum = F.element_at(F.col("rn_0"), F.col("code_0") + 1)
-    for j in range(1, n_subspaces):
-        adot = adot + F.element_at(F.col(f"dt_{j}"), F.col(f"code_{j}") + 1)
-        rsum = rsum + F.element_at(F.col(f"rn_{j}"), F.col(f"code_{j}") + 1)
-
+        *_adc_query_cols(books, sub, vec_col),
+    )
     approx = (
         codes.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col(id_col))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            (adot / (F.col("q_nrm") * F.sqrt(rsum))).alias("ascore"),
+            _adc_score(n_subspaces).alias("ascore"),
         )
     )
     wa = W.partitionBy("query_id").orderBy(F.desc("ascore"), "neighbor_id")
@@ -880,29 +912,106 @@ def pq_topk(
         .filter(F.col("arank") <= k * rerank_factor)
         .select("query_id", "neighbor_id")
     )
-    qv = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        l2_norm(F.col(vec_col)).alias("qr_nrm"),
+    return _exact_rerank_topk(band, vectors, queries, k, id_col, vec_col)
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probes: int = 4,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    n_iters: int = 3,
+    rerank_factor: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    train_sample_denom: int | str | None = "auto",
+) -> DataFrame:
+    """IVF-PQ ANN — the composed 100 TB vector-index layout (the shape
+    of a Faiss ``IVFx,PQy`` index, here with codebooks trained on raw
+    vectors rather than residuals so every stage stays independently
+    oracle-verifiable):
+
+    - IVF coarse quantizer (:func:`kmeans_centroids`) partitions
+      candidates into cells; each query probes only its ``n_probes``
+      nearest — at 100 TB the cell id is the storage partition key, so
+      probing prunes FILES before any row is read;
+    - within the probed cells, candidates are scored by PQ asymmetric
+      distance (:func:`_adc_score`): ``n_subspaces`` array lookups per
+      pair against per-query tables, over an encoded table ~16× narrower
+      than the float32 vectors — the probe-pruned scan reads small
+      integer codes, never embeddings;
+    - the top ``k * rerank_factor`` band per query is reranked with the
+      exact cosine on full vectors re-attached by id
+      (:func:`_exact_rerank_topk`).
+
+    The two prunings compose multiplicatively: the scan reads
+    ~(n_probes/n_clusters) of the corpus at ~1/16 the bytes per row.
+    One candidate scan produces (id, cluster_id, code_0..m-1) — the
+    coarse argmin and all subspace encodings are projections of the
+    same row, so IVF and PQ add no extra pass over the table.
+
+    Deterministic end to end (fixed-point k-means for both quantizers,
+    fixed-order ADC sums), so even the approximate band is value-hash
+    reproducible by the serial DuckDB oracle
+    (plans.vector_oracles.ann_ivfpq_topk_sql). ``train_sample_denom``
+    is forwarded to BOTH trainers; with ``n_clusters == n_codes`` and
+    ``"auto"`` they derive the identical denominator.
+
+    Returns (query_id, neighbor_id, cosine, rank ≤ k) with EXACT
+    cosines; only the ranking beyond the band is approximate."""
+    centroids = kmeans_centroids(
+        vectors,
+        n_clusters=n_clusters,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        train_sample_denom=train_sample_denom,
     )
-    cv = vectors.select(
+    books = pq_codebooks(
+        vectors,
+        n_subspaces=n_subspaces,
+        n_codes=n_codes,
+        n_iters=n_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        train_sample_denom=train_sample_denom,
+    )
+    sub = dim // n_subspaces
+    # candidate side: ONE scan → (neighbor_id, cluster_id, codes...)
+    ccols: list[Column] = [
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        l2_norm(F.col(vec_col)).alias("cr_nrm"),
+        F.col("cluster_id"),
+    ]
+    for j, book in enumerate(books):
+        sv = _svec_sql(vec_col, j * sub + 1, sub)
+        ccols.append(F.expr(_argmin_code_sql(sv, book)).alias(f"code_{j}"))
+    codes = assign_to_centroid(vectors, centroids, vec_col).select(*ccols)
+    # query side: probes + ADC lookup tables in one projection, then
+    # one row per (query, probed cell) — broadcast to the cell join
+    q = assign_probes(queries, centroids, n_probes, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        l2_norm(F.col(vec_col)).alias("q_nrm"),
+        *_adc_query_cols(books, sub, vec_col),
+        F.explode("probe_ids").alias("cluster_id"),
     )
-    rescored = (
-        band.join(F.broadcast(qv), "query_id")
-        .join(cv, "neighbor_id")
+    approx = (
+        codes.join(F.broadcast(q), "cluster_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine_pre(
-                F.col("q_vec"), F.col("c_vec"), F.col("qr_nrm"), F.col("cr_nrm")
-            ).alias("cosine"),
+            _adc_score(n_subspaces).alias("ascore"),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
-    return (
-        rescored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
+    wa = W.partitionBy("query_id").orderBy(F.desc("ascore"), "neighbor_id")
+    band = (
+        approx.withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") <= k * rerank_factor)
+        .select("query_id", "neighbor_id")
     )
+    return _exact_rerank_topk(band, vectors, queries, k, id_col, vec_col)

@@ -481,32 +481,22 @@ def _sumsq(v: str) -> str:
     )
 
 
-def ann_pq_topk_sql(
-    k: int = 5,
-    n_subspaces: int = 16,
-    n_codes: int = 16,
-    n_iters: int = 3,
-    n_queries: int = 5,
-    rerank_factor: int = 8,
-    train_sample_denom: int | str | None = "auto",
-) -> str:
-    """Oracle for operators.similarity.pq_topk — product quantization
-    with asymmetric distance computation, fully re-derived in serial
-    SQL: one :func:`_kmeans_chain` per subspace over the sliced
-    vectors (identical codebooks bit for bit), per-vector code
-    assignment, per-query lookup tables (dot of the query subvector
-    with every codebook entry, plus the reconstructed-norm² table),
-    then the approximate-cosine band of ``k * rerank_factor`` and the
-    exact-cosine rerank — the same band/rerank tail as the int8
-    oracle. Every float expression is the same sequential fold in the
-    same subspace order as the Spark plan, so the approximate band is
-    value-hash reproducible."""
+def _pq_code_parts(
+    n_subspaces: int,
+    n_codes: int,
+    n_iters: int,
+    n_queries: int,
+    train_sample_denom: int | str | None,
+) -> tuple[list[str], str, str]:
+    """The PQ core as CTE parts — per-subspace slicing + k-means
+    chains, full-table code assignment, the ``codes`` CTE
+    (vec_id, c0..c{m-1}), the ``q`` query set, and the per-subspace
+    ``qt{j}`` ADC lookup tables. Returns (parts, adot, rsum) where
+    adot/rsum are the lookup-sum expressions over alias ``c`` — shared
+    by the PQ and IVF-PQ oracles (assumes a prior ``e(vec_id, v)``
+    CTE)."""
     sub = DIM // n_subspaces
-    parts = [
-        "WITH e AS (SELECT vec_id,"
-        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
-        " FROM embeddings),",
-    ]
+    parts: list[str] = []
     finals: list[str] = []
     for j in range(n_subspaces):
         lo, hi = j * sub + 1, (j + 1) * sub
@@ -551,17 +541,16 @@ def ann_pq_topk_sql(
 ),""")
     adot = " + ".join(f"qt{j}.dt[c.c{j} + 1]" for j in range(n_subspaces))
     rsum = " + ".join(f"qt{j}.rn[c.c{j} + 1]" for j in range(n_subspaces))
-    qt_joins = " ".join(
-        f"JOIN qt{j} USING (query_id)" for j in range(n_subspaces)
-    )
+    return parts, adot, rsum
+
+
+def _rerank_tail_parts(k: int, rerank_factor: int) -> str:
+    """The band → exact-cosine rerank → rank ≤ k tail shared by the
+    int8 / PQ / IVF-PQ oracles (assumes a prior ``approx(query_id,
+    neighbor_id, ascore)`` CTE) — mirrors operators.similarity.
+    _exact_rerank_topk."""
     cos = _cosine("qe.va", "ce.vb")
-    parts.append(f"""approx AS (
-  SELECT q.query_id, c.vec_id AS neighbor_id,
-         ({adot}) / (q.q_nrm * sqrt({rsum})) AS ascore
-  FROM codes c CROSS JOIN q {qt_joins}
-  WHERE q.query_id <> c.vec_id
-),
-band AS (
+    return f"""band AS (
   SELECT query_id, neighbor_id,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY ascore DESC, neighbor_id) AS arank
@@ -583,7 +572,114 @@ ranked AS (
            AS rank
   FROM rescored
 )
-SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}""")
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}"""
+
+
+def ann_pq_topk_sql(
+    k: int = 5,
+    n_subspaces: int = 16,
+    n_codes: int = 16,
+    n_iters: int = 3,
+    n_queries: int = 5,
+    rerank_factor: int = 8,
+    train_sample_denom: int | str | None = "auto",
+) -> str:
+    """Oracle for operators.similarity.pq_topk — product quantization
+    with asymmetric distance computation, fully re-derived in serial
+    SQL: one :func:`_kmeans_chain` per subspace over the sliced
+    vectors (identical codebooks bit for bit), per-vector code
+    assignment, per-query lookup tables (dot of the query subvector
+    with every codebook entry, plus the reconstructed-norm² table),
+    then the approximate-cosine band of ``k * rerank_factor`` and the
+    exact-cosine rerank — the same band/rerank tail as the int8
+    oracle. Every float expression is the same sequential fold in the
+    same subspace order as the Spark plan, so the approximate band is
+    value-hash reproducible."""
+    parts = [
+        "WITH e AS (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        " FROM embeddings),",
+    ]
+    core, adot, rsum = _pq_code_parts(
+        n_subspaces, n_codes, n_iters, n_queries, train_sample_denom
+    )
+    parts.extend(core)
+    qt_joins = " ".join(
+        f"JOIN qt{j} USING (query_id)" for j in range(n_subspaces)
+    )
+    parts.append(f"""approx AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         ({adot}) / (q.q_nrm * sqrt({rsum})) AS ascore
+  FROM codes c CROSS JOIN q {qt_joins}
+  WHERE q.query_id <> c.vec_id
+),
+{_rerank_tail_parts(k, rerank_factor)}""")
+    return "\n".join(parts)
+
+
+def ann_ivfpq_topk_sql(
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probes: int = 4,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    n_iters: int = 3,
+    n_queries: int = 5,
+    rerank_factor: int = 16,
+    train_sample_denom: int | str | None = "auto",
+) -> str:
+    """Oracle for operators.similarity.ivfpq_topk — the composed
+    IVF-PQ layout re-derived serially: the coarse k-means chain
+    (prefix ``g``, identical to the IVF oracle's), the per-subspace PQ
+    chains (:func:`_pq_code_parts`), full-table coarse assignment
+    (``cands``), per-query probe lists (``probed``), then ADC scoring
+    RESTRICTED to candidates whose cell is probed by the query — each
+    candidate sits in exactly one cell and probes are distinct, so no
+    pair dedup is needed — and the shared band/rerank tail. Both
+    trainers' ``"auto"`` denominators derive from the same count(*)
+    formula the Spark side uses."""
+    parts = [
+        "WITH e AS (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        " FROM embeddings),",
+    ]
+    chain, coarse = _kmeans_chain(
+        n_clusters, n_iters, train_sample_denom, prefix="g"
+    )
+    parts.extend(chain)
+    core, adot, rsum = _pq_code_parts(
+        n_subspaces, n_codes, n_iters, n_queries, train_sample_denom
+    )
+    parts.extend(core)
+    qt_joins = " ".join(
+        f"JOIN qt{j} ON qt{j}.query_id = p.query_id"
+        for j in range(n_subspaces)
+    )
+    parts.append(f"""cands AS (
+  SELECT s.vec_id, (array_agg(s.cid ORDER BY s.d, s.cid))[1] AS cluster_id
+  FROM (SELECT e.vec_id, c.cid, {_sq_dist('e.v', 'c.cv')} AS d
+        FROM e CROSS JOIN {coarse} c) s
+  GROUP BY s.vec_id
+),
+probed AS (
+  SELECT s.vec_id AS query_id,
+         unnest(list_slice(array_agg(s.cid ORDER BY s.d, s.cid),
+                           1, {n_probes})) AS cluster_id
+  FROM (SELECT e.vec_id, c.cid, {_sq_dist('e.v', 'c.cv')} AS d
+        FROM e CROSS JOIN {coarse} c WHERE e.vec_id < {n_queries}) s
+  GROUP BY s.vec_id
+),
+approx AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         ({adot}) / (q.q_nrm * sqrt({rsum})) AS ascore
+  FROM probed p
+  JOIN cands a ON a.cluster_id = p.cluster_id
+  JOIN codes c ON c.vec_id = a.vec_id
+  JOIN q ON q.query_id = p.query_id
+  {qt_joins}
+  WHERE p.query_id <> c.vec_id
+),
+{_rerank_tail_parts(k, rerank_factor)}""")
     return "\n".join(parts)
 
 

@@ -442,6 +442,33 @@ def ann_pq_sampled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivfpq_topk",
+    oracle=vector_oracles.ann_ivfpq_topk_sql(),
+    tags=("vector", "ann", "ivf", "pq", "quantization", "scale"),
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (operators.similarity.ivfpq_topk) — the composed
+    100 TB vector-index layout, the shape of a Faiss ``IVF16,PQ8``
+    index with raw-vector (non-residual) codebooks: the IVF coarse
+    quantizer prunes the scan to the 4 probed cells of 16 (at scale:
+    file-level pruning on the cell partition key), PQ asymmetric
+    distance scores the surviving candidates from 8 integer codes per
+    row (the scan reads ~16×-narrower codes, never embeddings), and
+    the top k×16 band is reranked with the exact cosine. The two
+    prunings compose multiplicatively — ~¼ of the corpus at ~1/16 the
+    bytes. One candidate scan emits (id, cell, codes): IVF and PQ add
+    no extra pass. Deterministic throughout (fixed-point k-means for
+    both quantizers, fixed-order ADC sums), so even the approximate
+    band is value-hash gated against the serial oracle
+    (plans.vector_oracles.ann_ivfpq_topk_sql); recall vs the exact
+    baseline is asserted in tests."""
+    from ..operators.similarity import ivfpq_topk
+
+    e = _emb(spark, sf_dir)
+    return ivfpq_topk(e, e.filter(F.col("vec_id") < 5), k=5)
+
+
+@register(
     "pipeline_cluster_quality_report",
     oracle=vector_oracles.cluster_doc_quality_sql(),
     tags=("pipeline", "vector", "text", "curation", "kmeans"),

@@ -376,6 +376,31 @@ def test_pq_recall_vs_bruteforce(spark, sf_small):
     assert recall >= 0.80, f"PQ recall too low: {recall}"
 
 
+def test_ivfpq_recall_vs_bruteforce(spark, sf_small):
+    """The composed IVF-PQ path's recall ceiling is the IVF cell
+    recall (probing 4 of 16 cells: 0.90 at sf0.001, 0.88 at sf0.01);
+    with the default k×16 band the 8-subspace ADC stage reaches that
+    ceiling EXACTLY at both scale factors — the PQ approximation loses
+    nothing after rerank. The floor guards the composition (a probe or
+    encoding bug halves it), not statistical drift."""
+    from cassaforte_meter_transmission_gen_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+
+    e = load_table(spark, sf_small, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(e, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_topk(e, q, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.80, f"IVF-PQ recall too low: {recall}"
+
+
 def test_pq_encode_codes_bounded_and_deterministic(spark, sf_small):
     """Every PQ code must index its codebook (0 ≤ code < n_codes for
     all 16 subspaces), and two independent train+encode runs over the
