@@ -56,6 +56,7 @@ SCALE_PATHS = [
     "ann_ivf_topk",
     "ann_int8_quantized_topk",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     "dedup_semantic_clusters",
     "dedup_incremental_minhash",
     "text_duplicated_span_fraction",

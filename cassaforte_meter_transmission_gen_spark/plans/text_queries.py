@@ -1362,3 +1362,100 @@ def text_duplicated_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("dup_fraction"),
         )
     )
+
+
+#: BM25 query fixture: one rare term (df ≈ 25 — the injected
+#: duplicate marker) and two common ones, so the ranking exercises a
+#: real idf spread instead of three interchangeable weights
+BM25_TERMS = ["dup", "filter", "window"]
+BM25_TOPK = 20
+
+
+def text_bm25_topk_sql(
+    terms: list[str] | None = None, k: int = BM25_TOPK
+) -> str:
+    """Oracle for operators.retrieval.bm25_topk: per-document tf/dl,
+    one statistics row, idf per term via the shared deterministic-ln
+    CTE chain (functions.detmath.det_ln_ctes — bit-equal to the
+    driver-side Python det_ln the Spark plan injects as literals),
+    then the SAME generated score expression
+    (operators.retrieval.bm25_score_sql) with idf/avgdl read from
+    columns instead of literals."""
+    from ..functions.detmath import det_ln_ctes
+    from ..operators.retrieval import BM25_B, BM25_K1, bm25_score_sql
+
+    terms = BM25_TERMS if terms is None else terms
+    half = "CAST('0.5' AS DOUBLE)"
+    one = "CAST('1.0' AS DOUBLE)"
+    tf_cols = ",\n         ".join(
+        "CAST(len(list_filter(string_split(text, ' '),"
+        f" x -> x = '{t}')) AS BIGINT) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df_{i}"
+        for i in range(len(terms))
+    )
+    idf_ctes = "\n".join(
+        det_ln_ctes(
+            f"i{i}",
+            f"((CAST(n - df_{i} AS DOUBLE) + {half})"
+            f" / (CAST(df_{i} AS DOUBLE) + {half})) + {one}",
+            "st",
+            f"idf_{i}",
+        )
+        for i in range(len(terms))
+    )
+    idf_refs = [f"i{i}l.idf_{i}" for i in range(len(terms))]
+    idf_joins = " ".join(f"CROSS JOIN i{i}l" for i in range(len(terms)))
+    score = bm25_score_sql(idf_refs, "av.avgdl", BM25_K1, BM25_B)
+    return f"""
+WITH dtf AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS dl,
+         {tf_cols}
+  FROM documents
+),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sdl,
+         {df_cols}
+  FROM dtf
+),
+av AS (SELECT CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl FROM st),
+{idf_ctes}
+scored AS (
+  SELECT d.doc_id, {score} AS score
+  FROM dtf d CROSS JOIN av {idf_joins}
+),
+ranked AS (
+  SELECT doc_id, score,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+           AS rank
+  FROM scored
+)
+SELECT doc_id, score, rank FROM ranked WHERE rank <= {k}"""
+
+
+@register(
+    "text_bm25_topk",
+    oracle=text_bm25_topk_sql(),
+    tags=("text", "retrieval", "bm25", "ranking"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 for a fixed bag-of-terms query — the lexical
+    retrieval half of a corpus search stack (operators.retrieval.
+    bm25_topk; the embedding half is the ANN family). One projection
+    computes tf/dl per document (JVM built-ins, no explode), one
+    partial-aggregating job collects the single statistics row, idf
+    and avgdl are injected as driver-computed literals (production
+    BM25's precomputed-term-statistics shape), and the global top-k is
+    orderBy+limit — TakeOrdered, never a full sort. Value-hash exact
+    despite the logarithm: idf uses the fixed-order series ln of
+    functions.detmath, which Python, Spark, and DuckDB evaluate
+    bit-identically (library ln differs by 1 ulp on ~8% of this
+    domain — measured, and why det_ln exists)."""
+    from ..operators.retrieval import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), BM25_TERMS, k=BM25_TOPK)

@@ -422,3 +422,36 @@ def test_pq_encode_codes_bounded_and_deterministic(spark, sf_small):
     out2 = {r["vec_id"]: tuple(r[f"code_{j}"] for j in range(16))
             for r in pq_encode(e, books2).collect()}
     assert out1 == out2
+
+
+def test_bm25_rare_term_dominates_and_ranking_sorted(spark, sf_small):
+    """BM25 semantics: the corpus plants 'dup' in ~5% of documents
+    (the duplicate marker), so its idf dwarfs the common terms' — every
+    document containing the rare term must outrank every document that
+    matches only common terms, and the returned ranking must be sorted
+    by (score desc, doc_id) with exactly k rows."""
+    from cassaforte_meter_transmission_gen_spark.operators.retrieval import (
+        bm25_topk,
+    )
+
+    d = load_table(spark, sf_small, "documents")
+    out = bm25_topk(d, ["dup", "filter", "window"], k=20).collect()
+    assert len(out) == 20
+    ranks = [r["rank"] for r in out]
+    assert ranks == list(range(1, 21))
+    scores = [r["score"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert scores == sorted(scores, reverse=True)
+    # which of the top-k actually contain the rare term?
+    with_dup = {
+        r["doc_id"]
+        for r in d.filter(F.col("text").contains("dup")).select("doc_id").collect()
+    }
+    top = sorted(out, key=lambda r: r["rank"])
+    split_seen = False
+    for prev, cur in zip(top, top[1:]):
+        p_in, c_in = prev["doc_id"] in with_dup, cur["doc_id"] in with_dup
+        # once the ranking leaves the rare-term block it never returns
+        if p_in and not c_in:
+            split_seen = True
+        assert not (split_seen and c_in), "rare-term doc below a common-only doc"
+    assert top[0]["doc_id"] in with_dup

@@ -374,3 +374,47 @@ def test_shuffle_shard_hash_matches_python_model(ids, n_shards):
     }
     con.close()
     assert got == want
+
+
+@given(
+    st.lists(
+        st.floats(min_value=1.0, max_value=float(1 << 40), allow_nan=False),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_det_ln_matches_duckdb_bitwise_and_true_ln(xs):
+    """functions.detmath.det_ln exists because library ln is NOT
+    portable (JVM vs libm differ at 1 ulp on ~8% of the BM25 idf
+    domain — measured 425/5502). The contract: (a) the Python driver
+    twin and the generated SQL chain produce IDENTICAL doubles in
+    DuckDB over the full domain [1, 2^40]; (b) both are within a few
+    ulp of true ln (math.log), i.e. it really is ln, not a lookalike."""
+    import math
+
+    import duckdb
+
+    from cassaforte_meter_transmission_gen_spark.functions.detmath import (
+        det_ln,
+        det_ln_ctes,
+    )
+
+    py = [det_ln(x) for x in xs]
+    con = duckdb.connect()
+    vals = ", ".join(f"(CAST('{x!r}' AS DOUBLE))" for x in xs)
+    sql = (
+        f"WITH src AS (SELECT x0 FROM (VALUES {vals}) t(x0)), "
+        + det_ln_ctes("d", "x0", "src", "lnv")[:-1]
+        + " SELECT lnv FROM dl"
+    )
+    got = [r[0] for r in con.sql(sql).fetchall()]
+    con.close()
+    # row order through a CTE chain is not guaranteed → multiset compare
+    assert sorted(repr(g) for g in got) == sorted(repr(p) for p in py)
+    for x, p in zip(xs, py):
+        t = math.log(x)
+        if t == 0.0:
+            assert p == 0.0
+        else:
+            assert abs(p - t) <= 4 * abs(t) * 2.3e-16, (x, p, t)
