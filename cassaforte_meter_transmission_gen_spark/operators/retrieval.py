@@ -124,3 +124,45 @@ def bm25_topk(
     top = scored.orderBy(F.desc("score"), "doc_id").limit(k)
     w = W.orderBy(F.desc("score"), "doc_id")
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+#: Reciprocal Rank Fusion constant (Cormack, Clarke & Buettcher 2009):
+#: 60 damps the head so a mid-list consensus doc can beat a doc one
+#: ranking places first and the other misses entirely
+RRF_C = 60
+
+
+def rrf_fuse(
+    lex: DataFrame, sem: DataFrame, k: int = 20, c: int = RRF_C
+) -> DataFrame:
+    """Reciprocal Rank Fusion of a lexical and a semantic ranking —
+    the standard score-free way to combine BM25 with embedding ANN
+    (hybrid search). Inputs are (doc_id, rank) frames; output is
+    (doc_id, rrf_score, lex_rank, sem_rank, rank ≤ k) with
+    rrf_score = Σ 1/(c + rankᵢ) over the rankings that contain the doc.
+
+    Scale: both inputs are top-K rankings (k×partitions rows at most —
+    the expensive work happened upstream in the BM25 scan and the ANN
+    scan), so the full-outer merge is a trivially small join; Spark
+    plans it as a broadcast under AQE. Determinism: each contribution
+    is one IEEE division of exactly-representable integers and the two
+    contributions are added once (two-operand FP addition is
+    commutative, so join-side order can't change the bits); emitted as
+    one server-parsed SQL expression shared in shape with the DuckDB
+    oracle (plans.text_queries.text_hybrid_rrf_topk_sql)."""
+    l = lex.select("doc_id", F.col("rank").alias("lex_rank"))
+    s = sem.select("doc_id", F.col("rank").alias("sem_rank"))
+    fused = l.join(s, on="doc_id", how="full_outer").select(
+        "doc_id",
+        F.expr(
+            f"(COALESCE(CAST('1.0' AS DOUBLE)"
+            f" / CAST({c} + lex_rank AS DOUBLE), CAST('0.0' AS DOUBLE))"
+            f" + COALESCE(CAST('1.0' AS DOUBLE)"
+            f" / CAST({c} + sem_rank AS DOUBLE), CAST('0.0' AS DOUBLE)))"
+        ).alias("rrf_score"),
+        "lex_rank",
+        "sem_rank",
+    )
+    top = fused.orderBy(F.desc("rrf_score"), "doc_id").limit(k)
+    w = W.orderBy(F.desc("rrf_score"), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))

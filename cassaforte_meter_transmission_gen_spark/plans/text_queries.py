@@ -1371,11 +1371,12 @@ BM25_TERMS = ["dup", "filter", "window"]
 BM25_TOPK = 20
 
 
-def text_bm25_topk_sql(
-    terms: list[str] | None = None, k: int = BM25_TOPK
-) -> str:
-    """Oracle for operators.retrieval.bm25_topk: per-document tf/dl,
-    one statistics row, idf per term via the shared deterministic-ln
+def _bm25_ranked_ctes(terms: list[str]) -> str:
+    """The BM25 oracle's CTE chain (no ``WITH``, no final SELECT),
+    ending in ``ranked(doc_id, score, rank)`` — shared by the
+    standalone BM25 oracle and the hybrid-RRF oracle so both rank the
+    lexical side through literally the same SQL text: per-document
+    tf/dl, one statistics row, idf per term via the deterministic-ln
     CTE chain (functions.detmath.det_ln_ctes — bit-equal to the
     driver-side Python det_ln the Spark plan injects as literals),
     then the SAME generated score expression
@@ -1383,8 +1384,6 @@ def text_bm25_topk_sql(
     columns instead of literals."""
     from ..functions.detmath import det_ln_ctes
     from ..operators.retrieval import BM25_B, BM25_K1, bm25_score_sql
-
-    terms = BM25_TERMS if terms is None else terms
     half = "CAST('0.5' AS DOUBLE)"
     one = "CAST('1.0' AS DOUBLE)"
     tf_cols = ",\n         ".join(
@@ -1410,8 +1409,7 @@ def text_bm25_topk_sql(
     idf_refs = [f"i{i}l.idf_{i}" for i in range(len(terms))]
     idf_joins = " ".join(f"CROSS JOIN i{i}l" for i in range(len(terms)))
     score = bm25_score_sql(idf_refs, "av.avgdl", BM25_K1, BM25_B)
-    return f"""
-WITH dtf AS (
+    return f"""dtf AS (
   SELECT doc_id,
          CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
               AS BIGINT) AS dl,
@@ -1434,8 +1432,19 @@ ranked AS (
          CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
            AS rank
   FROM scored
-)
-SELECT doc_id, score, rank FROM ranked WHERE rank <= {k}"""
+)"""
+
+
+def text_bm25_topk_sql(
+    terms: list[str] | None = None, k: int = BM25_TOPK
+) -> str:
+    """Oracle for operators.retrieval.bm25_topk — the shared ranked
+    chain (:func:`_bm25_ranked_ctes`) plus the top-k cut."""
+    terms = BM25_TERMS if terms is None else terms
+    return (
+        f"\nWITH {_bm25_ranked_ctes(terms)}\n"
+        f"SELECT doc_id, score, rank FROM ranked WHERE rank <= {k}"
+    )
 
 
 @register(
@@ -1459,3 +1468,95 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.retrieval import bm25_topk
 
     return bm25_topk(_docs(spark, sf_dir), BM25_TERMS, k=BM25_TOPK)
+
+
+#: hybrid-search fixture: fuse the BM25 ranking for BM25_TERMS with
+#: the exact-cosine neighbors of one probe embedding (doc_id = vec_id
+#: is the corpus' cross-modal key — see pipeline_cluster_quality_report)
+RRF_TOPK = 20
+RRF_K_EACH = 50
+RRF_QUERY_ID = 0
+
+
+def text_hybrid_rrf_topk_sql(
+    terms: list[str] | None = None,
+    k: int = RRF_TOPK,
+    k_each: int = RRF_K_EACH,
+) -> str:
+    """Oracle for the hybrid query: the SAME BM25 ranked chain the
+    standalone oracle uses (:func:`_bm25_ranked_ctes`), an exact-cosine
+    ranking in the sequential-fold dialect of the ann_bruteforce
+    oracle, and the RRF merge — per-doc contributions are single IEEE
+    divisions of exact integers added once (two-operand FP addition is
+    commutative), so the fused doubles are bit-equal to Spark's."""
+    from ..operators.retrieval import RRF_C
+    from .vector_queries import _DOT, _NORM
+
+    terms = BM25_TERMS if terms is None else terms
+    dot = _DOT.format(a="qv", b="cv")
+    nq = _NORM.format(v="qv")
+    nc = _NORM.format(v="cv")
+    return f"""
+WITH {_bm25_ranked_ctes(terms)},
+lexr AS (SELECT doc_id, rank AS lex_rank FROM ranked WHERE rank <= {k_each}),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {RRF_QUERY_ID}),
+sems AS (
+  SELECT vec_id AS doc_id, embedding AS cv, qv
+  FROM embeddings CROSS JOIN q
+  WHERE vec_id <> {RRF_QUERY_ID}
+),
+semscored AS (SELECT doc_id, {dot} / ({nq} * {nc}) AS cosine FROM sems),
+semranked AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS INT)
+           AS sem_rank
+  FROM semscored
+),
+semr AS (SELECT doc_id, sem_rank FROM semranked WHERE sem_rank <= {k_each}),
+fused AS (
+  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         (COALESCE(CAST('1.0' AS DOUBLE)
+            / CAST({RRF_C} + l.lex_rank AS DOUBLE), CAST('0.0' AS DOUBLE))
+          + COALESCE(CAST('1.0' AS DOUBLE)
+            / CAST({RRF_C} + s.sem_rank AS DOUBLE), CAST('0.0' AS DOUBLE)))
+           AS rrf_score,
+         l.lex_rank AS lex_rank, s.sem_rank AS sem_rank
+  FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id
+),
+final AS (
+  SELECT doc_id, rrf_score, lex_rank, sem_rank,
+         CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INT)
+           AS rank
+  FROM fused
+)
+SELECT doc_id, rrf_score, lex_rank, sem_rank, rank
+FROM final WHERE rank <= {k}"""
+
+
+@register(
+    "text_hybrid_rrf_topk",
+    oracle=text_hybrid_rrf_topk_sql(),
+    tags=("text", "retrieval", "hybrid", "rrf", "vector"),
+)
+def text_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: Reciprocal Rank Fusion of the BM25 lexical
+    top-50 and the exact-cosine semantic top-50 of one probe embedding
+    (doc_id = vec_id is the corpus' cross-modal key) — the standard
+    production shape for corpus search, where neither scoring scale is
+    trusted and only ranks are fused (operators.retrieval.rrf_fuse).
+    Both upstream rankings are scale-designed scans (BM25: stateless
+    scoring scan + TakeOrdered; ANN: broadcast probe + one scoring
+    pass); the fusion itself merges two k-row frames — free at any
+    corpus size. Value-hash gated end to end: BM25 via det-ln, cosine
+    via the sequential-fold dialect, RRF via single divisions of exact
+    integers and one commutative add."""
+    from ..operators.retrieval import bm25_topk, rrf_fuse
+    from ..operators.similarity import brute_force_topk
+
+    d = _docs(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    lex = bm25_topk(d, BM25_TERMS, k=RRF_K_EACH).select("doc_id", "rank")
+    sem = brute_force_topk(
+        e, e.filter(F.col("vec_id") == RRF_QUERY_ID), k=RRF_K_EACH
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse(lex, sem, k=RRF_TOPK)

@@ -455,3 +455,50 @@ def test_bm25_rare_term_dominates_and_ranking_sorted(spark, sf_small):
             split_seen = True
         assert not (split_seen and c_in), "rare-term doc below a common-only doc"
     assert top[0]["doc_id"] in with_dup
+
+
+def test_rrf_fuse_matches_python_model(spark, sf_small):
+    """rrf_fuse semantics: for every returned row, rrf_score must
+    equal 1/(c+lex_rank) + 1/(c+sem_rank) recomputed in Python from
+    the two component rankings (missing membership contributes 0),
+    the result must be the top-k of the full fused set, and a doc
+    present in BOTH rankings at rank r must outscore a doc holding
+    rank r in only one of them."""
+    from cassaforte_meter_transmission_gen_spark.operators.retrieval import (
+        RRF_C,
+        bm25_topk,
+        rrf_fuse,
+    )
+    from cassaforte_meter_transmission_gen_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    d = load_table(spark, sf_small, "documents")
+    e = load_table(spark, sf_small, "embeddings")
+    lex = bm25_topk(d, ["dup", "filter", "window"], k=30).select("doc_id", "rank")
+    sem = brute_force_topk(e, e.filter(F.col("vec_id") == 0), k=30).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    lex_r = {r["doc_id"]: r["rank"] for r in lex.collect()}
+    sem_r = {r["doc_id"]: r["rank"] for r in sem.collect()}
+    out = sorted(rrf_fuse(lex, sem, k=10).collect(), key=lambda r: r["rank"])
+    assert [r["rank"] for r in out] == list(range(1, 11))
+
+    def model(doc):
+        s = 0.0
+        if doc in lex_r:
+            s += 1.0 / (RRF_C + lex_r[doc])
+        if doc in sem_r:
+            s += 1.0 / (RRF_C + sem_r[doc])
+        return s
+
+    for r in out:
+        assert repr(r["rrf_score"]) == repr(model(r["doc_id"]))
+        assert r["lex_rank"] == lex_r.get(r["doc_id"])
+        assert r["sem_rank"] == sem_r.get(r["doc_id"])
+    # top-k really is the global top-k of the fused universe
+    universe = sorted(
+        (set(lex_r) | set(sem_r)),
+        key=lambda doc: (-model(doc), doc),
+    )
+    assert [r["doc_id"] for r in out] == universe[:10]
