@@ -60,6 +60,8 @@ SCALE_PATHS = [
     "dedup_semantic_clusters",
     "dedup_incremental_minhash",
     "text_duplicated_span_fraction",
+    "text_bm25_topk",
+    "text_hybrid_rrf_topk",
 ]
 
 

@@ -1,0 +1,189 @@
+"""BPE tokenizer training at corpus scale (SURVEY §2.10 family —
+training-data pipeline extensions; the reference engine has no
+tokenizer surface, cf. core.clj's fixed text-free meter schema).
+
+Byte-pair-encoding training is the canonical "needs the whole corpus"
+pipeline step: repeatedly find the globally most frequent adjacent
+symbol pair and merge it. The scale design follows the standard
+production shape:
+
+1. **Collapse the corpus once.** One groupBy over the exploded tokens
+   yields ``(word, wcount)`` — the only pass that touches the full
+   corpus (100 TB in, vocab-sized out). Every training iteration runs
+   on this table, whose size is the number of DISTINCT words, not the
+   token count.
+2. **Relational symbol table, not array folds.** Each word becomes
+   ``(word, wcount, pos, sym)`` rows; pair counting is a ``lead``
+   window + groupBy, and the merge rewrite is three window functions —
+   all partitioned by ``word``, so no global window, no Python row
+   path, and every engine-side comparison is exact integer/string
+   arithmetic (the whole training loop is float-free, hence bit-equal
+   to the unrolled DuckDB oracle in plans.text_queries).
+3. **Greedy non-overlapping merge without a sequential scan.** A pair
+   occurrence merges iff it is a match AND not shadowed by the merge
+   of the previous position. For ``l != r`` matches can never overlap
+   (overlap forces l == r), so every match merges. For ``l == r``,
+   matches overlap inside runs of the symbol; greedy left-to-right
+   keeps the occurrences at EVEN offsets within each maximal run,
+   which is computable per-row from a gaps-and-islands group id
+   (``pos - cumulative-count-of-l``) and the island's min(pos) — two
+   windows, no recursion.
+4. **Driver state is merge-sized.** Each iteration collects exactly
+   one (l, r, cnt) row (the argmax with the deterministic tie-break
+   cnt DESC, l, r); the result DataFrame is the n_merges-row merge
+   table. The per-iteration persist pins the vocab-sized symbol table
+   so iteration k+1 reads the materialized k-th state instead of
+   recomputing the whole chain; every cached frame is unpersisted
+   before returning (no cache outlives the call).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: default number of merge rules learned by the catalog query — small
+#: because each merge is one full pass over the vocab table; real
+#: tokenizers run tens of thousands of merges with the identical shape
+BPE_N_MERGES = 8
+
+#: result schema of :func:`bpe_train` (merge_rank is 1-based)
+BPE_MERGES_SCHEMA = (
+    "merge_rank int, left_sym string, right_sym string, pair_count long"
+)
+
+
+def bpe_word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The corpus-collapsing pass: whitespace words with exact corpus
+    frequencies. The ONLY full-corpus scan in BPE training."""
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("wcount"))
+    )
+
+
+def _symbol_rows(words: DataFrame) -> DataFrame:
+    """(word, wcount) → one row per character position: (word, wcount,
+    pos 1-based, sym). substring arithmetic rather than split-on-empty
+    so the Spark plan and the DuckDB oracle share the exact char
+    extraction semantics."""
+    return words.select(
+        "word",
+        "wcount",
+        F.explode(F.sequence(F.lit(1), F.length("word"))).alias("pos"),
+    ).select(
+        "word",
+        "wcount",
+        "pos",
+        F.expr("substring(word, pos, 1)").alias("sym"),
+    )
+
+
+def _merge_pair(p: DataFrame, l: str, r: str) -> DataFrame:
+    """Rewrite the symbol table after adopting merge (l, r): greedy
+    non-overlapping left-to-right, per the module docstring. ``p``
+    must carry (word, wcount, pos dense 1-based, sym, nxt=lead(sym))."""
+    wword = Window.partitionBy("word").orderBy("pos")
+    mtch = (F.col("sym") == F.lit(l)) & (F.col("nxt") == F.lit(r))
+    if l == r:
+        # gaps-and-islands over the rows whose sym == l: inside one
+        # maximal run, pos - (cumulative count of l-rows) is constant,
+        # and distinct runs get strictly increasing group ids
+        arnk = F.sum(
+            F.when(F.col("sym") == F.lit(l), F.lit(1)).otherwise(F.lit(0))
+        ).over(wword)
+        g = p.withColumn(
+            "grp",
+            F.when(F.col("sym") == F.lit(l), F.col("pos") - arnk),
+        )
+        wisl = Window.partitionBy("word", "grp")
+        mstart = mtch & (
+            ((F.col("pos") - F.min("pos").over(wisl)) % 2) == 0
+        )
+    else:
+        g, mstart = p, mtch
+    g = g.withColumn("mstart", F.coalesce(mstart, F.lit(False)))
+    kept = g.withColumn("pm", F.lag("mstart").over(wword)).filter(
+        ~F.coalesce(F.col("pm"), F.lit(False))
+    )
+    return kept.select(
+        "word",
+        "wcount",
+        F.row_number().over(wword).alias("pos"),
+        F.when(F.col("mstart"), F.lit(l + r))
+        .otherwise(F.col("sym"))
+        .alias("sym"),
+    )
+
+
+def _train(
+    docs: DataFrame, n_merges: int, text_col: str, cache: bool
+) -> tuple[list[tuple[int, str, str, int]], DataFrame, list[DataFrame]]:
+    """The training loop: returns (adopted merges, the symbol table
+    AFTER applying all of them, the persisted frames if ``cache``).
+    With ``cache`` each iteration pins its input so iteration k+1
+    reads materialized state; without it the chain is pure recomputable
+    lineage (fine for small merge counts — each argmax re-derives from
+    the vocab-sized s0, and the caller gets a cache-free frame)."""
+    wword = Window.partitionBy("word").orderBy("pos")
+    cur = _symbol_rows(bpe_word_counts(docs, text_col))
+    cached: list[DataFrame] = []
+    merges: list[tuple[int, str, str, int]] = []
+    for it in range(n_merges):
+        if cache:
+            cur = cur.persist()
+            cached.append(cur)
+        p = cur.withColumn("nxt", F.lead("sym").over(wword))
+        best = (
+            p.filter(F.col("nxt").isNotNull())
+            .groupBy(F.col("sym").alias("l"), F.col("nxt").alias("r"))
+            .agg(F.sum("wcount").alias("cnt"))
+            .orderBy(F.desc("cnt"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break  # vocabulary fully merged — nothing adjacent remains
+        l, r, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
+        merges.append((it + 1, l, r, cnt))
+        cur = _merge_pair(p, l, r)
+    return merges, cur, cached
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = BPE_N_MERGES,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merge rules from the corpus.
+    Returns (merge_rank, left_sym, right_sym, pair_count) — rank is
+    adoption order, pair_count the exact corpus-weighted frequency at
+    adoption time. Ties break deterministically on (count DESC,
+    left_sym, right_sym) in binary string order, identically in Spark
+    and the generated DuckDB oracle."""
+    merges, _, cached = _train(docs, n_merges, text_col, cache=True)
+    out = docs.sparkSession.createDataFrame(merges, schema=BPE_MERGES_SCHEMA)
+    for c in cached:  # the result is driver-local: no lineage to free
+        c.unpersist()
+    return out
+
+
+def bpe_vocab(
+    docs: DataFrame,
+    n_merges: int = BPE_N_MERGES,
+    text_col: str = "text",
+) -> DataFrame:
+    """The encode side of training: corpus token statistics under the
+    learned merges. Tokenizing a word depends only on the word, so the
+    corpus-collapsed symbol table after the final merge IS the encoded
+    corpus; one groupBy yields, per final symbol, the exact
+    corpus-weighted occurrence count and the number of distinct words
+    containing it. Built cache-free (pure lineage) so the returned
+    frame is safe to evaluate any time with no pinned blocks."""
+    _, final, _ = _train(docs, n_merges, text_col, cache=False)
+    return final.groupBy("sym").agg(
+        F.sum("wcount").alias("token_count"),
+        F.countDistinct("word").alias("n_words"),
+    )

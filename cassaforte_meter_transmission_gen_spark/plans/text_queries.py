@@ -1560,3 +1560,138 @@ def text_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, e.filter(F.col("vec_id") == RRF_QUERY_ID), k=RRF_K_EACH
     ).select(F.col("neighbor_id").alias("doc_id"), "rank")
     return rrf_fuse(lex, sem, k=RRF_TOPK)
+
+
+def _bpe_ctes(n: int) -> str:
+    """The unrolled BPE training chain (starts with ``WITH``, no final
+    SELECT) — shared by the merges oracle and the vocab oracle. Each
+    iteration is a lead-window pair count, an argmax CTE b{i} (the
+    tie-break ORDER BY cnt DESC, l, r mirrors the Spark collect), and
+    the three-window greedy merge rewrite (gaps-and-islands
+    even-offset rule for l = r); s{n} is the symbol table after all n
+    merges. Integer/string-exact throughout, so the SQL that computes
+    its own argmaxes lands on the identical merges the Spark driver
+    loop collects — value-hash equality with no floats involved."""
+    parts = [
+        """
+WITH w AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS wcount
+  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+          AS word
+        FROM documents)
+  GROUP BY word
+),
+s0 AS (
+  SELECT word, wcount, CAST(pos AS INT) AS pos,
+         substr(word, pos, 1) AS sym
+  FROM (SELECT word, wcount,
+               unnest(range(1, length(word) + 1)) AS pos
+        FROM w)
+)"""
+    ]
+    for i in range(n):
+        parts.append(f""",
+p{i} AS (
+  SELECT word, wcount, pos, sym,
+         lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+  FROM s{i}
+),
+b{i} AS (
+  SELECT sym AS l, nxt AS r, CAST(SUM(wcount) AS BIGINT) AS cnt
+  FROM p{i} WHERE nxt IS NOT NULL
+  GROUP BY sym, nxt
+  ORDER BY cnt DESC, l, r
+  LIMIT 1
+),
+g{i} AS (
+  SELECT word, wcount, pos, sym, nxt, l, r,
+         CASE WHEN l = r AND sym = l THEN pos - arnk END AS grp,
+         COALESCE(sym = l AND nxt = r, FALSE) AS mtch
+  FROM (SELECT p.*, b.l, b.r,
+               SUM(CASE WHEN p.sym = b.l THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY p.word ORDER BY p.pos) AS arnk
+        FROM p{i} p CROSS JOIN b{i} b)
+),
+t{i} AS (
+  SELECT *,
+         CASE WHEN l <> r THEN mtch
+              ELSE mtch AND
+                   ((pos - MIN(pos) OVER (PARTITION BY word, grp)) % 2 = 0)
+         END AS mstart
+  FROM g{i}
+),
+s{i + 1} AS (
+  SELECT word, wcount,
+         CAST(row_number() OVER (PARTITION BY word ORDER BY pos) AS INT)
+           AS pos,
+         CASE WHEN mstart THEN l || r ELSE sym END AS sym
+  FROM (SELECT *, lag(mstart) OVER (PARTITION BY word ORDER BY pos) AS pm
+        FROM t{i})
+  WHERE NOT COALESCE(pm, FALSE)
+)""")
+    return "".join(parts)
+
+
+def text_bpe_train_sql(n_merges: int | None = None) -> str:
+    """Oracle for operators.tokenizer.bpe_train: the shared unrolled
+    chain (:func:`_bpe_ctes`), emitting each iteration's adopted
+    argmax row b{i} with its 1-based adoption rank."""
+    from ..operators.tokenizer import BPE_N_MERGES
+
+    n = BPE_N_MERGES if n_merges is None else n_merges
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({i + 1} AS INT) AS merge_rank, l AS left_sym,"
+        f" r AS right_sym, cnt AS pair_count FROM b{i}"
+        for i in range(n)
+    )
+    return _bpe_ctes(n) + "\n" + union
+
+
+def text_bpe_vocab_sql(n_merges: int | None = None) -> str:
+    """Oracle for operators.tokenizer.bpe_vocab: the shared unrolled
+    chain's final symbol table s{n}, aggregated per symbol."""
+    from ..operators.tokenizer import BPE_N_MERGES
+
+    n = BPE_N_MERGES if n_merges is None else n_merges
+    return f"""{_bpe_ctes(n)}
+SELECT sym, CAST(SUM(wcount) AS BIGINT) AS token_count,
+       CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words
+FROM s{n}
+GROUP BY sym"""
+
+
+@register(
+    "text_bpe_train_merges",
+    oracle=text_bpe_train_sql(),
+    tags=("text", "tokenizer", "bpe", "pipeline"),
+)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training over the corpus: the first 8 merge rules
+    with their exact corpus-weighted pair frequencies
+    (operators.tokenizer.bpe_train). One full-corpus groupBy collapses
+    the text to (distinct word, count); every training iteration then
+    runs on that vocab-sized table with word-partitioned windows only,
+    and the driver holds merge-sized state (one argmax row per
+    iteration). Float-free, so gated by the full value hash against
+    the unrolled self-contained DuckDB oracle."""
+    from ..operators.tokenizer import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir))
+
+
+@register(
+    "text_bpe_vocab_counts",
+    oracle=text_bpe_vocab_sql(),
+    tags=("text", "tokenizer", "bpe", "pipeline"),
+)
+def text_bpe_vocab_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token statistics under the learned BPE merges — the
+    encode side of tokenizer training (operators.tokenizer.bpe_vocab):
+    per final symbol, the exact corpus-weighted occurrence count and
+    the number of distinct words containing it. Tokenization depends
+    only on the word, so the encoded corpus is the collapsed symbol
+    table itself — no second corpus pass. Value-hash gated against the
+    same unrolled oracle chain as text_bpe_train_merges."""
+    from ..operators.tokenizer import bpe_vocab
+
+    return bpe_vocab(_docs(spark, sf_dir))

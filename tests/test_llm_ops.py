@@ -502,3 +502,97 @@ def test_rrf_fuse_matches_python_model(spark, sf_small):
         key=lambda doc: (-model(doc), doc),
     )
     assert [r["doc_id"] for r in out] == universe[:10]
+
+
+def _py_bpe(word_counts, n_merges):
+    """Reference greedy BPE: count every adjacent symbol pair weighted
+    by word frequency, adopt the (count DESC, left, right) argmax,
+    rewrite each word greedily left-to-right (non-overlapping)."""
+    vocab = {w: list(w) for w in word_counts}
+    merges = []
+    for step in range(n_merges):
+        counts = {}
+        for w, c in word_counts.items():
+            s = vocab[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + c
+        if not counts:
+            break
+        (l, r), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step + 1, l, r, cnt))
+        for w, s in vocab.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+def test_bpe_train_matches_python_model_incl_runs(spark):
+    """bpe_train must equal the serial greedy model on a corpus built
+    to stress the hard case: runs of a repeated symbol, where the
+    adopted pair has left == right and overlapping matches must merge
+    only at even offsets within each run ('aaaa' -> (aa)(aa),
+    'aaa' -> (aa)a). Also verifies the exact corpus-weighted counts,
+    the adoption ORDER, and that no persisted RDD outlives the call."""
+    from cassaforte_meter_transmission_gen_spark.operators.tokenizer import (
+        bpe_train,
+    )
+
+    texts = [
+        "aaaa aaa abab",
+        "aaaa banana  banana",
+        "abab aaa bb",
+        "banana aaaa",
+    ]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    wc = {}
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+    want, want_vocab = _py_bpe(wc, 6)
+
+    def cached_ids():
+        return {
+            int(k)
+            for k in spark.sparkContext._jsc.getPersistentRDDs().keySet()
+        }
+
+    ids_before = cached_ids()
+    got = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_train(docs, n_merges=6)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == want
+    assert any(l == r for _, l, r, _ in got), (
+        "fixture must exercise the left==right run-merge path"
+    )
+    assert cached_ids() <= ids_before, "bpe_train left persisted RDDs behind"
+
+    # the encode side: per-symbol corpus stats under the same merges
+    from cassaforte_meter_transmission_gen_spark.operators.tokenizer import (
+        bpe_vocab,
+    )
+
+    want_counts: dict[str, int] = {}
+    want_words: dict[str, set] = {}
+    for w, syms in want_vocab.items():
+        for s in syms:
+            want_counts[s] = want_counts.get(s, 0) + wc[w]
+            want_words.setdefault(s, set()).add(w)
+    got_vocab = {
+        r["sym"]: (r["token_count"], r["n_words"])
+        for r in bpe_vocab(docs, n_merges=6).collect()
+    }
+    assert got_vocab == {
+        s: (want_counts[s], len(want_words[s])) for s in want_counts
+    }
+    assert cached_ids() <= ids_before, "bpe_vocab left persisted RDDs behind"

@@ -246,3 +246,37 @@ def test_pq_encode_is_narrow_map(spark, sf_small):
     books = pq_codebooks(e, train_sample_denom=None)
     plan = _plan(pq_encode(e, books))
     assert "Exchange" not in plan, plan
+
+
+def test_bpe_corpus_pass_prunes_and_merge_windows_partitioned(spark, sf_small):
+    """BPE training's one full-corpus pass (bpe_word_counts) must read
+    ONLY the text column (column pruning at the scan) and partial-agg
+    before its single exchange — at 100 TB this is the pass that
+    touches every byte. The per-iteration merge rewrite must contain
+    NO single-partition window (every window partitions by word, so
+    the vocab table stays distributed)."""
+    from cassaforte_meter_transmission_gen_spark.operators.tokenizer import (
+        _merge_pair,
+        _symbol_rows,
+        bpe_word_counts,
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    wc = bpe_word_counts(docs)
+    plan = _plan(wc)
+    read_schema = plan[plan.index("ReadSchema"):].splitlines()[0]
+    for unneeded in ("doc_id", "lang", "n_chars", "quality"):
+        assert unneeded not in read_schema, f"{unneeded} not pruned: {read_schema}"
+    first_exchange = plan.index("Exchange")
+    assert "HashAggregate" in plan[:first_exchange], plan  # map-side partial
+
+    syms = _symbol_rows(wc).withColumn(
+        "nxt",
+        F.lead("sym").over(Window.partitionBy("word").orderBy("pos")),
+    )
+    for pair in (("a", "b"), ("a", "a")):  # both merge paths incl. islands
+        mplan = _plan(_merge_pair(syms, *pair))
+        assert "Exchange SinglePartition" not in mplan, mplan
+        assert "Window" in mplan, mplan
