@@ -62,6 +62,7 @@ SCALE_PATHS = [
     "text_duplicated_span_fraction",
     "text_bm25_topk",
     "text_hybrid_rrf_topk",
+    "join_bloom_pruned_semi_revenue",
 ]
 
 
@@ -147,6 +148,44 @@ def main() -> None:
         }
     except Exception as exc:  # noqa: BLE001
         errors["lsh_hi_stats"] = f"{type(exc).__name__}: {exc}"[:500]
+    finally:
+        spark.catalog.clearCache()
+
+    # the bloom pre-join pruning claim, measured: the fraction of the
+    # fact side the bloom filter admits into the semi-join shuffle
+    # (true members + false positives). With ~20% of lineitems urgent
+    # and FPR ≈ 4% at sf0.1 the admitted fraction should sit ≈ 0.23.
+    bloom_prune_stats = None
+    try:
+        from cassaforte_meter_transmission_gen_spark.operators.bloom import (
+            bloom_build,
+            bloom_prune,
+        )
+        from cassaforte_meter_transmission_gen_spark.plans.tpch_queries import (
+            BLOOM_JOIN_BITS,
+        )
+        from cassaforte_meter_transmission_gen_spark.schemas import load_table
+
+        from pyspark.sql import functions as F
+
+        fact = load_table(spark, sf_dir, "lineitem")
+        keys = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select(F.col("o_orderkey").alias("l_orderkey"))
+        )
+        words = bloom_build(keys, "l_orderkey", BLOOM_JOIN_BITS)
+        n_fact = fact.count()
+        n_admitted = bloom_prune(
+            fact, "l_orderkey", words, BLOOM_JOIN_BITS
+        ).count()
+        bloom_prune_stats = {
+            "fact_rows": n_fact,
+            "admitted_rows": n_admitted,
+            "admitted_fraction": round(n_admitted / n_fact, 6),
+        }
+    except Exception as exc:  # noqa: BLE001
+        errors["bloom_prune_stats"] = f"{type(exc).__name__}: {exc}"[:500]
     finally:
         spark.catalog.clearCache()
 
@@ -374,6 +413,7 @@ def main() -> None:
                 "flagship_prune": flagship_prune,
                 "ivf_prune": ivf_prune,
                 "pq_io": pq_io,
+                "bloom_prune": bloom_prune_stats,
                 "errors": errors,
                 "sf": sf,
                 "ingest_five_tables_sec": ingest_sec,

@@ -136,3 +136,66 @@ def routed_energy_report(
     if src == grain:
         return df
     return rollup_from_second(df, grain)
+
+
+def gapfill_locf(
+    observed: DataFrame,
+    saids: DataFrame,
+    start_epoch: int,
+    n_buckets: int,
+    step_seconds: int = 60,
+) -> DataFrame:
+    """Gap-fill a sparse rollup onto the dense per-meter time grid and
+    carry the last observation forward (the hypertable
+    ``time_bucket_gapfill + locf`` read shape): missed transmissions
+    (reference A5 — writes CAN fail, core.clj:58-66) leave holes in the
+    counter tables, and downstream consumers (dashboards, the EWMA
+    smoother, billing exports) want a dense minute grid, not holes.
+
+    ``observed``: (said, datetime, joules) at the bucket grain;
+    ``saids``: one ``said`` per meter (the dimension side). Output is
+    one row per (said, bucket): (said, datetime, joules_locf,
+    was_filled) — joules_locf is NULL until a meter's first
+    observation, was_filled marks carried (non-observed) buckets.
+
+    Scale shape: the grid is ``explode(sequence(...))`` per meter —
+    n_buckets rows per said, generated distributed, never collected.
+    The left join keys (said, bucket) on both sides (broadcastable
+    when the observed slice is small; plain shuffle join otherwise)
+    and the LOCF is one ``last(ignorenulls)`` window partitioned by
+    said — no global window, no Python. Deterministic: pure integer
+    grid arithmetic + exact long joules."""
+    grid = saids.select(
+        "said",
+        F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1))).alias("__b"),
+    ).withColumn(
+        "datetime",
+        F.timestamp_seconds(
+            F.lit(start_epoch) + F.col("__b").cast("long") * step_seconds
+        ),
+    )
+    obs = observed.select(
+        "said",
+        F.floor(
+            (F.col("datetime").cast("long") - start_epoch) / step_seconds
+        )
+        .cast("int")
+        .alias("__b"),
+        "joules",
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("said")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(obs, on=["said", "__b"], how="left")
+        .select(
+            "said",
+            "datetime",
+            F.last("joules", ignorenulls=True).over(w).alias("joules_locf"),
+            F.col("joules").isNull().alias("was_filled"),
+        )
+    )

@@ -462,3 +462,75 @@ def meter_ewma_energy_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.lit(wk) * F.coalesce(F.lag("joules", k).over(w), F.lit(0))
         expr = term if expr is None else expr + term
     return minute.select("said", "datetime", "joules", expr.alias("ewma_joules"))
+
+
+#: gap-fill fixture: a deterministic ~20% of minute buckets are
+#: "missed transmissions" (md5-portable hash of said:minute-index),
+#: mirroring reference A5 — writes can fail (core.clj:58-66)
+GAPFILL_DROP_MOD = 5
+GAPFILL_MINUTES = DEFAULT_SECONDS // 60
+
+
+@register(
+    "meter_gapfill_locf_minute",
+    oracle=f"""WITH {GEN_CTE},{TICK_CTE},
+minute AS (
+  SELECT said, CAST(date_trunc('minute', datetime) AS TIMESTAMP) AS datetime,
+         CAST(SUM(joules) AS BIGINT) AS joules
+  FROM gen CROSS JOIN tick GROUP BY 1, 2
+),
+obs AS (
+  SELECT said,
+         CAST(date_diff('minute', {T0_SQL}, datetime) AS INT) AS b,
+         joules
+  FROM minute
+  WHERE CAST(('0x' || substr(md5(CAST(said AS VARCHAR) || ':' ||
+          CAST(CAST(date_diff('minute', {T0_SQL}, datetime) AS INT)
+               AS VARCHAR)), 1, 15)) AS BIGINT)
+        % {GAPFILL_DROP_MOD} <> 0
+),
+grid AS (
+  SELECT CAST({DEFAULT_START_SAID} + s AS INT) AS said,
+         CAST(b AS INT) AS b,
+         {T0_SQL} + b * INTERVAL 1 MINUTE AS datetime
+  FROM range(0, {DEFAULT_NUM_METERS}) t(s)
+  CROSS JOIN range(0, {GAPFILL_MINUTES}) u(b)
+)
+SELECT g.said, g.datetime,
+       last_value(o.joules IGNORE NULLS) OVER (
+         PARTITION BY g.said ORDER BY g.b
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS joules_locf,
+       o.joules IS NULL AS was_filled
+FROM grid g LEFT JOIN obs o ON g.said = o.said AND g.b = o.b""",
+    tags=("meter", "gapfill", "locf", "window"),
+)
+def meter_gapfill_locf_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill + last-observation-carried-forward over the minute
+    rollup (operators.rollups.gapfill_locf) — the hypertable
+    time_bucket_gapfill + locf read: a deterministic ~20% of minute
+    buckets are dropped as missed transmissions (A5: the reference's
+    writes can fail, core.clj:58-66), then the dense per-meter grid is
+    rebuilt with holes carried forward and flagged. The missed-bucket
+    predicate is the md5-portable hash shared verbatim with the oracle,
+    so the sparse input is bit-identical in both engines; grid + LOCF
+    are exact integer arithmetic. Scale: grid exploded per meter
+    (never collected), one equi left join, one said-partitioned
+    window."""
+    from ..functions.text import tok_hash_portable
+    from ..operators.rollups import gapfill_locf, rollup_from_second
+
+    minute = rollup_from_second(meter_samples_second(spark), "minute")
+    m_idx = (
+        F.floor((F.col("datetime").cast("long") - T0_EPOCH) / 60)
+        .cast("int")
+    )
+    key = F.concat(
+        F.col("said").cast("string"), F.lit(":"), m_idx.cast("string")
+    )
+    observed = minute.filter(
+        tok_hash_portable(key) % GAPFILL_DROP_MOD != 0
+    )
+    saids = spark.range(DEFAULT_NUM_METERS).select(
+        (F.col("id") + DEFAULT_START_SAID).cast("int").alias("said")
+    )
+    return gapfill_locf(observed, saids, T0_EPOCH, GAPFILL_MINUTES)

@@ -447,6 +447,55 @@ def join_semi_shipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: bloom width for the urgent-orders key set: 2^18 bits = 4096 literal
+#: longs (~32 KB of plan), keeping the k=2 FPR ≈ 4% at sf0.1's ~30k keys
+BLOOM_JOIN_BITS = 1 << 18
+
+
+@register(
+    "join_bloom_pruned_semi_revenue",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dec_sum("l_extendedprice * (1 - l_discount)")} AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("join", "semi", "bloom"),
+)
+def join_bloom_pruned_semi_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Semi join with bloom pre-pruning (operators.bloom): revenue of
+    lineitems belonging to urgent orders. The bloom filter built from
+    the urgent order keys prunes the fact side BEFORE its join
+    exchange (the 100 TB shuffle-bytes lever); the trailing exact semi
+    join removes false positives, so the result — and therefore the
+    oracle — is exactly the plain semi join. Bloom membership is one
+    server-parsed pure-integer expression over the md5-portable hash;
+    the measured pruned fraction is a bench stat, not a claim."""
+    from ..operators.bloom import bloom_semi_join
+
+    l = _t(spark, sf_dir, "lineitem")
+    keys = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return (
+        bloom_semi_join(l, keys, "l_orderkey", n_bits=BLOOM_JOIN_BITS)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 @register(
     "join_anti_customers_no_orders",
     oracle="""

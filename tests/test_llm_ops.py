@@ -596,3 +596,42 @@ def test_bpe_train_matches_python_model_incl_runs(spark):
         s: (want_counts[s], len(want_words[s])) for s in want_counts
     }
     assert cached_ids() <= ids_before, "bpe_vocab left persisted RDDs behind"
+
+
+def test_bloom_semi_join_exact_and_fpr_bounded(spark, sf_small):
+    """The bloom layer's contract: (1) NO false negatives — every true
+    member survives bloom_prune; (2) the measured false-positive rate
+    on non-members stays within 3x the theoretical k=2 bound
+    (1 - e^(-kn/m))^k; (3) bloom_semi_join therefore equals the plain
+    semi join exactly."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from cassaforte_meter_transmission_gen_spark.operators.bloom import (
+        bloom_build,
+        bloom_prune,
+        bloom_semi_join,
+    )
+
+    n_bits = 4096
+    fact = spark.range(20000).select(F.col("id").cast("int").alias("k"))
+    dim = spark.range(150).select((F.col("id") * 131).cast("int").alias("k"))
+    words = bloom_build(dim, "k", n_bits)
+    assert len(words) == n_bits // 64 and any(words)
+
+    members = {r["k"] for r in dim.collect()}
+    survivors = {r["k"] for r in bloom_prune(fact, "k", words, n_bits).collect()}
+    in_range_members = {m for m in members if m < 20000}
+    assert in_range_members <= survivors, "bloom dropped a true member"
+
+    n, k = 150, 2
+    bound = (1 - math.exp(-k * n / n_bits)) ** k
+    non_members = 20000 - len(in_range_members)
+    fpr = (len(survivors) - len(in_range_members)) / non_members
+    assert fpr <= 3 * bound, f"measured FPR {fpr:.4f} vs bound {bound:.4f}"
+
+    got = sorted(
+        r["k"] for r in bloom_semi_join(fact, dim, "k", n_bits).collect()
+    )
+    assert got == sorted(in_range_members)

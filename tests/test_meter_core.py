@@ -95,3 +95,41 @@ def test_routed_report_equals_raw_derivation(spark):
     )
     key = lambda df: sorted((r["said"], r["datetime"], r["joules"]) for r in df.collect())
     assert key(routed) == key(raw)
+
+
+def test_gapfill_locf_semantics(spark):
+    """gapfill_locf on crafted holes: leading gap stays NULL (nothing
+    to carry), interior runs of gaps all carry the last observation,
+    observed buckets pass through unflagged, and every meter gets
+    exactly n_buckets rows."""
+    from pyspark.sql import functions as F
+
+    from cassaforte_meter_transmission_gen_spark.operators.rollups import (
+        gapfill_locf,
+    )
+
+    t0 = 1356998400
+    # meter 1: observations at buckets 1 and 3 (leading gap, gap at 2);
+    # meter 2: observation only at bucket 0 (everything after carries)
+    obs = spark.createDataFrame(
+        [
+            (1, t0 + 60, 10),
+            (1, t0 + 180, 30),
+            (2, t0 + 0, 7),
+        ],
+        "said int, epoch long, joules long",
+    ).select("said", F.timestamp_seconds("epoch").alias("datetime"), "joules")
+    saids = spark.createDataFrame([(1,), (2,)], "said int")
+    got = {
+        (r["said"], r["datetime"].minute): (r["joules_locf"], r["was_filled"])
+        for r in gapfill_locf(obs, saids, t0, 5).collect()
+    }
+    assert len(got) == 10
+    assert got[(1, 0)] == (None, True)      # leading gap: nothing to carry
+    assert got[(1, 1)] == (10, False)
+    assert got[(1, 2)] == (10, True)        # carried
+    assert got[(1, 3)] == (30, False)
+    assert got[(1, 4)] == (30, True)
+    assert got[(2, 0)] == (7, False)
+    for b in range(1, 5):
+        assert got[(2, b)] == (7, True)     # long carry run

@@ -280,3 +280,27 @@ def test_bpe_corpus_pass_prunes_and_merge_windows_partitioned(spark, sf_small):
         mplan = _plan(_merge_pair(syms, *pair))
         assert "Exchange SinglePartition" not in mplan, mplan
         assert "Window" in mplan, mplan
+
+
+def test_bloom_prune_sits_below_the_join(spark, sf_small):
+    """The bloom membership filter must run on the fact side BEFORE
+    the semi join (that pre-shuffle placement is its whole point at
+    100 TB): the plan's Filter with the bitset element_at test appears
+    strictly below/after the join operator in the plan text, and the
+    join itself is still a real semi join."""
+    df = REGISTRY["join_bloom_pruned_semi_revenue"].fn(spark, sf_small)
+    plan = _plan(df)
+    assert "element_at" in plan, plan
+    join_at = min(
+        i
+        for i in (
+            plan.find("SortMergeJoin"),
+            plan.find("BroadcastHashJoin"),
+            plan.find("ShuffledHashJoin"),
+        )
+        if i >= 0
+    )
+    assert "LeftSemi" in plan, plan
+    # plan trees print parents first: a filter BELOW the join appears
+    # AFTER the join operator line
+    assert plan.index("element_at") > join_at, plan
