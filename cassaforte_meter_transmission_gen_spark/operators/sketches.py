@@ -1,0 +1,113 @@
+"""Count-min sketch: mergeable frequency estimation (SURVEY §2.10
+sketch family, beside the HLL distinct-count and KLL quantile rollups
+in plans.analytics_queries).
+
+The CMS is the counter-table philosophy of the reference (insert-time
+pre-aggregation, core.clj:122-153) applied to per-key frequencies when
+the key universe is too large for one counter per key: a fixed
+``depth × width`` grid of integer counters, each occurrence
+incrementing one counter per row (hashed column). Point estimates are
+the MIN over the key's ``depth`` counters — never an underestimate,
+overestimating only by collision mass (≈ N/width per row before the
+min). Two properties make it the 100 TB shape:
+
+- **fixed size**: the grid is depth·width longs regardless of key
+  cardinality — map-side partial aggregation shrinks every task's
+  contribution to at most that many rows before the (r, c) shuffle;
+- **mergeable**: grids over disjoint slices (days, streams, shards)
+  sum cell-wise into the grid of the union — the same associativity
+  that makes the minute/hour/day counter chain exact, so per-day CMS
+  rollup tables compose exactly like the reference's counters.
+
+Unlike the JVM Datasketches HLL (whose estimate bytes are
+engine-specific, so those oracles pin bounds rather than values), the
+CMS here is built on the md5-portable hash — counters, estimates, and
+merge results are bit-identical in DuckDB, so the whole sketch is
+value-hash gated end to end."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024  # power of two; expected collision mass ≈ N/width
+
+
+def _cms_col_sql(row: int, key_sql: str, width: int) -> str:
+    """Counter column for hash row ``row``: the md5-portable 60-bit
+    hash of 'row:key', reduced mod width — one independent hash
+    function per grid row, reproducible across engines."""
+    return (
+        f"CAST(CAST(CONV(SUBSTRING(MD5('{row}:' ||"
+        f" CAST({key_sql} AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+        f" % {width} AS INT)"
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Sketch the frequencies of ``key_col``: one pass, one stack into
+    (r, c) cells, one grouped count — the shuffle carries at most
+    depth·width rows per task thanks to partial aggregation. With
+    ``group_cols`` (e.g. a day column) it emits one grid per group:
+    the sketch-rollup-table layout."""
+    stack = (
+        f"stack({depth}, "
+        + ", ".join(
+            f"{r}, {_cms_col_sql(r, key_col, width)}" for r in range(depth)
+        )
+        + ") AS (r, c)"
+    )
+    return (
+        df.selectExpr(*group_cols, stack)
+        .groupBy(*group_cols, "r", "c")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cms_merge(grids: DataFrame) -> DataFrame:
+    """Merge grids across whatever extra dimensions ``cms_build`` kept
+    (days, shards): cell-wise sum — exact by associativity, the same
+    algebra as the counter rollup chain."""
+    return (
+        grids.groupBy("r", "c")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    grid: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-estimate each key in ``keys`` (all its columns are carried
+    through): probe the key's ``depth`` cells with one left join on
+    (r, c) — the grid side is at most depth·width rows, so Spark
+    broadcasts it — and take the min counter (0 for a never-seen key).
+    Output: keys' columns + ``cms_estimate``."""
+    carry = list(keys.columns)
+    stack = (
+        f"stack({depth}, "
+        + ", ".join(
+            f"{r}, {_cms_col_sql(r, key_col, width)}" for r in range(depth)
+        )
+        + ") AS (r, c)"
+    )
+    probes = keys.selectExpr(*carry, stack)
+    return (
+        probes.join(F.broadcast(grid), ["r", "c"], "left")
+        .groupBy(*carry)
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias(
+                "cms_estimate"
+            )
+        )
+    )

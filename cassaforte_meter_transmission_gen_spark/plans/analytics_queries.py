@@ -942,3 +942,91 @@ def streaming_sketch_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..streaming.pipeline import run_bounded_sketch_rollup
 
     return run_bounded_sketch_rollup(spark, sf_dir)
+
+
+def _cms_hh_oracle() -> str:
+    """Oracle for sketch_cms_heavy_hitters: the identical CMS
+    construction (md5-portable per-row hashes, per-day grids, cell-wise
+    merge, min-probe estimates) in DuckDB — every counter and estimate
+    is integer-exact, so unlike the HLL oracles this sketch is FULLY
+    value-hash gated, not bound-pinned."""
+    from ..operators.sketches import CMS_DEPTH, CMS_WIDTH
+
+    h = (
+        "CAST(CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||"
+        " CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+        f" % {CMS_WIDTH} AS INT)"
+    )
+    return f"""
+WITH cells AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(r AS INT) AS r, {h} AS c
+  FROM events CROSS JOIN range(0, {CMS_DEPTH}) t(r)
+),
+grid_day AS (
+  SELECT day, r, c, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM cells GROUP BY 1, 2, 3
+),
+grid AS (
+  SELECT r, c, CAST(SUM(cnt) AS BIGINT) AS cnt FROM grid_day GROUP BY 1, 2
+),
+exact AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_count
+  FROM events GROUP BY 1
+  ORDER BY exact_count DESC, user_id LIMIT 20
+),
+probes AS (
+  SELECT user_id, exact_count, CAST(r AS INT) AS r, {h} AS c
+  FROM exact CROSS JOIN range(0, {CMS_DEPTH}) t(r)
+),
+est AS (
+  SELECT p.user_id, p.exact_count,
+         CAST(MIN(COALESCE(g.cnt, 0)) AS BIGINT) AS cms_estimate
+  FROM probes p LEFT JOIN grid g ON p.r = g.r AND p.c = g.c
+  GROUP BY 1, 2
+)
+SELECT user_id, exact_count, cms_estimate,
+       cms_estimate >= exact_count AS ge_exact,
+       CAST(cms_estimate - exact_count AS BIGINT) AS overestimate
+FROM est"""
+
+
+@register(
+    "sketch_cms_heavy_hitters",
+    oracle=_cms_hh_oracle(),
+    tags=("agg", "approx", "sketch", "rollup", "cms"),
+)
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates for the exact top-20 users
+    (operators.sketches): per-DAY CMS grids — the sketch-rollup-table
+    layout — merged cell-wise into the full-range grid (exact by
+    associativity, like the counter chain), then min-probed. Output
+    carries the exact count beside the estimate with the
+    never-underestimates flag and the collision overestimate as data.
+    Scale: the corpus pass shuffles at most depth·width rows per task
+    (partial agg into a fixed 4×1024 grid); probing joins 20·4 probe
+    rows against the broadcast grid. The md5-portable hashes make
+    every counter and estimate bit-identical in the DuckDB oracle —
+    full value-hash gating, which the JVM HLL sketches cannot offer."""
+    from ..operators.sketches import cms_build, cms_estimate, cms_merge
+
+    ev = _t(spark, sf_dir, "events")
+    grids_by_day = cms_build(
+        ev.withColumn("day", F.to_date("ts")), "user_id", group_cols=("day",)
+    )
+    grid = cms_merge(grids_by_day)
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("exact_count"))
+        .orderBy(F.desc("exact_count"), "user_id")
+        .limit(20)
+    )
+    est = cms_estimate(grid, top, "user_id")
+    return est.select(
+        "user_id",
+        "exact_count",
+        "cms_estimate",
+        (F.col("cms_estimate") >= F.col("exact_count")).alias("ge_exact"),
+        (F.col("cms_estimate") - F.col("exact_count"))
+        .cast("long")
+        .alias("overestimate"),
+    )

@@ -60,3 +60,42 @@ def test_approx_percentiles_within_rank_error(spark, sf_small):
             # bound is carried as in-plan booleans
             assert a[q] == e[q], (flag, q, a[q], e[q])
             assert a[f"{q}_within_bound"], (flag, q)
+
+
+def test_cms_sketch_contracts(spark):
+    """Count-min sketch invariants: (1) with no collisions (width >>
+    keys) estimates are EXACT; (2) under forced collisions (width 16)
+    estimates never underestimate; (3) per-group grids merged
+    cell-wise equal the grid built over the union — the mergeability
+    that makes CMS a rollup-table sketch."""
+    from pyspark.sql import functions as F
+
+    from cassaforte_meter_transmission_gen_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    rows = [(f"k{i % 37}", i % 2) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k string, half int")
+    exact = {}
+    for k, _ in rows:
+        exact[k] = exact.get(k, 0) + 1
+    keys = df.select("k").distinct()
+
+    wide = cms_estimate(cms_build(df, "k", width=4096), keys, "k", width=4096)
+    got = {r["k"]: r["cms_estimate"] for r in wide.collect()}
+    assert got == exact, "collision-free CMS must be exact"
+
+    tight = cms_estimate(cms_build(df, "k", width=16), keys, "k", width=16)
+    for r in tight.collect():
+        assert r["cms_estimate"] >= exact[r["k"]], "CMS underestimated"
+
+    by_half = cms_build(df, "k", group_cols=("half",))
+    merged = {
+        (r["r"], r["c"]): r["cnt"] for r in cms_merge(by_half).collect()
+    }
+    whole = {
+        (r["r"], r["c"]): r["cnt"] for r in cms_build(df, "k").collect()
+    }
+    assert merged == whole, "cell-wise merge must equal the union grid"
