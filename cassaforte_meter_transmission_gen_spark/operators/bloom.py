@@ -45,22 +45,41 @@ def _log2(n_bits: int) -> int:
     return lb
 
 
-def _pos_sqls(key_sql: str, n_bits: int) -> tuple[str, str]:
+def _pos_sqls(
+    key_sql: str, n_bits: int, hash_family: str = "portable"
+) -> tuple[str, str]:
     """The two bit positions as SQL text — SHARED by the build side and
     the membership test, so both ends of the filter are one hash
-    definition. Two positions from one 60-bit portable hash: the low
-    ``log2(n_bits)`` bits and the next ``log2(n_bits)`` bits —
-    independent for n_bits² ≤ 2^60."""
+    definition. Two positions from one hash: the low ``log2(n_bits)``
+    bits and the next ``log2(n_bits)`` bits.
+
+    ``hash_family``: ``"portable"`` is the md5-prefix hash (60-bit,
+    non-negative — reproducible in DuckDB, used by the oracled catalog
+    query); ``"fast"`` is engine-native xxhash64 (the production
+    choice — no md5 per row), masked with ``& (n_bits-1)`` because
+    xxhash64 is signed and SHIFTRIGHT sign-extends. Either family
+    yields the same FINAL result from bloom_semi_join — the trailing
+    exact semi join erases the FPR difference — as long as build and
+    probe use the same family (the shared SQL here guarantees it)."""
     lb = _log2(n_bits)
-    h = (
-        f"CAST(CONV(SUBSTRING(MD5(CAST({key_sql} AS STRING)), 1, 15),"
-        f" 16, 10) AS BIGINT)"
-    )
-    return f"({h} % {n_bits})", f"(SHIFTRIGHT({h}, {lb}) % {n_bits})"
+    if hash_family == "portable":
+        h = (
+            f"CAST(CONV(SUBSTRING(MD5(CAST({key_sql} AS STRING)), 1, 15),"
+            f" 16, 10) AS BIGINT)"
+        )
+        return f"({h} % {n_bits})", f"(SHIFTRIGHT({h}, {lb}) % {n_bits})"
+    if hash_family == "fast":
+        h = f"XXHASH64(CAST({key_sql} AS STRING))"
+        mask = n_bits - 1
+        return f"({h} & {mask})", f"(SHIFTRIGHT({h}, {lb}) & {mask})"
+    raise ValueError(f"unknown hash_family {hash_family!r}")
 
 
 def bloom_build(
-    keys: DataFrame, key_col: str, n_bits: int = BLOOM_BITS
+    keys: DataFrame,
+    key_col: str,
+    n_bits: int = BLOOM_BITS,
+    hash_family: str = "portable",
 ) -> list[int]:
     """Aggregate the key set into a bloom bitset: (word, mask) pairs
     via ``stack``, one bit_or groupBy (map-side partials make the
@@ -68,7 +87,7 @@ def bloom_build(
     most ``n_bits/64`` rows — driver state is filter-sized, never
     key-count-sized."""
     n_words = n_bits // 64
-    p1, p2 = _pos_sqls(key_col, n_bits)
+    p1, p2 = _pos_sqls(key_col, n_bits, hash_family)
     pairs = keys.selectExpr(
         f"stack(2,"
         f" CAST(SHIFTRIGHT({p1}, 6) AS INT),"
@@ -83,7 +102,10 @@ def bloom_build(
 
 
 def bloom_might_contain_sql(
-    key_sql: str, words: list[int], n_bits: int = BLOOM_BITS
+    key_sql: str,
+    words: list[int],
+    n_bits: int = BLOOM_BITS,
+    hash_family: str = "portable",
 ) -> str:
     """The membership test as ONE server-parsed SQL expression (the
     repo's literal-heavy-expression pattern — a py4j call per word
@@ -93,17 +115,23 @@ def bloom_might_contain_sql(
     tests = [
         f"(element_at({arr}, CAST(SHIFTRIGHT({pos}, 6) AS INT) + 1)"
         f" & SHIFTLEFT(1L, CAST({pos} % 64 AS INT))) <> 0"
-        for pos in _pos_sqls(key_sql, n_bits)
+        for pos in _pos_sqls(key_sql, n_bits, hash_family)
     ]
     return " AND ".join(tests)
 
 
 def bloom_prune(
-    df: DataFrame, key_col: str, words: list[int], n_bits: int = BLOOM_BITS
+    df: DataFrame,
+    key_col: str,
+    words: list[int],
+    n_bits: int = BLOOM_BITS,
+    hash_family: str = "portable",
 ) -> DataFrame:
     """Keep only rows whose key MIGHT be in the filter (all true
     members survive — no false negatives by construction)."""
-    return df.filter(F.expr(bloom_might_contain_sql(key_col, words, n_bits)))
+    return df.filter(
+        F.expr(bloom_might_contain_sql(key_col, words, n_bits, hash_family))
+    )
 
 
 def bloom_semi_join(
@@ -111,13 +139,14 @@ def bloom_semi_join(
     dim_keys: DataFrame,
     key_col: str,
     n_bits: int = BLOOM_BITS,
+    hash_family: str = "portable",
 ) -> DataFrame:
     """Exact semi join with bloom pre-pruning: build the filter from
     ``dim_keys[key_col]``, prune ``fact`` before its shuffle, then the
     exact ``leftsemi`` join removes the bloom's false positives. At
     100 TB the win is shuffle bytes: the fact side entering the
     exchange shrinks by the non-member fraction × (1 − FPR)."""
-    words = bloom_build(dim_keys, key_col, n_bits)
-    return bloom_prune(fact, key_col, words, n_bits).join(
+    words = bloom_build(dim_keys, key_col, n_bits, hash_family)
+    return bloom_prune(fact, key_col, words, n_bits, hash_family).join(
         dim_keys.select(key_col).distinct(), on=key_col, how="leftsemi"
     )

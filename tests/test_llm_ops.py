@@ -635,3 +635,24 @@ def test_bloom_semi_join_exact_and_fpr_bounded(spark, sf_small):
         r["k"] for r in bloom_semi_join(fact, dim, "k", n_bits).collect()
     )
     assert got == sorted(in_range_members)
+
+    # the production hash family (engine-native xxhash64, no md5 per
+    # row) must land on the IDENTICAL final result: the trailing exact
+    # semi join erases the hash families' different false positives
+    fast = sorted(
+        r["k"]
+        for r in bloom_semi_join(
+            fact, dim, "k", n_bits, hash_family="fast"
+        ).collect()
+    )
+    assert fast == got
+    fast_words = bloom_build(dim, "k", n_bits, hash_family="fast")
+    fast_survivors = {
+        r["k"]
+        for r in bloom_prune(
+            fact, "k", fast_words, n_bits, hash_family="fast"
+        ).collect()
+    }
+    assert in_range_members <= fast_survivors, (
+        "fast-hash bloom dropped a true member"
+    )

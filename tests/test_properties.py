@@ -418,3 +418,37 @@ def test_det_ln_matches_duckdb_bitwise_and_true_ln(xs):
             assert p == 0.0
         else:
             assert abs(p - t) <= 4 * abs(t) * 2.3e-16, (x, p, t)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=6),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_bpe_train_matches_serial_model(spark, words):
+    """BPE training over a two-symbol alphabet (the regime maximizing
+    same-symbol runs, overlapping matches, and count ties) must equal
+    the serial greedy model — adoption order, counts, and tie-breaks."""
+    from cassaforte_meter_transmission_gen_spark.operators.tokenizer import (
+        bpe_train,
+    )
+
+    from .test_llm_ops import _py_bpe
+
+    docs = spark.createDataFrame([(" ".join(words),)], "text string")
+    wc: dict[str, int] = {}
+    for w in words:
+        wc[w] = wc.get(w, 0) + 1
+    want, _ = _py_bpe(wc, 4)
+    got = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_train(docs, n_merges=4).orderBy("merge_rank").collect()
+    ]
+    assert got == want
