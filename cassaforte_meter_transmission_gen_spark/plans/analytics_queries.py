@@ -1030,3 +1030,25 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("overestimate"),
     )
+
+
+@register(
+    "streaming_cms_heavy_hitters",
+    oracle=_cms_hh_oracle(),
+    tags=("agg", "approx", "sketch", "cms", "streaming"),
+)
+def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING maintenance of the CMS rollup table (streaming.
+    pipeline.run_bounded_cms_rollup): per micro-batch, day-grain
+    count-min grids merge cell-wise into a new committed version under
+    the same exactly-once marker protocol as the meter counters. CMS
+    counters are additive integers under the portable hash, so the
+    final estimates are BIT-EQUAL to the batch sketch_cms_heavy_hitters
+    — both queries share one full-value-hash DuckDB oracle, a stronger
+    gate than the HLL streaming dual can offer (its sketch bytes are
+    engine-specific, so its oracle pins bounds, not values). A dropped,
+    duplicated, or double-merged batch shifts a counter and fails the
+    hash."""
+    from ..streaming.pipeline import run_bounded_cms_rollup
+
+    return run_bounded_cms_rollup(spark, sf_dir)

@@ -1012,3 +1012,117 @@ def run_bounded_sketch_rollup(
         return spark.read.parquet(f"{out}/weekly")
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+def cms_rollup_batch_fn(table_dir: str, commits_dir: str):
+    """foreachBatch body maintaining a COUNT-MIN-SKETCH rollup table:
+    per micro-batch, the day-grain CMS grids of the arriving events
+    (operators.sketches.cms_build) merge cell-wise with the last
+    COMMITTED version into a new version — the counter-merge protocol
+    of :func:`streaming_ingest_batch_fn` applied to the frequency
+    sketch. CMS counters are plain additive longs, so unlike the HLL
+    dual (:func:`sketch_rollup_batch_fn`, whose estimate bytes are
+    engine-specific) the maintained state is bit-reproducible: the
+    final estimates equal the batch CMS query exactly, and the DuckDB
+    oracle gates them by full value hash. Exactly-once by the same
+    argument: a replayed batch re-reads the same committed base and
+    overwrites its own version directory; the atomic marker is the
+    commit point."""
+    import os
+
+    from ..operators.sketches import cms_build
+
+    os.makedirs(commits_dir, exist_ok=True)
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        hw = _high_watermark(commits_dir)
+        if hw is not None and batch_id <= hw:
+            return  # replayed, fully applied
+        grid = cms_build(
+            batch.withColumn("day", F.to_date("ts")),
+            "user_id",
+            group_cols=("day",),
+        )
+        if hw is not None:
+            prev = batch.sparkSession.read.schema(
+                "day date, r int, c int, cnt long"
+            ).parquet(f"{table_dir}/v={hw}")
+            grid = (
+                prev.unionByName(grid)
+                .groupBy("day", "r", "c")
+                .agg(F.sum("cnt").cast("long").alias("cnt"))
+            )
+        grid.write.mode("overwrite").parquet(f"{table_dir}/v={batch_id}")
+        tmp = os.path.join(commits_dir, f"{batch_id}.tmp")
+        open(tmp, "w").close()
+        os.replace(tmp, os.path.join(commits_dir, str(batch_id)))
+
+    return fn
+
+
+def run_bounded_cms_rollup(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> DataFrame:
+    """Drive :func:`cms_rollup_batch_fn` over a bounded stream of the
+    ``events`` table (restaged as ``n_files`` files, one per
+    micro-batch), then point-estimate the exact top-20 users from the
+    FINAL committed grid — the streaming dual of the batch
+    ``sketch_cms_heavy_hitters``, and (because CMS counters are
+    additive integers under the portable hash) its BIT-EQUAL dual:
+    both run against the identical full-value-hash DuckDB oracle. At
+    100 TB: every event folds into a fixed 4×1024-per-day grid once;
+    estimates never rescan raw."""
+    import atexit
+    import os
+    import shutil
+
+    from ..operators.sketches import cms_estimate, cms_merge
+    from ..schemas import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id")
+    stage = tempfile.mkdtemp(prefix="cms_stream_in_")
+    out = tempfile.mkdtemp(prefix="cms_stream_out_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    try:
+        ev.repartition(n_files).write.mode("overwrite").parquet(f"{stage}/in")
+        table_dir = f"{out}/day_grids"
+        commits = f"{out}/_commits"
+        stream = (
+            spark.readStream.schema("ts timestamp, user_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{stage}/in")
+        )
+        with tempfile.TemporaryDirectory(prefix="cms_ckpt_") as ckpt:
+            q = (
+                stream.writeStream.foreachBatch(
+                    cms_rollup_batch_fn(table_dir, commits)
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        hw = _high_watermark(commits)
+        stored = spark.read.schema("day date, r int, c int, cnt long").parquet(
+            f"{table_dir}/v={hw}"
+        )
+        grid = cms_merge(stored)
+        top = (
+            ev.groupBy("user_id")
+            .agg(F.count("*").cast("long").alias("exact_count"))
+            .orderBy(F.desc("exact_count"), "user_id")
+            .limit(20)
+        )
+        res = cms_estimate(grid, top, "user_id").select(
+            "user_id",
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") >= F.col("exact_count")).alias("ge_exact"),
+            (F.col("cms_estimate") - F.col("exact_count"))
+            .cast("long")
+            .alias("overestimate"),
+        )
+        res.write.mode("overwrite").parquet(f"{out}/estimates")
+        return spark.read.parquet(f"{out}/estimates")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

@@ -761,3 +761,43 @@ def test_sketch_rollup_replay_is_exactly_once(spark, tmp_path):
     # 200 distinct users; HLL lgK=12 rse ~1.6% — 300 would mean the
     # replayed batch leaked in
     assert abs(est - 200) <= 8 + 5 * 0.016 * 200, est
+
+
+def test_cms_rollup_replay_is_exactly_once(spark, tmp_path):
+    """The CMS counter-merge must be idempotent under batch replay —
+    and unlike the HLL dual this gate is EXACT: CMS counters are
+    additive, so a double-merged batch shifts the grid mass
+    deterministically. After batches of 100 rows each and a replay of
+    batch 1 (same id), every hash row's total counter mass must equal
+    exactly 200 events — 300 would mean the replay leaked in."""
+    import pyspark.sql.functions as F
+
+    from cassaforte_meter_transmission_gen_spark.operators.sketches import (
+        CMS_DEPTH,
+    )
+    from cassaforte_meter_transmission_gen_spark.streaming.pipeline import (
+        cms_rollup_batch_fn,
+    )
+
+    table = str(tmp_path / "day_grids")
+    commits = str(tmp_path / "_commits")
+    fn = cms_rollup_batch_fn(table, commits)
+
+    def batch(users):
+        return spark.createDataFrame(
+            [("2024-01-01 00:00:00", u) for u in users], "ts string, user_id long"
+        ).select(F.col("ts").cast("timestamp").alias("ts"), "user_id")
+
+    fn(batch(range(0, 100)), 0)
+    fn(batch(range(100, 200)), 1)
+    fn(batch(range(100, 200)), 1)  # replayed — must be a no-op
+    fn(batch(range(900, 1000)), 1)  # late replay with NEW values — ditto
+
+    stored = spark.read.schema("day date, r int, c int, cnt long").parquet(
+        f"{table}/v=1"
+    )
+    mass = {
+        r["r"]: r["m"]
+        for r in stored.groupBy("r").agg(F.sum("cnt").alias("m")).collect()
+    }
+    assert mass == {r: 200 for r in range(CMS_DEPTH)}, mass
