@@ -24,7 +24,26 @@ MinHash oracle in plans.text_queries, extended to doubles:
 
 from __future__ import annotations
 
+import functools
+import re
+
 from ..operators.similarity import KMEANS_SCALE, hyperplanes
+
+
+def _materialized(fn):
+    """Post-process a generated oracle: hint every CTE ``AS
+    MATERIALIZED``. These chains (unrolled k-means, PQ subspace
+    codebooks) reference each CTE several times downstream; DuckDB
+    re-inlines plain CTEs per reference, compounding the recompute per
+    unrolled iteration (measured ann_pq_topk 13.7 s -> 2.3 s at
+    sf0.01, bit-identical rows). DuckDB-only text — Spark never parses
+    oracles."""
+
+    @functools.wraps(fn)
+    def wrapped(*a, **kw):
+        return re.sub(r"\n(\w+) AS \(", r"\n\1 AS MATERIALIZED (", fn(*a, **kw))
+
+    return wrapped
 
 DIM = 64
 
@@ -89,6 +108,7 @@ def _bucket_keys_cte(n_tables: int, n_planes: int) -> str:
     )
 
 
+@_materialized
 def dedup_embedding_cosine_lsh_sql(
     threshold: float = 0.4, n_tables: int = 12, n_planes: int = 3
 ) -> str:
@@ -113,6 +133,7 @@ WHERE {cos} >= {threshold}
 """
 
 
+@_materialized
 def dedup_embedding_cosine_lsh_stats_sql(
     threshold: float = 0.8, n_tables: int = 16, n_planes: int = 8
 ) -> str:
@@ -151,6 +172,7 @@ FROM nc, nv, nm
 """
 
 
+@_materialized
 def ann_lsh_topk_sql(
     k: int = 5, n_tables: int = 8, n_planes: int = 3, n_queries: int = 5
 ) -> str:
@@ -287,6 +309,7 @@ def _kmeans_chain(
     return parts, prev
 
 
+@_materialized
 def ann_ivf_topk_sql(
     k: int = 5,
     n_clusters: int = 16,
@@ -343,6 +366,7 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}""")
     return "\n".join(parts)
 
 
+@_materialized
 def dedup_semantic_clusters_sql(
     threshold: float = 0.4,
     n_clusters: int = 16,
@@ -409,6 +433,7 @@ def _int8_topk_prep_cte() -> str:
 )"""
 
 
+@_materialized
 def ann_int8_topk_sql(
     k: int = 5, rerank_factor: int = 4, n_queries: int = 5
 ) -> str:
@@ -575,6 +600,7 @@ ranked AS (
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}"""
 
 
+@_materialized
 def ann_pq_topk_sql(
     k: int = 5,
     n_subspaces: int = 16,
@@ -617,6 +643,7 @@ def ann_pq_topk_sql(
     return "\n".join(parts)
 
 
+@_materialized
 def ann_ivfpq_topk_sql(
     k: int = 5,
     n_clusters: int = 16,
@@ -683,6 +710,7 @@ approx AS (
     return "\n".join(parts)
 
 
+@_materialized
 def cluster_doc_quality_sql(
     n_clusters: int = 16,
     n_iters: int = 3,
