@@ -1,0 +1,50 @@
+"""CDC changelog application: materialize a snapshot + ordered change
+feed into the current table state (SURVEY §4 O7 family — the idempotent
+set-operation dual of row-at-a-time UPSERT/DELETE, the same move that
+re-expressed the reference's Cassandra counter UPDATEs as grouped sums
+in operators.rollups / counter_merge).
+
+Semantics: ``changes`` carries the snapshot's full row payload plus a
+sequence column and an op column ('u' upsert, 'd' delete). Per key the
+HIGHEST sequence wins (last-write-wins); a winning 'u' replaces the
+snapshot row (or inserts a brand-new key), a winning 'd' removes it.
+Applying the same changelog twice is a no-op — re-derivation, never
+increments — which is what makes the operator retry-safe under
+at-least-once delivery.
+
+Scale shape: the change feed is one key-partitioned window (changes
+are a sliver of the snapshot), the snapshot is touched by ONE
+broadcast anti join on the changed keys — it never shuffles and never
+rewrites untouched rows' values, so the cost is O(snapshot scan +
+changes), not O(snapshot shuffle). If the changed-key set ever
+outgrows broadcast, drop the explicit hint and let AQE pick the join;
+the plan stays correct either way."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def apply_changelog(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Current state = snapshot ⊳ changelog. ``changes`` must contain
+    every ``snapshot`` column plus ``seq_col``/``op_col``; per key the
+    max-seq row decides (assumes one row per (key, seq) — a real feed's
+    log offset). Returns the snapshot schema."""
+    w = Window.partitionBy(*key_cols).orderBy(F.desc(seq_col))
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    untouched = snapshot.join(
+        F.broadcast(latest.select(*key_cols)), key_cols, "left_anti"
+    )
+    upserts = latest.filter(F.col(op_col) == "u").select(*snapshot.columns)
+    return untouched.unionByName(upserts)

@@ -164,3 +164,46 @@ def source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("first_line"),
         F.sum(F.length("value")).cast("long").alias("total_chars"),
     )
+
+
+@register(
+    "source_schema_evolution_merge",
+    oracle=f"""
+SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus ELSE '<pre-evolution>' END
+         AS status,
+       count(*) AS n_orders,
+       {sql_dec_sum("o_totalprice")} AS total_price
+FROM orders
+GROUP BY 1
+""",
+    tags=("source", "schema-evolution"),
+)
+def source_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a landing zone: an old writer produced
+    (o_orderkey, o_totalprice); a later writer added o_orderstatus.
+    ``mergeSchema`` reconciles the footers — the added column reads as
+    NULL for pre-evolution files — and the aggregate over the merged
+    view must hash-equal the oracle recomputed from the original table.
+    At 100 TB this is the append-only ingest reality: readers must not
+    require a table rewrite when producers add columns. (Schema merge
+    is a footer-only operation; the data pages of old files are never
+    touched.)"""
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="src_evolve_"), "orders")
+    src.filter(F.col("o_orderkey") % 2 == 0).drop("o_orderstatus").write.mode(
+        "overwrite"
+    ).parquet(out)
+    src.filter(F.col("o_orderkey") % 2 == 1).write.mode("append").parquet(out)
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    from .compat import dec_sum
+
+    return merged.groupBy(
+        F.coalesce(F.col("o_orderstatus"), F.lit("<pre-evolution>")).alias(
+            "status"
+        )
+    ).agg(
+        F.count("*").alias("n_orders"),
+        dec_sum(F.col("o_totalprice")).alias("total_price"),
+    )

@@ -1226,3 +1226,87 @@ def join_salted_skew_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataF
         F.count("*").alias("n_items"),
         dec_sum(F.col("l_extendedprice")).alias("revenue"),
     )
+
+
+@register(
+    "cdc_changelog_apply_orders",
+    oracle="""
+WITH snap AS (
+  SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+  FROM orders
+),
+changes AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(o_totalprice + 50 AS DOUBLE) AS o_totalprice,
+         1 AS seq, 'u' AS op
+  FROM snap WHERE o_orderkey % 10 = 7
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus,
+         CAST(o_totalprice + 100 AS DOUBLE) AS o_totalprice,
+         2 AS seq, 'u' AS op
+  FROM snap WHERE o_orderkey % 10 = 7
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS seq, 'd' AS op
+  FROM snap WHERE o_orderkey % 10 = 3
+),
+latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC)
+              AS rn
+    FROM changes
+  ) WHERE rn = 1
+)
+SELECT s.o_orderkey, s.o_orderstatus, s.o_totalprice
+FROM snap s
+WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.o_orderkey = s.o_orderkey)
+UNION ALL
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM latest WHERE op = 'u'
+""",
+    tags=("cdc", "merge", "upsert"),
+)
+def cdc_changelog_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC materialization (operators.cdc.apply_changelog): apply an
+    ordered change feed — two competing price updates per key ending
+    in %10=7 (seq 2 must win) and delete tombstones for keys ending in
+    %10=3 — onto the orders snapshot, last-write-wins. The snapshot
+    never shuffles: one broadcast anti join on the changed keys plus
+    the winning upserts. The changelog is derived deterministically
+    from the snapshot itself so the oracle can re-derive it; double
+    addition on doubles is bit-equal across engines."""
+    from ..operators.cdc import apply_changelog
+
+    snap = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    upd = snap.filter(F.col("o_orderkey") % 10 == 7)
+    changes = (
+        upd.select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_totalprice") + 50).alias("o_totalprice"),
+            F.lit(1).alias("seq"),
+            F.lit("u").alias("op"),
+        )
+        .unionByName(
+            upd.select(
+                "o_orderkey",
+                "o_orderstatus",
+                (F.col("o_totalprice") + 100).alias("o_totalprice"),
+                F.lit(2).alias("seq"),
+                F.lit("u").alias("op"),
+            )
+        )
+        .unionByName(
+            snap.filter(F.col("o_orderkey") % 10 == 3).select(
+                "o_orderkey",
+                "o_orderstatus",
+                "o_totalprice",
+                F.lit(1).alias("seq"),
+                F.lit("d").alias("op"),
+            )
+        )
+    )
+    return apply_changelog(snap, changes, key_cols=["o_orderkey"])

@@ -656,3 +656,34 @@ def test_bloom_semi_join_exact_and_fpr_bounded(spark, sf_small):
     assert in_range_members <= fast_survivors, (
         "fast-hash bloom dropped a true member"
     )
+
+
+def test_apply_changelog_semantics(spark):
+    """CDC apply edge cases: last-write-wins among competing updates,
+    delete tombstone removes, a brand-new key inserts, a delete for a
+    key the snapshot never had stays a no-op, and re-applying the same
+    changelog to the result changes nothing (idempotent re-derivation)."""
+    from cassaforte_meter_transmission_gen_spark.operators.cdc import (
+        apply_changelog,
+    )
+
+    snap = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k int, s string, v double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a", 11.0, 1, "u"),
+            (1, "a2", 12.0, 2, "u"),   # later seq must win
+            (2, "b", 20.0, 1, "d"),    # tombstone
+            (9, "new", 99.0, 1, "u"),  # insert of a key not in snapshot
+            (7, "x", 0.0, 1, "d"),     # delete of a nonexistent key
+        ],
+        "k int, s string, v double, seq int, op string",
+    )
+    applied = apply_changelog(snap, changes, key_cols=["k"])
+    got = {r["k"]: (r["s"], r["v"]) for r in applied.collect()}
+    assert got == {1: ("a2", 12.0), 3: ("c", 30.0), 9: ("new", 99.0)}
+
+    again = apply_changelog(applied, changes, key_cols=["k"])
+    assert {r["k"]: (r["s"], r["v"]) for r in again.collect()} == got

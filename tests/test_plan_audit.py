@@ -304,3 +304,49 @@ def test_bloom_prune_sits_below_the_join(spark, sf_small):
     # plan trees print parents first: a filter BELOW the join appears
     # AFTER the join operator line
     assert plan.index("element_at") > join_at, plan
+
+
+def test_cms_estimate_broadcasts_grid_and_partial_aggs(spark, sf_small):
+    """The CMS query's probe join must broadcast the grid side (at most
+    depth*width rows — shuffling 20 probes against it would be absurd),
+    and the corpus pass must partial-aggregate before its exchange so
+    each task ships at most a grid's worth of cells."""
+    df = REGISTRY["sketch_cms_heavy_hitters"].fn(spark, sf_small)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    first_exchange = plan.index("Exchange")
+    assert "HashAggregate" in plan[:first_exchange], plan
+
+
+def test_gapfill_no_cartesian_no_global_window(spark, sf_small):
+    """Gap-fill must stay distributed: the grid joins observations on
+    (said, bucket) — never a cartesian — and the LOCF window partitions
+    by meter (a single-partition window would serialize the dense grid
+    through one task at 100 TB)."""
+    df = REGISTRY["meter_gapfill_locf_minute"].fn(spark, sf_small)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    # the LOCF window itself must partition by said ([said#N] spec) —
+    # the single-partition Exchange elsewhere in the plan is the
+    # generator's accepted one-row broadcast-scalar tick attach
+    window_line = next(l for l in plan.splitlines() if "Window [" in l)
+    assert ", [said#" in window_line, window_line
+    join_line = next(l for l in plan.splitlines() if "LeftOuter" in l)
+    assert "BroadcastHashJoin" in join_line or "SortMergeJoin" in join_line, (
+        join_line
+    )
+
+
+def test_cdc_apply_broadcasts_changed_keys_no_snapshot_shuffle(spark, sf_small):
+    """CDC apply's whole cost model is 'the snapshot never shuffles':
+    the anti join on changed keys must be a broadcast join, and the
+    only hash exchanges in the plan belong to the changelog's window
+    (keyed by o_orderkey over the sliver of changes), never to a
+    repartition of the snapshot scan feeding the anti join."""
+    df = REGISTRY["cdc_changelog_apply_orders"].fn(spark, sf_small)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    anti = plan.index("LeftAnti")
+    # the anti join's streamed (snapshot) side is above any exchange:
+    # no Exchange hashpartitioning may appear before the join operator
+    assert "Exchange hashpartitioning" not in plan[:anti], plan
