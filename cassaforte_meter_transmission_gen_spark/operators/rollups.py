@@ -199,3 +199,68 @@ def gapfill_locf(
             F.col("joules").isNull().alias("was_filled"),
         )
     )
+
+
+def gapfill_interpolate(
+    observed: DataFrame,
+    saids: DataFrame,
+    start_epoch: int,
+    n_buckets: int,
+    step_seconds: int = 60,
+) -> DataFrame:
+    """Gap-fill by LINEAR INTERPOLATION (the hypertable ``interpolate``
+    dual of :func:`gapfill_locf`): each missing bucket gets the value
+    on the straight line between its nearest observed neighbors;
+    buckets before the first / after the last observation stay NULL
+    (extrapolation is a policy, not math). Same grid/join shape as
+    LOCF plus one backward-looking and one forward-looking
+    ignore-nulls window per meter. The arithmetic is written as an
+    explicit fixed order (diff, then scale, then add) so the doubles
+    are bit-equal to the oracle's."""
+    from pyspark.sql import Window
+
+    grid = saids.select(
+        "said",
+        F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1))).alias("__b"),
+    ).withColumn(
+        "datetime",
+        F.timestamp_seconds(
+            F.lit(start_epoch) + F.col("__b").cast("long") * step_seconds
+        ),
+    )
+    obs = observed.select(
+        "said",
+        F.floor(
+            (F.col("datetime").cast("long") - start_epoch) / step_seconds
+        )
+        .cast("int")
+        .alias("__b"),
+        "joules",
+    )
+    j = grid.join(obs, on=["said", "__b"], how="left")
+    w_prev = (
+        Window.partitionBy("said")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("said")
+        .orderBy("__b")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    ob = F.when(F.col("joules").isNotNull(), F.col("__b"))
+    pv = F.last(F.col("joules").cast("double"), ignorenulls=True).over(w_prev)
+    pb = F.last(ob, ignorenulls=True).over(w_prev)
+    nv = F.first(F.col("joules").cast("double"), ignorenulls=True).over(w_next)
+    nb = F.first(ob, ignorenulls=True).over(w_next)
+    diff = nv - pv
+    frac_num = diff * (F.col("__b") - pb).cast("double")
+    interp = pv + frac_num / (nb - pb).cast("double")
+    return j.select(
+        "said",
+        "datetime",
+        F.when(F.col("joules").isNotNull(), F.col("joules").cast("double"))
+        .when(pb.isNotNull() & nb.isNotNull(), interp)
+        .alias("joules_interp"),
+        F.col("joules").isNotNull().alias("was_observed"),
+    )

@@ -471,9 +471,11 @@ GAPFILL_DROP_MOD = 5
 GAPFILL_MINUTES = DEFAULT_SECONDS // 60
 
 
-@register(
-    "meter_gapfill_locf_minute",
-    oracle=f"""WITH {GEN_CTE},{TICK_CTE},
+#: shared gap-fill oracle prefix: sparse observed minutes (the same
+#: md5-portable drop predicate the Spark plans inject) + the dense
+#: per-meter grid — used verbatim by both the LOCF and the
+#: interpolation oracles
+GAPFILL_BASE_SQL = f"""WITH {GEN_CTE},{TICK_CTE},
 minute AS (
   SELECT said, CAST(date_trunc('minute', datetime) AS TIMESTAMP) AS datetime,
          CAST(SUM(joules) AS BIGINT) AS joules
@@ -495,7 +497,12 @@ grid AS (
          {T0_SQL} + b * INTERVAL 1 MINUTE AS datetime
   FROM range(0, {DEFAULT_NUM_METERS}) t(s)
   CROSS JOIN range(0, {GAPFILL_MINUTES}) u(b)
-)
+)"""
+
+
+@register(
+    "meter_gapfill_locf_minute",
+    oracle=f"""{GAPFILL_BASE_SQL}
 SELECT g.said, g.datetime,
        last_value(o.joules IGNORE NULLS) OVER (
          PARTITION BY g.said ORDER BY g.b
@@ -534,3 +541,68 @@ def meter_gapfill_locf_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("id") + DEFAULT_START_SAID).cast("int").alias("said")
     )
     return gapfill_locf(observed, saids, T0_EPOCH, GAPFILL_MINUTES)
+
+
+@register(
+    "meter_gapfill_interpolate_minute",
+    oracle=f"""{GAPFILL_BASE_SQL},
+joined AS (
+  SELECT g.said, g.b, g.datetime, o.joules
+  FROM grid g LEFT JOIN obs o ON g.said = o.said AND g.b = o.b
+),
+win AS (
+  SELECT *,
+    last_value(CAST(joules AS DOUBLE) IGNORE NULLS) OVER wp AS pv,
+    last_value(CASE WHEN joules IS NOT NULL THEN b END IGNORE NULLS)
+      OVER wp AS pb,
+    first_value(CAST(joules AS DOUBLE) IGNORE NULLS) OVER wn AS nv,
+    first_value(CASE WHEN joules IS NOT NULL THEN b END IGNORE NULLS)
+      OVER wn AS nb
+  FROM joined
+  WINDOW
+    wp AS (PARTITION BY said ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wn AS (PARTITION BY said ORDER BY b
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT said, datetime,
+       CASE WHEN joules IS NOT NULL THEN CAST(joules AS DOUBLE)
+            WHEN pb IS NOT NULL AND nb IS NOT NULL
+              THEN pv + ((nv - pv) * CAST(b - pb AS DOUBLE))
+                        / CAST(nb - pb AS DOUBLE)
+       END AS joules_interp,
+       joules IS NOT NULL AS was_observed
+FROM win""",
+    tags=("meter", "gapfill", "interpolate", "window"),
+)
+def meter_gapfill_interpolate_minute(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gap-fill by linear interpolation over the same missed-
+    transmission fixture as the LOCF query
+    (operators.rollups.gapfill_interpolate — the hypertable
+    ``interpolate`` dual): each hole gets the straight-line value
+    between its nearest observed neighbors; edges (before the first /
+    after the last observation) stay NULL by policy. One extra
+    forward-looking ignore-nulls window per meter beyond the LOCF
+    shape; the fixed-order double arithmetic (diff, scale, divide,
+    add) is shared with the oracle so the interpolated values
+    hash-match bit for bit."""
+    from ..functions.text import tok_hash_portable
+    from ..operators.rollups import gapfill_interpolate, rollup_from_second
+
+    minute = rollup_from_second(meter_samples_second(spark), "minute")
+    m_idx = (
+        F.floor((F.col("datetime").cast("long") - T0_EPOCH) / 60)
+        .cast("int")
+    )
+    key = F.concat(
+        F.col("said").cast("string"), F.lit(":"), m_idx.cast("string")
+    )
+    observed = minute.filter(
+        tok_hash_portable(key) % GAPFILL_DROP_MOD != 0
+    )
+    saids = spark.range(DEFAULT_NUM_METERS).select(
+        (F.col("id") + DEFAULT_START_SAID).cast("int").alias("said")
+    )
+    return gapfill_interpolate(observed, saids, T0_EPOCH, GAPFILL_MINUTES)

@@ -207,3 +207,58 @@ def source_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count("*").alias("n_orders"),
         dec_sum(F.col("o_totalprice")).alias("total_price"),
     )
+
+
+@register(
+    "source_csv_corrupt_permissive",
+    oracle="""
+SELECT CAST(count(*) + 3 AS BIGINT) AS n_rows,
+       CAST(3 AS BIGINT) AS n_corrupt,
+       CAST(count(*) AS BIGINT) AS n_good,
+       CAST(SUM(n_regionkey) AS BIGINT) AS sum_regionkey
+FROM nation
+""",
+    tags=("source", "csv", "corrupt", "permissive"),
+)
+def source_csv_corrupt_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input handling: a CSV landing zone polluted with three
+    type-violating lines, read in PERMISSIVE mode with
+    ``columnNameOfCorruptRecord`` — bad lines land in the corrupt
+    column (good columns NULL) instead of failing the job, the batch's
+    good rows aggregate exactly as the clean table, and the corrupt
+    count is surfaced as data. At 100 TB this is the difference
+    between quarantining a few bad producer lines and losing a
+    multi-hour ingest to one of them. (FAILFAST remains the right mode
+    for the curated store; PERMISSIVE is the edge.)"""
+    import os
+    import tempfile
+
+    src = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="src_corrupt_"), "nation")
+    src.write.mode("overwrite").format("csv").save(out)
+    # all three violate the int columns' types — PERMISSIVE marks a
+    # line corrupt on unparseable VALUES (mere missing/extra columns
+    # just pad or drop, by design)
+    bad = spark.createDataFrame(
+        [("oops,BADLAND,alsobad",), ("1,TRUNCATED,9.5.3",), ("12bad,NAME,7x",)],
+        "value string",
+    )
+    bad.coalesce(1).write.mode("append").format("text").save(out)
+    back = (
+        spark.read.format("csv")
+        .schema(
+            "n_nationkey int, n_name string, n_regionkey int,"
+            " _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .load(out)
+    )
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.count("_corrupt_record").alias("n_corrupt"),
+        (F.count("*") - F.count("_corrupt_record")).alias("n_good"),
+        F.sum("n_regionkey").alias("sum_regionkey"),
+    )

@@ -133,3 +133,34 @@ def test_gapfill_locf_semantics(spark):
     assert got[(2, 0)] == (7, False)
     for b in range(1, 5):
         assert got[(2, b)] == (7, True)     # long carry run
+
+
+def test_gapfill_interpolate_semantics(spark):
+    """Linear interpolation fills interior holes on the straight line
+    between nearest observations (two consecutive holes get 1/3 and
+    2/3 of the way), passes observed values through, and leaves edges
+    NULL (no extrapolation)."""
+    from pyspark.sql import functions as F
+
+    from cassaforte_meter_transmission_gen_spark.operators.rollups import (
+        gapfill_interpolate,
+    )
+
+    t0 = 1356998400
+    # observations at buckets 1 and 4: holes at 2, 3 interpolate to
+    # 10 + (40-10)*1/3 = 20 and 10 + (40-10)*2/3 = 30
+    obs = spark.createDataFrame(
+        [(1, t0 + 60, 10), (1, t0 + 240, 40)],
+        "said int, epoch long, joules long",
+    ).select("said", F.timestamp_seconds("epoch").alias("datetime"), "joules")
+    saids = spark.createDataFrame([(1,)], "said int")
+    got = {
+        r["datetime"].minute: (r["joules_interp"], r["was_observed"])
+        for r in gapfill_interpolate(obs, saids, t0, 6).collect()
+    }
+    assert got[0] == (None, False)       # leading edge: no extrapolation
+    assert got[1] == (10.0, True)
+    assert got[2] == (20.0, False)
+    assert got[3] == (30.0, False)
+    assert got[4] == (40.0, True)
+    assert got[5] == (None, False)       # trailing edge
