@@ -504,3 +504,92 @@ def pipeline_cluster_quality_report(spark: SparkSession, sf_dir: str) -> DataFra
             F.count_distinct("lang").cast("long").alias("n_langs"),
         )
     )
+
+
+#: contrastive-triplet fixture: 10 anchors, 1 exact positive, 5
+#: hash-sampled negatives from outside the top-50 neighborhood
+TRIPLET_ANCHORS = 10
+TRIPLET_K_NEG = 5
+TRIPLET_EXCLUDE_TOP = 50
+
+
+def vector_contrastive_triplets_sql() -> str:
+    """Oracle for operators.contrastive.contrastive_triplets: the
+    sequential-fold cosine ranking (same dialect as ann_bruteforce),
+    the corpus-count-derived prefilter denominator computed IN SQL
+    (``greatest(1, count(*) // NEG_POOL_TARGET)``, mirroring the
+    driver-side neg_pool_denom), and the md5-portable (anchor, cand)
+    hash as the negative sampling priority."""
+    from ..operators.contrastive import NEG_POOL_TARGET
+
+    dot = _DOT.format(a="av", b="cv")
+    na = _NORM.format(v="av")
+    nc = _NORM.format(v="cv")
+    pri = (
+        "CAST(('0x' || substr(md5(CAST(anchor_id AS VARCHAR) || ':' ||"
+        " CAST(cand_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    )
+    return f"""
+WITH q AS (SELECT vec_id AS anchor_id, embedding AS av
+           FROM embeddings WHERE vec_id < {TRIPLET_ANCHORS}),
+c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT anchor_id, cand_id, {dot} / ({na} * {nc}) AS cosine
+  FROM c CROSS JOIN q
+  WHERE anchor_id <> cand_id
+),
+ranked AS (
+  SELECT anchor_id, cand_id, cosine,
+         row_number() OVER (PARTITION BY anchor_id
+                            ORDER BY cosine DESC, cand_id) AS rn
+  FROM scored
+),
+pos AS (
+  SELECT anchor_id, cand_id AS positive_id, cosine AS positive_cosine
+  FROM ranked WHERE rn = 1
+),
+d AS (SELECT greatest(1, count(*) // {NEG_POOL_TARGET}) AS denom
+      FROM embeddings),
+pool AS (
+  SELECT r.anchor_id, r.cand_id
+  FROM ranked r CROSS JOIN d
+  WHERE r.rn > {TRIPLET_EXCLUDE_TOP}
+    AND ({pri.replace("anchor_id", "r.anchor_id").replace("cand_id", "r.cand_id")}) % d.denom = 0
+),
+negr AS (
+  SELECT anchor_id, cand_id AS negative_id,
+         CAST(row_number() OVER (PARTITION BY anchor_id
+                                 ORDER BY {pri}, cand_id)
+              AS INT) AS neg_rank
+  FROM pool
+)
+SELECT p.anchor_id, p.positive_id, p.positive_cosine,
+       n.negative_id, n.neg_rank
+FROM pos p JOIN negr n ON p.anchor_id = n.anchor_id
+WHERE n.neg_rank <= {TRIPLET_K_NEG}"""
+
+
+@register(
+    "vector_contrastive_triplets",
+    oracle=vector_contrastive_triplets_sql(),
+    tags=("vector", "contrastive", "training", "sampling"),
+)
+def vector_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training triplets (operators.contrastive): for each
+    of 10 anchors, the exact nearest neighbor as the positive and 5
+    deterministic hash-sampled negatives drawn from outside the top-50
+    neighborhood (excluding the near-neighborhood avoids false
+    negatives). The negative pool is pre-pruned by the corpus-count-
+    derived hash denominator before the per-anchor priority sort — the
+    same auto-denominator pattern as IVF sampled training, so the sort
+    is bounded at any corpus size. Fully value-hash gated: exact-fold
+    cosines, integer hash priorities."""
+    from ..operators.contrastive import contrastive_triplets
+
+    e = _emb(spark, sf_dir)
+    return contrastive_triplets(
+        e,
+        e.filter(F.col("vec_id") < TRIPLET_ANCHORS),
+        k_neg=TRIPLET_K_NEG,
+        exclude_top=TRIPLET_EXCLUDE_TOP,
+    )

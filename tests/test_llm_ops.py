@@ -687,3 +687,39 @@ def test_apply_changelog_semantics(spark):
 
     again = apply_changelog(applied, changes, key_cols=["k"])
     assert {r["k"]: (r["s"], r["v"]) for r in again.collect()} == got
+
+
+def test_contrastive_triplets_invariants(spark, sf_small):
+    """Triplet construction contract: the positive is the true cosine
+    argmax neighbor; negatives never intersect the anchor's top-50
+    neighborhood, the anchor itself, or the positive; neg_rank is
+    dense 1..k per anchor; and a second run reproduces the identical
+    triplets (hash sampling is a pure function of the ids)."""
+    from cassaforte_meter_transmission_gen_spark.operators.contrastive import (
+        contrastive_triplets,
+    )
+
+    e = load_table(spark, sf_small, "embeddings")
+    anchors = e.filter(F.col("vec_id") < 4)
+    rows = contrastive_triplets(e, anchors, k_neg=3, exclude_top=50).collect()
+    top = brute_force_topk(e, anchors, k=50).collect()
+    top_by_anchor: dict[int, list[int]] = {}
+    for r in sorted(top, key=lambda r: r["rank"]):
+        top_by_anchor.setdefault(r["query_id"], []).append(r["neighbor_id"])
+
+    by_anchor: dict[int, list] = {}
+    for r in rows:
+        by_anchor.setdefault(r["anchor_id"], []).append(r)
+    assert set(by_anchor) == {0, 1, 2, 3}
+    for a, rs in by_anchor.items():
+        assert sorted(r["neg_rank"] for r in rs) == [1, 2, 3]
+        assert {r["positive_id"] for r in rs} == {top_by_anchor[a][0]}
+        negs = {r["negative_id"] for r in rs}
+        assert not negs & set(top_by_anchor[a])
+        assert a not in negs
+
+    again = contrastive_triplets(e, anchors, k_neg=3, exclude_top=50).collect()
+    key = lambda r: (r["anchor_id"], r["neg_rank"])  # noqa: E731
+    assert sorted(map(tuple, again), key=lambda t: t[:2]) == sorted(
+        map(tuple, rows), key=lambda t: t[:2]
+    )
