@@ -1699,3 +1699,61 @@ def text_bpe_vocab_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.tokenizer import bpe_vocab
 
     return bpe_vocab(_docs(spark, sf_dir))
+
+
+@register(
+    "pipeline_shard_manifest",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, length(text) AS n_chars_text,
+         (((doc_id % {SHUFFLE_ID_MOD}) * {SHUFFLE_HASH_A})
+          % {SHUFFLE_HASH_MOD}) % {N_SHARDS} AS shard_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                 md5(text)), 1, 15)) AS BIGINT) AS row_fp
+  FROM documents
+)
+SELECT CAST(shard_id AS INT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(bit_xor(row_fp) AS BIGINT) AS content_fingerprint,
+       CAST(SUM(n_chars_text) AS BIGINT) AS total_chars
+FROM h
+GROUP BY 1
+""",
+    tags=("pipeline", "sharding", "manifest"),
+)
+def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verifiable delivery manifest for the training shards: per shard
+    (same Knuth-hash assignment as pipeline_shuffle_shard_assignment),
+    the doc count, total characters, and an order-insensitive CONTENT
+    fingerprint — bit_xor of the md5-portable hash of
+    (doc_id : md5(text)). Any missing, duplicated, or altered document
+    flips the fingerprint; xor is commutative/associative, so the
+    aggregate partial-combines map-side and manifests of sub-batches
+    merge exactly (the property a resumable 100 TB delivery needs:
+    regenerate any shard independently and verify it byte-for-byte
+    without re-reading the others)."""
+    from ..functions.text import tok_hash_portable
+
+    d = _docs(spark, sf_dir)
+    shard = (
+        ((F.col("doc_id") % SHUFFLE_ID_MOD) * SHUFFLE_HASH_A)
+        % SHUFFLE_HASH_MOD
+    ) % N_SHARDS
+    row_fp = tok_hash_portable(
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit(":"), F.md5(F.col("text"))
+        )
+    )
+    return (
+        d.select(
+            shard.cast("int").alias("shard_id"),
+            row_fp.alias("row_fp"),
+            F.length("text").alias("n_chars_text"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.bit_xor("row_fp").alias("content_fingerprint"),
+            F.sum("n_chars_text").cast("long").alias("total_chars"),
+        )
+    )

@@ -723,3 +723,74 @@ def test_contrastive_triplets_invariants(spark, sf_small):
     assert sorted(map(tuple, again), key=lambda t: t[:2]) == sorted(
         map(tuple, rows), key=lambda t: t[:2]
     )
+
+
+def test_shard_manifest_detects_tamper_and_merges(spark, sf_small):
+    """Manifest contract: altering one document's text flips exactly
+    that shard's content fingerprint (counts unchanged); dropping a
+    doc changes its shard's count and fingerprint; and xor-merging the
+    manifests of two disjoint halves reproduces the whole manifest."""
+    from cassaforte_meter_transmission_gen_spark.plans import REGISTRY
+
+    name = "pipeline_shard_manifest"
+    base = {
+        r["shard_id"]: (r["n_docs"], r["content_fingerprint"])
+        for r in REGISTRY[name].fn(spark, sf_small).collect()
+    }
+
+    docs = load_table(spark, sf_small, "documents")
+    victim = docs.select("doc_id").orderBy("doc_id").first()["doc_id"]
+
+    import cassaforte_meter_transmission_gen_spark.plans.text_queries as tq
+
+    def manifest_of(d):
+        # rebuild the same aggregation over a modified corpus
+        shard = (
+            ((F.col("doc_id") % tq.SHUFFLE_ID_MOD) * tq.SHUFFLE_HASH_A)
+            % tq.SHUFFLE_HASH_MOD
+        ) % tq.N_SHARDS
+        from cassaforte_meter_transmission_gen_spark.functions.text import (
+            tok_hash_portable,
+        )
+
+        fp = tok_hash_portable(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.md5("text"))
+        )
+        return {
+            r["shard_id"]: (r["n_docs"], r["fp"])
+            for r in d.select(
+                shard.cast("int").alias("shard_id"), fp.alias("rfp")
+            )
+            .groupBy("shard_id")
+            .agg(F.count("*").alias("n_docs"), F.bit_xor("rfp").alias("fp"))
+            .collect()
+        }
+
+    tampered = manifest_of(
+        docs.withColumn(
+            "text",
+            F.when(F.col("doc_id") == victim, F.lit("TAMPERED")).otherwise(
+                F.col("text")
+            ),
+        )
+    )
+    victim_shard = (
+        (victim % tq.SHUFFLE_ID_MOD) * tq.SHUFFLE_HASH_A % tq.SHUFFLE_HASH_MOD
+    ) % tq.N_SHARDS
+    for s, (n, fp) in base.items():
+        if s == victim_shard:
+            assert tampered[s][0] == n and tampered[s][1] != fp
+        else:
+            assert tampered[s] == (n, fp)
+
+    dropped = manifest_of(docs.filter(F.col("doc_id") != victim))
+    assert dropped[victim_shard][0] == base[victim_shard][0] - 1
+    assert dropped[victim_shard][1] != base[victim_shard][1]
+
+    # mergeability: xor of the two halves' fingerprints == whole
+    lo = manifest_of(docs.filter(F.col("doc_id") % 2 == 0))
+    hi = manifest_of(docs.filter(F.col("doc_id") % 2 == 1))
+    for s, (n, fp) in base.items():
+        ln, lf = lo.get(s, (0, 0))
+        hn, hf = hi.get(s, (0, 0))
+        assert ln + hn == n and (lf ^ hf) == fp
