@@ -344,11 +344,14 @@ def ingest_roundtrip_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     disk. The oracle re-derives day energy from first principles, so a
     mismatch anywhere in generate→write→re-read→rollup→write→re-read
     fails the gate (2 meters × 1 hour keeps the raw write small)."""
+    import atexit
+    import shutil
     import tempfile
 
     from ..operators.ingest import ingest_batch, read_table
 
     out = tempfile.mkdtemp(prefix="meter_ingest_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
     paths = ingest_batch(spark, out, num_meters=2, seconds=3600)
     return read_table(spark, paths, "meter_samples_day")
 

@@ -16,7 +16,9 @@ remains partitioned/bucketed parquet (sources.layout).
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -25,13 +27,22 @@ from pyspark.sql import functions as F
 from ..schemas import load_table
 from .catalog import register
 from .compat import sql_dec_sum
+def _scratch(prefix: str) -> str:
+    """mkdtemp whose tree is reclaimed at interpreter exit — the query
+    result may be lazily read after the building function returns, so
+    eager cleanup would race the job; exit-time cleanup can't."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 
 
 def _roundtrip(
     spark: SparkSession, sf_dir: str, table: str, fmt: str, **read_opts
 ) -> DataFrame:
     src = load_table(spark, sf_dir, table)
-    out = os.path.join(tempfile.mkdtemp(prefix=f"src_{fmt}_"), table)
+    out = os.path.join(_scratch(f"src_{fmt}_"), table)
     src.write.mode("overwrite").format(fmt).options(**read_opts).save(out)
     return (
         spark.read.format(fmt)
@@ -124,7 +135,7 @@ def source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this is the ingress path for image/audio blobs — file
     listing parallelizes across executors, payloads never shuffle."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    out = os.path.join(tempfile.mkdtemp(prefix="src_binf_"), "docs")
+    out = os.path.join(_scratch("src_binf_"), "docs")
     docs.select("doc_id", "text").write.mode("overwrite").partitionBy(
         "doc_id"
     ).text(out)
@@ -156,7 +167,7 @@ def source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate. Valid because p_name is newline-free; the oracle over
     the original parquet gates every byte through the writer/reader."""
     p = load_table(spark, sf_dir, "part")
-    out = os.path.join(tempfile.mkdtemp(prefix="src_text_"), "names")
+    out = os.path.join(_scratch("src_text_"), "names")
     p.select(F.col("p_name").alias("value")).write.mode("overwrite").text(out)
     back = spark.read.text(out)
     return back.agg(
@@ -191,7 +202,7 @@ def source_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame
     src = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderstatus"
     )
-    out = os.path.join(tempfile.mkdtemp(prefix="src_evolve_"), "orders")
+    out = os.path.join(_scratch("src_evolve_"), "orders")
     src.filter(F.col("o_orderkey") % 2 == 0).drop("o_orderstatus").write.mode(
         "overwrite"
     ).parquet(out)
@@ -236,7 +247,7 @@ def source_csv_corrupt_permissive(spark: SparkSession, sf_dir: str) -> DataFrame
     src = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
     )
-    out = os.path.join(tempfile.mkdtemp(prefix="src_corrupt_"), "nation")
+    out = os.path.join(_scratch("src_corrupt_"), "nation")
     src.write.mode("overwrite").format("csv").save(out)
     # all three violate the int columns' types — PERMISSIVE marks a
     # line corrupt on unparseable VALUES (mere missing/extra columns

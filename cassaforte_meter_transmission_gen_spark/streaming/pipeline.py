@@ -22,7 +22,9 @@ tests/test_streaming.py and by the catalog entry
 
 from __future__ import annotations
 
+import atexit
 import hashlib
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -110,9 +112,9 @@ def run_bounded_dedup_ingest(
     ``dup_fraction``-th second-grain row is staged TWICE (a retry
     storm): returns the deduplicated rows (append mode — each key emits
     once, when first seen)."""
-    import shutil
 
     stage = tempfile.mkdtemp(prefix="dup_stream_")
+    atexit.register(shutil.rmtree, stage, ignore_errors=True)
     try:
         base = meter_samples_second(spark, num_meters=num_meters, seconds=seconds)
         dupes = base.filter(
@@ -152,6 +154,8 @@ def bounded_second_stream(
     batch-generated second-grain table as parquet, then re-read it as a
     file stream (schema-pinned). Returns (stream, staged_path)."""
     stage = stage_dir or tempfile.mkdtemp(prefix="meter_stream_")
+    if stage_dir is None:  # only reclaim dirs this function created
+        atexit.register(shutil.rmtree, stage, ignore_errors=True)
     meter_samples_second(spark, num_meters=num_meters, seconds=seconds).write.mode(
         "overwrite"
     ).parquet(stage)
@@ -424,7 +428,6 @@ def streaming_ingest_batch_fn(
     increment from the previous (finer) one, so raw rows are folded
     exactly once."""
     import os
-    import shutil
 
     from ..functions.energy import joules_over_second
     from ..operators.rollups import CHAIN, counter_merge, rollup_from_second
@@ -527,7 +530,6 @@ def compact_stream_tables(
     maintenance job; the runner inlines it every ``compact_every``
     commits."""
     import os
-    import shutil
 
     hw = _high_watermark(commits_dir)
     if hw is None:
@@ -618,12 +620,12 @@ def run_bounded_streaming_ingest(
     table writes, three version merges, the commit marker) are constant
     per batch, so samples/s scales with rows-per-batch until the batch
     no longer fits the cluster. bench.py measures this curve."""
-    import shutil
 
     from ..schemas import METER_SAMPLES
     from ..sources.meter_generator import transmissions
 
     stage = tempfile.mkdtemp(prefix="raw_stream_")
+    atexit.register(shutil.rmtree, stage, ignore_errors=True)
     try:
         transmissions(spark, num_meters=num_meters, seconds=seconds).write.mode(
             "overwrite"
@@ -697,6 +699,8 @@ def bounded_events_stream(
     from ..schemas import load_table
 
     stage = stage_dir or tempfile.mkdtemp(prefix="events_stream_")
+    if stage_dir is None:  # only reclaim dirs this function created
+        atexit.register(shutil.rmtree, stage, ignore_errors=True)
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "value"
     )
@@ -753,6 +757,7 @@ def run_bounded_interval_join(
     from ..schemas import load_table
 
     stage = tempfile.mkdtemp(prefix="events_typed_stream_")
+    atexit.register(shutil.rmtree, stage, ignore_errors=True)
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type", "value"
     )
@@ -806,7 +811,6 @@ def run_bounded_interval_join(
             q.awaitTermination()
     finally:
         # the memory sink owns the rows now; the staged copy is done
-        import shutil
 
         shutil.rmtree(stage, ignore_errors=True)
     return spark.table(name)
@@ -838,6 +842,7 @@ def run_late_data_rollup(
     from ..sources.meter_generator import T0_EPOCH
 
     stage = tempfile.mkdtemp(prefix="late_stream_")
+    atexit.register(shutil.rmtree, stage, ignore_errors=True)
     schema = pa.schema(
         [
             pa.field("said", pa.int32(), nullable=False),
@@ -957,14 +962,13 @@ def run_bounded_sketch_rollup(
     pre-aggregation economics for distinct metrics: each event is
     folded into a fixed-size sketch once, any coarser window is a union
     of sketches — raw is never rescanned."""
-    import atexit
     import os
-    import shutil
 
     from ..schemas import load_table
 
     ev = load_table(spark, sf_dir, "events").select("ts", "user_id")
     stage = tempfile.mkdtemp(prefix="sketch_stream_in_")
+    atexit.register(shutil.rmtree, stage, ignore_errors=True)
     out = tempfile.mkdtemp(prefix="sketch_stream_out_")
     atexit.register(shutil.rmtree, out, ignore_errors=True)
     try:
@@ -1072,15 +1076,14 @@ def run_bounded_cms_rollup(
     both run against the identical full-value-hash DuckDB oracle. At
     100 TB: every event folds into a fixed 4×1024-per-day grid once;
     estimates never rescan raw."""
-    import atexit
     import os
-    import shutil
 
     from ..operators.sketches import cms_estimate, cms_merge
     from ..schemas import load_table
 
     ev = load_table(spark, sf_dir, "events").select("ts", "user_id")
     stage = tempfile.mkdtemp(prefix="cms_stream_in_")
+    atexit.register(shutil.rmtree, stage, ignore_errors=True)
     out = tempfile.mkdtemp(prefix="cms_stream_out_")
     atexit.register(shutil.rmtree, out, ignore_errors=True)
     try:
