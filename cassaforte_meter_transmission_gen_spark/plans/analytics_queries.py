@@ -1052,3 +1052,97 @@ def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipeline import run_bounded_cms_rollup
 
     return run_bounded_cms_rollup(spark, sf_dir)
+
+
+def _least_squares_sql(n: str, sx: str, sy: str, sxy: str, sxx: str, syy: str) -> dict[str, str]:
+    """Closed-form least-squares outputs as SQL text over NAMED exact
+    sums — generated once and used verbatim by the Spark plan
+    (selectExpr) and the DuckDB oracle, so both engines perform the
+    identical double arithmetic in the identical order on identical
+    decimal-exact inputs. cov_n = n·Σxy − ΣxΣy; var_nx = n·Σx² − (Σx)²."""
+    cov = f"({n} * {sxy} - {sx} * {sy})"
+    varx = f"({n} * {sxx} - {sx} * {sx})"
+    vary = f"({n} * {syy} - {sy} * {sy})"
+    slope = f"{cov} / {varx}"
+    return {
+        "slope": slope,
+        "intercept": f"({sy} - ({slope}) * {sx}) / {n}",
+        "corr": f"{cov} / (SQRT({varx}) * SQRT({vary}))",
+        "r2": f"POWER({cov} / (SQRT({varx}) * SQRT({vary})), 2)",
+    }
+
+
+_LS = _least_squares_sql("nn", "sx", "sy", "sxy", "sxx", "syy")
+#: (expr AS alias) list — aliased corr_xy/r2 to avoid reserved names
+_LS_ALIASED = [
+    f"{_LS['slope']} AS slope",
+    f"{_LS['intercept']} AS intercept",
+    f"{_LS['corr']} AS corr_xy",
+    f"{_LS['r2']} AS r2",
+]
+_LS_SELECT = ", ".join(_LS_ALIASED)
+
+
+@register(
+    "agg_regression_price_vs_quantity",
+    oracle=f"""
+WITH d AS (
+  SELECT l_returnflag,
+         -- DECIMAL(30,6): DuckDB multiplies in the operand width (an
+         -- int64-backed DECIMAL(18) pair overflows on price*price), so
+         -- the oracle widens to int128-backed operands; the products
+         -- are exact in both engines either way, so values match
+         CAST(l_quantity AS DECIMAL(30,6)) AS qd,
+         CAST(l_extendedprice AS DECIMAL(30,6)) AS pd
+  FROM lineitem
+),
+sums AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS nn,
+         -- via VARCHAR: DuckDB's direct decimal->double cast divides
+         -- two doubles (int128 value, 10^scale) and can land one ulp
+         -- off near ties; string->double is correctly rounded, which
+         -- is what Java's BigDecimal->double (Spark's path) does
+         CAST(CAST(SUM(qd) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(pd) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(qd * pd) AS VARCHAR) AS DOUBLE) AS sxy,
+         CAST(CAST(SUM(qd * qd) AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(pd * pd) AS VARCHAR) AS DOUBLE) AS syy
+  FROM d GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(nn AS BIGINT) AS n_items, {_LS_SELECT}
+FROM sums
+""",
+    tags=("agg", "regression", "statistics"),
+)
+def agg_regression_price_vs_quantity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Closed-form least squares per return flag: slope/intercept of
+    extendedprice regressed on quantity, plus Pearson correlation and
+    r². The built-in regr_*/corr aggregates accumulate doubles in
+    partition order (not reproducible across engines), so the exact
+    shape here is decimal-exact component sums — squares and cross products taken
+    as exact DECIMAL products of exact casts, never double products
+    cast back (those can land within an ulp of the decimal grid, where
+    the engines' casts disagree) — followed
+    by the closed-form arithmetic — shared as one generated SQL text
+    (:func:`_least_squares_sql`) so the doubles are bit-equal. One
+    partial-agg pass; the statistics math runs on one row per group."""
+    l = _t(spark, sf_dir, "lineitem")
+    # square in DECIMAL, not double: a double product can land within an
+    # ulp of the 6-decimal grid, where the engines' double->decimal
+    # casts disagree; exact products of exact casts cannot
+    qd = F.col("l_quantity").cast(DEC)
+    pd = F.col("l_extendedprice").cast(DEC)
+    sums = l.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("nn"),
+        F.sum(qd).cast("double").alias("sx"),
+        F.sum(pd).cast("double").alias("sy"),
+        F.sum(qd * pd).cast("double").alias("sxy"),
+        F.sum(qd * qd).cast("double").alias("sxx"),
+        F.sum(pd * pd).cast("double").alias("syy"),
+    )
+    return sums.selectExpr(
+        "l_returnflag", "CAST(nn AS BIGINT) AS n_items", *_LS_ALIASED
+    )

@@ -99,3 +99,48 @@ def test_cms_sketch_contracts(spark):
         (r["r"], r["c"]): r["cnt"] for r in cms_build(df, "k").collect()
     }
     assert merged == whole, "cell-wise merge must equal the union grid"
+
+
+def test_regression_agg_matches_python_least_squares(spark, sf_small):
+    """The closed-form regression query must agree with a plain Python
+    least-squares computation on the same rows (to float tolerance) —
+    the parity gate proves cross-engine equality, this proves the
+    FORMULA."""
+    import math
+
+    from cassaforte_meter_transmission_gen_spark.plans import REGISTRY
+
+    got = {
+        r["l_returnflag"]: r
+        for r in REGISTRY["agg_regression_price_vs_quantity"]
+        .fn(spark, sf_small)
+        .collect()
+    }
+    rows = (
+        spark.read.parquet(f"{sf_small}/lineitem.parquet")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .collect()
+    )
+    by_flag: dict[str, list] = {}
+    for r in rows:
+        by_flag.setdefault(r["l_returnflag"], []).append(
+            (r["l_quantity"], r["l_extendedprice"])
+        )
+    for flag, pts in by_flag.items():
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        syy = sum(y * y for _, y in pts)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        intercept = (sy - slope * sx) / n
+        corr = (n * sxy - sx * sy) / (
+            math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+        )
+        g = got[flag]
+        assert g["n_items"] == n
+        assert abs(g["slope"] - slope) <= 1e-6 * max(1, abs(slope))
+        assert abs(g["intercept"] - intercept) <= 1e-6 * abs(intercept)
+        assert abs(g["corr_xy"] - corr) <= 1e-6
+        assert abs(g["r2"] - corr * corr) <= 1e-6

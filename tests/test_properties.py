@@ -452,3 +452,55 @@ def test_bpe_train_matches_serial_model(spark, words):
         for r in bpe_train(docs, n_merges=4).orderBy("merge_rank").collect()
     ]
     assert got == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.sets(st.integers(0, 8)),
+    st.lists(
+        st.tuples(st.integers(0, 10), st.sampled_from(["u", "d"])),
+        max_size=15,
+    ),
+)
+def test_apply_changelog_matches_python_model(spark, snap_keys, ops):
+    """CDC apply vs a serial model: arbitrary interleavings of upserts
+    and deletes (sequence = arrival order, so later always wins) over
+    an arbitrary snapshot, including keys the snapshot never had."""
+    from cassaforte_meter_transmission_gen_spark.operators.cdc import (
+        apply_changelog,
+    )
+
+    snapshot = {k: float(k * 10) for k in snap_keys}
+    state = dict(snapshot)
+    change_rows = []
+    for seq, (k, op) in enumerate(ops, start=1):
+        v = float(1000 + seq)
+        change_rows.append((k, v, seq, op))
+    last = {}
+    for k, v, seq, op in change_rows:
+        last[k] = (v, op)
+    for k, (v, op) in last.items():
+        if op == "u":
+            state[k] = v
+        else:
+            state.pop(k, None)
+
+    spark_snap = spark.createDataFrame(
+        [(k, v) for k, v in snapshot.items()] or [(None, None)],
+        "k int, v double",
+    ).filter("k IS NOT NULL")
+    spark_changes = spark.createDataFrame(
+        change_rows or [(None, None, None, None)],
+        "k int, v double, seq int, op string",
+    ).filter("k IS NOT NULL")
+    got = {
+        r["k"]: r["v"]
+        for r in apply_changelog(
+            spark_snap, spark_changes, key_cols=["k"]
+        ).collect()
+    }
+    assert got == state
