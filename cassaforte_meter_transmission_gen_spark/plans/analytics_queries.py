@@ -1146,3 +1146,81 @@ def agg_regression_price_vs_quantity(
     return sums.selectExpr(
         "l_returnflag", "CAST(nn AS BIGINT) AS n_items", *_LS_ALIASED
     )
+
+
+@register(
+    "agg_histogram_order_value",
+    oracle=f"""
+WITH b AS (
+  SELECT CAST(FLOOR(o_totalprice / 25000.0) AS INT) AS bucket, o_totalprice
+  FROM orders
+)
+SELECT bucket,
+       CAST(bucket * 25000.0 AS DOUBLE) AS bucket_lo,
+       CAST((bucket + 1) * 25000.0 AS DOUBLE) AS bucket_hi,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {sql_dec_sum('o_totalprice')} AS sum_value,
+       MIN(o_totalprice) AS min_value,
+       MAX(o_totalprice) AS max_value
+FROM b GROUP BY bucket
+""",
+    tags=("agg", "histogram"),
+)
+def agg_histogram_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram over order totals — the data-profiling
+    primitive for choosing partition bounds and spotting skew before a
+    big job. Bucketing is one double division + floor (bit-identical in
+    both engines on the same IEEE input), so the query stays a single
+    partial+final hash aggregation with no Python in the path; min/max
+    are exact on doubles, the sum uses the exact-decimal trick. At
+    100 TB the map-side combine leaves one tiny (bucket-count-sized)
+    shuffle regardless of input size."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / F.lit(25000.0)).cast("int")
+    return (
+        o.select(F.col("o_totalprice"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dec_sum(F.col("o_totalprice")).alias("sum_value"),
+            F.min("o_totalprice").alias("min_value"),
+            F.max("o_totalprice").alias("max_value"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * F.lit(25000.0)).alias("bucket_lo"),
+            ((F.col("bucket") + F.lit(1)) * F.lit(25000.0)).alias("bucket_hi"),
+            "n_orders",
+            "sum_value",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+@register(
+    "window_percent_rank_order_value",
+    oracle="""
+SELECT o_orderpriority, o_orderkey,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cum_dist
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+""",
+    tags=("window",),
+)
+def window_percent_rank_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative standing of every order within its priority class —
+    percent_rank ((rank-1)/(n-1)) and cume_dist (rows≤current / n).
+    The unique (o_totalprice, o_orderkey) sort makes ranks
+    deterministic, and both engines derive the doubles from the same
+    two integers, so the division is bit-identical. One shuffle on the
+    partition key; each partition sorts locally."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+    )

@@ -350,3 +350,29 @@ def test_cdc_apply_broadcasts_changed_keys_no_snapshot_shuffle(spark, sf_small):
     # the anti join's streamed (snapshot) side is above any exchange:
     # no Exchange hashpartitioning may appear before the join operator
     assert "Exchange hashpartitioning" not in plan[:anti], plan
+
+
+def test_histogram_single_shuffle_reads_one_column(spark, sf_small):
+    """The value histogram must stay a partial+final hash aggregation:
+    exactly one bucket-keyed exchange (map-side combine shrinks 100 TB
+    of rows to bucket-count partials before the wire), and the scan
+    must read only the measured column."""
+    df = REGISTRY["agg_histogram_order_value"].fn(spark, sf_small)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    read_schema = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "o_totalprice" in read_schema, read_schema
+    for unneeded in ("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"):
+        assert unneeded not in read_schema, f"{unneeded} not pruned: {read_schema}"
+
+
+def test_percent_rank_partitioned_window_no_global_sort(spark, sf_small):
+    """percent_rank/cume_dist must run inside the per-priority window
+    partitioning — one keyed exchange, never an all-rows-to-one
+    SinglePartition window (the classic unpartitioned-Window trap that
+    serializes the whole table through one task)."""
+    df = REGISTRY["window_percent_rank_order_value"].fn(spark, sf_small)
+    plan = _plan(df)
+    assert "Window" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange SinglePartition" not in plan, plan
