@@ -1224,3 +1224,58 @@ def window_percent_rank_order_value(spark: SparkSession, sf_dir: str) -> DataFra
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cum_dist"),
     )
+
+
+@register(
+    "profile_column_stats_orders",
+    oracle="""
+WITH s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(o_custkey) AS BIGINT) AS nn_custkey,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd_custkey,
+         CAST(count(o_orderstatus) AS BIGINT) AS nn_status,
+         CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd_status,
+         CAST(count(o_orderpriority) AS BIGINT) AS nn_priority,
+         CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS nd_priority,
+         CAST(count(o_orderdate) AS BIGINT) AS nn_date,
+         CAST(count(DISTINCT o_orderdate) AS BIGINT) AS nd_date
+  FROM orders
+)
+SELECT 'o_custkey' AS col_name, n_rows, nn_custkey AS n_nonnull, nd_custkey AS n_distinct FROM s
+UNION ALL SELECT 'o_orderstatus', n_rows, nn_status, nd_status FROM s
+UNION ALL SELECT 'o_orderpriority', n_rows, nn_priority, nd_priority FROM s
+UNION ALL SELECT 'o_orderdate', n_rows, nn_date, nd_date FROM s
+""",
+    tags=("profile", "agg"),
+)
+def profile_column_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data profiling — row count, non-null count, exact
+    distinct count — the pre-flight report a pipeline runs before
+    choosing join strategies and partition keys. All four columns are
+    profiled in ONE aggregation (Catalyst plans the multi-distinct via
+    its Expand rewrite: one scan, rows duplicated once per distinct
+    spec, map-side partials before the single exchange), then the
+    one-row result is unpivoted with ``stack`` into a tall report.
+    Exact distincts here are the correctness twin; at 100 TB the same
+    report swaps in approx_count_distinct (the HLL family elsewhere in
+    this catalog) without changing shape."""
+    o = _t(spark, sf_dir, "orders")
+    s = o.agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_custkey").alias("nn_custkey"),
+        F.count_distinct("o_custkey").alias("nd_custkey"),
+        F.count("o_orderstatus").alias("nn_status"),
+        F.count_distinct("o_orderstatus").alias("nd_status"),
+        F.count("o_orderpriority").alias("nn_priority"),
+        F.count_distinct("o_orderpriority").alias("nd_priority"),
+        F.count("o_orderdate").alias("nn_date"),
+        F.count_distinct("o_orderdate").alias("nd_date"),
+    )
+    return s.selectExpr(
+        """stack(4,
+             'o_custkey',      n_rows, nn_custkey,  nd_custkey,
+             'o_orderstatus',  n_rows, nn_status,   nd_status,
+             'o_orderpriority',n_rows, nn_priority, nd_priority,
+             'o_orderdate',    n_rows, nn_date,     nd_date
+           ) AS (col_name, n_rows, n_nonnull, n_distinct)"""
+    )

@@ -1297,6 +1297,70 @@ def pipeline_shuffle_shard_assignment(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+#: Split multiplier — a different odd constant than SHUFFLE_HASH_A so a
+#: document's train/val/test assignment is independent of its shard.
+SPLIT_HASH_A = 2246822519
+
+
+@register(
+    "pipeline_train_val_test_split",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, n_chars,
+         len(regexp_split_to_array(text, '\\s+')) AS n_toks,
+         ((((doc_id % {SHUFFLE_ID_MOD}) * {SPLIT_HASH_A})
+           % {SHUFFLE_HASH_MOD}) % 100) AS pct
+  FROM documents
+)
+SELECT CASE WHEN pct < 80 THEN 'train'
+            WHEN pct < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM h GROUP BY 1
+""",
+    tags=("pipeline", "split", "sampling"),
+)
+def pipeline_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test split manifest: assignment is a pure
+    integer Knuth hash of doc_id (seedless, replayable — re-running the
+    pipeline on a grown corpus never moves an old document between
+    splits, the property that keeps eval sets uncontaminated), with a
+    multiplier distinct from the shard hash so split membership is
+    independent of shard placement. The manifest aggregates doc/token/
+    char totals per split — one narrow map (token count, three ints)
+    plus one three-group aggregation; at 100 TB the shuffle carries
+    three partial rows per task."""
+    d = load_table(spark, sf_dir, "documents")
+    pct = (
+        ((F.col("doc_id") % SHUFFLE_ID_MOD) * SPLIT_HASH_A) % SHUFFLE_HASH_MOD
+    ) % 100
+    split = (
+        F.when(pct < 80, F.lit("train"))
+        .when(pct < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select(
+            split.alias("split"),
+            F.size(tokens(F.col("text"))).alias("n_toks"),
+            "n_chars",
+            "doc_id",
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
 @register(
     "text_duplicated_span_fraction",
     oracle=f"""

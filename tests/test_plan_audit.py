@@ -376,3 +376,28 @@ def test_percent_rank_partitioned_window_no_global_sort(spark, sf_small):
     assert "Window" in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_split_manifest_narrow_map_single_shuffle(spark, sf_small):
+    """Train/val/test manifest: assignment + token count must stay a
+    narrow Project feeding one three-group aggregation — one keyed
+    exchange, and the scan must not read columns the manifest never
+    touches."""
+    df = REGISTRY["pipeline_train_val_test_split"].fn(spark, sf_small)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    read_schema = plan[plan.index("ReadSchema"):].splitlines()[0]
+    for unneeded in ("lang", "source"):
+        assert unneeded not in read_schema, f"{unneeded} not pruned: {read_schema}"
+
+
+def test_profile_one_scan_prunes_unprofiled_columns(spark, sf_small):
+    """Column profiling must make exactly ONE pass over the table (the
+    multi-distinct Expand rewrite, not one scan per column) and read
+    only the profiled columns."""
+    df = REGISTRY["profile_column_stats_orders"].fn(spark, sf_small)
+    plan = _plan(df)
+    assert plan.count("FileScan") == 1, plan
+    read_schema = plan[plan.index("ReadSchema"):].splitlines()[0]
+    for unneeded in ("o_totalprice", "o_orderkey"):
+        assert unneeded not in read_schema, f"{unneeded} not pruned: {read_schema}"
