@@ -1279,3 +1279,56 @@ def profile_column_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
              'o_orderdate',    n_rows, nn_date,     nd_date
            ) AS (col_name, n_rows, n_nonnull, n_distinct)"""
     )
+
+
+@register(
+    "agg_equidepth_price_deciles",
+    oracle=f"""
+WITH r AS (
+  SELECT o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+SELECT CAST(decile AS INT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       MIN(o_totalprice) AS lo_value,
+       MAX(o_totalprice) AS hi_value,
+       {sql_dec_sum('o_totalprice')} AS sum_value
+FROM r GROUP BY decile
+""",
+    tags=("agg", "histogram", "rank"),
+)
+def agg_equidepth_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-count) deciles of order value — the boundary
+    report for range-partitioning a 100 TB table evenly. The oracle's
+    one-line form is ``ntile(10)`` over a GLOBAL sort, which Spark would
+    execute on a single task; the engine instead derives the global
+    0-based rank from :func:`global_running_total`'s two-pass bucketed
+    prefix sum (SURVEY §2.10 sequence-packing machinery) over a
+    collision-free integer order key — prices sit on the 0.01 grid, so
+    ``round(price*100)*1e8 + orderkey`` (< 2^53) is strictly monotone
+    in (price, orderkey). ``decile = rank0*10 DIV n + 1`` reproduces
+    ntile's larger-buckets-first assignment exactly in pure integer
+    arithmetic, and the count n comes from one driver-side scan
+    (amortized like the IVF auto-denominator)."""
+    from ..operators.packing import global_running_total
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    key = (
+        F.round(F.col("o_totalprice") * 100).cast("long") * F.lit(100_000_000)
+        + F.col("o_orderkey")
+    )
+    keyed = o.withColumn("__k", key).withColumn("__one", F.lit(1).cast("long"))
+    ranked = global_running_total(keyed, "__k", "__one", out_col="__rank0")
+    n = o.count()
+    decile = F.expr(f"CAST(__rank0 * 10 DIV {n} AS INT) + 1")
+    return (
+        ranked.select("o_totalprice", decile.alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").alias("lo_value"),
+            F.max("o_totalprice").alias("hi_value"),
+            dec_sum(F.col("o_totalprice")).alias("sum_value"),
+        )
+    )

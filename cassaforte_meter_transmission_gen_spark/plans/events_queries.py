@@ -387,3 +387,59 @@ def events_weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFra
             F.count_distinct("b_user").alias("retained_next_week"),
         )
     )
+
+
+@register(
+    "events_zscore_daily_anomaly",
+    oracle="""
+WITH d AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(SUM(n_events) AS BIGINT) AS sx,
+         CAST(SUM(n_events * n_events) AS BIGINT) AS sxx
+  FROM d GROUP BY event_type
+)
+SELECT d.event_type, d.day, d.n_events,
+       CAST(s.n_days * d.n_events - s.sx AS DOUBLE)
+         / SQRT(CAST(s.n_days * s.sxx - s.sx * s.sx AS DOUBLE)) AS zscore
+FROM d JOIN s USING (event_type)
+WHERE s.n_days * s.sxx > s.sx * s.sx
+""",
+    tags=("events", "anomaly", "statistics"),
+)
+def events_zscore_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population z-score of each day's event count within its event
+    type — the volume-anomaly monitor over an ingestion stream (a
+    transmission-gap or flood day stands out as |z| >> 0). The usual
+    avg/stddev_pop pair accumulates doubles in partition order, so
+    instead the z-score is algebraically rearranged over exact integer
+    sums: z = (n·x − Σx) / sqrt(n·Σx² − (Σx)²) — one subtraction, one
+    sqrt, one division on integers-cast-to-double, bit-identical in
+    both engines. Zero-variance types are excluded by an integer
+    predicate (no float epsilon). Plan: one day-grain aggregation, a
+    tiny per-type stats aggregate broadcast back, and a narrow map."""
+    e = _ev(spark, sf_dir)
+    d = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("n_events"))
+    s = d.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("n_events").alias("sx"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("sxx"),
+    )
+    return (
+        d.join(F.broadcast(s), "event_type")
+        .filter("n_days * sxx > sx * sx")
+        .selectExpr(
+            "event_type",
+            "day",
+            "n_events",
+            "CAST(n_days * n_events - sx AS DOUBLE)"
+            " / SQRT(CAST(n_days * sxx - sx * sx AS DOUBLE)) AS zscore",
+        )
+    )

@@ -1303,6 +1303,61 @@ SPLIT_HASH_A = 2246822519
 
 
 @register(
+    "text_source_mix_temperature",
+    oracle=f"""
+WITH s AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT s.*,
+         CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)
+           AS weight_ppm
+  FROM s
+),
+t AS (SELECT CAST(SUM(weight_ppm) AS BIGINT) AS total_ppm FROM w)
+SELECT source, n_docs, n_tokens, weight_ppm,
+       CAST(weight_ppm AS DOUBLE) / CAST(total_ppm AS DOUBLE) AS share,
+       CAST((weight_ppm * 1000000) // total_ppm AS BIGINT) AS docs_per_million
+FROM w CROSS JOIN t
+""",
+    tags=("text", "sampling", "mixing"),
+)
+def text_source_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source mixing weights (T5/data-mixture
+    shape, temperature 2 ⇒ weight ∝ n_docs^0.5): upweight small
+    sources relative to proportional sampling. The weight is QUANTIZED
+    to integer parts-per-million — ``floor(sqrt(n)·1e6)`` — because a
+    sum of irrational doubles is addition-order-dependent and could
+    never cross-engine match; integer ppm weights make the normalizer
+    exact, every share the same two-integer division in both engines,
+    and the per-million doc allocation pure integer arithmetic
+    (reproducible budget math a resumable sampler can re-derive). One
+    source-keyed aggregation plus a broadcast of the one-row total."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text")))).cast("long").alias("n_tokens"),
+    )
+    w = s.withColumn(
+        "weight_ppm",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1000000).cast("long"),
+    )
+    t = w.agg(F.sum("weight_ppm").alias("total_ppm"))
+    return w.crossJoin(F.broadcast(t)).selectExpr(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "weight_ppm",
+        "CAST(weight_ppm AS DOUBLE) / CAST(total_ppm AS DOUBLE) AS share",
+        "CAST((weight_ppm * 1000000) DIV total_ppm AS BIGINT) AS docs_per_million",
+    )
+
+
+@register(
     "pipeline_train_val_test_split",
     oracle=f"""
 WITH h AS (

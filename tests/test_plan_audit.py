@@ -401,3 +401,34 @@ def test_profile_one_scan_prunes_unprofiled_columns(spark, sf_small):
     read_schema = plan[plan.index("ReadSchema"):].splitlines()[0]
     for unneeded in ("o_totalprice", "o_orderkey"):
         assert unneeded not in read_schema, f"{unneeded} not pruned: {read_schema}"
+
+
+def test_equidepth_deciles_no_global_sort(spark, sf_small):
+    """The equi-depth decile report must NEVER plan the oracle's shape
+    (ntile over an unpartitioned global sort = one task at 100 TB): no
+    SinglePartition exchange and no range-partitioned global sort — the
+    rank comes from the bucketed two-pass prefix sum, so every exchange
+    is a keyed hash partitioning."""
+    df = REGISTRY["agg_equidepth_price_deciles"].fn(spark, sf_small)
+    plan = _plan(df)
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Exchange hashpartitioning" in plan, plan
+
+
+def test_zscore_broadcasts_type_stats(spark, sf_small):
+    """The anomaly scan must broadcast the tiny per-type stats frame —
+    a shuffle join here would re-exchange the full day-grain table on
+    event_type (a handful of hot keys: maximal skew) for no reason."""
+    df = REGISTRY["events_zscore_daily_anomaly"].fn(spark, sf_small)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_source_mix_broadcasts_total(spark, sf_small):
+    """The mixing-weight normalizer is one row; its join must be a
+    broadcast nested loop, never a shuffle."""
+    df = REGISTRY["text_source_mix_temperature"].fn(spark, sf_small)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "Exchange SinglePartition" not in plan or plan.count("Exchange hashpartitioning") >= 1
