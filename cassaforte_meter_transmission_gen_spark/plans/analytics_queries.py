@@ -1332,3 +1332,49 @@ def agg_equidepth_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum(F.col("o_totalprice")).alias("sum_value"),
         )
     )
+
+
+@register(
+    "profile_join_key_skew_orders",
+    oracle="""
+WITH k AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY o_custkey
+),
+t AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(SUM(n) AS BIGINT) AS n_rows
+  FROM k
+)
+SELECT k.o_custkey, k.n AS n_orders,
+       (CAST(k.n AS DOUBLE) * t.n_keys) / t.n_rows AS skew_factor
+FROM k CROSS JOIN t
+ORDER BY k.n DESC, k.o_custkey
+LIMIT 20
+""",
+    tags=("profile", "skew", "topk"),
+)
+def profile_join_key_skew_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis: the 20 hottest o_custkey values and how
+    far each sits above the mean rows-per-key — the report that decides
+    whether a join needs salting (operators/skew.py) or AQE skew
+    handling before it runs at 100 TB. One key-grain count (partial-agg
+    shuffle carries (key, count)), a broadcast of the one-row totals,
+    and a TakeOrdered top-20; skew_factor is (double·int)/int computed
+    in the identical operation order in both engines."""
+    o = _t(spark, sf_dir, "orders")
+    k = o.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    t = k.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+    )
+    return (
+        k.crossJoin(F.broadcast(t))
+        .selectExpr(
+            "o_custkey",
+            "n AS n_orders",
+            "(CAST(n AS DOUBLE) * n_keys) / n_rows AS skew_factor",
+        )
+        .orderBy(F.desc("n_orders"), "o_custkey")
+        .limit(20)
+    )

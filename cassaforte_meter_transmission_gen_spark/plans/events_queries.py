@@ -443,3 +443,57 @@ def events_zscore_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / SQRT(CAST(n_days * sxx - sx * sx AS DOUBLE)) AS zscore",
         )
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+c AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n_transitions
+  FROM o WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_transitions,
+       CAST(n_transitions AS DOUBLE)
+         / SUM(n_transitions) OVER (PARTITION BY from_type)
+         AS transition_prob
+FROM c
+""",
+    tags=("events", "sequence", "statistics"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence — which action follows which (the funnel diagnostic
+    generalized to every pair). One user-partitioned lead window (same
+    shuffle the sessionizer uses), one pair-keyed count, then each
+    probability is a two-integer division — the row-normalizer is an
+    exact integer window sum over the tiny type×type matrix, so the
+    doubles are bit-equal across engines. At 100 TB the only full-data
+    shuffle is the per-user window; the matrix itself is
+    type-cardinality-sized."""
+    e = _ev(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    c = o.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count("*").alias("n_transitions"))
+    norm = W.partitionBy("from_type")
+    return c.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(norm)
+        ).alias("transition_prob"),
+    )

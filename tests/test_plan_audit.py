@@ -432,3 +432,23 @@ def test_source_mix_broadcasts_total(spark, sf_small):
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "Exchange SinglePartition" not in plan or plan.count("Exchange hashpartitioning") >= 1
+
+
+def test_markov_single_user_window_no_global_sort(spark, sf_small):
+    """The transition matrix's only full-data shuffle is the per-user
+    lead window; the row-normalizer window runs over the tiny
+    type-pair matrix. No SinglePartition exchange may appear."""
+    df = REGISTRY["events_markov_transitions"].fn(spark, sf_small)
+    plan = _plan(df)
+    assert "Exchange SinglePartition" not in plan, plan
+    assert plan.count("Window") >= 2, plan
+
+
+def test_skew_report_broadcasts_totals_takeordered(spark, sf_small):
+    """Skew diagnosis: one-row totals broadcast (never a shuffle
+    join), top-20 planned as TakeOrderedAndProject (per-partition heap,
+    not a global sort)."""
+    df = REGISTRY["profile_join_key_skew_orders"].fn(spark, sf_small)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
