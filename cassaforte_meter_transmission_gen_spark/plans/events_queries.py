@@ -497,3 +497,72 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_transitions").over(norm)
         ).alias("transition_prob"),
     )
+
+
+@register(
+    "events_time_weighted_value",
+    oracle="""
+WITH o AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         epoch_ms(ts) AS t_ms,
+         CAST(FLOOR(value * 1000000) AS BIGINT) AS v_ppm,
+         lead(epoch_ms(ts)) OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                  ORDER BY ts, event_id) AS nxt_ms
+  FROM events
+),
+seg AS (
+  SELECT user_id, day, v_ppm, nxt_ms - t_ms AS dur_ms
+  FROM o WHERE nxt_ms IS NOT NULL
+)
+SELECT user_id, day,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(SUM(dur_ms) AS BIGINT) AS span_ms,
+       CAST(CAST(SUM(v_ppm * dur_ms) AS BIGINT) AS DOUBLE)
+         / (1000000.0 * CAST(CAST(SUM(dur_ms) AS BIGINT) AS DOUBLE))
+         AS time_weighted_avg
+FROM seg GROUP BY user_id, day
+HAVING CAST(SUM(dur_ms) AS BIGINT) > 0
+""",
+    tags=("events", "timeseries", "statistics"),
+)
+def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of an irregularly-sampled value per
+    user-day — the hypertable ``time_weight`` read (a plain AVG
+    overweights bursts; step-function weighting by each reading's
+    holding duration is the honest summary). Weights are exact integer
+    milliseconds and values are quantized to integer ppm, so the
+    weighted sum is pure int64 arithmetic (bounded by max_value ×
+    day-length — no overflow) and the final division divides the same
+    two integers in both engines. One user-day lead window (the same
+    shuffle as sessionization) then a partial+final aggregation;
+    zero-span groups are excluded by an integer predicate."""
+    e = _ev(spark, sf_dir)
+    day = F.date_trunc("day", "ts")
+    w = W.partitionBy("user_id", day).orderBy("ts", "event_id")
+    o = e.select(
+        "user_id",
+        day.alias("day"),
+        F.unix_millis("ts").alias("t_ms"),
+        F.floor(F.col("value") * 1000000).cast("long").alias("v_ppm"),
+        F.lead(F.unix_millis("ts")).over(w).alias("nxt_ms"),
+    ).filter(F.col("nxt_ms").isNotNull())
+    seg = o.select(
+        "user_id", "day", "v_ppm", (F.col("nxt_ms") - F.col("t_ms")).alias("dur_ms")
+    )
+    return (
+        seg.groupBy("user_id", "day")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum("dur_ms").alias("span_ms"),
+            F.sum(F.col("v_ppm") * F.col("dur_ms")).alias("wsum"),
+        )
+        .filter(F.col("span_ms") > 0)
+        .selectExpr(
+            "user_id",
+            "day",
+            "n_segments",
+            "span_ms",
+            "CAST(wsum AS DOUBLE) / (1000000.0 * CAST(span_ms AS DOUBLE))"
+            " AS time_weighted_avg",
+        )
+    )

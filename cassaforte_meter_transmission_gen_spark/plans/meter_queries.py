@@ -609,3 +609,54 @@ def meter_gapfill_interpolate_minute(
         (F.col("id") + DEFAULT_START_SAID).cast("int").alias("said")
     )
     return gapfill_interpolate(observed, saids, T0_EPOCH, GAPFILL_MINUTES)
+
+
+@register(
+    "meter_transmission_gap_report",
+    oracle=f"""{GAPFILL_BASE_SQL},
+lagged AS (
+  SELECT said, b,
+         b - lag(b) OVER (PARTITION BY said ORDER BY b) AS gap
+  FROM obs
+)
+SELECT said,
+       CAST(MAX(gap) AS INT) AS max_gap_minutes,
+       CAST(count(*) AS BIGINT) AS n_observed,
+       CAST({GAPFILL_MINUTES} - count(*) AS BIGINT) AS n_missed
+FROM lagged GROUP BY said""",
+    tags=("meter", "gapfill", "monitoring"),
+)
+def meter_transmission_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-meter monitoring over the same sparse minute fixture the
+    gap-fill queries read (~20% of buckets dropped by the md5-portable
+    predicate, mirroring reference A5 write failures): per meter, the
+    LONGEST run of missed transmissions (max lag gap between observed
+    bucket indexes) and the observed/missed bucket counts — the report
+    that pages on a meter gone dark rather than merely flickering. One
+    said-partitioned lag window over the already-small rollup, then a
+    per-meter aggregation; integer-only outputs, fully value-hashed."""
+    from pyspark.sql import Window
+
+    from ..functions.text import tok_hash_portable
+    from ..operators.rollups import rollup_from_second
+
+    minute = rollup_from_second(meter_samples_second(spark), "minute")
+    m_idx = (
+        F.floor((F.col("datetime").cast("long") - T0_EPOCH) / 60)
+        .cast("int")
+    )
+    key = F.concat(
+        F.col("said").cast("string"), F.lit(":"), m_idx.cast("string")
+    )
+    observed = minute.filter(
+        tok_hash_portable(key) % GAPFILL_DROP_MOD != 0
+    ).select("said", m_idx.alias("b"))
+    w = Window.partitionBy("said").orderBy("b")
+    lagged = observed.select(
+        "said", (F.col("b") - F.lag("b").over(w)).alias("gap")
+    )
+    return lagged.groupBy("said").agg(
+        F.max("gap").cast("int").alias("max_gap_minutes"),
+        F.count("*").alias("n_observed"),
+        (F.lit(GAPFILL_MINUTES) - F.count("*")).cast("long").alias("n_missed"),
+    )

@@ -452,3 +452,13 @@ def test_skew_report_broadcasts_totals_takeordered(spark, sf_small):
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_time_weighted_avg_keyed_window_partial_agg(spark, sf_small):
+    """TWA: the lead window must be keyed (user_id, day) — never a
+    SinglePartition sweep — and the weighted sums must partial-agg
+    before their exchange."""
+    df = REGISTRY["events_time_weighted_value"].fn(spark, sf_small)
+    plan = _plan(df)
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Window" in plan and "partial" in plan.lower(), plan
