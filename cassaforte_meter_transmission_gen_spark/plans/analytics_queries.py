@@ -1378,3 +1378,110 @@ def profile_join_key_skew_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), "o_custkey")
         .limit(20)
     )
+
+
+def _orphan_count(fact: DataFrame, fk: str, dim: DataFrame, pk: str, relation: str) -> DataFrame:
+    """One referential-integrity row: total fact rows and rows whose
+    foreign key has no match among the DISTINCT dimension keys (a left
+    join against distinct keys cannot duplicate fact rows, so count(*)
+    stays the fact count)."""
+    f = fact.select(F.col(fk).alias("k"))
+    d = dim.select(F.col(pk).alias("k")).distinct().withColumn("__hit", F.lit(1))
+    return (
+        f.join(d, "k", "left")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_orphans"),
+        )
+        .select(F.lit(relation).alias("relation"), "n_rows", "n_orphans")
+    )
+
+
+@register(
+    "profile_referential_integrity",
+    oracle="""
+SELECT 'orders->customer' AS relation,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphans
+FROM orders o
+LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+  ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'lineitem->orders',
+       CAST(count(*) AS BIGINT),
+       CAST(SUM(CASE WHEN oo.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem l
+LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) oo
+  ON l.l_orderkey = oo.o_orderkey
+UNION ALL
+SELECT 'customer->nation',
+       CAST(count(*) AS BIGINT),
+       CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM customer cu
+LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+  ON cu.c_nationkey = n.n_nationkey
+""",
+    tags=("profile", "integrity"),
+)
+def profile_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key integrity audit across the star schema — the
+    load-time gate that catches orphaned facts before they silently
+    vanish from inner-join analytics. Each relation is one left join
+    against the dimension's distinct keys (broadcast when small) folded
+    into a single (total, orphans) row; three one-row frames union into
+    the report. At 100 TB each check shuffles only (key) pairs and the
+    dimension side prunes to one column."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        _orphan_count(o, "o_custkey", c, "c_custkey", "orders->customer")
+        .unionAll(_orphan_count(l, "l_orderkey", o, "o_orderkey", "lineitem->orders"))
+        .unionAll(_orphan_count(c, "c_nationkey", n, "n_nationkey", "customer->nation"))
+    )
+
+
+@register(
+    "events_trailing_7d_active_users",
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id
+  FROM events
+),
+days AS (SELECT DISTINCT day FROM du)
+SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS active_7d
+FROM days d
+JOIN du u ON u.day <= d.day AND u.day >= d.day - INTERVAL 6 DAY
+GROUP BY d.day
+""",
+    tags=("events", "window", "distinct"),
+)
+def events_trailing_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the rolling-MAU
+    shape that windowed SUM cannot express (distinct doesn't decompose
+    over sliding frames). Exact form: dedupe to (day, user) once, then
+    a bounded range join of the small day list against the pairs (each
+    pair lands in ≤7 frames) and a distinct count per day. This exact
+    query is the correctness twin; at 100 TB the scale path is the
+    per-day HLL sketch table merged over the trailing window
+    (sketch_rollup_distinct_users — union of 7 sketches, no rejoin of
+    raw data)."""
+    e = _t(spark, sf_dir, "events")
+    du = e.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct()
+    pairs = du.select(F.col("day").alias("u_day"), "user_id")
+    return (
+        days.join(
+            pairs,
+            (F.col("u_day") <= F.col("day"))
+            & (F.col("u_day") >= F.col("day") - F.expr("INTERVAL 6 DAYS")),
+        )
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("active_7d"))
+    )

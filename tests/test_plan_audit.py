@@ -462,3 +462,22 @@ def test_time_weighted_avg_keyed_window_partial_agg(spark, sf_small):
     plan = _plan(df)
     assert "Exchange SinglePartition" not in plan, plan
     assert "Window" in plan and "partial" in plan.lower(), plan
+
+
+def test_integrity_audit_prunes_dims_to_key_column(spark, sf_small):
+    """Every FK check must prune the dimension scan to its key column —
+    reading full dimension rows to test key existence is wrong at any
+    scale."""
+    df = REGISTRY["profile_referential_integrity"].fn(spark, sf_small)
+    plan = _plan(df)
+    for wide_col in ("c_name", "c_acctbal", "o_totalprice", "n_name"):
+        assert wide_col not in plan, f"{wide_col} read by integrity audit:\n{plan}"
+
+
+def test_trailing_7d_broadcasts_day_list(spark, sf_small):
+    """The rolling-distinct range join must broadcast the tiny day
+    list against the (day, user) pairs — a shuffle implementation of a
+    ≤7-frame fan-out would move the whole pair set twice."""
+    df = REGISTRY["events_trailing_7d_active_users"].fn(spark, sf_small)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
