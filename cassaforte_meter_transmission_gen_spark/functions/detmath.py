@@ -96,3 +96,33 @@ def det_ln_ctes(tag: str, x_expr: str, src: str, out_col: str) -> str:
 {tag}t AS (SELECT e, ((m - {_dl(1.0)}) / (m + {_dl(1.0)})) AS tt FROM {tag}r),
 {tag}l AS (SELECT ((e * {_dl(LN2)}) + (({_dl(2.0)} * tt) * {horner}))
              AS {out_col} FROM {tag}t),"""
+
+
+def det_ln_stage_exprs() -> dict[str, str]:
+    """PER-ROW form of :func:`det_ln`: SQL fragments over bound column
+    names (``x``, ``m``, ``tt``, ``e``), one per pipeline stage, shared
+    verbatim by Spark ``selectExpr`` stages and generated DuckDB CTEs.
+    The scalar :func:`det_ln_ctes` assumes a one-row source; this form
+    carries arbitrary key columns through four projections instead.
+    Binding each intermediate to a column keeps the expression linear —
+    inlining ``tt`` into the 18-level Horner fold would double the text
+    at every level."""
+    e_case = (
+        "CASE "
+        + " ".join(f"WHEN x >= {_dl(pw)} THEN {p}" for p, pw in _POWS)
+        + " ELSE 0 END"
+    )
+    p_case = (
+        "CASE "
+        + " ".join(f"WHEN x >= {_dl(pw)} THEN {_dl(pw)}" for p, pw in _POWS)
+        + f" ELSE {_dl(1.0)} END"
+    )
+    horner = _dl(_COEFFS[DET_LN_TERMS - 1])
+    for k in range(DET_LN_TERMS - 2, -1, -1):
+        horner = f"({_dl(_COEFFS[k])} + ((tt * tt) * {horner}))"
+    return {
+        "e": e_case,
+        "m": f"x / ({p_case})",
+        "tt": f"((m - {_dl(1.0)}) / (m + {_dl(1.0)}))",
+        "ln": f"((e * {_dl(LN2)}) + (({_dl(2.0)} * tt) * {horner}))",
+    }

@@ -1876,3 +1876,82 @@ def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars_text").cast("long").alias("total_chars"),
         )
     )
+
+
+#: Efraimidis–Spirakis sampling: hash-domain size (2^20) for the
+#: deterministic uniform u = (hv+1)/2^20, and the sample size.
+ES_SAMPLE_MOD = 1 << 20
+ES_SAMPLE_K = 100
+
+
+def _es_oracle_sql() -> str:
+    """Generated oracle for the weighted sample — the det-ln stage
+    fragments are shared verbatim with the Spark plan, so every double
+    is bit-equal."""
+    from ..functions.detmath import det_ln_stage_exprs
+
+    st = det_ln_stage_exprs()
+    return f"""
+WITH h AS (
+  SELECT doc_id, n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % {ES_SAMPLE_MOD} AS hv
+  FROM documents
+),
+hx AS (SELECT doc_id, n_chars,
+              CAST({ES_SAMPLE_MOD} AS DOUBLE) / CAST(hv + 1 AS DOUBLE) AS x
+       FROM h),
+hr AS (SELECT doc_id, n_chars, x, {st['e']} AS e, {st['m']} AS m FROM hx),
+ht AS (SELECT doc_id, n_chars, e, {st['tt']} AS tt FROM hr),
+hl AS (SELECT doc_id, n_chars, {st['ln']} AS lnx FROM ht)
+SELECT doc_id, n_chars, lnx / CAST(n_chars AS DOUBLE) AS sample_key
+FROM hl
+ORDER BY sample_key, doc_id
+LIMIT {ES_SAMPLE_K}
+"""
+
+
+@register(
+    "text_weighted_sample_topk",
+    oracle=_es_oracle_sql(),
+    tags=("text", "sampling", "weighted"),
+)
+def text_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis): each document draws a seedless uniform
+    u = (hash(doc_id)+1)/2^20 and the k smallest ln(1/u)/w win — at any
+    corpus size this selects exactly a w-weighted sample (here
+    w = n_chars: longer documents proportionally likelier, the
+    quality-weighted curation draw). Replayable like every sampler in
+    this catalog: no rand(), so a resumable job re-derives the same
+    sample. ln must be bit-equal across engines, so both run the
+    fixed-order det-ln pipeline (functions.detmath) as four narrow
+    projections; the top-k plans as TakeOrderedAndProject (per-partition
+    heaps — no global sort at 100 TB)."""
+    from ..functions.detmath import det_ln_stage_exprs
+    from ..functions.text import tok_hash_portable
+
+    st = det_ln_stage_exprs()
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id",
+        "n_chars",
+        (tok_hash_portable(F.col("doc_id").cast("string")) % ES_SAMPLE_MOD).alias("hv"),
+    )
+    hx = h.selectExpr(
+        "doc_id",
+        "n_chars",
+        f"CAST({ES_SAMPLE_MOD} AS DOUBLE) / CAST(hv + 1 AS DOUBLE) AS x",
+    )
+    hr = hx.selectExpr(
+        "doc_id", "n_chars", "x", f"{st['e']} AS e", f"{st['m']} AS m"
+    )
+    ht = hr.selectExpr("doc_id", "n_chars", "e", f"{st['tt']} AS tt")
+    hl = ht.selectExpr("doc_id", "n_chars", f"{st['ln']} AS lnx")
+    return (
+        hl.selectExpr(
+            "doc_id", "n_chars", "lnx / CAST(n_chars AS DOUBLE) AS sample_key"
+        )
+        .orderBy("sample_key", "doc_id")
+        .limit(ES_SAMPLE_K)
+    )

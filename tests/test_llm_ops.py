@@ -794,3 +794,43 @@ def test_shard_manifest_detects_tamper_and_merges(spark, sf_small):
         ln, lf = lo.get(s, (0, 0))
         hn, hf = hi.get(s, (0, 0))
         assert ln + hn == n and (lf ^ hf) == fp
+
+
+def test_weighted_sample_matches_python_es_model(spark, sf_small):
+    """The Efraimidis–Spirakis sample must replicate a serial Python
+    model EXACTLY (same md5 hash, same det-ln twin, same keys): the
+    engine's distributed top-k is the same set of 100 documents with
+    bit-equal sample keys — and the weighting is real: the selected
+    docs' mean length must exceed the corpus mean."""
+    import hashlib
+
+    from cassaforte_meter_transmission_gen_spark.functions.detmath import det_ln
+    from cassaforte_meter_transmission_gen_spark.plans import REGISTRY
+    from cassaforte_meter_transmission_gen_spark.plans.text_queries import (
+        ES_SAMPLE_K,
+        ES_SAMPLE_MOD,
+    )
+
+    docs = [
+        (r["doc_id"], r["n_chars"])
+        for r in spark.read.parquet(f"{sf_small}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .collect()
+    ]
+    model = []
+    for doc_id, n_chars in docs:
+        hv = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % ES_SAMPLE_MOD
+        x = float(ES_SAMPLE_MOD) / float(hv + 1)
+        model.append((det_ln(x) / float(n_chars), doc_id, n_chars))
+    model.sort()
+    want = {(d, n, k) for k, d, n in model[:ES_SAMPLE_K]}
+
+    got = {
+        (r["doc_id"], r["n_chars"], r["sample_key"])
+        for r in REGISTRY["text_weighted_sample_topk"].fn(spark, sf_small).collect()
+    }
+    assert got == want
+
+    corpus_mean = sum(n for _, n in docs) / len(docs)
+    sample_mean = sum(n for _, n, _ in got) / len(got)
+    assert sample_mean > corpus_mean, (sample_mean, corpus_mean)

@@ -481,3 +481,13 @@ def test_trailing_7d_broadcasts_day_list(spark, sf_small):
     df = REGISTRY["events_trailing_7d_active_users"].fn(spark, sf_small)
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_weighted_sample_take_ordered_no_global_sort(spark, sf_small):
+    """The weighted sample's top-k must plan as TakeOrderedAndProject
+    (per-partition heap + driver merge of k rows) — the det-ln stages
+    are narrow projections, so the whole query is scan → maps → heap."""
+    df = REGISTRY["text_weighted_sample_topk"].fn(spark, sf_small)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
