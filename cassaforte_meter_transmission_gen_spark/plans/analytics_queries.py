@@ -1485,3 +1485,43 @@ def events_trailing_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFra
         .groupBy("day")
         .agg(F.count_distinct("user_id").alias("active_7d"))
     )
+
+
+@register(
+    "agg_mode_quantity_per_flag",
+    oracle="""
+WITH c AS (
+  SELECT l_returnflag, l_quantity, CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1, 2
+),
+r AS (
+  SELECT l_returnflag, l_quantity, n,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY n DESC, l_quantity) AS rn
+  FROM c
+)
+SELECT l_returnflag, l_quantity AS mode_quantity, n AS n_occurrences
+FROM r WHERE rn = 1
+""",
+    tags=("agg", "statistics", "mode"),
+)
+def agg_mode_quantity_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group with a deterministic tie-break
+    (highest count, then smallest value) — the built-in ``mode()``
+    aggregates break ties arbitrarily, which can never cross-engine
+    match. Two-level shape: one (group, value) count whose map-side
+    partials collapse repeats before the exchange, then a row_number
+    window over the tiny distinct-value frame. At 100 TB the heavy
+    shuffle carries only (group, value, partial count)."""
+    l = _t(spark, sf_dir, "lineitem")
+    c = l.groupBy("l_returnflag", "l_quantity").agg(F.count("*").alias("n"))
+    w = W.partitionBy("l_returnflag").orderBy(F.desc("n"), "l_quantity")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_quantity"),
+            F.col("n").alias("n_occurrences"),
+        )
+    )

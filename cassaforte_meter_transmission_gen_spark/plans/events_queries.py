@@ -566,3 +566,40 @@ def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS time_weighted_avg",
         )
     )
+
+
+@register(
+    "events_rfm_user_value",
+    oracle=f"""
+WITH mx AS (SELECT max(ts) AS now_ts FROM events)
+SELECT user_id,
+       CAST(date_diff('day', max(ts), (SELECT now_ts FROM mx)) AS INT)
+         AS recency_days,
+       CAST(count(*) AS BIGINT) AS frequency,
+       {sql_dec_sum("value")} AS monetary
+FROM events GROUP BY user_id
+""",
+    tags=("events", "agg", "rfm"),
+)
+def events_rfm_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) per user — the canonical
+    customer-value segmentation input. Recency anchors on the corpus
+    max timestamp (never wall-clock — determinism for replay and the
+    oracle) as whole-day boundaries crossed; monetary uses the exact
+    decimal-sum trick. One user-keyed aggregation plus a broadcast of
+    the one-row anchor."""
+    e = _ev(spark, sf_dir)
+    mx = e.agg(F.max("ts").alias("now_ts"))
+    per_user = e.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count("*").alias("frequency"),
+        dec_sum(F.col("value")).alias("monetary"),
+    )
+    return per_user.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.datediff(F.to_date("now_ts"), F.to_date("last_ts"))
+        .cast("int")
+        .alias("recency_days"),
+        "frequency",
+        "monetary",
+    )

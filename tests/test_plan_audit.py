@@ -491,3 +491,23 @@ def test_weighted_sample_take_ordered_no_global_sort(spark, sf_small):
     plan = _plan(df)
     assert "TakeOrderedAndProject" in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_mode_partial_aggs_and_group_limit_below_shuffles(spark, sf_small):
+    """Mode's heavy shuffle must carry (group, value, partial count) —
+    partial_count sits below the (group, value) exchange — and Spark's
+    WindowGroupLimit must run a Partial pass BEFORE the window exchange
+    (each task forwards only its local rank-1 candidates, so the window
+    shuffle carries one row per group per task)."""
+    df = REGISTRY["agg_mode_quantity_per_flag"].fn(spark, sf_small)
+    plan = _plan(df)
+    assert "partial_count" in plan, plan
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_rfm_broadcasts_anchor(spark, sf_small):
+    """RFM's recency anchor is one row — it must broadcast."""
+    df = REGISTRY["events_rfm_user_value"].fn(spark, sf_small)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
