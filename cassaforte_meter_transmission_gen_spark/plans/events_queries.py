@@ -603,3 +603,87 @@ def events_rfm_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         "monetary",
     )
+
+
+@register(
+    "events_conversion_latency_percentiles",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS first_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id,
+         CAST(epoch_ms(min(e.ts)) - epoch_ms(v.first_view) AS BIGINT)
+           AS ms_to_purchase
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= v.first_view
+  GROUP BY e.user_id, v.first_view
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       quantile_cont(ms_to_purchase, 0.50) AS p50_ms,
+       quantile_cont(ms_to_purchase, 0.90) AS p90_ms,
+       CAST(MAX(ms_to_purchase) AS BIGINT) AS max_ms
+FROM p
+""",
+    tags=("events", "funnel", "percentile"),
+)
+def events_conversion_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion latency: per user, milliseconds from first view to
+    the first subsequent purchase, summarized as p50/p90/max — the
+    timing half of the funnel (events_funnel_view_click_purchase counts
+    WHO converts; this measures HOW FAST). Latencies are exact integer
+    milliseconds; Spark ``percentile`` and DuckDB ``quantile_cont``
+    share the (n-1)·p interpolation, so the summary doubles match
+    bit-for-bit. Exact global percentiles buffer per-partition then
+    merge — at 100 TB swap in percentile_approx (the documented approx
+    family) for the same report shape."""
+    e = _ev(spark, sf_dir)
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id", "first_view")
+        .agg(F.min("ts").alias("first_purchase"))
+        .select(
+            (
+                F.unix_millis("first_purchase") - F.unix_millis("first_view")
+            ).alias("ms_to_purchase")
+        )
+    )
+    return p.agg(
+        F.count("*").alias("n_converted"),
+        F.expr("percentile(ms_to_purchase, 0.5)").alias("p50_ms"),
+        F.expr("percentile(ms_to_purchase, 0.9)").alias("p90_ms"),
+        F.max("ms_to_purchase").alias("max_ms"),
+    )
+
+
+@register(
+    "events_hourly_load_profile",
+    oracle=f"""
+SELECT CAST(hour(ts) AS INT) AS hour_of_day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       {sql_dec_sum("value")} AS total_value
+FROM events GROUP BY 1
+""",
+    tags=("events", "agg", "profile"),
+)
+def events_hourly_load_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day load profile (UTC — the session pins the timezone,
+    so ``hour()`` agrees across engines): event volume, distinct users,
+    and exact value totals per hour — the capacity-planning read every
+    ingestion operator runs. One 24-group aggregation with map-side
+    partials."""
+    e = _ev(spark, sf_dir)
+    return e.groupBy(F.hour("ts").cast("int").alias("hour_of_day")).agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        dec_sum(F.col("value")).alias("total_value"),
+    )
