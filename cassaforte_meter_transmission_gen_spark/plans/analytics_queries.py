@@ -1525,3 +1525,69 @@ def agg_mode_quantity_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_occurrences"),
         )
     )
+
+
+@register(
+    "agg_gini_order_value",
+    oracle="""
+WITH ranked AS (
+  -- (12,0) x (25,6) -> (38,6): exactly Spark's 38-digit cap, so the
+  -- product keeps scale 6 with NO rounding in either engine
+  SELECT CAST(o_totalprice AS DECIMAL(25,6)) AS x,
+         CAST(row_number() OVER (ORDER BY o_totalprice, o_orderkey)
+              AS DECIMAL(12,0)) AS i
+  FROM orders
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(i * x) AS VARCHAR) AS DOUBLE) AS six
+  FROM ranked
+)
+SELECT n,
+       sx AS total_value,
+       ((CAST(2 AS DOUBLE) * six) / (CAST(n AS DOUBLE) * sx))
+         - ((CAST(n AS DOUBLE) + CAST(1 AS DOUBLE)) / CAST(n AS DOUBLE))
+         AS gini
+FROM s
+""",
+    tags=("agg", "statistics", "rank"),
+)
+def agg_gini_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order-value concentration — the Lorenz-curve
+    summary (0 = everyone spends equally, →1 = revenue concentrated in
+    few orders) that decides whether revenue analyses need the skew
+    treatment profile_join_key_skew_orders diagnoses. Formula
+    G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over values ranked ascending; the
+    rank-weighted sum is exact decimal arithmetic — (12,0)·(25,6) →
+    (38,6), precisely Spark's 38-digit cap, so neither engine rounds the
+    product (i·x reaches ~10¹⁵ at sf0.1), sums stay exact, and the
+    VARCHAR→DOUBLE cast plus the one-row division are bit-equal across
+    engines. The oracle ranks with a one-task global window; the engine
+    derives the SAME rank from the bucketed two-pass prefix sum
+    (global_running_total — the equi-depth decile machinery), keeping
+    every exchange keyed at 100 TB."""
+    from ..operators.packing import global_running_total
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    key = (
+        F.round(F.col("o_totalprice") * 100).cast("long") * F.lit(100_000_000)
+        + F.col("o_orderkey")
+    )
+    keyed = o.withColumn("__k", key).withColumn("__one", F.lit(1).cast("long"))
+    ranked = global_running_total(keyed, "__k", "__one", out_col="__rank0")
+    s = ranked.selectExpr(
+        "CAST(o_totalprice AS DECIMAL(25,6)) AS x",
+        "CAST(__rank0 + 1 AS DECIMAL(12,0)) AS i",
+    ).agg(
+        F.count("*").alias("n"),
+        F.expr("CAST(CAST(SUM(x) AS STRING) AS DOUBLE)").alias("sx"),
+        F.expr("CAST(CAST(SUM(i * x) AS STRING) AS DOUBLE)").alias("six"),
+    )
+    return s.selectExpr(
+        "n",
+        "sx AS total_value",
+        "((CAST(2 AS DOUBLE) * six) / (CAST(n AS DOUBLE) * sx))"
+        " - ((CAST(n AS DOUBLE) + CAST(1 AS DOUBLE)) / CAST(n AS DOUBLE))"
+        " AS gini",
+    )

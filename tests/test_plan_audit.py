@@ -511,3 +511,15 @@ def test_rfm_broadcasts_anchor(spark, sf_small):
     df = REGISTRY["events_rfm_user_value"].fn(spark, sf_small)
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_gini_no_global_sort(spark, sf_small):
+    """Gini's rank must come from the bucketed prefix sum, never the
+    oracle's one-task global window: no SinglePartition or range
+    exchange below the final one-row aggregate."""
+    df = REGISTRY["agg_gini_order_value"].fn(spark, sf_small)
+    plan = _plan(df)
+    assert "Exchange rangepartitioning" not in plan, plan
+    # the only SinglePartition allowed is the final 1-row global agg
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+    assert "Exchange hashpartitioning" in plan, plan
