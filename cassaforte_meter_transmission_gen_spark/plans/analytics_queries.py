@@ -1591,3 +1591,36 @@ def agg_gini_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         " - ((CAST(n AS DOUBLE) + CAST(1 AS DOUBLE)) / CAST(n AS DOUBLE))"
         " AS gini",
     )
+
+
+@register(
+    "scalar_bitwise_functions",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderkey & 255 AS BIGINT) AS key_and,
+       CAST(o_orderkey | 4096 AS BIGINT) AS key_or,
+       CAST(xor(o_orderkey, 21845) AS BIGINT) AS key_xor,
+       CAST(o_orderkey << 3 AS BIGINT) AS key_shl,
+       CAST(o_orderkey >> 2 AS BIGINT) AS key_shr,
+       CAST(bit_count(o_orderkey) AS INT) AS key_popcount
+FROM orders
+""",
+    tags=("scalar", "bitwise"),
+)
+def scalar_bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar catalog (and/or/xor/shifts/popcount) — the
+    primitives under the engine's bloom memberships, SimHash bands, and
+    Z-order interleaving, surfaced as user-facing functions. Pure
+    integer ops, exact in both engines (DuckDB spells xor as a function
+    and shifts as operators; Spark accepts the same operator spellings
+    via expr)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.selectExpr(
+        "o_orderkey",
+        "CAST(o_orderkey & 255 AS BIGINT) AS key_and",
+        "CAST(o_orderkey | 4096 AS BIGINT) AS key_or",
+        "CAST(o_orderkey ^ 21845 AS BIGINT) AS key_xor",
+        "CAST(shiftleft(o_orderkey, 3) AS BIGINT) AS key_shl",
+        "CAST(shiftright(o_orderkey, 2) AS BIGINT) AS key_shr",
+        "CAST(bit_count(o_orderkey) AS INT) AS key_popcount",
+    )
