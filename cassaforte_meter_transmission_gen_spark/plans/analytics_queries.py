@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..schemas import load_table
 from .catalog import register
-from .compat import DEC, dec_sum, sql_dec_sum
+from .compat import DEC, dec_sum, sql_dec_sum, sql_ntile_from_rank
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1307,10 +1307,12 @@ def agg_equidepth_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix sum (SURVEY §2.10 sequence-packing machinery) over a
     collision-free integer order key — prices sit on the 0.01 grid, so
     ``round(price*100)*1e8 + orderkey`` (< 2^53) is strictly monotone
-    in (price, orderkey). ``decile = rank0*10 DIV n + 1`` reproduces
-    ntile's larger-buckets-first assignment exactly in pure integer
-    arithmetic, and the count n comes from one driver-side scan
-    (amortized like the IVF auto-denominator)."""
+    in (price, orderkey). The rank→bucket map is
+    :func:`..compat.sql_ntile_from_rank` — TRUE ntile semantics (larger
+    buckets first; the naive ``rank0*k DIV n`` form only matches when k
+    divides n, a trap the property suite pins) in pure integer
+    arithmetic, with the count n from one driver-side scan (amortized
+    like the IVF auto-denominator)."""
     from ..operators.packing import global_running_total
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
@@ -1321,7 +1323,7 @@ def agg_equidepth_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = o.withColumn("__k", key).withColumn("__one", F.lit(1).cast("long"))
     ranked = global_running_total(keyed, "__k", "__one", out_col="__rank0")
     n = o.count()
-    decile = F.expr(f"CAST(__rank0 * 10 DIV {n} AS INT) + 1")
+    decile = F.expr(sql_ntile_from_rank("__rank0", n, 10))
     return (
         ranked.select("o_totalprice", decile.alias("decile"))
         .groupBy("decile")

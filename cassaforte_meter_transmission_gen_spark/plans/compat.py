@@ -34,3 +34,20 @@ def sql_dec_sum(expr: str) -> str:
 def sql_dec_avg(expr: str) -> str:
     """DuckDB text mirror of :func:`dec_avg`."""
     return f"(CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE) / COUNT({expr}))"
+
+
+def sql_ntile_from_rank(rank0: str, n: int, k: int) -> str:
+    """SQL ``ntile(k)`` as pure integer arithmetic over a 0-based
+    global rank column: ntile puts the larger buckets FIRST — the first
+    ``n % k`` buckets hold ``n // k + 1`` rows, the rest ``n // k``.
+    (The tempting closed form ``rank0*k DIV n + 1`` equals ntile only
+    when ``k`` divides ``n`` — property-tested against DuckDB's ntile
+    in tests/test_properties.py.) Valid for any n ≥ 1; when k > n the
+    else-branch is unreachable (divisor clamped to keep the expression
+    well-formed)."""
+    q, rem = divmod(n, k)
+    threshold = rem * (q + 1)
+    return (
+        f"CAST(CASE WHEN {rank0} < {threshold} THEN {rank0} DIV {q + 1} "
+        f"ELSE {rem} + ({rank0} - {threshold}) DIV {max(q, 1)} END AS INT) + 1"
+    )

@@ -504,3 +504,64 @@ def test_apply_changelog_matches_python_model(spark, snap_keys, ops):
         ).collect()
     }
     assert got == state
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(0, 10_000), min_size=1, max_size=400, unique=True),
+    st.integers(2, 12),
+)
+def test_rank_to_ntile_map_equals_sql_ntile(values, k):
+    """The engine derives equi-depth buckets from the distributed
+    global rank via sql_ntile_from_rank; SQL's ntile() is DEFINED to
+    put the larger buckets first. Property: the generated integer map
+    equals DuckDB's ntile for EVERY n and k — including n not divisible
+    by k, where the naive floor(rank0·k/n)+1 form diverges (it happened
+    to match the corpus fixtures only because their row counts divide
+    evenly; this test caught exactly that)."""
+    import duckdb
+
+    from cassaforte_meter_transmission_gen_spark.plans.compat import (
+        sql_ntile_from_rank,
+    )
+
+    n = len(values)
+    got = duckdb.execute(
+        f"""
+        WITH r AS (
+          SELECT v,
+                 CAST(row_number() OVER (ORDER BY v) - 1 AS BIGINT) AS r0,
+                 ntile(?) OVER (ORDER BY v) AS nt
+          FROM (SELECT unnest(?) AS v)
+        )
+        SELECT nt, {sql_ntile_from_rank('r0', n, k).replace('DIV', '//')} AS mapped
+        FROM r
+        """,
+        [k, values],
+    ).fetchall()
+    for nt, mapped in got:
+        assert nt == mapped, (nt, mapped, n, k)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(1, 400))
+def test_split_assignment_stable_under_corpus_growth(prefix_n):
+    """The train/val/test invariant the split manifest advertises: a
+    document's split is a pure hash of its id, so growing the corpus
+    never moves an existing document between splits (eval sets stay
+    uncontaminated). Property: the assignment computed over any prefix
+    of the corpus equals the assignment over the full corpus for the
+    shared ids."""
+    from cassaforte_meter_transmission_gen_spark.plans.text_queries import (
+        SHUFFLE_HASH_MOD,
+        SHUFFLE_ID_MOD,
+        SPLIT_HASH_A,
+    )
+
+    def split_of(doc_id: int) -> str:
+        pct = (((doc_id % SHUFFLE_ID_MOD) * SPLIT_HASH_A) % SHUFFLE_HASH_MOD) % 100
+        return "train" if pct < 80 else ("val" if pct < 90 else "test")
+
+    full = {d: split_of(d) for d in range(1000)}
+    prefix = {d: split_of(d) for d in range(prefix_n)}
+    assert all(full[d] == s for d, s in prefix.items())
