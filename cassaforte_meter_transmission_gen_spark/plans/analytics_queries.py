@@ -154,13 +154,28 @@ FROM (
     tags=("window", "ntile"),
 )
 def window_ntile_acctbal_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile quartiles over a global order (single-partition window —
-    fine for ranked summaries; at 100 TB use approx percentiles
-    instead, exposed separately)."""
-    c = _t(spark, sf_dir, "customer")
-    w = W.orderBy("c_acctbal", "c_custkey")
+    """ntile quartiles over a global order. The oracle uses the
+    one-line global-window form; the engine derives the same buckets
+    scale-safely — global rank from the bucketed two-pass prefix sum
+    (account balances sit on the 0.01 grid, so
+    ``round(bal*100)*1e6 + custkey`` is a collision-free monotone
+    integer order key, negatives included) mapped through the true
+    ntile integer formula (:func:`..compat.sql_ntile_from_rank`). No
+    single-partition window anywhere in the plan."""
+    from ..operators.packing import global_running_total
+    from .compat import sql_ntile_from_rank
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    key = (
+        F.round(F.col("c_acctbal") * 100).cast("long") * F.lit(1_000_000)
+        + F.col("c_custkey")
+    )
+    keyed = c.withColumn("__k", key).withColumn("__one", F.lit(1).cast("long"))
+    ranked = global_running_total(keyed, "__k", "__one", out_col="__rank0")
+    n = c.count()
+    quartile = F.expr(sql_ntile_from_rank("__rank0", n, 4))
     return (
-        c.select("c_acctbal", F.ntile(4).over(w).cast("int").alias("quartile"))
+        ranked.select("c_acctbal", quartile.alias("quartile"))
         .groupBy("quartile")
         .agg(
             F.count("*").alias("n_customers"),

@@ -523,3 +523,13 @@ def test_gini_no_global_sort(spark, sf_small):
     # the only SinglePartition allowed is the final 1-row global agg
     assert plan.count("Exchange SinglePartition") <= 1, plan
     assert "Exchange hashpartitioning" in plan, plan
+
+
+def test_quartiles_no_single_partition_window(spark, sf_small):
+    """The quartile summary must never plan the oracle's global-window
+    shape: the rank comes from the bucketed prefix sum, so no
+    SinglePartition exchange and no unpartitioned Window."""
+    df = REGISTRY["window_ntile_acctbal_quartiles"].fn(spark, sf_small)
+    plan = _plan(df)
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
