@@ -1955,3 +1955,99 @@ def text_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("sample_key", "doc_id")
         .limit(ES_SAMPLE_K)
     )
+
+
+#: Unigram-LM quality filter: negative-log-likelihood threshold in
+#: integer micro-nats per token (8.0 nats ≈ perplexity 3000 — docs made
+#: of rarer tokens than that read as noise, the CCNet-style cut).
+NLL_KEEP_MICRONATS = 8_000_000
+
+
+def _unigram_nll_oracle_sql() -> str:
+    """Oracle twin of text_unigram_logprob_filter — vocabulary NLL via
+    the same det-ln stage fragments the Spark plan runs, carried
+    per-row through CTEs; all arithmetic integer until the final shared
+    two-integer division."""
+    from ..functions.detmath import det_ln_stage_exprs
+
+    st = det_ln_stage_exprs()
+    return f"""
+WITH t AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+  FROM documents
+),
+v AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY tok),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM v),
+vx AS (SELECT tok, CAST(total AS DOUBLE) / CAST(cnt AS DOUBLE) AS x
+       FROM v CROSS JOIN tot),
+vr AS (SELECT tok, x, {st['e']} AS e, {st['m']} AS m FROM vx),
+vt AS (SELECT tok, e, {st['tt']} AS tt FROM vr),
+vl AS (SELECT tok, CAST(FLOOR(({st['ln']}) * 1000000) AS BIGINT)
+              AS nll_ppm FROM vt),
+d AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(vl.nll_ppm) AS BIGINT) AS total_nll_ppm
+  FROM t JOIN vl USING (tok)
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens, total_nll_ppm,
+       CAST(total_nll_ppm AS DOUBLE)
+         / (CAST(1000000 AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+         AS avg_nll_nats,
+       total_nll_ppm < {NLL_KEEP_MICRONATS} * n_tokens AS keep
+FROM d
+"""
+
+
+@register(
+    "text_unigram_logprob_filter",
+    oracle=_unigram_nll_oracle_sql(),
+    tags=("text", "quality", "perplexity"),
+)
+def text_unigram_logprob_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality filtering (the CCNet/perplexity-filter shape
+    at unigram order): score every document by its average
+    negative-log-likelihood under the corpus's own unigram model —
+    documents built from rare tokens score high and get cut. Float
+    NLL sums are addition-order-dependent, so the per-token NLL
+    ln(total/cnt) is computed by the fixed-order det-ln pipeline and
+    QUANTIZED to integer micro-nats: per-document totals are exact
+    int64 sums, the keep decision is a pure integer comparison
+    (total < threshold·n — no float epsilon), and the one reported
+    double divides the same two integers in both engines. Plan: one
+    vocab aggregation (map-side partials), four narrow det-ln
+    projections over the vocab only (never the token stream), one
+    token→vocab equi-join, one doc-keyed aggregation."""
+    from ..functions.detmath import det_ln_stage_exprs
+
+    st = det_ln_stage_exprs()
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = int(vocab.agg(F.sum("cnt")).collect()[0][0])
+    vx = vocab.selectExpr(
+        "tok", f"CAST({total} AS DOUBLE) / CAST(cnt AS DOUBLE) AS x"
+    )
+    vr = vx.selectExpr("tok", "x", f"{st['e']} AS e", f"{st['m']} AS m")
+    vt = vr.selectExpr("tok", "e", f"{st['tt']} AS tt")
+    vl = vt.selectExpr(
+        "tok", f"CAST(FLOOR(({st['ln']}) * 1000000) AS BIGINT) AS nll_ppm"
+    )
+    scored = toks.join(vl, "tok")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("nll_ppm").alias("total_nll_ppm"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            "total_nll_ppm",
+            "CAST(total_nll_ppm AS DOUBLE)"
+            " / (CAST(1000000 AS DOUBLE) * CAST(n_tokens AS DOUBLE))"
+            " AS avg_nll_nats",
+            f"total_nll_ppm < {NLL_KEEP_MICRONATS} * n_tokens AS keep",
+        )
+    )

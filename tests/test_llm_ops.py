@@ -834,3 +834,43 @@ def test_weighted_sample_matches_python_es_model(spark, sf_small):
     corpus_mean = sum(n for _, n in docs) / len(docs)
     sample_mean = sum(n for _, n, _ in got) / len(got)
     assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
+
+
+def test_unigram_nll_matches_python_model(spark, sf_small):
+    """The unigram quality filter must replicate a serial Python model
+    exactly (same tokenization, same det-ln twin, same micro-nat
+    quantization, same integer keep rule) — and the score must be
+    semantically ln-like: within 1e-4 nats of math.log truth."""
+    import math
+
+    from cassaforte_meter_transmission_gen_spark.functions.detmath import det_ln
+    from cassaforte_meter_transmission_gen_spark.plans import REGISTRY
+    from cassaforte_meter_transmission_gen_spark.plans.text_queries import (
+        NLL_KEEP_MICRONATS,
+    )
+    import re
+
+    docs = {
+        r["doc_id"]: re.split(r"\s+", r["text"])
+        for r in spark.read.parquet(f"{sf_small}/documents.parquet").collect()
+    }
+    cnt: dict[str, int] = {}
+    for toks in docs.values():
+        for t in toks:
+            cnt[t] = cnt.get(t, 0) + 1
+    total = sum(cnt.values())
+    nll_ppm = {t: math.floor(det_ln(float(total) / float(c)) * 1_000_000)
+               for t, c in cnt.items()}
+    want = {}
+    for doc_id, toks in docs.items():
+        s = sum(nll_ppm[t] for t in toks)
+        n = len(toks)
+        want[doc_id] = (n, s, s < NLL_KEEP_MICRONATS * n)
+
+    rows = REGISTRY["text_unigram_logprob_filter"].fn(spark, sf_small).collect()
+    assert len(rows) == len(want)
+    for r in rows:
+        n, s, keep = want[r["doc_id"]]
+        assert (r["n_tokens"], r["total_nll_ppm"], r["keep"]) == (n, s, keep)
+        truth = sum(math.log(total / cnt[t]) for t in docs[r["doc_id"]]) / n
+        assert abs(r["avg_nll_nats"] - truth) <= 1e-4

@@ -533,3 +533,17 @@ def test_quartiles_no_single_partition_window(spark, sf_small):
     plan = _plan(df)
     assert "Exchange SinglePartition" not in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_unigram_nll_detln_runs_on_vocab_not_tokens(spark, sf_small):
+    """The det-ln projections must run over the VOCAB aggregate, never
+    the exploded token stream: the plan's token→vocab equi-join carries
+    only (tok, nll_ppm) from the vocab side, and there is no cartesian
+    or nested-loop anywhere."""
+    df = REGISTRY["text_unigram_logprob_filter"].fn(spark, sf_small)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "Generate explode" in plan, plan
+    # det-ln's CASE range-reduction appears once (vocab side), below
+    # an aggregate, not applied to the raw exploded stream
+    assert plan.count("WHEN (x >=") <= 90, plan  # one 41-arm chain x2 uses
