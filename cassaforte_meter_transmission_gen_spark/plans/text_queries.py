@@ -2051,3 +2051,79 @@ def text_unigram_logprob_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"total_nll_ppm < {NLL_KEEP_MICRONATS} * n_tokens AS keep",
         )
     )
+
+
+def _tfidf_oracle_sql() -> str:
+    """Oracle twin of text_tfidf_top_terms — shared det-ln fragments,
+    integer tf·idf_ppm scores, deterministic (score, tok) ranking."""
+    from ..functions.detmath import det_ln_stage_exprs
+
+    st = det_ln_stage_exprs()
+    return f"""
+WITH t AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+  FROM documents
+),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       FROM t GROUP BY doc_id, tok),
+df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM t),
+ix AS (SELECT tok, CAST(n_docs + 1 AS DOUBLE) / CAST(df AS DOUBLE) AS x
+       FROM df CROSS JOIN nd),
+ir AS (SELECT tok, x, {st['e']} AS e, {st['m']} AS m FROM ix),
+it AS (SELECT tok, e, {st['tt']} AS tt FROM ir),
+il AS (SELECT tok, CAST(FLOOR(({st['ln']}) * 1000000) AS BIGINT)
+              AS idf_ppm FROM it),
+scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, tf.tf * il.idf_ppm AS score_ppm
+  FROM tf JOIN il USING (tok)
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score_ppm DESC, tok) AS INT) AS rank
+  FROM scored
+)
+SELECT doc_id, tok, tf, score_ppm, rank FROM ranked WHERE rank <= 3
+"""
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=_tfidf_oracle_sql(),
+    tags=("text", "retrieval", "keywords"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: each document's top-3 terms by tf·idf — the
+    labeling/routing primitive next to BM25 (which RANKS documents for
+    a query; this SUMMARIZES each document). idf = det-ln((N+1)/df)
+    quantized to integer ppm, so every score is the exact integer
+    tf·idf_ppm and the per-document ranking (score desc, term asc) is
+    fully deterministic — the whole result value-hashes. Plan: one
+    (doc, term) aggregation, a term-level df aggregate with the det-ln
+    stages over the VOCAB only, one equi-join back, and a per-doc
+    WindowGroupLimit (rank ≤ 3 pushed below the window shuffle)."""
+    from ..functions.detmath import det_ln_stage_exprs
+
+    st = det_ln_stage_exprs()
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n_docs = int(toks.select("doc_id").distinct().count())
+    ix = df.selectExpr(
+        "tok", f"CAST({n_docs} + 1 AS DOUBLE) / CAST(df AS DOUBLE) AS x"
+    )
+    ir = ix.selectExpr("tok", "x", f"{st['e']} AS e", f"{st['m']} AS m")
+    it = ir.selectExpr("tok", "e", f"{st['tt']} AS tt")
+    il = it.selectExpr(
+        "tok", f"CAST(FLOOR(({st['ln']}) * 1000000) AS BIGINT) AS idf_ppm"
+    )
+    scored = tf.join(il, "tok").select(
+        "doc_id", "tok", "tf", (F.col("tf") * F.col("idf_ppm")).alias("score_ppm")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_ppm"), "tok")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "tok", "tf", "score_ppm", "rank")
+    )

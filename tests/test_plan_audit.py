@@ -547,3 +547,13 @@ def test_unigram_nll_detln_runs_on_vocab_not_tokens(spark, sf_small):
     # det-ln's CASE range-reduction appears once (vocab side), below
     # an aggregate, not applied to the raw exploded stream
     assert plan.count("WHEN (x >=") <= 90, plan  # one 41-arm chain x2 uses
+
+
+def test_tfidf_group_limit_below_window_shuffle(spark, sf_small):
+    """TF-IDF top terms: the rank<=3 must push below the per-doc window
+    exchange (WindowGroupLimit Partial), and the det-ln stages run on
+    the vocab side of an equi-join — no cartesian anywhere."""
+    df = REGISTRY["text_tfidf_top_terms"].fn(spark, sf_small)
+    plan = _plan(df)
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+    assert "CartesianProduct" not in plan, plan
