@@ -2127,3 +2127,49 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "tok", "tf", "score_ppm", "rank")
     )
+
+
+@register(
+    "pipeline_shard_split_crosstab",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id,
+         (((doc_id % {SHUFFLE_ID_MOD}) * {SHUFFLE_HASH_A})
+           % {SHUFFLE_HASH_MOD}) % {N_SHARDS} AS shard_id,
+         ((((doc_id % {SHUFFLE_ID_MOD}) * {SPLIT_HASH_A})
+           % {SHUFFLE_HASH_MOD}) % 100) AS pct
+  FROM documents
+)
+SELECT CAST(shard_id AS INT) AS shard_id,
+       CASE WHEN pct < 80 THEN 'train'
+            WHEN pct < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM h GROUP BY 1, 2
+""",
+    tags=("pipeline", "split", "sharding"),
+)
+def pipeline_shard_split_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard × split contingency table — the verification read behind
+    the split manifest's independence claim (the two assignments use
+    different Knuth multipliers, so every shard should contain all
+    three splits in roughly the global 80/10/10 mix; a skewed cell
+    means a training shard leaks eval data). One narrow map and one
+    48-group aggregation; integer counts value-hash in full."""
+    d = load_table(spark, sf_dir, "documents")
+    shard = (
+        ((F.col("doc_id") % SHUFFLE_ID_MOD) * SHUFFLE_HASH_A) % SHUFFLE_HASH_MOD
+    ) % N_SHARDS
+    pct = (
+        ((F.col("doc_id") % SHUFFLE_ID_MOD) * SPLIT_HASH_A) % SHUFFLE_HASH_MOD
+    ) % 100
+    split = (
+        F.when(pct < 80, F.lit("train"))
+        .when(pct < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select(shard.cast("int").alias("shard_id"), split.alias("split"))
+        .groupBy("shard_id", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
