@@ -63,6 +63,10 @@ SCALE_PATHS = [
     "text_bm25_topk",
     "text_hybrid_rrf_topk",
     "join_bloom_pruned_semi_revenue",
+    # round-7 additions: the token-stream vocab-NLL join (the heaviest
+    # new path) and the bucketed prefix-sum global rank
+    "text_unigram_logprob_filter",
+    "agg_equidepth_price_deciles",
 ]
 
 
