@@ -2173,3 +2173,113 @@ def pipeline_shard_split_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("shard_id", "split")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+#: Bigram-order NLL cut (micro-nats/bigram). Bigram NLL runs higher
+#: than unigram (most bigrams are rarer); 12 nats ≈ perplexity 160k.
+BIGRAM_NLL_KEEP_MICRONATS = 12_000_000
+
+
+def _bigram_nll_oracle_sql() -> str:
+    """Oracle twin of text_bigram_logprob_filter — ALL bigram
+    occurrences (repeats kept, unlike the dedup family's distinct
+    shingles), then the unigram machinery at bigram order."""
+    from ..functions.detmath import det_ln_stage_exprs
+
+    st = det_ln_stage_exprs()
+    return f"""
+WITH tk AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+  FROM documents
+),
+t AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS bg
+  FROM tk WHERE len(toks) >= 2
+),
+v AS (SELECT bg, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY bg),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM v),
+vx AS (SELECT bg, CAST(total AS DOUBLE) / CAST(cnt AS DOUBLE) AS x
+       FROM v CROSS JOIN tot),
+vr AS (SELECT bg, x, {st['e']} AS e, {st['m']} AS m FROM vx),
+vt AS (SELECT bg, e, {st['tt']} AS tt FROM vr),
+vl AS (SELECT bg, CAST(FLOOR(({st['ln']}) * 1000000) AS BIGINT)
+              AS nll_ppm FROM vt),
+d AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(vl.nll_ppm) AS BIGINT) AS total_nll_ppm
+  FROM t JOIN vl USING (bg)
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_bigrams, total_nll_ppm,
+       CAST(total_nll_ppm AS DOUBLE)
+         / (CAST(1000000 AS DOUBLE) * CAST(n_bigrams AS DOUBLE))
+         AS avg_nll_nats,
+       total_nll_ppm < {BIGRAM_NLL_KEEP_MICRONATS} * n_bigrams AS keep
+FROM d
+"""
+
+
+@register(
+    "text_bigram_logprob_filter",
+    oracle=_bigram_nll_oracle_sql(),
+    tags=("text", "quality", "perplexity"),
+)
+def text_bigram_logprob_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The perplexity filter at BIGRAM order — closer to the CCNet
+    n-gram LM than the unigram form (word order now matters: shuffled
+    text keeps its unigram score but its bigrams go rare). Identical
+    determinism machinery: det-ln NLL over the bigram vocabulary
+    quantized to integer micro-nats, exact int64 per-document sums,
+    integer keep rule, shared two-integer final division. The bigram
+    stream keeps REPEATS (unlike the dedup family's distinct shingles —
+    an LM weights every occurrence); docs under 2 tokens are excluded
+    by construction."""
+    from ..functions.detmath import det_ln_stage_exprs
+    from ..functions.text import tokens
+
+    st = det_ln_stage_exprs()
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    t = tk.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+                ),
+            )
+        ).alias("bg"),
+    )
+    vocab = t.groupBy("bg").agg(F.count("*").alias("cnt"))
+    total = int(vocab.agg(F.sum("cnt")).collect()[0][0])
+    vx = vocab.selectExpr(
+        "bg", f"CAST({total} AS DOUBLE) / CAST(cnt AS DOUBLE) AS x"
+    )
+    vr = vx.selectExpr("bg", "x", f"{st['e']} AS e", f"{st['m']} AS m")
+    vt = vr.selectExpr("bg", "e", f"{st['tt']} AS tt")
+    vl = vt.selectExpr(
+        "bg", f"CAST(FLOOR(({st['ln']}) * 1000000) AS BIGINT) AS nll_ppm"
+    )
+    return (
+        t.join(vl, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("nll_ppm").alias("total_nll_ppm"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_bigrams",
+            "total_nll_ppm",
+            "CAST(total_nll_ppm AS DOUBLE)"
+            " / (CAST(1000000 AS DOUBLE) * CAST(n_bigrams AS DOUBLE))"
+            " AS avg_nll_nats",
+            f"total_nll_ppm < {BIGRAM_NLL_KEEP_MICRONATS} * n_bigrams AS keep",
+        )
+    )
