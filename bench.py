@@ -1,9 +1,14 @@
 #!/usr/bin/env python
 """Benchmark harness (driver contract): run the headline catalog
 queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+local[$SPARK_GRAFT_CPUS] and print the headline as the LAST stdout
+line, kept compact so the driver's tail capture always parses it:
 
     {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+A second, bulkier detail line ({"detail": true, ...} — scale-path
+timings, batch-size curve, pruning evidence) is printed immediately
+BEFORE it.
 
 Each query is forced end-to-end with a noop-format write (full
 materialization, no driver collect). Wall time per query includes plan
@@ -405,6 +410,24 @@ def main() -> None:
         errors["streaming_ingest"] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(times.values()), 3)
+    # Two JSON lines, detail FIRST and the compact headline LAST: the
+    # driver parses the tail of stdout, and round 7 proved one long line
+    # outgrows its capture window (BENCH_r07.json parsed:null — the
+    # prefix with "metric"/"value" was clipped). The final line stays
+    # small and stable-size; everything bulky (scale paths, curves,
+    # pruning evidence) lives on the detail line above it.
+    detail = {
+        "detail": True,
+        "scale_path_queries": scale_times,
+        "lsh_hi_candidate_pruning": lsh_hi_stats,
+        "flagship_prune": flagship_prune,
+        "ivf_prune": ivf_prune,
+        "pq_io": pq_io,
+        "bloom_prune": bloom_prune_stats,
+        "ingest_runs_sec": ingest_runs,
+        "streaming_ingest_batch_size_curve": stream_curve,
+    }
+    print(json.dumps(detail))
     print(
         json.dumps(
             {
@@ -412,18 +435,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
-                "scale_path_queries": scale_times,
-                "lsh_hi_candidate_pruning": lsh_hi_stats,
-                "flagship_prune": flagship_prune,
-                "ivf_prune": ivf_prune,
-                "pq_io": pq_io,
-                "bloom_prune": bloom_prune_stats,
                 "errors": errors,
                 "sf": sf,
                 "ingest_five_tables_sec": ingest_sec,
-                "ingest_runs_sec": ingest_runs,
                 "streaming_ingest_sec": stream_ingest_sec,
-                "streaming_ingest_batch_size_curve": stream_curve,
                 "streaming_ingest_samples_per_sec": (
                     round(
                         stream_meters * stream_seconds * 15000 / stream_ingest_sec

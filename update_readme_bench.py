@@ -6,11 +6,23 @@ verbatim instead.
 
 Usage::
 
-    python update_readme_bench.py [--src BENCH_xxx.json]
+    python update_readme_bench.py [--src BENCH_xxx.json] [--local]
 
-Default source: ``BENCH_local.json`` if present (a clean same-round
-re-measure), else the newest ``BENCH_r*.json``. Rewrites the block
-between the ``BENCH:BEGIN`` / ``BENCH:END`` markers in README.md.
+Default source: the newest driver-committed ``BENCH_r*.json`` (the
+canonical graded artifact); pass ``--local`` to prefer
+``BENCH_local.json`` (a same-round quiet-box re-measure). The rendered
+block states which file it came from so there is exactly one visible
+source of truth. Rewrites the block between the ``BENCH:BEGIN`` /
+``BENCH:END`` markers in README.md.
+
+Source formats understood:
+
+- raw ``bench.py`` stdout (one or two JSON lines: optional
+  ``{"detail": true, ...}`` then the compact headline line) — the two
+  are merged;
+- a driver ``BENCH_r{N}.json`` artifact (``{"parsed": {...},
+  "tail": "..."}``) — ``parsed`` is the headline; the detail line is
+  recovered from the tail when the capture window kept its prefix.
 """
 
 from __future__ import annotations
@@ -27,22 +39,87 @@ BEGIN = "<!-- BENCH:BEGIN"
 END = "<!-- BENCH:END -->"
 
 
-def _default_src() -> str:
-    local = os.path.join(REPO, "BENCH_local.json")
-    if os.path.exists(local):
-        return local
+def _newest_round_artifact() -> str | None:
     rounds = sorted(
         glob.glob(os.path.join(REPO, "BENCH_r*.json")),
         key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
     )
-    if not rounds:
-        sys.exit("no BENCH_*.json found")
-    return rounds[-1]
+    return rounds[-1] if rounds else None
+
+
+def _default_src(prefer_local: bool) -> str:
+    local = os.path.join(REPO, "BENCH_local.json")
+    if prefer_local and os.path.exists(local):
+        return local
+    newest = _newest_round_artifact()
+    if newest:
+        return newest
+    if os.path.exists(local):
+        return local
+    sys.exit("no BENCH_*.json found")
+
+
+def _merge_detail(bench: dict, line: str) -> None:
+    """Fold a ``{"detail": true, ...}`` JSON line into the headline
+    dict (headline keys win on collision)."""
+    try:
+        d = json.loads(line)
+    except (json.JSONDecodeError, ValueError):
+        return
+    if isinstance(d, dict) and d.get("detail"):
+        for k, v in d.items():
+            if k != "detail":
+                bench.setdefault(k, v)
+
+
+def load_bench(src: str) -> dict:
+    with open(src) as f:
+        text = f.read()
+    # driver artifact: {"n": ..., "parsed": {...}, "tail": "..."}
+    try:
+        obj = json.loads(text)
+    except (json.JSONDecodeError, ValueError):
+        obj = None
+    if isinstance(obj, dict) and "parsed" in obj:
+        bench = dict(obj["parsed"] or {})
+        # the detail line precedes the headline in the tail; recover it
+        # if the capture window kept its opening brace
+        tail = obj.get("tail") or ""
+        m = re.search(r'\{"detail": true.*?\}(?=\s*\n)', tail, re.DOTALL)
+        if m:
+            _merge_detail(bench, m.group(0))
+        if not bench:
+            sys.exit(f"{src} has parsed:null and no recoverable headline")
+        return bench
+    if isinstance(obj, dict):
+        return obj  # legacy single-dict local capture
+    # raw bench stdout: JSON line(s) — detail first, headline last
+    bench: dict = {}
+    lines = [ln for ln in text.splitlines() if ln.strip()]
+    for ln in reversed(lines):
+        try:
+            d = json.loads(ln)
+        except (json.JSONDecodeError, ValueError):
+            continue
+        if isinstance(d, dict) and d.get("detail"):
+            _merge_detail(bench, ln)
+        elif isinstance(d, dict) and not bench.get("metric"):
+            for k, v in d.items():
+                bench.setdefault(k, v)
+    if not bench:
+        sys.exit(f"could not parse any JSON line from {src}")
+    return bench
 
 
 def render(b: dict, src_name: str) -> str:
+    rnd = re.search(r"r(\d+)", src_name)
+    origin = (
+        f"round-{int(rnd.group(1))} driver artifact `{src_name}`"
+        if rnd
+        else f"local re-measure `{src_name}`"
+    )
     lines = [
-        f"Measured numbers below are from `{src_name}` "
+        f"Measured numbers below are from the {origin} "
         f"(sf{b.get('sf')}, local[32]):",
         "",
         f"- **Headline catalog**: {b['value']} s across "
@@ -109,10 +186,14 @@ def render(b: dict, src_name: str) -> str:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default=None)
+    ap.add_argument(
+        "--local",
+        action="store_true",
+        help="prefer BENCH_local.json over the newest BENCH_r*.json",
+    )
     args = ap.parse_args()
-    src = args.src or _default_src()
-    with open(src) as f:
-        bench = json.load(f)
+    src = args.src or _default_src(args.local)
+    bench = load_bench(src)
     readme_path = os.path.join(REPO, "README.md")
     with open(readme_path) as f:
         readme = f.read()
