@@ -129,6 +129,41 @@ def main() -> None:
             # one query's cache doesn't pressure the next one's heap
             spark.catalog.clearCache()
 
+    # train-once/serve-many: the ANN quantizer artifacts (IVF coarse
+    # centroids, PQ codebooks) are trained and persisted ONCE here, into
+    # a fresh store so the numbers are honest — training time is
+    # reported separately (ann_train_sec, detail line) and the ann_*
+    # scale-path timings below measure pure SERVING, which is the shape
+    # a 100 TB deployment pays per query.
+    import atexit
+
+    from cassaforte_meter_transmission_gen_spark.sources.ann_store import (
+        ANN_STORE_ENV,
+        trained_ivf_centroids,
+        trained_pq_codebooks,
+    )
+
+    ann_store_dir = tempfile.mkdtemp(prefix="bench_ann_store_")
+    os.environ[ANN_STORE_ENV] = ann_store_dir
+    atexit.register(shutil.rmtree, ann_store_dir, ignore_errors=True)
+    ann_train_sec: dict[str, float] = {}
+    for label, train in (
+        ("ivf_centroids", lambda: trained_ivf_centroids(spark, sf_dir)),
+        ("pq16_codebooks", lambda: trained_pq_codebooks(spark, sf_dir)),
+        (
+            "pq8_codebooks",
+            lambda: trained_pq_codebooks(spark, sf_dir, n_subspaces=8),
+        ),
+    ):
+        t0 = time.perf_counter()
+        try:
+            train()
+            ann_train_sec[label] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[f"ann_train_{label}"] = f"{type(exc).__name__}: {exc}"[:500]
+        finally:
+            spark.catalog.clearCache()
+
     scale_times: dict[str, float] = {}
     for name in SCALE_PATHS:
         t0 = time.perf_counter()
@@ -256,7 +291,6 @@ def main() -> None:
 
         from cassaforte_meter_transmission_gen_spark.operators.similarity import (
             assign_probes,
-            kmeans_centroids,
         )
         from cassaforte_meter_transmission_gen_spark.schemas import load_table
         from cassaforte_meter_transmission_gen_spark.sources.layout import (
@@ -265,7 +299,7 @@ def main() -> None:
         )
 
         emb = load_table(spark, sf_dir, "embeddings")
-        cents = kmeans_centroids(emb, n_clusters=16, train_sample_denom="auto")
+        cents = trained_ivf_centroids(spark, sf_dir)  # store cache hit
         ivf_dir = tempfile.mkdtemp(prefix="bench_ivf_layout_")
         try:
             write_ivf_partitioned(emb, ivf_dir, cents)
@@ -302,13 +336,12 @@ def main() -> None:
     pq_io = None
     try:
         from cassaforte_meter_transmission_gen_spark.operators.similarity import (
-            pq_codebooks,
             pq_encode,
         )
         from cassaforte_meter_transmission_gen_spark.schemas import load_table
 
         emb = load_table(spark, sf_dir, "embeddings")
-        books = pq_codebooks(emb, train_sample_denom="auto")
+        books = trained_pq_codebooks(spark, sf_dir)  # store cache hit
         pq_dir = tempfile.mkdtemp(prefix="bench_pq_codes_")
         try:
             pq_encode(emb, books).write.mode("overwrite").parquet(pq_dir)
@@ -419,6 +452,7 @@ def main() -> None:
     detail = {
         "detail": True,
         "scale_path_queries": scale_times,
+        "ann_train_sec": ann_train_sec,
         "lsh_hi_candidate_pruning": lsh_hi_stats,
         "flagship_prune": flagship_prune,
         "ivf_prune": ivf_prune,

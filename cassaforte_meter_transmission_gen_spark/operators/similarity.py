@@ -513,6 +513,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     dim: int = 64,
     train_sample_denom: int | str | None = "auto",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF ANN: train coarse centroids, partition candidates by nearest
     centroid (the inverted file), then for each query probe only the
@@ -530,15 +531,23 @@ def ivf_topk(
     assignment (one scan) still covers every vector. Pass ``None`` to
     always train full, or an explicit int denom to pin the rate.
 
+    ``centroids`` (pretrained) skips training entirely — the
+    train-once/serve-many path: a deployment trains offline
+    (sources.ann_store.trained_ivf_centroids persists/reads the
+    artifact) and every query pays only the assignment scan. Because
+    training is bit-deterministic and parquet DOUBLE is exact, the
+    pretrained plan is bit-identical to the self-training one.
+
     Returns (query_id, neighbor_id, cosine, rank ≤ k)."""
-    centroids = kmeans_centroids(
-        vectors,
-        n_clusters=n_clusters,
-        id_col=id_col,
-        vec_col=vec_col,
-        dim=dim,
-        train_sample_denom=train_sample_denom,
-    )
+    if centroids is None:
+        centroids = kmeans_centroids(
+            vectors,
+            n_clusters=n_clusters,
+            id_col=id_col,
+            vec_col=vec_col,
+            dim=dim,
+            train_sample_denom=train_sample_denom,
+        )
     cands = assign_to_centroid(vectors, centroids, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
@@ -853,6 +862,7 @@ def pq_topk(
     vec_col: str = "embedding",
     dim: int = 64,
     train_sample_denom: int | str | None = "auto",
+    codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """ANN via product quantization with asymmetric distance
     computation (ADC) + exact rerank — the fourth scale path next to
@@ -877,9 +887,16 @@ def pq_topk(
     — so even the approximate band is value-hash reproducible by the
     serial DuckDB oracle (plans.vector_oracles.ann_pq_topk_sql).
 
+    ``codebooks`` (pretrained) skips TRAIN entirely — the
+    train-once/serve-many path (sources.ann_store.trained_pq_codebooks
+    persists/reads the artifact): round 7 profiled training at 5.4 s of
+    this query's 5.8 s, so serving from persisted books is the 100 TB
+    deployment shape AND the sf0.1 win. Bit-identical either way
+    (deterministic trainer, exact DOUBLE round-trip).
+
     Returns (query_id, neighbor_id, cosine, rank ≤ k) with EXACT
     cosines; only the ranking beyond the band is approximate."""
-    books = pq_codebooks(
+    books = codebooks if codebooks is not None else pq_codebooks(
         vectors,
         n_subspaces=n_subspaces,
         n_codes=n_codes,
@@ -929,6 +946,8 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     dim: int = 64,
     train_sample_denom: int | str | None = "auto",
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-PQ ANN — the composed 100 TB vector-index layout (the shape
     of a Faiss ``IVFx,PQy`` index, here with codebooks trained on raw
@@ -961,17 +980,22 @@ def ivfpq_topk(
     is forwarded to BOTH trainers; with ``n_clusters == n_codes`` and
     ``"auto"`` they derive the identical denominator.
 
+    ``centroids``/``codebooks`` (pretrained) skip the corresponding
+    trainer — see :func:`ivf_topk`/:func:`pq_topk`; sources.ann_store
+    persists/reads both artifacts for the serve path.
+
     Returns (query_id, neighbor_id, cosine, rank ≤ k) with EXACT
     cosines; only the ranking beyond the band is approximate."""
-    centroids = kmeans_centroids(
-        vectors,
-        n_clusters=n_clusters,
-        id_col=id_col,
-        vec_col=vec_col,
-        dim=dim,
-        train_sample_denom=train_sample_denom,
-    )
-    books = pq_codebooks(
+    if centroids is None:
+        centroids = kmeans_centroids(
+            vectors,
+            n_clusters=n_clusters,
+            id_col=id_col,
+            vec_col=vec_col,
+            dim=dim,
+            train_sample_denom=train_sample_denom,
+        )
+    books = codebooks if codebooks is not None else pq_codebooks(
         vectors,
         n_subspaces=n_subspaces,
         n_codes=n_codes,

@@ -506,6 +506,31 @@ def _sumsq(v: str) -> str:
     )
 
 
+def _pq_subspace_chains(
+    n_subspaces: int,
+    n_codes: int,
+    n_iters: int,
+    train_sample_denom: int | str | None,
+) -> tuple[list[str], list[str]]:
+    """Per-subspace vector slicing + one k-means chain each — the PQ
+    training core as CTE parts. Returns (parts, final_codebook_cte
+    names), shared by the full ANN oracles (:func:`_pq_code_parts`) and
+    the persisted-artifact oracle (:func:`pq_codebooks_sql`)."""
+    sub = DIM // n_subspaces
+    parts: list[str] = []
+    finals: list[str] = []
+    for j in range(n_subspaces):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        parts.append(f"e{j} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM e),")
+        chain, prev = _kmeans_chain(
+            n_codes, n_iters, train_sample_denom,
+            prefix=f"s{j}", src=f"e{j}", dim=sub,
+        )
+        parts.extend(chain)
+        finals.append(prev)
+    return parts, finals
+
+
 def _pq_code_parts(
     n_subspaces: int,
     n_codes: int,
@@ -521,17 +546,9 @@ def _pq_code_parts(
     by the PQ and IVF-PQ oracles (assumes a prior ``e(vec_id, v)``
     CTE)."""
     sub = DIM // n_subspaces
-    parts: list[str] = []
-    finals: list[str] = []
-    for j in range(n_subspaces):
-        lo, hi = j * sub + 1, (j + 1) * sub
-        parts.append(f"e{j} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM e),")
-        chain, prev = _kmeans_chain(
-            n_codes, n_iters, train_sample_denom,
-            prefix=f"s{j}", src=f"e{j}", dim=sub,
-        )
-        parts.extend(chain)
-        finals.append(prev)
+    parts, finals = _pq_subspace_chains(
+        n_subspaces, n_codes, n_iters, train_sample_denom
+    )
     # per-subspace code assignment over the FULL sliced table (argmin
     # distance, ties to lowest cid — same as the Spark _argmin_code)
     for j, cb in enumerate(finals):
@@ -742,4 +759,65 @@ SELECT c.cluster_id,
        CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs
 FROM cands c JOIN documents d ON d.doc_id = c.vec_id
 GROUP BY c.cluster_id""")
+    return "\n".join(parts)
+
+
+@_materialized
+def ivf_centroids_sql(
+    n_clusters: int = 16,
+    n_iters: int = 3,
+    train_sample_denom: int | str | None = "auto",
+) -> str:
+    """Oracle for the PERSISTED IVF centroid artifact (sources.
+    ann_store.trained_ivf_centroids read back as rows): the identical
+    unrolled k-means chain every IVF query oracle uses, with the final
+    codebook unnested to (cid, pos, val) — one row per trained
+    coefficient. Hash-green here proves the on-disk artifact is bit-
+    identical to a fresh serial re-derivation, which is what licenses
+    the serve-path queries to keep their training-unrolled oracles."""
+    parts = [
+        "WITH e AS (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        " FROM embeddings),",
+    ]
+    chain, prev = _kmeans_chain(n_clusters, n_iters, train_sample_denom)
+    parts.extend(chain)
+    parts[-1] = parts[-1].rstrip().removesuffix(",")
+    parts.append(
+        f"SELECT c.cid, CAST(i - 1 AS INT) AS pos, c.cv[i] AS val\n"
+        f"FROM {prev} c CROSS JOIN range(1, {DIM + 1}) t(i)"
+    )
+    return "\n".join(parts)
+
+
+@_materialized
+def pq_codebooks_sql(
+    n_subspaces: int = 16,
+    n_codes: int = 16,
+    n_iters: int = 3,
+    train_sample_denom: int | str | None = "auto",
+) -> str:
+    """Oracle for the PERSISTED PQ codebook artifact (sources.
+    ann_store.trained_pq_codebooks read back as rows): the identical
+    per-subspace unrolled k-means chains the PQ ANN oracles use
+    (:func:`_pq_subspace_chains`), each final codebook unnested to
+    (subspace, cid, pos, val)."""
+    sub = DIM // n_subspaces
+    parts = [
+        "WITH e AS (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        " FROM embeddings),",
+    ]
+    chains, finals = _pq_subspace_chains(
+        n_subspaces, n_codes, n_iters, train_sample_denom
+    )
+    parts.extend(chains)
+    parts[-1] = parts[-1].rstrip().removesuffix(",")
+    selects = [
+        f"SELECT CAST({j} AS INT) AS subspace, c.cid,"
+        f" CAST(i - 1 AS INT) AS pos, c.cv[i] AS val\n"
+        f"FROM {finals[j]} c CROSS JOIN range(1, {sub + 1}) t(i)"
+        for j in range(n_subspaces)
+    ]
+    parts.append("\nUNION ALL\n".join(selects))
     return "\n".join(parts)

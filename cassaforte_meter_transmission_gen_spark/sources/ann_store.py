@@ -1,0 +1,240 @@
+"""Persisted ANN training artifacts — train once, serve many.
+
+A real 100 TB vector deployment trains its quantizers OFFLINE and
+persists them; queries read the trained state and only pay the encode/
+probe/score scan. Round 7 measured the alternative: ``ann_pq_topk``
+spent 5.4 s of its 5.8 s re-running Lloyd training inside every
+invocation. This module is the missing half next to
+``sources.layout.write_ivf_partitioned`` (which already persists the
+IVF *data* layout): it persists the trained *parameters* —
+
+- :func:`write_kmeans_centroids` / :func:`read_kmeans_centroids` —
+  IVF coarse centroids as a (cid, pos, val) parquet table;
+- :func:`write_pq_codebooks` / :func:`read_pq_codebooks` — PQ
+  codebooks as a (subspace, cid, pos, val) parquet table;
+- :func:`trained_ivf_centroids` / :func:`trained_pq_codebooks` —
+  cache-or-train: read the persisted artifact when one exists for
+  this corpus+config, otherwise run the deterministic trainer
+  (operators.similarity) once and persist the result atomically.
+
+Correctness contract: the trainers are bit-deterministic (fixed-point
+integer k-means, smallest-id init — see operators.similarity), and
+parquet DOUBLE round-trips IEEE-754 exactly, so a value read from the
+store is bit-identical to a fresh training run on the same corpus.
+The DuckDB oracles that unroll the training in SQL therefore stay
+valid for the serve path unchanged; ``ann_ivf_train_centroids`` /
+``ann_pq_train_codebooks`` (plans.vector_queries) hash-verify the
+persisted tables themselves against that SQL re-derivation.
+
+Staleness: cache keys fold in a fingerprint of the embeddings file
+(path, size, mtime_ns — per part file when it is a directory), so a
+regenerated corpus invalidates the artifact instead of silently
+serving stale centroids. Concurrency: training writes to a
+process-private temp path and ``os.rename``s it into place — first
+writer wins, losers read the winner's (bit-identical) artifact.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+
+#: cache root for train-once artifacts; env-overridable so the bench
+#: can point at a fresh directory and measure training honestly
+ANN_STORE_ENV = "SPARK_GRAFT_ANN_STORE"
+ANN_STORE_DEFAULT = "/tmp/cassaforte_ann_store"
+
+
+def _store_root() -> str:
+    return os.environ.get(ANN_STORE_ENV, ANN_STORE_DEFAULT)
+
+
+def _corpus_fingerprint(sf_dir: str, table: str = "embeddings") -> str:
+    """Content fingerprint of the training corpus file: size+mtime_ns
+    per part (cheap stat, no read). A regenerated corpus changes the
+    fingerprint and therefore the cache key."""
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    entries = []
+    if os.path.isdir(p):
+        for root, _, files in sorted(os.walk(p)):
+            for f in sorted(files):
+                fp = os.path.join(root, f)
+                st = os.stat(fp)
+                entries.append(f"{fp}:{st.st_size}:{st.st_mtime_ns}")
+    else:
+        st = os.stat(p)
+        entries.append(f"{os.path.abspath(p)}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.sha1(";".join(entries).encode()).hexdigest()[:16]
+
+
+def write_kmeans_centroids(
+    spark: SparkSession, centroids: list[list[float]], path: str
+) -> None:
+    """Persist IVF coarse centroids as parquet rows (cid, pos, val) —
+    the narrow long form so the artifact is queryable by any engine
+    (the hash-gated ``ann_ivf_train_centroids`` reads exactly this
+    shape). DOUBLE storage is exact, so read-back reproduces the
+    trained floats bit for bit."""
+    rows = [
+        (cid, pos, float(v))
+        for cid, c in enumerate(centroids)
+        for pos, v in enumerate(c)
+    ]
+    (
+        spark.createDataFrame(rows, "cid int, pos int, val double")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def read_kmeans_centroids(path: str) -> list[list[float]]:
+    """Read a :func:`write_kmeans_centroids` artifact back into the
+    list-of-lists form the serve path ships as plan literals. pyarrow
+    read — driver-side, no Spark job on the hot path."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path).to_pydict()
+    n = max(t["cid"]) + 1
+    dim = max(t["pos"]) + 1
+    out: list[list[float]] = [[0.0] * dim for _ in range(n)]
+    for cid, pos, val in zip(t["cid"], t["pos"], t["val"]):
+        out[cid][pos] = val
+    return out
+
+
+def write_pq_codebooks(
+    spark: SparkSession, books: list[list[list[float]]], path: str
+) -> None:
+    """Persist PQ codebooks as parquet rows (subspace, cid, pos, val)
+    — same narrow long form as the centroid artifact, one row per
+    codebook coefficient."""
+    rows = [
+        (j, cid, pos, float(v))
+        for j, book in enumerate(books)
+        for cid, c in enumerate(book)
+        for pos, v in enumerate(c)
+    ]
+    (
+        spark.createDataFrame(rows, "subspace int, cid int, pos int, val double")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def read_pq_codebooks(path: str) -> list[list[list[float]]]:
+    """Read a :func:`write_pq_codebooks` artifact back into the nested
+    list form ``pq_encode``/ADC scoring consume."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path).to_pydict()
+    m = max(t["subspace"]) + 1
+    n = max(t["cid"]) + 1
+    sub = max(t["pos"]) + 1
+    out: list[list[list[float]]] = [
+        [[0.0] * sub for _ in range(n)] for _ in range(m)
+    ]
+    for j, cid, pos, val in zip(t["subspace"], t["cid"], t["pos"], t["val"]):
+        out[j][cid][pos] = val
+    return out
+
+
+def _cache_or_train(path: str, train, write, read):
+    """Shared cache protocol: serve the committed artifact if present,
+    else train, persist to a process-private temp path, and rename into
+    place (atomic on one filesystem; on a lost race the winner's
+    bit-identical artifact is read instead)."""
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return read(path)
+    trained = train()
+    os.makedirs(_store_root(), exist_ok=True)
+    tmp = f"{path}.tmp{os.getpid()}"
+    write(trained, tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            # another process committed first — its artifact is
+            # bit-identical (deterministic trainer, same key)
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:  # leftover from a crashed writer: replace it
+            shutil.rmtree(path, ignore_errors=True)
+            try:
+                os.rename(tmp, path)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+    return trained
+
+
+def trained_ivf_centroids(
+    spark: SparkSession,
+    sf_dir: str,
+    n_clusters: int = 16,
+    n_iters: int = 3,
+    dim: int = 64,
+    train_sample_denom: int | str | None = "auto",
+) -> list[list[float]]:
+    """IVF coarse centroids for the ``embeddings`` table at ``sf_dir``
+    — read from the persisted artifact when one exists for this
+    corpus+config, else train once (operators.similarity.
+    kmeans_centroids) and persist. The serve-path queries call this
+    instead of the trainer, so repeated queries skip the Lloyd loop."""
+    from ..operators.similarity import kmeans_centroids
+    from ..schemas import load_table
+
+    key = (
+        f"ivf_k{n_clusters}_i{n_iters}_d{dim}_t{train_sample_denom}"
+        f"_{_corpus_fingerprint(sf_dir)}"
+    )
+    path = os.path.join(_store_root(), key)
+    return _cache_or_train(
+        path,
+        lambda: kmeans_centroids(
+            load_table(spark, sf_dir, "embeddings"),
+            n_clusters=n_clusters,
+            n_iters=n_iters,
+            dim=dim,
+            train_sample_denom=train_sample_denom,
+        ),
+        lambda cents, p: write_kmeans_centroids(spark, cents, p),
+        read_kmeans_centroids,
+    )
+
+
+def trained_pq_codebooks(
+    spark: SparkSession,
+    sf_dir: str,
+    n_subspaces: int = 16,
+    n_codes: int = 16,
+    n_iters: int = 3,
+    dim: int = 64,
+    train_sample_denom: int | str | None = "auto",
+) -> list[list[list[float]]]:
+    """PQ codebooks for the ``embeddings`` table at ``sf_dir`` — cache
+    semantics of :func:`trained_ivf_centroids`, trainer =
+    operators.similarity.pq_codebooks."""
+    from ..operators.similarity import pq_codebooks
+    from ..schemas import load_table
+
+    key = (
+        f"pq_m{n_subspaces}_c{n_codes}_i{n_iters}_d{dim}_t{train_sample_denom}"
+        f"_{_corpus_fingerprint(sf_dir)}"
+    )
+    path = os.path.join(_store_root(), key)
+    return _cache_or_train(
+        path,
+        lambda: pq_codebooks(
+            load_table(spark, sf_dir, "embeddings"),
+            n_subspaces=n_subspaces,
+            n_codes=n_codes,
+            n_iters=n_iters,
+            dim=dim,
+            train_sample_denom=train_sample_denom,
+        ),
+        lambda books, p: write_pq_codebooks(spark, books, p),
+        read_pq_codebooks,
+    )

@@ -1,0 +1,127 @@
+"""Persisted ANN training artifacts (sources.ann_store): exact
+round-trip, cache-or-train semantics, staleness invalidation, and
+serve-path ≡ self-training equivalence."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassaforte_meter_transmission_gen_spark.operators.similarity import (
+    ivf_topk,
+    kmeans_centroids,
+    pq_codebooks,
+    pq_topk,
+)
+from cassaforte_meter_transmission_gen_spark.schemas import load_table
+from cassaforte_meter_transmission_gen_spark.sources import ann_store
+from cassaforte_meter_transmission_gen_spark.sources.ann_store import (
+    read_kmeans_centroids,
+    read_pq_codebooks,
+    trained_ivf_centroids,
+    trained_pq_codebooks,
+    write_kmeans_centroids,
+    write_pq_codebooks,
+)
+
+
+@pytest.fixture()
+def store_root(tmp_path, monkeypatch):
+    root = str(tmp_path / "ann_store")
+    monkeypatch.setenv(ann_store.ANN_STORE_ENV, root)
+    return root
+
+
+def test_centroid_roundtrip_exact(spark, sf_small, tmp_path):
+    emb = load_table(spark, sf_small, "embeddings")
+    cents = kmeans_centroids(emb, n_clusters=4, train_sample_denom=None)
+    path = str(tmp_path / "cents")
+    write_kmeans_centroids(spark, cents, path)
+    back = read_kmeans_centroids(path)
+    # bit-exact: parquet DOUBLE round-trips IEEE-754 exactly
+    assert back == cents
+    assert [repr(x) for row in back for x in row] == [
+        repr(x) for row in cents for x in row
+    ]
+
+
+def test_codebook_roundtrip_exact(spark, sf_small, tmp_path):
+    emb = load_table(spark, sf_small, "embeddings")
+    books = pq_codebooks(
+        emb, n_subspaces=4, n_codes=4, train_sample_denom=None
+    )
+    path = str(tmp_path / "books")
+    write_pq_codebooks(spark, books, path)
+    assert read_pq_codebooks(path) == books
+
+
+def test_trained_centroids_cache_hits(spark, sf_small, store_root, monkeypatch):
+    first = trained_ivf_centroids(spark, sf_small, n_clusters=4)
+    # second call must READ, never retrain: poison the trainer
+    def boom(*a, **kw):  # pragma: no cover - failure path
+        raise AssertionError("retrained on cache hit")
+
+    monkeypatch.setattr(
+        "cassaforte_meter_transmission_gen_spark.operators.similarity."
+        "kmeans_centroids",
+        boom,
+    )
+    assert trained_ivf_centroids(spark, sf_small, n_clusters=4) == first
+
+
+def test_trained_codebooks_cache_keyed_by_config(spark, sf_small, store_root):
+    b16 = trained_pq_codebooks(spark, sf_small, n_subspaces=16)
+    b8 = trained_pq_codebooks(spark, sf_small, n_subspaces=8)
+    assert len(b16) == 16 and len(b8) == 8  # no key collision
+    # both committed as separate artifacts
+    assert len(os.listdir(store_root)) == 2
+
+
+def test_cache_invalidates_on_corpus_change(spark, sf_small, tmp_path, monkeypatch):
+    # copy the corpus so we can touch it without writing to testdata
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    shutil.copy(
+        os.path.join(sf_small, "embeddings.parquet"),
+        corpus / "embeddings.parquet",
+    )
+    k1 = ann_store._corpus_fingerprint(str(corpus))
+    os.utime(corpus / "embeddings.parquet", ns=(1, 1))
+    assert ann_store._corpus_fingerprint(str(corpus)) != k1
+
+
+def test_crashed_writer_leftover_is_replaced(spark, sf_small, store_root):
+    # simulate a crashed writer: a committed-key directory with no
+    # _SUCCESS marker must be replaced, not served
+    key_dir = os.path.join(store_root, "stale")
+    os.makedirs(key_dir)
+    result = ann_store._cache_or_train(
+        key_dir,
+        lambda: [[1.5]],
+        lambda cents, p: write_kmeans_centroids(spark, cents, p),
+        read_kmeans_centroids,
+    )
+    assert result == [[1.5]]
+    assert os.path.exists(os.path.join(key_dir, "_SUCCESS"))
+    assert read_kmeans_centroids(key_dir) == [[1.5]]
+
+
+def test_pretrained_serve_equals_self_training(spark, sf_small, store_root):
+    """The serve path (pretrained artifacts) must produce row-identical
+    results to the self-training path — the contract that lets the
+    training-unrolled oracles keep gating the serving queries."""
+    emb = load_table(spark, sf_small, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+
+    cents = trained_ivf_centroids(spark, sf_small)
+    served = sorted(map(tuple, ivf_topk(emb, q, k=5, centroids=cents).collect()))
+    trained = sorted(map(tuple, ivf_topk(emb, q, k=5).collect()))
+    assert served == trained
+
+    books = trained_pq_codebooks(spark, sf_small)
+    served = sorted(map(tuple, pq_topk(emb, q, k=5, codebooks=books).collect()))
+    trained = sorted(map(tuple, pq_topk(emb, q, k=5).collect()))
+    assert served == trained
