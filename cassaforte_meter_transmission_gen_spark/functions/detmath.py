@@ -23,9 +23,14 @@ plans), Spark SQL, and DuckDB SQL (:func:`det_ln_ctes`) produce the
 SAME bits. Accuracy vs true ln is ~1-2 ulp — semantically it IS ln for
 any scoring purpose; what matters is that it's the same ln everywhere.
 
-Domain: x ≥ 1 (all BM25+ idf inputs satisfy this: the odds ratio + 1
-is > 1 for every df ∈ [0, N]). Inputs above 2^41 would saturate the
-CASE chain; the idf domain tops out at ~2N+2.
+Domain: x ∈ [1, 2^64). The range-reduction CASE chain covers p up to
+63, so every x below 2^64 reduces to m ∈ [1, 2) and the series error
+stays 1-2 ulp (the original p ≤ 41 cap silently saturated for larger
+x — e.g. unigram/bigram NLL ratios with singleton tokens on corpora
+beyond ~4·10¹² tokens — degrading accuracy while both engines still
+agreed, so the hash gate could not see it). The Python twin raises on
+x ≥ 2^64 instead of saturating; the SQL form documents the same bound
+(its inputs are count ratios ≤ corpus token totals, far below 2^64).
 """
 
 from __future__ import annotations
@@ -43,14 +48,24 @@ DET_LN_TERMS = 18
 #: for SQL — both engines then use the identical rounded coefficient
 _COEFFS = [1.0 / float(2 * k + 1) for k in range(DET_LN_TERMS)]
 
-#: exact powers of two for the range reduction, descending p = 41..1
-_MAX_POW = 41
+#: exact powers of two for the range reduction, descending p = 63..1
+#: (float(1 << p) is exact for all p ≤ 63; covering the full int64-ish
+#: range means no silent saturation on any realistic count ratio)
+_MAX_POW = 63
 _POWS = [(p, float(1 << p)) for p in range(_MAX_POW, 0, -1)]
+
+#: domain ceiling: x ≥ 2^64 would leave m ≥ 2 and the series t ≥ 1/3
+_DOMAIN_MAX = float(1 << 64)
 
 
 def det_ln(x: float) -> float:
-    """Deterministic ln(x) for x ≥ 1 — the Python twin of the SQL
-    chain :func:`det_ln_ctes` generates, operation for operation."""
+    """Deterministic ln(x) for x ∈ [1, 2^64) — the Python twin of the
+    SQL chain :func:`det_ln_ctes` generates, operation for operation.
+    Raises on x beyond the reduced range rather than silently degrading
+    (the saturated series error would be invisible to the hash gate
+    because both engines would agree on the wrong value)."""
+    if x >= _DOMAIN_MAX:
+        raise ValueError(f"det_ln domain is [1, 2^64): got {x!r}")
     e = 0
     p2 = 1.0
     for p, pw in _POWS:

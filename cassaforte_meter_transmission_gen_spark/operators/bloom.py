@@ -85,9 +85,13 @@ def bloom_build(
     via ``stack``, one bit_or groupBy (map-side partials make the
     shuffle at most n_words rows per task), one collected result of at
     most ``n_bits/64`` rows — driver state is filter-sized, never
-    key-count-sized."""
+    key-count-sized. ``key_col`` must be a plain column name — it is
+    spliced into generated SQL, so it is validated
+    (functions.sqltext.safe_ident) rather than trusted."""
+    from ..functions.sqltext import safe_ident
+
     n_words = n_bits // 64
-    p1, p2 = _pos_sqls(key_col, n_bits, hash_family)
+    p1, p2 = _pos_sqls(safe_ident(key_col), n_bits, hash_family)
     pairs = keys.selectExpr(
         f"stack(2,"
         f" CAST(SHIFTRIGHT({p1}, 6) AS INT),"
@@ -128,9 +132,16 @@ def bloom_prune(
     hash_family: str = "portable",
 ) -> DataFrame:
     """Keep only rows whose key MIGHT be in the filter (all true
-    members survive — no false negatives by construction)."""
+    members survive — no false negatives by construction). ``key_col``
+    is a plain column name, validated before splicing into SQL."""
+    from ..functions.sqltext import safe_ident
+
     return df.filter(
-        F.expr(bloom_might_contain_sql(key_col, words, n_bits, hash_family))
+        F.expr(
+            bloom_might_contain_sql(
+                safe_ident(key_col), words, n_bits, hash_family
+            )
+        )
     )
 
 

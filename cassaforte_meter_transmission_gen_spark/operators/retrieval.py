@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from ..functions.detmath import det_ln
+from ..functions.sqltext import sql_str_lit
 
 #: Okapi BM25 defaults (Robertson et al.); repr-exact on both engines
 BM25_K1 = 1.2
@@ -86,7 +87,11 @@ def bm25_topk(
 ) -> DataFrame:
     """Rank documents by Okapi BM25 for a bag-of-terms query; returns
     (doc_id, score, rank ≤ k), ties broken by doc_id. idf is the BM25+
-    form ln(1 + (N - df + ½)/(df + ½)) — non-negative for every df."""
+    form ln(1 + (N - df + ½)/(df + ½)) — non-negative for every df.
+
+    Terms are spliced into generated SQL (this plan AND the shared
+    oracle text) as escaped literals (functions.sqltext.sql_str_lit) —
+    a quote in a query term must never become plan syntax."""
     toks = _toks_sql(text_col)
     sel = [
         F.col(id_col).alias("doc_id"),
@@ -94,7 +99,7 @@ def bm25_topk(
     ]
     for i, t in enumerate(terms):
         sel.append(
-            F.expr(f"size(filter({toks}, x -> x = '{t}'))")
+            F.expr(f"size(filter({toks}, x -> x = {sql_str_lit(t)}))")
             .cast("long")
             .alias(f"tf_{i}")
         )

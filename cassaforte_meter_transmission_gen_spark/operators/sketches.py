@@ -57,6 +57,9 @@ def cms_build(
     depth·width rows per task thanks to partial aggregation. With
     ``group_cols`` (e.g. a day column) it emits one grid per group:
     the sketch-rollup-table layout."""
+    from ..functions.sqltext import safe_ident
+
+    key_col = safe_ident(key_col)  # spliced into generated SQL
     stack = (
         f"stack({depth}, "
         + ", ".join(
@@ -93,6 +96,9 @@ def cms_estimate(
     (r, c) — the grid side is at most depth·width rows, so Spark
     broadcasts it — and take the min counter (0 for a never-seen key).
     Output: keys' columns + ``cms_estimate``."""
+    from ..functions.sqltext import safe_ident
+
+    key_col = safe_ident(key_col)  # spliced into generated SQL
     carry = list(keys.columns)
     stack = (
         f"stack({depth}, "

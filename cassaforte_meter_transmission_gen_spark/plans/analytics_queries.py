@@ -157,22 +157,21 @@ def window_ntile_acctbal_quartiles(spark: SparkSession, sf_dir: str) -> DataFram
     """ntile quartiles over a global order. The oracle uses the
     one-line global-window form; the engine derives the same buckets
     scale-safely — global rank from the bucketed two-pass prefix sum
-    (account balances sit on the 0.01 grid, so
-    ``round(bal*100)*1e6 + custkey`` is a collision-free monotone
-    integer order key, negatives included) mapped through the true
-    ntile integer formula (:func:`..compat.sql_ntile_from_rank`). No
-    single-partition window anywhere in the plan."""
+    over a collision-free monotone integer order key (account balances
+    sit on the 0.01 grid; the multiplier is ``max(custkey)+1`` DERIVED
+    from the data by :func:`..compat.monotone_money_key`, so the key
+    stays collision-free at any scale factor — a fixed multiplier
+    collides once ids cross it, silently corrupting the ranks) mapped
+    through the true ntile integer formula
+    (:func:`..compat.sql_ntile_from_rank`). No single-partition window
+    anywhere in the plan."""
     from ..operators.packing import global_running_total
-    from .compat import sql_ntile_from_rank
+    from .compat import monotone_money_key, sql_ntile_from_rank
 
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
-    key = (
-        F.round(F.col("c_acctbal") * 100).cast("long") * F.lit(1_000_000)
-        + F.col("c_custkey")
-    )
+    key, n = monotone_money_key(c, "c_acctbal", "c_custkey")
     keyed = c.withColumn("__k", key).withColumn("__one", F.lit(1).cast("long"))
     ranked = global_running_total(keyed, "__k", "__one", out_col="__rank0")
-    n = c.count()
     quartile = F.expr(sql_ntile_from_rank("__rank0", n, 4))
     return (
         ranked.select("c_acctbal", quartile.alias("quartile"))
@@ -1320,24 +1319,23 @@ def agg_equidepth_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     execute on a single task; the engine instead derives the global
     0-based rank from :func:`global_running_total`'s two-pass bucketed
     prefix sum (SURVEY §2.10 sequence-packing machinery) over a
-    collision-free integer order key — prices sit on the 0.01 grid, so
-    ``round(price*100)*1e8 + orderkey`` (< 2^53) is strictly monotone
-    in (price, orderkey). The rank→bucket map is
-    :func:`..compat.sql_ntile_from_rank` — TRUE ntile semantics (larger
-    buckets first; the naive ``rank0*k DIV n`` form only matches when k
-    divides n, a trap the property suite pins) in pure integer
-    arithmetic, with the count n from one driver-side scan (amortized
-    like the IVF auto-denominator)."""
+    collision-free integer order key — prices sit on the 0.01 grid and
+    the multiplier is ``max(orderkey)+1`` derived from the data
+    (:func:`..compat.monotone_money_key`: a fixed multiplier collides
+    once ids cross it, silently corrupting the deciles), so the key is
+    strictly monotone in (price, orderkey) at any scale factor. The
+    rank→bucket map is :func:`..compat.sql_ntile_from_rank` — TRUE
+    ntile semantics (larger buckets first; the naive ``rank0*k DIV n``
+    form only matches when k divides n, a trap the property suite
+    pins) in pure integer arithmetic, with the count n from the same
+    one-row agg that derives the multiplier."""
     from ..operators.packing import global_running_total
+    from .compat import monotone_money_key
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    key = (
-        F.round(F.col("o_totalprice") * 100).cast("long") * F.lit(100_000_000)
-        + F.col("o_orderkey")
-    )
+    key, n = monotone_money_key(o, "o_totalprice", "o_orderkey")
     keyed = o.withColumn("__k", key).withColumn("__one", F.lit(1).cast("long"))
     ranked = global_running_total(keyed, "__k", "__one", out_col="__rank0")
-    n = o.count()
     decile = F.expr(sql_ntile_from_rank("__rank0", n, 10))
     return (
         ranked.select("o_totalprice", decile.alias("decile"))
@@ -1582,15 +1580,16 @@ def agg_gini_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     VARCHAR→DOUBLE cast plus the one-row division are bit-equal across
     engines. The oracle ranks with a one-task global window; the engine
     derives the SAME rank from the bucketed two-pass prefix sum
-    (global_running_total — the equi-depth decile machinery), keeping
-    every exchange keyed at 100 TB."""
+    (global_running_total — the equi-depth decile machinery) over the
+    data-derived collision-free key (:func:`..compat.
+    monotone_money_key` — a fixed multiplier collides once orderkeys
+    cross it and silently corrupts the rank weights), keeping every
+    exchange keyed at 100 TB."""
     from ..operators.packing import global_running_total
+    from .compat import monotone_money_key
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    key = (
-        F.round(F.col("o_totalprice") * 100).cast("long") * F.lit(100_000_000)
-        + F.col("o_orderkey")
-    )
+    key, _n = monotone_money_key(o, "o_totalprice", "o_orderkey")
     keyed = o.withColumn("__k", key).withColumn("__one", F.lit(1).cast("long"))
     ranked = global_running_total(keyed, "__k", "__one", out_col="__rank0")
     s = ranked.selectExpr(

@@ -51,3 +51,46 @@ def sql_ntile_from_rank(rank0: str, n: int, k: int) -> str:
         f"CAST(CASE WHEN {rank0} < {threshold} THEN {rank0} DIV {q + 1} "
         f"ELSE {rem} + ({rank0} - {threshold}) DIV {max(q, 1)} END AS INT) + 1"
     )
+
+
+def monotone_money_key(df, money_col: str, id_col: str):
+    """Collision-free monotone int64 order key over (money, id) for the
+    bucketed global prefix-sum rank: ``round(money*100) * M + id`` with
+    ``M = max(id) + 1`` DERIVED from the data — a fixed multiplier
+    (the old 1e6/1e8 literals) silently collides once ids cross it,
+    and a collision violates global_running_total's unique-key
+    precondition, corrupting every downstream ntile/decile/gini rank
+    with no error. One narrow agg derives M and also returns the row
+    count the rank→bucket maps need (replacing the separate count()
+    the call sites used to pay). Returns ``(key_column, n_rows)``.
+
+    Preconditions enforced loud: ids non-negative (a negative id would
+    break the per-money-value ordering), and the extreme key must fit
+    exact int64 — otherwise ValueError, never a wrong rank. Assumes
+    ``money_col`` sits on the 0.01 grid (exact under *100, true for
+    every money column in the corpus schema)."""
+    row = df.agg(
+        F.count("*").alias("n"),
+        F.min(id_col).alias("lo"),
+        F.max(id_col).alias("hi"),
+        F.max(F.abs(F.round(F.col(money_col) * 100).cast("long"))).alias("ma"),
+    ).head()
+    n = int(row["n"] or 0)
+    if n == 0:
+        return (F.lit(0).cast("long"), 0)
+    if row["lo"] < 0:
+        raise ValueError(
+            f"monotone_money_key: negative {id_col} (min={row['lo']}) "
+            "breaks the (money, id) ordering"
+        )
+    mult = int(row["hi"]) + 1
+    if (int(row["ma"]) + 1) * mult > (1 << 63) - 1:
+        raise ValueError(
+            f"monotone_money_key: |round({money_col}*100)| up to {row['ma']} "
+            f"with multiplier {mult} would overflow int64"
+        )
+    key = (
+        F.round(F.col(money_col) * 100).cast("long") * F.lit(mult)
+        + F.col(id_col)
+    )
+    return (key, n)

@@ -1502,12 +1502,13 @@ def _bm25_ranked_ctes(terms: list[str]) -> str:
     (operators.retrieval.bm25_score_sql) with idf/avgdl read from
     columns instead of literals."""
     from ..functions.detmath import det_ln_ctes
+    from ..functions.sqltext import sql_str_lit
     from ..operators.retrieval import BM25_B, BM25_K1, bm25_score_sql
     half = "CAST('0.5' AS DOUBLE)"
     one = "CAST('1.0' AS DOUBLE)"
     tf_cols = ",\n         ".join(
         "CAST(len(list_filter(string_split(text, ' '),"
-        f" x -> x = '{t}')) AS BIGINT) AS tf_{i}"
+        f" x -> x = {sql_str_lit(t)})) AS BIGINT) AS tf_{i}"
         for i, t in enumerate(terms)
     )
     df_cols = ",\n         ".join(

@@ -378,7 +378,8 @@ def test_shuffle_shard_hash_matches_python_model(ids, n_shards):
 
 @given(
     st.lists(
-        st.floats(min_value=1.0, max_value=float(1 << 40), allow_nan=False),
+        st.floats(min_value=1.0, max_value=float(1 << 63), allow_nan=False,
+                  exclude_max=True),
         min_size=1,
         max_size=60,
     )
@@ -389,8 +390,10 @@ def test_det_ln_matches_duckdb_bitwise_and_true_ln(xs):
     portable (JVM vs libm differ at 1 ulp on ~8% of the BM25 idf
     domain — measured 425/5502). The contract: (a) the Python driver
     twin and the generated SQL chain produce IDENTICAL doubles in
-    DuckDB over the full domain [1, 2^40]; (b) both are within a few
-    ulp of true ln (math.log), i.e. it really is ln, not a lookalike."""
+    DuckDB over the extended domain up to 2^63 (the old 2^41 range cap
+    silently saturated above it — ADVICE r7); (b) both are within a
+    few ulp of true ln (math.log), i.e. it really is ln, not a
+    lookalike."""
     import math
 
     import duckdb
@@ -418,6 +421,20 @@ def test_det_ln_matches_duckdb_bitwise_and_true_ln(xs):
             assert p == 0.0
         else:
             assert abs(p - t) <= 4 * abs(t) * 2.3e-16, (x, p, t)
+
+
+def test_det_ln_raises_beyond_domain():
+    """x ≥ 2^64 must raise, never silently saturate (the degraded
+    series error would be hash-gate-invisible because both engines
+    would agree on the wrong value)."""
+    import pytest as _pytest
+
+    from cassaforte_meter_transmission_gen_spark.functions.detmath import det_ln
+
+    with _pytest.raises(ValueError):
+        det_ln(float(1 << 64))
+    # the new top of the reduced range still works
+    assert det_ln(float(1 << 63)) > 0.0
 
 
 @settings(
