@@ -442,6 +442,40 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["streaming_ingest"] = f"{type(exc).__name__}: {exc}"[:500]
 
+    # extend the curve PAST the 32-file stage (r7 showed near-linear
+    # scaling 4→8→32 with the knee still ahead): a 4×-longer stream
+    # staged as 128 files of IDENTICAL shape (225 meter-seconds each,
+    # contiguous slices — see transmissions(slices=)), triggers
+    # 32/64/128. The 32-point overlaps the default series as the
+    # sanity anchor; samples/s is comparable across both series because
+    # a file means the same rows in each.
+    ext_meters, ext_seconds, ext_files = 4, 4 * stream_seconds, 128
+    stream_curve_ext: dict[str, dict] = {}
+    try:
+        for files_per_trigger in (32, 64, 128):
+            sout = tempfile.mkdtemp(prefix="bench_stream_ext_")
+            t0 = time.perf_counter()
+            try:
+                run_bounded_streaming_ingest(
+                    spark,
+                    sout,
+                    num_meters=ext_meters,
+                    seconds=ext_seconds,
+                    max_files_per_trigger=files_per_trigger,
+                    stage_files=ext_files,
+                )
+                sec = round(time.perf_counter() - t0, 3)
+            finally:
+                shutil.rmtree(sout, ignore_errors=True)
+            stream_curve_ext[str(files_per_trigger)] = {
+                "sec": sec,
+                "samples_per_sec": round(
+                    ext_meters * ext_seconds * 15000 / sec
+                ),
+            }
+    except Exception as exc:  # noqa: BLE001
+        errors["streaming_ingest_ext"] = f"{type(exc).__name__}: {exc}"[:500]
+
     total = round(sum(times.values()), 3)
     # Two JSON lines, detail FIRST and the compact headline LAST: the
     # driver parses the tail of stdout, and round 7 proved one long line
@@ -460,6 +494,11 @@ def main() -> None:
         "bloom_prune": bloom_prune_stats,
         "ingest_runs_sec": ingest_runs,
         "streaming_ingest_batch_size_curve": stream_curve,
+        "streaming_ingest_batch_size_curve_ext": {
+            "stage_files": ext_files,
+            "seconds": ext_seconds,
+            "points": stream_curve_ext,
+        },
     }
     print(json.dumps(detail))
     print(

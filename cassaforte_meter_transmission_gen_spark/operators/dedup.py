@@ -689,23 +689,39 @@ def duplicate_groups(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iters: int = 15,
+    rounds_out: list | None = None,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs (SURVEY §2.10:
     "MinHash ... → connected components"): collapse pairwise matches
     into dedup groups, labeling every member with the component's
     minimum doc id.
 
-    Iterative min-label propagation as DataFrame joins (the standard
-    Spark shape when GraphFrames isn't available): each round, every
-    node takes min(own label, neighbors' labels); converged when no
-    label changes. Rounds needed = component diameter — near-dup
-    components are small cliques/chains, so a handful; the loop is
-    driver-side control flow only, all data movement is distributed
-    joins keyed on node id. Each round's result is localCheckpoint-ed
-    to keep the plan from growing linearly with iterations.
+    Iterative min-label propagation WITH PATH COMPRESSION as DataFrame
+    joins (the standard Spark shape when GraphFrames isn't available):
+    each round, every node takes min(own label, neighbors' labels,
+    its label's own label). The third term is the pointer-doubling
+    hop — without it, rounds needed = component DIAMETER, so an
+    adversarial duplicate chain (doc₀—doc₁—…—doc₅₉, the shape a
+    boilerplate prefix mutating one token per copy produces) needs 59
+    rounds and a bounded loop would exit UNCONVERGED silently; with
+    it the label horizon doubles per round, so rounds ≈ log₂(diameter)
+    (the large-star/small-star economics of Kiveris et al., expressed
+    as one extra keyed self-join per round). ``max_iters=15`` therefore
+    covers diameters to ~2¹⁵, and non-convergence RAISES rather than
+    returning wrong groups. Near-dup components are usually small
+    cliques (1-2 rounds) where the extra join is one cheap pass over
+    the labels frame.
+
+    The loop is driver-side control flow only; all data movement is
+    distributed joins keyed on node id. Each round's result is
+    localCheckpoint-ed to keep the plan from growing with iterations.
+    The fixed point (component-min labels) is unique, so the compressed
+    iteration converges to exactly what plain propagation converges to
+    — the registry oracle re-derivation is unaffected.
 
     Returns (doc_id, group_id) for every node appearing in ``pairs``.
-    """
+    ``rounds_out``, if given, receives the executed round count (test
+    observability for the convergence bound)."""
     edges = pairs.select(
         F.col(a_col).alias("a"), F.col(b_col).alias("b")
     )
@@ -717,18 +733,36 @@ def duplicate_groups(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    converged = False
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
             .groupBy("a")
             .agg(F.min("label").alias("nmin"))
         )
+        # path compression: my label is a node id (the component-min
+        # candidate) — hop to THAT node's current label in one keyed
+        # join; labels always contains it because labels only ever
+        # take node-id values
+        lol = (
+            labels.alias("x")
+            .join(labels.alias("y"), F.col("x.label") == F.col("y.node"))
+            .select(
+                F.col("x.node").alias("node"),
+                F.col("y.label").alias("plabel"),
+            )
+        )
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .join(lol, "node")
             .select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                    F.col("label"),
+                    F.coalesce(F.col("nmin"), F.col("label")),
+                    F.col("plabel"),
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)
@@ -741,7 +775,15 @@ def duplicate_groups(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if rounds_out is not None:
+        rounds_out.append(rounds)
+    if not converged:
+        raise RuntimeError(
+            f"duplicate_groups did not converge in {max_iters} rounds — "
+            "component diameter beyond ~2^max_iters; raise max_iters"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("group_id")
     )

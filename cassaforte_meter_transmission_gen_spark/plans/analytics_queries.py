@@ -1503,6 +1503,80 @@ def events_trailing_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "events_trailing_7d_active_users_hll",
+    # same gating technique as sketch_rollup_distinct_users: the
+    # Datasketches estimate is engine-specific, so the oracle pins the
+    # exact trailing distinct + the error-bound contract as TRUE
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id
+  FROM events
+),
+days AS (SELECT DISTINCT day FROM du)
+SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS exact_7d,
+       TRUE AS within_bound
+FROM days d
+JOIN du u ON u.day <= d.day AND u.day >= d.day - INTERVAL 6 DAY
+GROUP BY d.day
+""",
+    tags=("events", "window", "distinct", "sketch", "approx", "scale"),
+)
+def events_trailing_7d_active_users_hll(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB form of ``events_trailing_7d_active_users``, now a
+    first-class gated query instead of a docstring promise: per-DAY
+    Datasketches HLL sketches are materialized to parquet once (the
+    sketch-rollup-table layout — a day's raw events are scanned once
+    ever), then each day's trailing-7d estimate is a union of ≤ 7
+    FIXED-SIZE sketches via a bounded range join over the tiny day
+    list — raw events are never rejoined, which is exactly why
+    distinct-over-sliding-frames becomes tractable at scale. Gate:
+    the exact trailing distinct (hash-checked by the oracle) plus the
+    merge's error contract as a boolean (lgK=12 ⇒ rse ≈ 1.6%; bound
+    5·rse + 8 covers the tail — the sketch_rollup_distinct_users
+    contract); agreement vs the exact twin is additionally asserted
+    in tests/test_approx.py."""
+    import atexit
+    import shutil
+    import tempfile
+
+    e = _t(spark, sf_dir, "events")
+    day_sketches = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("user_sketch")
+    )
+    stage = tempfile.mkdtemp(prefix="trailing_hll_")
+    atexit.register(shutil.rmtree, stage, ignore_errors=True)
+    day_sketches.write.mode("overwrite").parquet(f"{stage}/day_sketches")
+    stored = spark.read.parquet(f"{stage}/day_sketches")
+    est = (
+        stored.select("day")
+        .join(
+            stored.select(F.col("day").alias("s_day"), "user_sketch"),
+            (F.col("s_day") <= F.col("day"))
+            & (F.col("s_day") >= F.col("day") - F.expr("INTERVAL 6 DAYS")),
+        )
+        .groupBy("day")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("user_sketch")).alias(
+                "approx_7d"
+            )
+        )
+    )
+    exact = events_trailing_7d_active_users(spark, sf_dir).withColumnRenamed(
+        "active_7d", "exact_7d"
+    )
+    return exact.join(est, "day").select(
+        "day",
+        "exact_7d",
+        (
+            F.abs(F.col("approx_7d") - F.col("exact_7d"))
+            <= F.lit(8) + F.lit(5 * 0.016) * F.col("exact_7d")
+        ).alias("within_bound"),
+    )
+
+
+@register(
     "agg_mode_quantity_per_flag",
     oracle="""
 WITH c AS (

@@ -79,6 +79,7 @@ def transmissions(
     t0_epoch: int = T0_EPOCH,
     seconds: int = DEFAULT_SECONDS,
     with_watts: bool = True,
+    slices: int | None = None,
 ) -> DataFrame:
     """``meter_samples`` rows for ``num_meters`` meters × ``seconds``
     ticks: (said int, datetime timestamp, watts array<float>).
@@ -86,9 +87,15 @@ def transmissions(
     Layout: id = meter_index * seconds + tick, so each meter's ticks are
     contiguous in the range → range-partition boundaries align with
     meters (the reference's partition-by-meter layout, SURVEY §4 O5).
+
+    ``slices`` overrides the range's partition count (default: cluster
+    parallelism) while KEEPING the contiguous id splits — finer
+    meter-time slices of identical shape, which is how the streaming
+    bench stages more same-sized files to extend its micro-batch-size
+    curve without changing what one file means.
     """
     n = num_meters * seconds
-    df = spark.range(n).select(
+    df = (spark.range(0, n, 1, slices) if slices else spark.range(n)).select(
         (F.lit(start_said) + F.expr(f"id DIV {seconds}")).cast("int").alias("said"),
         F.timestamp_seconds(F.lit(t0_epoch) + F.col("id") % seconds).alias("datetime"),
     )

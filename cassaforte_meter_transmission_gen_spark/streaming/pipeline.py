@@ -609,6 +609,7 @@ def run_bounded_streaming_ingest(
     num_meters: int = 2,
     seconds: int = 600,
     max_files_per_trigger: int = 8,
+    stage_files: int | None = None,
 ) -> tuple[dict[str, str], str]:
     """Drive the foreachBatch five-table ingest over a bounded raw
     transmission stream to completion; returns ({table: path},
@@ -619,7 +620,11 @@ def run_bounded_streaming_ingest(
     throughput lever: per-batch fixed costs (trigger planning, five
     table writes, three version merges, the commit marker) are constant
     per batch, so samples/s scales with rows-per-batch until the batch
-    no longer fits the cluster. bench.py measures this curve."""
+    no longer fits the cluster. bench.py measures this curve.
+    ``stage_files`` stages the input as that many same-shaped files
+    (finer contiguous meter-time slices) so the curve can extend past
+    the default 32-file stage — one file keeps meaning the same number
+    of meter-seconds."""
 
     from ..schemas import METER_SAMPLES
     from ..sources.meter_generator import transmissions
@@ -627,9 +632,9 @@ def run_bounded_streaming_ingest(
     stage = tempfile.mkdtemp(prefix="raw_stream_")
     atexit.register(shutil.rmtree, stage, ignore_errors=True)
     try:
-        transmissions(spark, num_meters=num_meters, seconds=seconds).write.mode(
-            "overwrite"
-        ).parquet(stage)
+        transmissions(
+            spark, num_meters=num_meters, seconds=seconds, slices=stage_files
+        ).write.mode("overwrite").parquet(stage)
         stream = (
             spark.readStream.schema(METER_SAMPLES)
             .option("maxFilesPerTrigger", max_files_per_trigger)

@@ -144,3 +144,30 @@ def test_regression_agg_matches_python_least_squares(spark, sf_small):
         assert abs(g["intercept"] - intercept) <= 1e-6 * abs(intercept)
         assert abs(g["corr_xy"] - corr) <= 1e-6
         assert abs(g["r2"] - corr * corr) <= 1e-6
+
+
+def test_trailing_7d_hll_agrees_with_exact_twin(spark, sf_med):
+    """events_trailing_7d_active_users_hll (per-day sketch table merged
+    over the trailing window) must agree with the exact range-join twin
+    day for day: every day's estimate inside the pinned bound
+    (|est − exact| ≤ 8 + 5·rse·exact, rse = 1.6% at lgK=12), and the
+    within_bound gate column all-TRUE — the error-bound assertion the
+    oracle's TRUE pin relies on, checked here against the actual
+    estimate, not just the boolean."""
+    from cassaforte_meter_transmission_gen_spark.plans import REGISTRY
+
+    rows = (
+        REGISTRY["events_trailing_7d_active_users_hll"]
+        .fn(spark, sf_med)
+        .collect()
+    )
+    exact = {
+        r["day"]: r["active_7d"]
+        for r in REGISTRY["events_trailing_7d_active_users"]
+        .fn(spark, sf_med)
+        .collect()
+    }
+    assert len(rows) == len(exact) and len(rows) > 0
+    for r in rows:
+        assert r["exact_7d"] == exact[r["day"]]
+        assert r["within_bound"] is True, (r["day"], r["exact_7d"])

@@ -874,3 +874,42 @@ def test_unigram_nll_matches_python_model(spark, sf_small):
         assert (r["n_tokens"], r["total_nll_ppm"], r["keep"]) == (n, s, keep)
         truth = sum(math.log(total / cnt[t]) for t in docs[r["doc_id"]]) / n
         assert abs(r["avg_nll_nats"] - truth) <= 1e-4
+
+
+def test_duplicate_groups_adversarial_chain_converges_logarithmically(spark):
+    """A 60-doc duplicate CHAIN (path graph — the worst diameter shape,
+    e.g. a boilerplate prefix mutating one token per copy) must (a)
+    collapse into ONE group labeled by the minimum id, and (b) converge
+    in O(log diameter) rounds thanks to the path-compression hop — the
+    plain min-propagation form needs diameter rounds (59 here) and
+    would exit a bounded loop unconverged. Bound asserted: ≤ 9 rounds
+    (log₂ 59 ≈ 5.9, plus slack for the convergence-confirmation pass)."""
+    from cassaforte_meter_transmission_gen_spark.operators.dedup import (
+        duplicate_groups,
+    )
+
+    n = 60
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    rounds: list[int] = []
+    got = duplicate_groups(pairs, rounds_out=rounds).collect()
+    assert len(got) == n
+    assert {r["doc_id"] for r in got} == set(range(n))
+    assert {r["group_id"] for r in got} == {0}
+    assert rounds[0] <= 9, rounds
+
+
+def test_duplicate_groups_unconverged_raises(spark):
+    """Non-convergence must raise, never return wrong groups silently."""
+    import pytest as _pytest
+
+    from cassaforte_meter_transmission_gen_spark.operators.dedup import (
+        duplicate_groups,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(RuntimeError):
+        duplicate_groups(pairs, max_iters=2)

@@ -112,6 +112,41 @@ def test_streaming_foreachbatch_ingest_equals_batch_ingest(spark, tmp_path):
         ), table
 
 
+def test_streaming_ingest_finer_stage_files_equals_batch(spark, tmp_path):
+    """The extended-curve staging knob (``stage_files`` — finer
+    contiguous meter-time slices of identical shape, used by bench.py
+    to push the micro-batch-size curve past the default 32-file stage)
+    must not change WHAT is ingested: grain tables from a 64-file stage
+    equal the batch-ingest dual exactly."""
+    from cassaforte_meter_transmission_gen_spark.operators.ingest import (
+        ingest_batch,
+        read_table,
+    )
+    from cassaforte_meter_transmission_gen_spark.streaming.pipeline import (
+        read_stream_table,
+        run_bounded_streaming_ingest,
+    )
+
+    n_meters, seconds = 2, 600
+    stream_paths, commits = run_bounded_streaming_ingest(
+        spark,
+        str(tmp_path / "stream"),
+        num_meters=n_meters,
+        seconds=seconds,
+        max_files_per_trigger=16,
+        stage_files=64,
+    )
+    batch_paths = ingest_batch(
+        spark, str(tmp_path / "batch"), num_meters=n_meters, seconds=seconds
+    )
+    for table in ("meter_samples_second", "meter_samples_day"):
+        got = read_stream_table(spark, stream_paths, table, commits)
+        want = read_table(spark, batch_paths, table)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), table
+
+
 def test_streaming_session_window_equals_batch_sessionization(spark, sf_small):
     """T6: the native session_window stateful aggregation must produce
     the same sessions as the batch lag/running-sum sessionization

@@ -146,6 +146,16 @@ def render(b: dict, src_name: str) -> str:
             for k, v in sorted(curve.items(), key=lambda kv: int(kv[0]))
         )
         lines.append(f"- **Streaming micro-batch size curve**: {pts}.")
+    ext = b.get("streaming_ingest_batch_size_curve_ext") or {}
+    if ext.get("points"):
+        pts = ", ".join(
+            f"{k} files/trigger → {v['samples_per_sec'] / 1e6:.1f}M/s"
+            for k, v in sorted(ext["points"].items(), key=lambda kv: int(kv[0]))
+        )
+        lines.append(
+            f"- **Extended curve ({ext.get('stage_files')} same-shaped "
+            f"files staged)**: {pts}."
+        )
     fp = b.get("flagship_prune")
     if fp:
         lines.append(
