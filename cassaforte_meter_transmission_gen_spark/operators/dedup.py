@@ -611,6 +611,7 @@ def semantic_duplicates_clustered(
     vec_col: str = "embedding",
     dim: int = 64,
     train_sample_denom: int | str | None = "auto",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """SemDeDup-shaped semantic near-dup pairs: cluster the embeddings
     with the deterministic fixed-point k-means (operators.similarity.
@@ -631,7 +632,12 @@ def semantic_duplicates_clustered(
     Fully oracle-able: centroids, assignment, and the within-cluster
     join are all deterministic given the data, so the serial SQL dual
     (plans.vector_oracles.dedup_semantic_clusters_sql) re-derives the
-    identical pair set bit for bit."""
+    identical pair set bit for bit.
+
+    ``centroids`` (pretrained) skips training — the registry query
+    serves from the shared persisted IVF/SemDeDup quantizer
+    (sources.ann_store.trained_ivf_centroids: same trainer, same
+    config, so the artifact is bit-identical to training here)."""
     from .similarity import (
         assign_to_centroid,
         cosine_pre,
@@ -639,15 +645,16 @@ def semantic_duplicates_clustered(
         l2_norm,
     )
 
-    centroids = kmeans_centroids(
-        vectors,
-        n_clusters=n_clusters,
-        n_iters=n_iters,
-        id_col=id_col,
-        vec_col=vec_col,
-        dim=dim,
-        train_sample_denom=train_sample_denom,
-    )
+    if centroids is None:
+        centroids = kmeans_centroids(
+            vectors,
+            n_clusters=n_clusters,
+            n_iters=n_iters,
+            id_col=id_col,
+            vec_col=vec_col,
+            dim=dim,
+            train_sample_denom=train_sample_denom,
+        )
     # candidates stay NARROW (id, cluster_id); vectors re-attach by id
     # only for the verify join — same shape as the LSH candidate path
     asg = assign_to_centroid(vectors, centroids, vec_col).select(
@@ -660,12 +667,18 @@ def semantic_duplicates_clustered(
         .filter(F.col("dup_a") < F.col("dup_b"))
         .select("dup_a", "dup_b")
     )
-    va = vectors.select(
+    # .alias() on the verify-side relations: this is the THIRD branch
+    # of the same source (asg already self-joins it), and without
+    # explicit aliases Spark 4.1's relation dedup can mis-bind the
+    # vector column when no prior job has analyzed the lineage
+    # (surfaced as INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at execution the
+    # moment the pretrained-centroid path removed the training jobs)
+    va = vectors.alias("sem_va").select(
         F.col(id_col).alias("dup_a"),
         F.col(vec_col).alias("va"),
         l2_norm(F.col(vec_col)).alias("na"),
     )
-    vb = vectors.select(
+    vb = vectors.alias("sem_vb").select(
         F.col(id_col).alias("dup_b"),
         F.col(vec_col).alias("vb"),
         l2_norm(F.col(vec_col)).alias("nb"),

@@ -616,6 +616,51 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_bmp_decode",
+    oracle="""
+WITH d AS (SELECT doc_id, doc_id % 5 + 2 AS w, doc_id % 3 + 2 AS h
+           FROM documents WHERE doc_id < 100)
+SELECT doc_id AS item_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       lower(array_to_string(
+         list_transform(range(0, w * h * 3),
+           i -> lpad(to_hex((doc_id * 7919 + (i // (w * 3)) * 31
+                             + ((i % (w * 3)) // 3) * 3 + (i % 3)) % 256),
+                     2, '0')),
+         '')) AS pixel_hex
+FROM d
+""",
+    tags=("multimodal", "codec", "bmp", "pandas-udf"),
+)
+def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A GENUINE image decode behind the multimodal seam (operators.
+    multimodal.bmp_encode/bmp_decode — pure-Python 24-bit BMP, no codec
+    libs): 100 deterministic synthetic patterns are encoded into real
+    BMP containers (headers, 4-byte row padding, bottom-up rows, BGR)
+    executor-side, then the decode path strips the container back off.
+    The oracle re-derives the canonical RGB pixel bytes from the same
+    integer pattern formula, so a hash-green row proves the decoder
+    recovered CONTENT — dimensions from the header and pixels through
+    the padding/row-order/channel-order transforms — not merely that
+    bytes round-tripped. Mixed widths (2-6) exercise every padding
+    amount 0-3. This replaces 'stubbed decode' with a real decoder for
+    one format; PIL/librosa plug into the same mapInPandas seam for
+    the rest."""
+    from ..operators.multimodal import decode_bmp_features, encode_synthetic_bmps
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 100).select("doc_id")
+    payloads = encode_synthetic_bmps(d, "doc_id")
+    feats = decode_bmp_features(payloads)
+    return feats.select(
+        "item_id",
+        "width",
+        "height",
+        F.lower(F.hex("pixels")).alias("pixel_hex"),
+    )
+
+
+@register(
     "tvf_python_udtf_chunks",
     oracle=f"""
 WITH d AS (

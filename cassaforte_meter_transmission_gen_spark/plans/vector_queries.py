@@ -349,10 +349,16 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact-cosine pairwise verify — the data-adaptive counterpart to
     the LSH buckets, and at 100 TB the cell id doubles as the storage
     partition key so the pairwise pass runs partition-local. Fully
-    hash-gated via the shared unrolled-k-means oracle chain."""
+    hash-gated via the shared unrolled-k-means oracle chain. Serves
+    from the persisted quantizer (same trainer+config as IVF, so the
+    artifact is shared — train once, every consumer reads)."""
     from ..operators.dedup import semantic_duplicates_clustered
+    from ..sources.ann_store import trained_ivf_centroids
 
-    return semantic_duplicates_clustered(_emb(spark, sf_dir), threshold=0.4)
+    cents = trained_ivf_centroids(spark, sf_dir)
+    return semantic_duplicates_clustered(
+        _emb(spark, sf_dir), threshold=0.4, centroids=cents
+    )
 
 
 @register(
@@ -565,12 +571,15 @@ def pipeline_cluster_quality_report(spark: SparkSession, sf_dir: str) -> DataFra
     assignment is a narrow projection, the join is id-on-id
     (co-partitionable by the shared key), and the aggregates are
     order-independent integer sums with one final double division —
-    value-hash gated through the unrolled-k-means oracle chain."""
-    from ..operators.similarity import assign_to_centroid, kmeans_centroids
+    value-hash gated through the unrolled-k-means oracle chain. Serves
+    from the persisted quantizer shared with IVF and semantic dedup
+    (sources.ann_store.trained_ivf_centroids)."""
+    from ..operators.similarity import assign_to_centroid
+    from ..sources.ann_store import trained_ivf_centroids
 
     e = _emb(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents")
-    cents = kmeans_centroids(e, n_clusters=16, train_sample_denom="auto")
+    cents = trained_ivf_centroids(spark, sf_dir)
     cells = assign_to_centroid(e, cents).select("vec_id", "cluster_id")
     return (
         cells.join(d, cells["vec_id"] == d["doc_id"])
