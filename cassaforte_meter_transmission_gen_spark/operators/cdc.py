@@ -48,3 +48,41 @@ def apply_changelog(
     )
     upserts = latest.filter(F.col(op_col) == "u").select(*snapshot.columns)
     return untouched.unionByName(upserts)
+
+
+def scd2_history(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2: instead of folding the change
+    feed into current state (:func:`apply_changelog`), KEEP every
+    version as a row with a validity interval. The snapshot contributes
+    the seq-0 version of each key; every 'u' change opens a new version;
+    the next event on the key (update OR delete) closes the previous
+    one. Output = snapshot columns + ``valid_from_seq`` /
+    ``valid_to_seq`` (NULL = still open) + ``is_current``; a key whose
+    last event is a delete has no current row.
+
+    Scale shape: one window partitioned by key over snapshot ∪ changes —
+    a single shuffle on the dimension key, no self-join, no iteration;
+    per-key version chains are tiny (the feed's per-key fan-in), so the
+    window never sees a skewed partition unless the feed itself is
+    pathological. Applying the same feed twice yields the same history
+    (pure re-derivation), the property that makes the build retry-safe.
+    """
+    payload = list(snapshot.columns)
+    base = snapshot.withColumn(seq_col, F.lit(0)).withColumn(op_col, F.lit("u"))
+    stream = base.unionByName(changes.select(*payload, seq_col, op_col))
+    w = Window.partitionBy(*key_cols).orderBy(seq_col)
+    hist = stream.withColumn(
+        "valid_to_seq", F.lead(F.col(seq_col)).over(w).cast("int")
+    )
+    return (
+        hist.filter(F.col(op_col) == "u")
+        .withColumn("valid_from_seq", F.col(seq_col).cast("int"))
+        .withColumn("is_current", F.col("valid_to_seq").isNull())
+        .select(*payload, "valid_from_seq", "valid_to_seq", "is_current")
+    )

@@ -117,3 +117,53 @@ def cms_estimate(
             )
         )
     )
+
+
+# --- KMV (k-minimum-values) distinct sketch ---
+
+KMV_K = 256
+# the md5-portable hash is 15 hex digits = 60 bits, uniform on [0, 16^15)
+KMV_DOMAIN = 16**15
+
+
+def kmv_hash_expr(key_sql: str) -> str:
+    """The md5-portable 60-bit hash of the key expression — the same
+    construction as the CMS rows (one engine-reproducible uniform hash),
+    minus the row prefix: KMV needs a single hash function."""
+    return (
+        f"CAST(CONV(SUBSTRING(MD5(CAST({key_sql} AS STRING)), 1, 15),"
+        " 16, 10) AS BIGINT)"
+    )
+
+
+def kmv_sketch(df: DataFrame, key_sql: str, k: int = KMV_K) -> DataFrame:
+    """The k smallest distinct hash values of ``key_sql`` over ``df`` —
+    a fixed-size, MERGEABLE distinct-count sketch: the k smallest of a
+    union is a subset of the union of per-slice k-smallest, so sketches
+    of disjoint shards merge by union + re-take-k (:func:`kmv_merge`).
+
+    Scale shape: distinct-of-hash partial-aggregates map-side, and the
+    k-smallest selection is a TakeOrdered (per-partition top-k, then a
+    single k-row merge) — never a single-partition global-sort window.
+    ``key_sql`` is plan-authored SQL text (a column or expression built
+    by catalog code, never user data — the sqltext.py splice rules).
+    Output column: ``h``."""
+    h = F.expr(kmv_hash_expr(key_sql))
+    return df.select(h.alias("h")).distinct().orderBy("h").limit(k)
+
+
+def kmv_merge(sketches: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Union sketch from a stack of per-slice sketches (column ``h``):
+    dedupe and re-take the k smallest."""
+    return sketches.distinct().orderBy("h").limit(k)
+
+
+def kmv_estimate_col(n_col, max_h_col, k: int = KMV_K):
+    """Distinct-count estimate from (sketch size, k-th smallest hash):
+    exact when the set had fewer than k distinct values (the sketch IS
+    the value set), else the classic (k-1)·D / h_(k) estimator. Pure
+    double arithmetic on exactly-representable literals → bit-identical
+    across engines; floor-then-cast per the catalog convention."""
+    return F.when(n_col < k, n_col).otherwise(
+        F.floor(F.lit(float(k - 1)) * F.lit(float(KMV_DOMAIN)) / max_h_col)
+    ).cast("long")

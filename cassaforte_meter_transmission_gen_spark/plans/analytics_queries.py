@@ -1714,3 +1714,247 @@ def scalar_bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(shiftright(o_orderkey, 2) AS BIGINT) AS key_shr",
         "CAST(bit_count(o_orderkey) AS INT) AS key_popcount",
     )
+
+
+@register(
+    "agg_copurchase_brand_pairs",
+    oracle="""
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+)
+SELECT brand_a, brand_b, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM pairs
+GROUP BY 1, 2
+ORDER BY n_orders DESC, brand_a, brand_b
+LIMIT 30
+""",
+    tags=("agg", "market-basket", "self-join"),
+)
+def agg_copurchase_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top-30 brand pairs most often
+    bought together in one order (support counting, the first stage of
+    association-rule mining). The brand dimension is a broadcast join;
+    the pair generation is a SELF-join of the per-order distinct brand
+    set on the order key — fan-out is bounded by (brands per order
+    choose 2), and TPC-H-shaped orders carry ≤ 7 lines, so the blowup
+    is a small constant, never quadratic in the table. Distinct-first
+    (order, brand) collapses repeated same-brand lines before the self
+    join, and both sides of the self-join share the l_orderkey shuffle
+    partitioning, so Catalyst plans one exchange reused twice. Top-30
+    by (count, pair) is a TakeOrdered, not a global sort."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
+    b = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_b"))
+    pairs = a.join(b, "l_orderkey").filter(F.col("brand_a") < F.col("brand_b"))
+    return (
+        pairs.groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "brand_a", "brand_b")
+        .limit(30)
+    )
+
+
+@register(
+    "profile_expectations_orders",
+    oracle="""
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS null_custkey,
+  CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_totalprice,
+  CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+  CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                  OR o_orderdate >= TIMESTAMP '2030-01-01'
+                THEN 1 ELSE 0 END) AS BIGINT) AS out_of_range_date,
+  CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS duplicate_keys
+FROM orders
+""",
+    tags=("profile", "data-quality", "expectations"),
+)
+def profile_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite over orders — the gate a training
+    pipeline runs before admitting a snapshot: null checks, value-range
+    checks (positive price, sane date window), accepted-values checks
+    (order status domain), and key-uniqueness, all folded into ONE
+    conditional-aggregation pass (single scan, map-side partials, one
+    row out). count_distinct adds the only shuffle, carrying distinct
+    keys only; every other expectation is a counter. Complements
+    profile_referential_integrity (cross-table) with the in-table
+    expectation classes."""
+    o = _t(spark, sf_dir, "orders")
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        flag(F.col("o_custkey").isNull()).alias("null_custkey"),
+        flag(
+            F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)
+        ).alias("nonpositive_totalprice"),
+        flag(~F.col("o_orderstatus").isin("O", "F", "P")).alias("bad_status"),
+        flag(
+            (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+            | (F.col("o_orderdate") >= F.lit("2030-01-01").cast("timestamp"))
+        ).alias("out_of_range_date"),
+        (F.count("*") - F.count_distinct("o_orderkey"))
+        .cast("long")
+        .alias("duplicate_keys"),
+    )
+
+
+@register(
+    "sketch_kmv_userdays_jaccard",
+    oracle="""
+WITH ka AS (
+  SELECT h FROM (
+    SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':'
+      || CAST(CAST(ts AS DATE) AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+    FROM events WHERE event_type = 'click')
+  ORDER BY h LIMIT 256
+),
+kb AS (
+  SELECT h FROM (
+    SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':'
+      || CAST(CAST(ts AS DATE) AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+    FROM events WHERE event_type = 'purchase')
+  ORDER BY h LIMIT 256
+),
+ku AS (
+  SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb)
+  ORDER BY h LIMIT 256
+),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM ka) AS n_a, (SELECT MAX(h) FROM ka) AS max_a,
+         (SELECT COUNT(*) FROM kb) AS n_b, (SELECT MAX(h) FROM kb) AS max_b,
+         (SELECT COUNT(*) FROM ku) AS n_u, (SELECT MAX(h) FROM ku) AS max_u,
+         (SELECT COUNT(*) FROM ku
+           WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb))
+           AS n_match
+),
+ex AS (
+  SELECT
+    COUNT(DISTINCT CASE WHEN event_type = 'click' THEN key END)
+      AS exact_click,
+    COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN key END)
+      AS exact_purchase,
+    COUNT(DISTINCT key) AS exact_union
+  FROM (SELECT event_type,
+               CAST(user_id AS VARCHAR) || ':'
+                 || CAST(CAST(ts AS DATE) AS VARCHAR) AS key
+        FROM events WHERE event_type IN ('click', 'purchase'))
+),
+ests AS (
+  SELECT
+    CAST(CASE WHEN n_a < 256 THEN n_a
+         ELSE CAST(FLOOR(255.0 * 1152921504606846976.0 / max_a) AS BIGINT)
+         END AS BIGINT) AS est_click,
+    CAST(CASE WHEN n_b < 256 THEN n_b
+         ELSE CAST(FLOOR(255.0 * 1152921504606846976.0 / max_b) AS BIGINT)
+         END AS BIGINT) AS est_purchase,
+    CAST(CASE WHEN n_u < 256 THEN n_u
+         ELSE CAST(FLOOR(255.0 * 1152921504606846976.0 / max_u) AS BIGINT)
+         END AS BIGINT) AS est_union,
+    CAST(n_match AS DOUBLE) / 256.0 AS jaccard_kmv
+  FROM stats
+)
+SELECT CAST(256 AS INT) AS kmv_k,
+       est_click, est_purchase, est_union, jaccard_kmv,
+       CAST(FLOOR(jaccard_kmv * est_union) AS BIGINT) AS est_intersection,
+       CAST(exact_click AS BIGINT) AS exact_click,
+       CAST(exact_purchase AS BIGINT) AS exact_purchase,
+       CAST(exact_union AS BIGINT) AS exact_union,
+       CAST(exact_click + exact_purchase - exact_union AS BIGINT)
+         AS exact_intersection
+FROM ests, ex
+""",
+    tags=("agg", "approx", "sketch", "kmv", "set-cardinality"),
+)
+def sketch_kmv_userdays_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketches over two activity sets —
+    click user-days vs purchase user-days — with set-operation
+    estimates the sketches are built for: per-set distinct counts, the
+    UNION estimate from the merged sketch, and the INTERSECTION via the
+    sketch-Jaccard (matching hashes in the union sketch / k). Exact
+    counts ride beside every estimate, so the oracle gate pins the
+    estimator's exact arithmetic, not a tolerance band (same discipline
+    as the CMS rows; unlike the bound-pinned HLL entries this sketch is
+    built on the md5-portable hash and is FULLY value-hash gated).
+
+    Scale shape (operators.sketches.kmv_*): each sketch is one
+    distinct-of-hash pass (map-side partials) into a TakeOrdered k-row
+    result — fixed-size driver-independent state, mergeable across
+    shards/days by union + re-take-k, exactly like the CMS cell-wise
+    merge. The estimator (k−1)·D/h_(k) and the Jaccard ratio are pure
+    double arithmetic on exactly-representable literals — bit-identical
+    across engines. The exact side is ONE conditional count_distinct
+    pass; intersection exactness via inclusion-exclusion, no INTERSECT
+    materialization."""
+    from ..operators.sketches import (
+        KMV_K,
+        kmv_estimate_col,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    key_sql = (
+        "CONCAT(CAST(user_id AS STRING), ':',"
+        " CAST(CAST(ts AS DATE) AS STRING))"
+    )
+    e = _t(spark, sf_dir, "events")
+    ska = kmv_sketch(e.filter(F.col("event_type") == "click"), key_sql)
+    skb = kmv_sketch(e.filter(F.col("event_type") == "purchase"), key_sql)
+    sku = kmv_merge(ska.unionByName(skb))
+
+    stats_a = ska.agg(F.count("*").alias("n_a"), F.max("h").alias("max_a"))
+    stats_b = skb.agg(F.count("*").alias("n_b"), F.max("h").alias("max_b"))
+    stats_u = sku.agg(F.count("*").alias("n_u"), F.max("h").alias("max_u"))
+    matches = (
+        sku.join(ska, "h", "left_semi")
+        .join(skb, "h", "left_semi")
+        .agg(F.count("*").alias("n_match"))
+    )
+    keyc = F.expr(key_sql)
+    exact = e.filter(F.col("event_type").isin("click", "purchase")).agg(
+        F.count_distinct(
+            F.when(F.col("event_type") == "click", keyc)
+        ).alias("exact_click"),
+        F.count_distinct(
+            F.when(F.col("event_type") == "purchase", keyc)
+        ).alias("exact_purchase"),
+        F.count_distinct(keyc).alias("exact_union"),
+    )
+
+    row = (
+        stats_a.crossJoin(F.broadcast(stats_b))
+        .crossJoin(F.broadcast(stats_u))
+        .crossJoin(F.broadcast(matches))
+        .crossJoin(F.broadcast(exact))
+    )
+    est_union = kmv_estimate_col(F.col("n_u"), F.col("max_u"))
+    jaccard = F.col("n_match").cast("double") / F.lit(float(KMV_K))
+    return row.select(
+        F.lit(KMV_K).cast("int").alias("kmv_k"),
+        kmv_estimate_col(F.col("n_a"), F.col("max_a")).alias("est_click"),
+        kmv_estimate_col(F.col("n_b"), F.col("max_b")).alias("est_purchase"),
+        est_union.alias("est_union"),
+        jaccard.alias("jaccard_kmv"),
+        F.floor(jaccard * est_union).cast("long").alias("est_intersection"),
+        F.col("exact_click").cast("long").alias("exact_click"),
+        F.col("exact_purchase").cast("long").alias("exact_purchase"),
+        F.col("exact_union").cast("long").alias("exact_union"),
+        (F.col("exact_click") + F.col("exact_purchase") - F.col("exact_union"))
+        .cast("long")
+        .alias("exact_intersection"),
+    )

@@ -1276,6 +1276,15 @@ def cdc_changelog_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     addition on doubles is bit-equal across engines."""
     from ..operators.cdc import apply_changelog
 
+    snap, changes = _orders_snapshot_and_changelog(spark, sf_dir)
+    return apply_changelog(snap, changes, key_cols=["o_orderkey"])
+
+
+def _orders_snapshot_and_changelog(spark: SparkSession, sf_dir: str):
+    """Shared fixture for the CDC family: the orders snapshot plus a
+    deterministic, self-derived change feed (two competing updates on
+    %10=7 keys, a delete tombstone on %10=3 keys) that the DuckDB
+    oracles re-derive with identical arithmetic."""
     snap = _t(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_orderstatus",
@@ -1309,4 +1318,132 @@ def cdc_changelog_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return apply_changelog(snap, changes, key_cols=["o_orderkey"])
+    return snap, changes
+
+
+_CDC_CHANGES_CTE = """
+snap AS (
+  SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+  FROM orders
+),
+changes AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(o_totalprice + 50 AS DOUBLE) AS o_totalprice,
+         1 AS seq, 'u' AS op
+  FROM snap WHERE o_orderkey % 10 = 7
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus,
+         CAST(o_totalprice + 100 AS DOUBLE) AS o_totalprice,
+         2 AS seq, 'u' AS op
+  FROM snap WHERE o_orderkey % 10 = 7
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS seq, 'd' AS op
+  FROM snap WHERE o_orderkey % 10 = 3
+)
+"""
+
+
+@register(
+    "cdc_scd2_orders_history",
+    oracle=f"""
+WITH {_CDC_CHANGES_CTE.strip()},
+stream AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS seq, 'u' AS op FROM snap
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice, seq, op FROM changes
+),
+hist AS (
+  SELECT *,
+         lead(seq) OVER (PARTITION BY o_orderkey ORDER BY seq) AS next_seq
+  FROM stream
+)
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+       CAST(seq AS INT) AS valid_from_seq,
+       CAST(next_seq AS INT) AS valid_to_seq,
+       (next_seq IS NULL) AS is_current
+FROM hist WHERE op = 'u'
+""",
+    tags=("cdc", "scd2", "history"),
+)
+def cdc_scd2_orders_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 build (operators.cdc.scd2_history): the same derived
+    change feed as cdc_changelog_apply_orders, but materialized as a
+    full version history — every update opens a version, the next event
+    on the key closes the previous one, deletes close without opening.
+    Keys ending %10=7 end with three versions (seq 0→1→2, last current);
+    %10=3 keys end closed with no current row; untouched keys are a
+    single open seq-0 version. One key-partitioned window over
+    snapshot ∪ changes — a single shuffle on the dimension key, no
+    self-join (see the operator docstring for the 100 TB argument)."""
+    from ..operators.cdc import scd2_history
+
+    snap, changes = _orders_snapshot_and_changelog(spark, sf_dir)
+    return scd2_history(snap, changes, key_cols=["o_orderkey"])
+
+
+# --- blocked fuzzy join (entity resolution / record linkage) ---
+
+@register(
+    "join_fuzzy_blocked_levenshtein",
+    oracle=r"""
+WITH catalog AS (SELECT DISTINCT p_name FROM part),
+probes AS (SELECT DISTINCT substr(p_name, 2) AS probe FROM part),
+cand AS (
+  SELECT p.probe, c.p_name AS matched_name,
+         levenshtein(p.probe, c.p_name) AS distance
+  FROM probes p JOIN catalog c
+    ON regexp_extract(p.probe, '(\S+)$', 1)
+     = regexp_extract(c.p_name, '(\S+)$', 1)
+),
+best AS (
+  SELECT probe, matched_name, distance,
+         row_number() OVER (PARTITION BY probe
+                            ORDER BY distance, matched_name) AS rn
+  FROM cand WHERE distance <= 2
+)
+SELECT probe, matched_name, CAST(distance AS INT) AS distance
+FROM best WHERE rn = 1
+""",
+    tags=("join", "fuzzy", "blocking", "entity-resolution"),
+)
+def join_fuzzy_blocked_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage by blocked fuzzy join: dirty probe names (each
+    catalog name with its first character dropped — a deterministic
+    typo the oracle re-derives) are resolved back to the catalog via
+    edit distance ≤ 2, best match per probe (min distance, then name —
+    a unique tie-break).
+
+    The blocking key is the last whitespace token: candidates are
+    generated ONLY within a block, never all-pairs — at 100 TB the
+    quadratic blowup of a naive fuzzy join is confined to per-block
+    group sizes, the same move as the LSH band join in
+    operators/dedup.py. Both sides are first collapsed to DISTINCT
+    names (the name domain, not the fact rows), and the deduped catalog
+    is broadcast, so the probe side never shuffles for the match."""
+    part = _t(spark, sf_dir, "part")
+    block = lambda c: F.regexp_extract(c, r"(\S+)$", 1)  # noqa: E731
+    catalog = (
+        part.select(F.col("p_name").alias("matched_name"))
+        .distinct()
+        .withColumn("block", block(F.col("matched_name")))
+    )
+    probes = (
+        part.select(F.expr("substr(p_name, 2)").alias("probe"))
+        .distinct()
+        .withColumn("block", block(F.col("probe")))
+    )
+    cand = (
+        probes.join(F.broadcast(catalog), "block")
+        .withColumn(
+            "distance", F.levenshtein(F.col("probe"), F.col("matched_name"))
+        )
+        .filter(F.col("distance") <= 2)
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("probe").orderBy("distance", "matched_name")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("probe", "matched_name", F.col("distance").cast("int").alias("distance"))
+    )

@@ -557,3 +557,54 @@ def test_tfidf_group_limit_below_window_shuffle(spark, sf_small):
     plan = _plan(df)
     assert "WindowGroupLimit" in plan and "Partial" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_scd2_single_window_no_self_join(spark, sf_small):
+    """SCD2 history must be one key-partitioned window over
+    snapshot ∪ changes — any join in the plan means the operator
+    regressed to the self-join formulation."""
+    plan = _plan(REGISTRY["cdc_scd2_orders_history"].fn(spark, sf_small))
+    assert "Window" in plan
+    assert "Join" not in plan, plan
+
+
+def test_fuzzy_join_broadcasts_catalog(spark, sf_small):
+    """The deduped catalog broadcasts; the probe side never shuffles
+    for the match, and best-match-per-probe uses the partial
+    WindowGroupLimit (rank pushed below the window shuffle)."""
+    plan = _plan(REGISTRY["join_fuzzy_blocked_levenshtein"].fn(spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_attribution_single_touch_join(spark, sf_small):
+    """Linear attribution: ONE purchase↔touch join (the n_touches count
+    is a window over the join output, not a second join)."""
+    plan = _plan(REGISTRY["events_attribution_linear_7d"].fn(spark, sf_small))
+    assert plan.count("Join") == 1, plan
+    assert "Window" in plan
+
+
+def test_copurchase_broadcasts_part_take_ordered(spark, sf_small):
+    """Brand pairs: the part dimension broadcasts (the fact side never
+    shuffles for it) and the top-30 is a TakeOrdered, never a global
+    sort."""
+    plan = _plan(REGISTRY["agg_copurchase_brand_pairs"].fn(spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_kmv_sketch_take_ordered_partial_agg(spark, sf_small):
+    """Each KMV sketch is distinct-of-hash (map-side partial agg) into
+    a TakeOrdered — never a single-partition global-sort window."""
+    from cassaforte_meter_transmission_gen_spark.operators.sketches import (
+        kmv_sketch,
+    )
+
+    df = spark.range(10000).selectExpr("CONCAT('k', id) AS k")
+    plan = _plan(kmv_sketch(df, "k"))
+    assert "TakeOrderedAndProject" in plan
+    # the distinct is a two-phase hash agg (map-side partial), and the
+    # sketch never plans a single-partition sort
+    assert plan.count("HashAggregate") >= 2
+    assert "Sort " not in plan, plan
