@@ -687,3 +687,102 @@ def events_hourly_load_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("n_users"),
         dec_sum(F.col("value")).alias("total_value"),
     )
+
+
+@register(
+    "events_attribution_linear_7d",
+    oracle=f"""
+WITH purchases AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT user_id, ts, event_type FROM events WHERE event_type <> 'purchase'
+),
+credited AS (
+  SELECT p.event_id, p.value, t.event_type,
+         COUNT(*) OVER (PARTITION BY p.event_id) AS n_touches
+  FROM purchases p JOIN touches t
+    ON t.user_id = p.user_id
+   AND t.ts <= p.ts
+   AND t.ts > p.ts - INTERVAL 7 DAY
+)
+SELECT event_type AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_credits,
+       CAST(SUM(CAST(value / n_touches AS DECIMAL(18,6))) AS DOUBLE)
+         AS credited_value
+FROM credited
+GROUP BY 1
+""",
+    tags=("events", "attribution", "interval-join"),
+)
+def events_attribution_linear_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value is split
+    equally across every non-purchase touch by the same user in the 7
+    days up to the purchase, then credited value is rolled up per
+    channel (event_type). The complement of the last-touch as-of join
+    (events_asof_purchase_last_click): every touch in the lookback gets
+    fractional credit, not just the latest.
+
+    Scale shape: the purchase↔touch match is an equi-join on user_id
+    with a bounded time-range predicate — it shuffles both sides once
+    on user_id and the range filter caps per-purchase fan-out at the
+    user's 7-day touch count. The per-purchase touch count comes from a
+    window over the join output partitioned by the (unique) purchase
+    event_id — no second join, no driver state. The per-credit double
+    division is bit-identical across engines; the credit SUM uses the
+    decimal-exact trick (compat.py) so parallel summation can't drift.
+    """
+    e = _ev(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts"), "value"
+    )
+    touches = e.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    joined = purchases.join(
+        touches,
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("t_ts") <= F.col("p_ts"))
+        & (F.col("t_ts") > F.col("p_ts") - F.expr("INTERVAL 7 DAY")),
+    )
+    w = W.partitionBy("event_id")
+    credited = joined.withColumn("n_touches", F.count("*").over(w))
+    return credited.groupBy("channel").agg(
+        F.count("*").alias("n_credits"),
+        dec_sum(F.col("value") / F.col("n_touches")).alias("credited_value"),
+    )
+
+
+@register(
+    "streaming_enrich_join_user_profile",
+    oracle="""
+WITH prof AS (
+  SELECT user_id, COUNT(*) AS user_n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS user_total
+  FROM events GROUP BY 1
+)
+SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(p.user_total AS DECIMAL(18,6))) AS DOUBLE)
+         AS sum_user_total,
+       CAST(SUM(p.user_n) AS BIGINT) AS sum_user_n
+FROM events e JOIN prof p ON e.user_id = p.user_id
+GROUP BY 1
+""",
+    tags=("events", "streaming", "stream-static-join"),
+)
+def streaming_enrich_join_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE stream-static enrichment join
+    (streaming.pipeline.run_bounded_enrich_join): events replayed as a
+    bounded stream, each joined to the batch-built per-user profile
+    (count + decimal-exact lifetime value), rolled up per event type.
+    Completes the streaming join surface: stream-stream interval join
+    (streaming_interval_join_30m) + this stream-static lookup. Gated
+    against the batch join+agg oracle; the enrichment sums aggregate
+    the profile columns themselves decimal-exactly (a re-quantized
+    per-user quotient would hit the engines' double→decimal rounding
+    midpoint divergence — see the runner's NOTE)."""
+    from ..streaming.pipeline import run_bounded_enrich_join
+
+    return run_bounded_enrich_join(spark, sf_dir)

@@ -738,6 +738,71 @@ def run_bounded_sessions(
     return spark.table(name)
 
 
+def run_bounded_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment join — the remaining join member of the
+    Structured Streaming surface next to the stream-stream interval
+    join: live events joined to a batch-built per-user profile table
+    (the feature/profile-store lookup every production event pipeline
+    runs), then aggregated per event type.
+
+    Mechanics at scale: the static side is a plain DataFrame — no
+    watermark, no join state store; Spark broadcasts it per micro-batch
+    (explicit hint here; at profile-table sizes beyond broadcast the
+    hint drops and it becomes a shuffled join re-planned per batch).
+    The per-user average is computed once on the static side, so the
+    stream-side work per event is one hash probe + one running agg.
+    Driven to completion over a bounded file stream (complete mode,
+    availableNow) and gated against the batch join+agg oracle — decimal
+    sums make the result independent of micro-batch arrival order."""
+    from ..schemas import load_table
+
+    stage = tempfile.mkdtemp(prefix="events_enrich_stream_")
+    atexit.register(shutil.rmtree, stage, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    ev.write.mode("overwrite").parquet(stage)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(stage)
+    )
+    profile = ev.groupBy("user_id").agg(
+        F.count("*").alias("user_n"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("user_total"),
+    )
+    # NOTE: aggregate the joined profile columns themselves, never a
+    # re-quantized quotient — CAST(computed_double AS DECIMAL) rounds
+    # HALF_UP in Spark vs round-nearest in DuckDB and computed values
+    # land on midpoints; profile values are already on the decimal grid
+    # so the round-trip through double is exact.
+    agg = (
+        stream.join(F.broadcast(profile), "user_id")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("user_total").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_user_total"),
+            F.sum("user_n").cast("long").alias("sum_user_n"),
+        )
+    )
+    name = f"stream_enrich_{_slug(sf_dir)}"
+    with tempfile.TemporaryDirectory(prefix="enrich_ckpt_") as ckpt:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
 def run_bounded_interval_join(
     spark: SparkSession, sf_dir: str, window: str = "30 minutes"
 ) -> DataFrame:
