@@ -72,6 +72,10 @@ SCALE_PATHS = [
     # new path) and the bucketed prefix-sum global rank
     "text_unigram_logprob_filter",
     "agg_equidepth_price_deciles",
+    # round-8 additions: the 4-table fact join feeding 3 integer
+    # PageRank iterations, and the 7-day interval-join attribution
+    "graph_pagerank_nation_trade",
+    "events_attribution_linear_7d",
 ]
 
 

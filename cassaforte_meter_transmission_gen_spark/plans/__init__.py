@@ -12,4 +12,5 @@ from . import events_queries  # noqa: F401
 from . import source_queries  # noqa: F401
 from . import text_queries  # noqa: F401
 from . import vector_queries  # noqa: F401
+from . import graph_queries  # noqa: F401
 from .catalog import REGISTRY, Query, register  # noqa: F401

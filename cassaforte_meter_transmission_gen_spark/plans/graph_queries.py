@@ -1,0 +1,201 @@
+"""Graph analytics over relationship structures derived from the
+corpus (SURVEY §2.10 extension family): weighted PageRank on the
+nation-level trade network and triangle counting on the brand
+co-purchase graph.
+
+These join the connected-components labeller (operators/dedup.py,
+inside ``dedup_minhash_groups``) as the engine's iterative/graph
+surface. Both queries are INTEGER-EXACT so the DuckDB oracle gate pins
+every rank and count by value — the same move as the micro-nat
+perplexity totals: PageRank mass is carried in parts-per-billion
+int64s and every damping/split step is integer multiply-then-DIV,
+bit-equal across engines by construction (double-based PageRank could
+never cross-engine match — parallel summation order changes low bits).
+
+Scale notes:
+- The edge lists here are DIMENSION-sized (≤ nations², ≤ brands²) after
+  one fact-scan aggregation — the fact table is touched once to build
+  edges, never per iteration. At 100 TB that one scan shuffles
+  (src, dst) partial counts only.
+- Each PageRank iteration is edges ⋈ ranks ⋈ outdeg + one groupBy —
+  rank state lives in the cluster, nothing collects to the driver; a
+  billion-node graph shards by vertex id exactly like the min-label
+  CC loop. Fixed iteration count (3) keeps the plan statically
+  analyzable; the CC loop's convergence-or-raise pattern applies when
+  iterating to a fixpoint instead.
+- Triangle enumeration uses the a<b<c ordered edge list so each
+  triangle is produced exactly once; the production-scale refinement
+  (orient edges from lower- to higher-degree endpoints so the join
+  fan-out is bounded by arboricity) drops in without changing the
+  count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import load_table
+from .catalog import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _pagerank_iteration_sql(prev: str, this: str) -> str:
+    """One unrolled integer-PageRank step for the DuckDB oracle
+    (materialized: DuckDB re-inlines plain CTEs at every reference)."""
+    return f"""
+{this} AS MATERIALIZED (
+  SELECT nodes.n,
+         CAST(150000000 + (85 * COALESCE(inf.m, 0)) // 100 AS BIGINT) AS r
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS n, SUM((r.r * e.w) // o.tw) AS m
+    FROM edges e
+    JOIN {prev} r ON e.src = r.n
+    JOIN outdeg o ON e.src = o.src
+    GROUP BY 1
+  ) inf ON nodes.n = inf.n
+)"""
+
+
+_PAGERANK_ORACLE = f"""
+WITH edges AS MATERIALIZED (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+),
+nodes AS MATERIALIZED (SELECT src AS n FROM edges UNION SELECT dst FROM edges),
+outdeg AS MATERIALIZED (
+  SELECT src, CAST(SUM(w) AS BIGINT) AS tw FROM edges GROUP BY 1
+),
+r0 AS (SELECT n, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+{_pagerank_iteration_sql("r0", "i1").strip().rstrip()},
+{_pagerank_iteration_sql("i1", "i2").strip()},
+{_pagerank_iteration_sql("i2", "i3").strip()}
+SELECT nt.n_nationkey AS nationkey, nt.n_name, i3.r AS rank_ppb
+FROM i3 JOIN nation nt ON i3.n = nt.n_nationkey
+"""
+
+
+@register(
+    "graph_pagerank_nation_trade",
+    oracle=_PAGERANK_ORACLE,
+    tags=("graph", "pagerank", "iterative", "integer-exact"),
+)
+def graph_pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (damping 0.85, 3 power iterations) over the
+    nation trade network: one directed edge customer-nation →
+    supplier-nation per trading pair, weighted by lineitem count.
+
+    Integer-exact formulation: ranks are parts-per-billion int64s
+    seeded at 1e9 per node; each step sends ``(r·w) DIV out_total``
+    along every edge and re-bases as ``0.15·1e9 + (85·inflow) DIV 100``
+    — every operation is int64 multiply/sum/truncating-divide, so the
+    oracle matches bit-for-bit (the conventional double formulation is
+    unmatchable across engines by summation order). Nodes with no
+    in-edges keep the teleport base; out-edge-less nodes would leak
+    mass (none exist in this network — the standard dangling-node
+    redistribution drops in if needed).
+
+    Scale: the fact scan happens ONCE into the (src, dst, w) edge agg
+    — localCheckpoint pins it so the 3 unrolled iterations reuse the
+    materialized edges instead of re-deriving the 4-table join per
+    step (the CC labeller's move). Per iteration: one edges⋈ranks⋈
+    outdeg join + one partial-agg groupBy; rank state never touches
+    the driver. Cited shapes: reference has no graph surface
+    (core.clj); this extends the §2.10 pipeline families."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count("*").cast("long").alias("w"))
+        .localCheckpoint(eager=True)  # dimension-sized; reused 3×+2 below
+    )
+    from ..operators.graph import integer_pagerank
+
+    r = integer_pagerank(edges, n_iters=3)
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return r.join(
+        F.broadcast(nation), r.n == nation.n_nationkey
+    ).select(
+        F.col("n_nationkey").alias("nationkey"),
+        "n_name",
+        F.col("r").alias("rank_ppb"),
+    )
+
+
+@register(
+    "graph_triangle_count_brands",
+    oracle="""
+WITH ob AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+edges AS MATERIALIZED (
+  SELECT a.p_brand AS ba, b.p_brand AS bb
+  FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 20
+)
+SELECT
+  CAST((SELECT COUNT(*) FROM (SELECT ba AS x FROM edges
+                              UNION SELECT bb FROM edges)) AS BIGINT)
+    AS n_nodes,
+  CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+  CAST((SELECT COUNT(*)
+        FROM edges e1
+        JOIN edges e2 ON e2.ba = e1.bb
+        JOIN edges e3 ON e3.ba = e1.ba AND e3.bb = e2.bb) AS BIGINT)
+    AS n_triangles
+""",
+    tags=("graph", "triangles", "self-join"),
+)
+def graph_triangle_count_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count on the brand co-purchase graph (edges = brand
+    pairs co-bought in ≥ 20 orders — the support threshold keeps the
+    graph sparse instead of trivially complete). The ordered edge list
+    (ba < bb) makes each triangle (a<b<c) match exactly one
+    (e1=(a,b), e2=(b,c), e3=(a,c)) join assignment — counted once, no
+    /6 correction, no symmetric blowup.
+
+    Scale: the fact table is scanned once into the distinct
+    (order, brand) set; the edge list is dimension²-bounded and the
+    triangle join runs over edges only. At a billion-node scale the
+    standard refinement — orient each edge from its lower-degree to
+    higher-degree endpoint before the wedge join, bounding fan-out by
+    graph arboricity — changes the join keys, not the count."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.select("l_orderkey", F.col("p_brand").alias("ba"))
+    b = ob.select("l_orderkey", F.col("p_brand").alias("bb"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("ba") < F.col("bb"))
+        .groupBy("ba", "bb")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 20)
+        .select("ba", "bb")
+        .localCheckpoint(eager=True)  # brand²-bounded; reused 5× below
+    )
+    from ..operators.graph import triangle_count
+
+    return triangle_count(edges)

@@ -608,3 +608,17 @@ def test_kmv_sketch_take_ordered_partial_agg(spark, sf_small):
     # sketch never plans a single-partition sort
     assert plan.count("HashAggregate") >= 2
     assert "Sort " not in plan, plan
+
+
+def test_pagerank_edges_pinned_no_fact_rescan(spark, sf_small):
+    """The PageRank iterations must run over the localCheckpoint-pinned
+    edge list: a lineitem/orders parquet scan in the returned plan
+    means the 4-table fact join is being re-derived per iteration."""
+    plan = _plan(REGISTRY["graph_pagerank_nation_trade"].fn(spark, sf_small))
+    assert "lineitem" not in plan and "orders" not in plan, plan
+    assert "BroadcastHashJoin" in plan  # the nation name join
+
+
+def test_triangle_edges_pinned_no_fact_rescan(spark, sf_small):
+    plan = _plan(REGISTRY["graph_triangle_count_brands"].fn(spark, sf_small))
+    assert "lineitem" not in plan and "part.parquet" not in plan, plan
