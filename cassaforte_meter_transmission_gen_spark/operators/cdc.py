@@ -76,6 +76,24 @@ def scd2_history(
     payload = list(snapshot.columns)
     base = snapshot.withColumn(seq_col, F.lit(0)).withColumn(op_col, F.lit("u"))
     stream = base.unionByName(changes.select(*payload, seq_col, op_col))
+    return versions_from_stream(stream, payload, key_cols, seq_col, op_col)
+
+
+def versions_from_stream(
+    stream: DataFrame,
+    payload: list[str],
+    key_cols: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """The SCD2 version-chaining core over an already-merged event
+    stream (rows = payload + seq + op, any seq base): one
+    key-partitioned window; each 'u' row becomes a version open from
+    its seq until the key's next event. Shared by the batch build
+    (:func:`scd2_history`, which seeds seq 0 from the snapshot) and the
+    streaming maintenance (streaming.pipeline.scd2_batch_fn, which
+    seeds each affected key from its committed OPEN version so the
+    chain continues across micro-batches)."""
     w = Window.partitionBy(*key_cols).orderBy(seq_col)
     hist = stream.withColumn(
         "valid_to_seq", F.lead(F.col(seq_col)).over(w).cast("int")

@@ -786,3 +786,128 @@ def streaming_enrich_join_user_profile(spark: SparkSession, sf_dir: str) -> Data
     from ..streaming.pipeline import run_bounded_enrich_join
 
     return run_bounded_enrich_join(spark, sf_dir)
+
+
+def _ewma_case_sql(col: str = "rn") -> tuple[str, int]:
+    """Shared weight table for the trailing EWMA: decay 0.9 over the
+    last 8 events as EXACT integer coefficients on the common
+    denominator 10^7 — c_k = 9^k · 10^(7−k) for lag k (rn = k+1).
+    Emitting one CASE text used verbatim by BOTH engines keeps the
+    arithmetic pure int64: max term = value_ppm(≤~5e8) · 1e7 · 8 rows
+    ≈ 4e16, well inside int64."""
+    coeffs = [9**k * 10 ** (7 - k) for k in range(8)]
+    case = (
+        "CASE "
+        + " ".join(
+            f"WHEN {col} = {k + 1} THEN {c}" for k, c in enumerate(coeffs)
+        )
+        + " ELSE 0 END"
+    )
+    return case, sum(coeffs)
+
+
+@register(
+    "events_ewma_user_value",
+    oracle=f"""
+WITH ranked AS (
+  SELECT user_id,
+         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v_ppm,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+),
+last8 AS (
+  SELECT user_id, v_ppm, {_ewma_case_sql()[0]} AS c
+  FROM ranked WHERE rn <= 8
+)
+SELECT user_id,
+       CAST(COUNT(*) AS INT) AS n_used,
+       CAST(SUM(v_ppm * c) // SUM(c) AS BIGINT) AS ewma_micro
+FROM last8
+GROUP BY user_id
+""",
+    tags=("events", "time-series", "ewma", "integer-exact"),
+)
+def events_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing exponentially-weighted moving average (decay 0.9) of
+    each user's last 8 event values — the time-series smoothing read a
+    monitoring pipeline serves per entity. EWMA is inherently
+    sequential (pow-decay weights), which double arithmetic can't
+    cross-engine match; here the weights are exact integer
+    coefficients on a common 10^7 denominator and values are micro
+    quantized, so numerator/denominator are int64 sums and the final
+    truncating divide is the same two integers in both engines (the
+    time-weighted-average move applied to exponential decay).
+
+    Scale: one user-partitioned window ranks events newest-first with
+    the rn ≤ 8 predicate pushed as a partial WindowGroupLimit — each
+    task forwards at most 8 rows per user to the shuffle — then one
+    grouped integer sum per user. No driver state, no iteration."""
+    e = _ev(spark, sf_dir)
+    case_sql, _den = _ewma_case_sql()
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    ranked = e.select(
+        "user_id",
+        F.expr(
+            "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+        ).alias("v_ppm"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") <= 8)
+    last8 = ranked.withColumn("c", F.expr(case_sql))
+    return last8.groupBy("user_id").agg(
+        F.count("*").cast("int").alias("n_used"),
+        F.expr("CAST(SUM(v_ppm * c) DIV SUM(c) AS BIGINT)").alias(
+            "ewma_micro"
+        ),
+    )
+
+
+@register(
+    "events_pattern_drop_drop_spike",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, value,
+         lag(value, 3) OVER w AS v3,
+         lag(value, 2) OVER w AS v2,
+         lag(value, 1) OVER w AS v1
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+hits AS (
+  SELECT user_id FROM seq
+  WHERE v3 > v2 AND v2 > v1 AND value > v3
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_patterns
+FROM hits GROUP BY user_id
+""",
+    tags=("events", "pattern", "sequence"),
+)
+def events_pattern_drop_drop_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern detection (the MATCH_RECOGNIZE shape expressed
+    with lag windows): per user, count occurrences of two consecutive
+    value drops followed by a rebound above the pre-drop level —
+    drop→drop→spike. Pure comparisons on the raw doubles (no derived
+    arithmetic), so the oracle gate is exact by construction.
+
+    Scale: ONE user-partitioned window produces all three lags in a
+    single pass (shared window frame, no self-joins — the naive
+    formulation is three self-joins on consecutive event ranks); the
+    pattern predicate then filters locally and a partial-agg count
+    rolls up per user."""
+    e = _ev(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "value",
+        F.lag("value", 3).over(w).alias("v3"),
+        F.lag("value", 2).over(w).alias("v2"),
+        F.lag("value", 1).over(w).alias("v1"),
+    )
+    hits = seq.filter(
+        (F.col("v3") > F.col("v2"))
+        & (F.col("v2") > F.col("v1"))
+        & (F.col("value") > F.col("v3"))
+    )
+    return hits.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_patterns")
+    )

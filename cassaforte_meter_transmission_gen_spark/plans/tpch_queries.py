@@ -1343,9 +1343,7 @@ changes AS (
 """
 
 
-@register(
-    "cdc_scd2_orders_history",
-    oracle=f"""
+_SCD2_ORACLE = f"""
 WITH {_CDC_CHANGES_CTE.strip()},
 stream AS (
   SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS seq, 'u' AS op FROM snap
@@ -1362,7 +1360,12 @@ SELECT o_orderkey, o_orderstatus, o_totalprice,
        CAST(next_seq AS INT) AS valid_to_seq,
        (next_seq IS NULL) AS is_current
 FROM hist WHERE op = 'u'
-""",
+"""
+
+
+@register(
+    "cdc_scd2_orders_history",
+    oracle=_SCD2_ORACLE,
     tags=("cdc", "scd2", "history"),
 )
 def cdc_scd2_orders_history(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1379,6 +1382,28 @@ def cdc_scd2_orders_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     snap, changes = _orders_snapshot_and_changelog(spark, sf_dir)
     return scd2_history(snap, changes, key_cols=["o_orderkey"])
+
+
+@register(
+    "streaming_scd2_orders_history",
+    oracle=_SCD2_ORACLE,
+    tags=("cdc", "scd2", "streaming", "exactly-once"),
+)
+def streaming_scd2_orders_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE streaming SCD2 dimension maintenance
+    (streaming.pipeline.scd2_batch_fn / run_bounded_scd2): the same
+    change feed delivered as three strictly-ordered micro-batches,
+    each folded into a versioned history table under the exactly-once
+    batch-id commit-log protocol (replayed batches are no-ops; the
+    atomic marker is the commit point). Gated against the IDENTICAL
+    oracle as the batch cdc_scd2_orders_history — the streaming
+    maintenance must converge to exactly the one-shot batch history,
+    the module's streaming≡batch argument applied to dimension
+    versioning. Per batch only affected keys enter the chaining
+    window; closed history rows are never edited."""
+    from ..streaming.pipeline import run_bounded_scd2
+
+    return run_bounded_scd2(spark, sf_dir)
 
 
 # --- blocked fuzzy join (entity resolution / record linkage) ---

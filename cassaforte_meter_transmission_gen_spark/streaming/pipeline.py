@@ -1020,6 +1020,160 @@ def sketch_rollup_batch_fn(table_dir: str, commits_dir: str):
     return fn
 
 
+def scd2_batch_fn(
+    table_dir: str,
+    commits_dir: str,
+    history_schema: str,
+    key_col: str,
+    payload_cols: list[str],
+):
+    """foreachBatch body maintaining an SCD2 HISTORY table from an
+    ordered change stream — the counter-merge versioned protocol
+    (:func:`streaming_ingest_batch_fn`) applied to dimension
+    versioning: per micro-batch, each affected key's committed OPEN
+    version is carried into the version-chaining window together with
+    the batch's events (operators.cdc.versions_from_stream), so
+    updates close the open version and open a new one, deletes close
+    without opening, and closed history rows are never edited.
+
+    Exactly-once by the same argument as the grain merges: a replayed
+    batch re-reads the same committed base version and overwrites its
+    own ``v=<batch_id>`` directory; the atomic marker is the commit
+    point, so a crash before the marker leaves the previous version
+    authoritative. Precondition (same as apply_changelog): the feed
+    delivers each key's events in nondecreasing seq order across
+    batches — the log-offset guarantee of a real changelog source.
+
+    Scale: this fixture rewrites the full history per version (like
+    the grain tables); at 100 TB the history partitions by key bucket
+    and only affected partitions rewrite — untouched buckets carry
+    forward by reference, the same economics as the IVF layout."""
+    import os
+
+    from ..operators.cdc import versions_from_stream
+
+    os.makedirs(commits_dir, exist_ok=True)
+    version_cols = ["valid_from_seq", "valid_to_seq", "is_current"]
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        hw = _high_watermark(commits_dir)
+        if hw is not None and batch_id <= hw:
+            return  # replayed, fully applied
+        spark = batch.sparkSession
+        if hw is not None:
+            prev = spark.read.schema(history_schema).parquet(
+                f"{table_dir}/v={hw}"
+            )
+        else:
+            prev = spark.createDataFrame([], history_schema)
+        keys = batch.select(key_col).distinct()
+        untouched = prev.join(F.broadcast(keys), key_col, "left_anti")
+        affected = prev.join(F.broadcast(keys), key_col, "left_semi")
+        closed = affected.filter(~F.col("is_current"))
+        carried = affected.filter(F.col("is_current")).select(
+            *payload_cols,
+            F.col("valid_from_seq").alias("seq"),
+            F.lit("u").alias("op"),
+        )
+        stream = carried.unionByName(
+            batch.select(*payload_cols, "seq", "op")
+        )
+        new_versions = versions_from_stream(
+            stream, payload_cols, [key_col]
+        )
+        hist = untouched.unionByName(closed).unionByName(new_versions)
+        hist.write.mode("overwrite").parquet(f"{table_dir}/v={batch_id}")
+        tmp = os.path.join(commits_dir, f"{batch_id}.tmp")
+        open(tmp, "w").close()
+        os.replace(tmp, os.path.join(commits_dir, str(batch_id)))
+
+    return fn
+
+
+_SCD2_FEED_SCHEMA = (
+    "o_orderkey bigint, o_orderstatus string, o_totalprice double,"
+    " seq int, op string"
+)
+_SCD2_HISTORY_SCHEMA = (
+    "o_orderkey bigint, o_orderstatus string, o_totalprice double,"
+    " valid_from_seq int, valid_to_seq int, is_current boolean"
+)
+
+
+def run_bounded_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive :func:`scd2_batch_fn` over the orders changelog staged as
+    THREE strictly-ordered micro-batches (snapshot seeds at seq 0, then
+    the seq-1 tranche — updates and tombstones — then seq-2), and
+    return the final committed history. Gated against the SAME oracle
+    as the batch cdc_scd2_orders_history: the streaming maintenance
+    must converge to exactly the history a one-shot batch build
+    produces, which is the streaming≡batch argument used for every
+    rollup in this module. File order is pinned by name AND mtime so
+    the file source replays the feed in seq order."""
+    import os
+
+    from ..plans.tpch_queries import _orders_snapshot_and_changelog
+
+    snap, changes = _orders_snapshot_and_changelog(spark, sf_dir)
+    feed0 = snap.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit(0).alias("seq"),
+        F.lit("u").alias("op"),
+    )
+    tranches = [
+        feed0,
+        changes.filter(F.col("seq") == 1),
+        changes.filter(F.col("seq") == 2),
+    ]
+    stage = tempfile.mkdtemp(prefix="scd2_stream_in_")
+    atexit.register(shutil.rmtree, stage, ignore_errors=True)
+    out = tempfile.mkdtemp(prefix="scd2_stream_out_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    in_dir = os.path.join(stage, "in")
+    os.makedirs(in_dir)
+    for i, df in enumerate(tranches):
+        tmp = os.path.join(stage, f"tranche{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        dst = os.path.join(in_dir, f"{i:03d}.parquet")
+        os.replace(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    table_dir = os.path.join(out, "orders_history")
+    commits = os.path.join(out, "_commits")
+    stream = (
+        spark.readStream.schema(_SCD2_FEED_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    with tempfile.TemporaryDirectory(prefix="scd2_ckpt_") as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(
+                scd2_batch_fn(
+                    table_dir,
+                    commits,
+                    _SCD2_HISTORY_SCHEMA,
+                    "o_orderkey",
+                    ["o_orderkey", "o_orderstatus", "o_totalprice"],
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    hw = _high_watermark(commits)
+    return spark.read.schema(_SCD2_HISTORY_SCHEMA).parquet(
+        f"{table_dir}/v={hw}"
+    )
+
+
 def run_bounded_sketch_rollup(
     spark: SparkSession, sf_dir: str, n_files: int = 4
 ) -> DataFrame:

@@ -622,3 +622,30 @@ def test_pagerank_edges_pinned_no_fact_rescan(spark, sf_small):
 def test_triangle_edges_pinned_no_fact_rescan(spark, sf_small):
     plan = _plan(REGISTRY["graph_triangle_count_brands"].fn(spark, sf_small))
     assert "lineitem" not in plan and "part.parquet" not in plan, plan
+
+
+def test_ewma_group_limit_below_window_shuffle(spark, sf_small):
+    """Trailing EWMA: the rn ≤ 8 predicate must push as a partial
+    WindowGroupLimit so each task forwards at most 8 rows per user to
+    the window shuffle."""
+    plan = _plan(REGISTRY["events_ewma_user_value"].fn(spark, sf_small))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_pattern_detection_single_window_no_self_join(spark, sf_small):
+    """drop-drop-spike: all three lags come from ONE user-partitioned
+    window pass — any join means the three-self-joins formulation."""
+    plan = _plan(REGISTRY["events_pattern_drop_drop_spike"].fn(spark, sf_small))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_partitioned_read_prunes_directories(spark, sf_small):
+    """source_partitioned_pruned_read: the day-range predicate must
+    reach the scan as PartitionFilters (directory-level pruning before
+    any file opens), never as a post-scan Filter alone."""
+    df = REGISTRY["source_partitioned_pruned_read"].fn(spark, sf_small)
+    plan = _plan(df)
+    idx = plan.index("PartitionFilters")
+    seg = plan[idx : idx + 200]
+    assert "day" in seg and "2024-01-08" in seg, seg

@@ -836,3 +836,49 @@ def test_cms_rollup_replay_is_exactly_once(spark, tmp_path):
         for r in stored.groupBy("r").agg(F.sum("cnt").alias("m")).collect()
     }
     assert mass == {r: 200 for r in range(CMS_DEPTH)}, mass
+
+
+def test_scd2_maintenance_replay_and_chaining(spark, tmp_path):
+    """Streaming SCD2 maintenance (scd2_batch_fn): versions chain
+    across micro-batches (the committed open version is carried into
+    the next batch's window), deletes close without opening, and a
+    replayed batch id — even with DIFFERENT rows — is a no-op."""
+    import pyspark.sql.functions as F
+
+    from cassaforte_meter_transmission_gen_spark.streaming.pipeline import (
+        scd2_batch_fn,
+    )
+
+    schema_feed = "k bigint, v string, seq int, op string"
+    schema_hist = (
+        "k bigint, v string, valid_from_seq int, valid_to_seq int,"
+        " is_current boolean"
+    )
+    table = str(tmp_path / "hist")
+    commits = str(tmp_path / "_commits")
+    fn = scd2_batch_fn(table, commits, schema_hist, "k", ["k", "v"])
+
+    def batch(rows):
+        return spark.createDataFrame(rows, schema_feed)
+
+    # batch 0: snapshot seeds keys 1, 2 at seq 0
+    fn(batch([(1, "a", 0, "u"), (2, "b", 0, "u")]), 0)
+    # batch 1: update key 1, delete key 2
+    fn(batch([(1, "a1", 1, "u"), (2, "b", 1, "d")]), 1)
+    # batch 2: second update of key 1 (chains onto the batch-1 version)
+    fn(batch([(1, "a2", 2, "u")]), 2)
+    # replay batch 2 with different content — must be ignored
+    fn(batch([(1, "POISON", 2, "u")]), 2)
+
+    hist = {
+        (r.k, r.valid_from_seq): r
+        for r in spark.read.schema(schema_hist).parquet(f"{table}/v=2").collect()
+    }
+    assert len(hist) == 4  # three versions of key 1, one closed of key 2
+    assert (hist[(1, 0)].v, hist[(1, 0)].valid_to_seq) == ("a", 1)
+    assert (hist[(1, 1)].v, hist[(1, 1)].valid_to_seq) == ("a1", 2)
+    assert (hist[(1, 2)].v, hist[(1, 2)].valid_to_seq, hist[(1, 2)].is_current) == (
+        "a2", None, True,
+    )
+    assert (hist[(2, 0)].valid_to_seq, hist[(2, 0)].is_current) == (1, False)
+    assert not any(r.v == "POISON" for r in hist.values())
