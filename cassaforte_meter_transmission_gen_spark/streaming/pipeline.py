@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import atexit
 import hashlib
+import os
 import shutil
 import tempfile
 
@@ -610,6 +611,7 @@ def run_bounded_streaming_ingest(
     seconds: int = 600,
     max_files_per_trigger: int = 8,
     stage_files: int | None = None,
+    stage_dir: str | None = None,
 ) -> tuple[dict[str, str], str]:
     """Drive the foreachBatch five-table ingest over a bounded raw
     transmission stream to completion; returns ({table: path},
@@ -624,17 +626,28 @@ def run_bounded_streaming_ingest(
     ``stage_files`` stages the input as that many same-shaped files
     (finer contiguous meter-time slices) so the curve can extend past
     the default 32-file stage — one file keeps meaning the same number
-    of meter-seconds."""
+    of meter-seconds. ``stage_dir`` points at a caller-owned staging
+    directory reused ACROSS calls: generation is skipped when it
+    already holds a committed write (``_SUCCESS``), so bench.py's
+    trigger-size sweep pays the big-stream generation once, not once
+    per curve point (the caller deletes it)."""
 
     from ..schemas import METER_SAMPLES
     from ..sources.meter_generator import transmissions
 
-    stage = tempfile.mkdtemp(prefix="raw_stream_")
-    atexit.register(shutil.rmtree, stage, ignore_errors=True)
+    if stage_dir is not None:
+        stage = stage_dir
+    else:
+        stage = tempfile.mkdtemp(prefix="raw_stream_")
+        atexit.register(shutil.rmtree, stage, ignore_errors=True)
     try:
-        transmissions(
-            spark, num_meters=num_meters, seconds=seconds, slices=stage_files
-        ).write.mode("overwrite").parquet(stage)
+        if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+            transmissions(
+                spark,
+                num_meters=num_meters,
+                seconds=seconds,
+                slices=stage_files,
+            ).write.mode("overwrite").parquet(stage)
         stream = (
             spark.readStream.schema(METER_SAMPLES)
             .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -1041,8 +1054,14 @@ def scd2_batch_fn(
     own ``v=<batch_id>`` directory; the atomic marker is the commit
     point, so a crash before the marker leaves the previous version
     authoritative. Precondition (same as apply_changelog): the feed
-    delivers each key's events in nondecreasing seq order across
+    delivers each key's events in STRICTLY increasing seq order across
     batches — the log-offset guarantee of a real changelog source.
+    Defensively, batch rows whose seq is <= the carried open version's
+    valid_from_seq are dropped before chaining: under at-least-once
+    redelivery a NEW batch_id can replay an already-applied seq, which
+    would tie with the carried row in the chaining window and make
+    lead() over the tie nondeterministic (zero-width or duplicate
+    versions). The drop makes redelivered events idempotent no-ops.
 
     Scale: this fixture rewrites the full history per version (like
     the grain tables); at 100 TB the history partitions by key bucket
@@ -1075,9 +1094,23 @@ def scd2_batch_fn(
             F.col("valid_from_seq").alias("seq"),
             F.lit("u").alias("op"),
         )
-        stream = carried.unionByName(
-            batch.select(*payload_cols, "seq", "op")
+        # At-least-once guard: drop redelivered events (seq <= the
+        # carried open version's valid_from_seq) — a tie with the
+        # carried row would make the chaining window's lead()
+        # nondeterministic. See the docstring's precondition note.
+        carried_from = affected.filter(F.col("is_current")).select(
+            key_col, F.col("valid_from_seq").alias("_carried_from")
         )
+        fresh = (
+            batch.select(*payload_cols, "seq", "op")
+            .join(F.broadcast(carried_from), key_col, "left")
+            .filter(
+                F.col("_carried_from").isNull()
+                | (F.col("seq") > F.col("_carried_from"))
+            )
+            .drop("_carried_from")
+        )
+        stream = carried.unionByName(fresh)
         new_versions = versions_from_stream(
             stream, payload_cols, [key_col]
         )

@@ -16,17 +16,26 @@ from cassaforte_meter_transmission_gen_spark.operators.graph import (
 
 def _serial_pagerank(edges: list[tuple], n_iters: int) -> dict:
     """The reference recurrence, serially: int64 multiply →
-    truncating divide → sum, teleport re-base."""
+    truncating divide → sum, dangling redistribution, teleport
+    re-base."""
     nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
     out: dict = {}
     for s, _, w in edges:
         out[s] = out.get(s, 0) + w
+    dangling = [n for n in nodes if n not in out]
+    big_n = len(nodes)
     r = {n: PPB for n in nodes}
     for _ in range(n_iters):
         inflow = {n: 0 for n in nodes}
         for s, d, w in edges:
             inflow[d] += (r[s] * w) // out[s]
-        r = {n: 150_000_000 + (85 * inflow[n]) // 100 for n in nodes}
+        ds = sum(r[n] for n in dangling)
+        r = {
+            n: 150_000_000
+            + (85 * inflow[n]) // 100
+            + (85 * ds) // (100 * big_n)
+            for n in nodes
+        }
     return r
 
 
@@ -71,6 +80,38 @@ def test_pagerank_mass_bounded(spark):
     assert 0.9 * n * PPB < total <= n * PPB
 
 
+def test_pagerank_dangling_mass_redistributed(spark):
+    """A sink node (in-edges only) must NOT leak its damped mass: the
+    dangling sum is redistributed equally each iteration, Spark matches
+    the serial model bit-for-bit, and total rank stays within the
+    floor-division leak bound 0 ≤ N·PPB − Σr < 7·(E + 2N)."""
+    triples = [
+        (0, 1, 1),
+        (1, 2, 2),
+        (1, 3, 1),
+        (2, 3, 5),
+        (0, 3, 4),  # node 3 is a pure sink: dangling
+    ]
+    df = integer_pagerank(_edges_df(spark, triples), 3)
+    got = {row.n: row.r for row in df.collect()}
+    assert got == _serial_pagerank(triples, 3)
+    n, e = 4, len(triples)
+    total = sum(got.values())
+    assert 0 <= n * PPB - total < 7 * (e + 2 * n)
+
+
+def test_pagerank_all_dangling_except_one(spark):
+    """Degenerate near-all-sink graph: mass still conserved within the
+    floor bound and matches the serial model."""
+    triples = [(0, 1, 1), (0, 2, 1), (0, 3, 1)]
+    got = {
+        row.n: row.r
+        for row in integer_pagerank(_edges_df(spark, triples), 4).collect()
+    }
+    assert got == _serial_pagerank(triples, 4)
+    assert 0 <= 4 * PPB - sum(got.values()) < 7 * (3 + 8)
+
+
 def _pair_df(spark, pairs):
     return spark.createDataFrame(pairs, "ba STRING, bb STRING")
 
@@ -90,3 +131,37 @@ def test_triangle_count_path_has_none(spark):
         _pair_df(spark, [("a", "b"), ("b", "c"), ("c", "d")])
     ).collect()[0]
     assert (row.n_nodes, row.n_edges, row.n_triangles) == (4, 3, 0)
+
+
+def test_triangle_hub_star_with_chord(spark):
+    """Star around a hub plus one chord = exactly 1 triangle, and the
+    degree orientation must point EVERY star edge INTO the hub so the
+    hub contributes zero wedges (its oriented out-degree is 0) — the
+    arboricity bound that keeps a celebrity node from exploding the
+    wedge join at scale."""
+    from cassaforte_meter_transmission_gen_spark.operators.graph import (
+        orient_by_degree,
+    )
+
+    edges = [("h", f"l{i}") for i in range(10)] + [("l0", "l1")]
+    df = _pair_df(spark, edges)
+    row = triangle_count(df).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (11, 11, 1)
+    out_deg = {
+        r.u: r.c
+        for r in orient_by_degree(df)
+        .groupBy("u")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    assert "h" not in out_deg  # hub has NO out-edges under orientation
+    assert max(out_deg.values()) <= 2
+
+
+def test_triangle_orientation_preserves_count_on_k5(spark):
+    """K5: C(5,3) = 10 triangles — ties everywhere (all degrees equal),
+    so the id tiebreak alone must yield a total order and exact count."""
+    names = ["a", "b", "c", "d", "e"]
+    k5 = [(x, y) for i, x in enumerate(names) for y in names[i + 1 :]]
+    row = triangle_count(_pair_df(spark, k5)).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (5, 10, 10)

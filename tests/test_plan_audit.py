@@ -624,6 +624,27 @@ def test_triangle_edges_pinned_no_fact_rescan(spark, sf_small):
     assert "lineitem" not in plan and "part.parquet" not in plan, plan
 
 
+def test_pagerank_dangling_edges_pinned_no_fact_rescan(spark, sf_small):
+    """The dangling variant adds a one-row aggregate + crossJoin per
+    iteration — still no fact rescan and no unbroadcast cartesian."""
+    plan = _plan(
+        REGISTRY["graph_pagerank_dangling_trade"].fn(spark, sf_small)
+    )
+    assert "lineitem" not in plan and "orders" not in plan, plan
+    assert "CartesianProduct" not in plan, plan  # scalars broadcast
+
+
+def test_triangle_wedge_join_is_equi_on_oriented_source(spark, sf_small):
+    """The wedge join must hash/sort-merge on the oriented source
+    vertex u (equi key), with the degree-order tiebreak as a residual
+    condition — NOT a cartesian with a filter. A cartesian here is the
+    deg² blowup the degree orientation exists to prevent."""
+    plan = _plan(REGISTRY["graph_triangle_count_brands"].fn(spark, sf_small))
+    assert "CartesianProduct" not in plan, plan
+    # the wedge equi key (u2 = u1) survives into a real join operator
+    assert "u1" in plan and "u2" in plan, plan
+
+
 def test_ewma_group_limit_below_window_shuffle(spark, sf_small):
     """Trailing EWMA: the rn ≤ 8 predicate must push as a partial
     WindowGroupLimit so each task forwards at most 8 rows per user to
