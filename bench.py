@@ -6,9 +6,20 @@ line, kept compact so the driver's tail capture always parses it:
 
     {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-A second, bulkier detail line ({"detail": true, ...} — scale-path
-timings, batch-size curve, pruning evidence) is printed immediately
-BEFORE it.
+The FULL detail dict (scale-path timings, batch-size curves, pruning
+evidence) is written to ``BENCH_DETAIL_r{N}.json`` next to this script
+(round inferred like parity_report.py; override with
+$SPARK_GRAFT_BENCH_DETAIL) — round 8 proved that printing it inline
+outgrows the driver's stdout tail window and silently clips data. A
+SHORT pointer line with the headline detail numbers is printed before
+the compact headline line.
+
+Contention self-defense (round-8 lesson: a loaded box committed a 2×
+phantom regression as the graded record): the run refuses to trust
+itself silently — it records the starting load average, re-runs the
+ingest benchmark a third time when the first two disagree by >1.5×,
+and stamps ``contended: true`` into the headline JSON when either
+signal trips, so a poisoned record is at least self-labelled.
 
 Each query is forced end-to-end with a noop-format write (full
 materialization, no driver collect). Wall time per query includes plan
@@ -93,9 +104,37 @@ def _scan_metrics(node, out: list) -> None:
         _scan_metrics(node.children().apply(i), out)
 
 
+def _detail_path() -> str:
+    """BENCH_DETAIL_r{N}.json beside this script, N = round in
+    progress (max committed BENCH_r* + 1), matching parity_report.py's
+    inference; $SPARK_GRAFT_BENCH_DETAIL overrides."""
+    override = os.environ.get("SPARK_GRAFT_BENCH_DETAIL")
+    if override:
+        return override
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    rnd = (max(rounds) + 1) if rounds else 1
+    return os.path.join(here, f"BENCH_DETAIL_r{rnd:02d}.json")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    load_at_start = [round(x, 2) for x in os.getloadavg()]
+    if load_at_start[0] > 8:
+        print(
+            f"WARNING: load average {load_at_start[0]} at start — another"
+            " workload is likely running; timings will read uniformly slow."
+            " Drain the box and re-run before committing this record.",
+            file=sys.stderr,
+        )
     spark = get_spark("cassaforte-bench")
 
     # warmup: JVM + parquet footer caches, not counted
@@ -144,7 +183,9 @@ def main() -> None:
     from cassaforte_meter_transmission_gen_spark.sources.ann_store import (
         ANN_STORE_ENV,
         trained_ivf_centroids,
+        trained_ivfpq_index,
         trained_pq_codebooks,
+        trained_pq_codes,
     )
 
     ann_store_dir = tempfile.mkdtemp(prefix="bench_ann_store_")
@@ -158,6 +199,11 @@ def main() -> None:
             "pq8_codebooks",
             lambda: trained_pq_codebooks(spark, sf_dir, n_subspaces=8),
         ),
+        # index-DATA builds (encode/assign scans, paid once per corpus
+        # like the parameter training above): the serve queries read
+        # these persisted tables, so their cost belongs here
+        ("pq16_codes", lambda: trained_pq_codes(spark, sf_dir)),
+        ("ivfpq8_index", lambda: trained_ivfpq_index(spark, sf_dir)),
     ):
         t0 = time.perf_counter()
         try:
@@ -390,17 +436,38 @@ def main() -> None:
     # steady-state is the honest throughput figure and both numbers
     # are in the JSON for the variance to be visible.
     ingest_runs: list[float] = []
-    for _ in range(2):
+
+    def _timed_ingest() -> bool:
         out = tempfile.mkdtemp(prefix="bench_ingest_")
         t0 = time.perf_counter()
         try:
             ingest_batch(spark, out, num_meters=n_meters, seconds=n_seconds)
             ingest_runs.append(round(time.perf_counter() - t0, 3))
+            return True
         except Exception as exc:  # noqa: BLE001
             errors["ingest_five_tables"] = f"{type(exc).__name__}: {exc}"[:500]
-            break
+            return False
         finally:
             shutil.rmtree(out, ignore_errors=True)
+
+    for _ in range(2):
+        if not _timed_ingest():
+            break
+    # contention tripwire (round-8 lesson): the two runs disagreeing by
+    # >1.5× is the signature of a loaded box, not of this code — run a
+    # third and flag the record rather than committing a phantom.
+    ingest_contended = (
+        len(ingest_runs) == 2
+        and max(ingest_runs) > 1.5 * min(ingest_runs)
+    )
+    if ingest_contended:
+        print(
+            f"WARNING: ingest runs {ingest_runs} differ by >1.5x —"
+            " box contention suspected; timing a third run and stamping"
+            " contended:true. Re-run on a drained box before committing.",
+            file=sys.stderr,
+        )
+        _timed_ingest()
     ingest_sec = min(ingest_runs) if ingest_runs else None
 
     # the STREAMING five-table path (exactly-once commit-log sink),
@@ -446,17 +513,21 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["streaming_ingest"] = f"{type(exc).__name__}: {exc}"[:500]
 
-    # extend the curve PAST the 32-file stage (r7 showed near-linear
-    # scaling 4→8→32 with the knee still ahead): a 4×-longer stream
-    # staged as 128 files of IDENTICAL shape (225 meter-seconds each,
+    # extend the curve PAST the 32-file stage until it BENDS (r7/r8
+    # showed 4→8→…→128 still rising): a 16×-longer stream staged ONCE
+    # as 512 files of IDENTICAL shape (225 meter-seconds each,
     # contiguous slices — see transmissions(slices=)), triggers
-    # 32/64/128. The 32-point overlaps the default series as the
-    # sanity anchor; samples/s is comparable across both series because
-    # a file means the same rows in each.
-    ext_meters, ext_seconds, ext_files = 4, 4 * stream_seconds, 128
+    # 32…512. The 32-point overlaps the default series as the sanity
+    # anchor; samples/s is comparable across both series because a file
+    # means the same rows in each. The 512-point is one mega-batch =
+    # the batch-ingest limit, so the curve MUST flatten at or before
+    # it. Staging is shared across the sweep (stage_dir) so generation
+    # is paid once.
+    ext_meters, ext_seconds, ext_files = 4, 16 * stream_seconds, 512
     stream_curve_ext: dict[str, dict] = {}
+    ext_stage = tempfile.mkdtemp(prefix="bench_stream_stage_")
     try:
-        for files_per_trigger in (32, 64, 128):
+        for files_per_trigger in (32, 64, 128, 256, 512):
             sout = tempfile.mkdtemp(prefix="bench_stream_ext_")
             t0 = time.perf_counter()
             try:
@@ -467,10 +538,30 @@ def main() -> None:
                     seconds=ext_seconds,
                     max_files_per_trigger=files_per_trigger,
                     stage_files=ext_files,
+                    stage_dir=ext_stage,
                 )
                 sec = round(time.perf_counter() - t0, 3)
             finally:
                 shutil.rmtree(sout, ignore_errors=True)
+            if files_per_trigger == 32:
+                # the sweep's first point also paid the one-off staging
+                # write; subtract nothing but note it — comparability
+                # comes from re-timing it after staging exists
+                sout2 = tempfile.mkdtemp(prefix="bench_stream_ext_")
+                t0 = time.perf_counter()
+                try:
+                    run_bounded_streaming_ingest(
+                        spark,
+                        sout2,
+                        num_meters=ext_meters,
+                        seconds=ext_seconds,
+                        max_files_per_trigger=files_per_trigger,
+                        stage_files=ext_files,
+                        stage_dir=ext_stage,
+                    )
+                    sec = round(time.perf_counter() - t0, 3)
+                finally:
+                    shutil.rmtree(sout2, ignore_errors=True)
             stream_curve_ext[str(files_per_trigger)] = {
                 "sec": sec,
                 "samples_per_sec": round(
@@ -479,14 +570,17 @@ def main() -> None:
             }
     except Exception as exc:  # noqa: BLE001
         errors["streaming_ingest_ext"] = f"{type(exc).__name__}: {exc}"[:500]
+    finally:
+        shutil.rmtree(ext_stage, ignore_errors=True)
 
     total = round(sum(times.values()), 3)
-    # Two JSON lines, detail FIRST and the compact headline LAST: the
-    # driver parses the tail of stdout, and round 7 proved one long line
-    # outgrows its capture window (BENCH_r07.json parsed:null — the
-    # prefix with "metric"/"value" was clipped). The final line stays
-    # small and stable-size; everything bulky (scale paths, curves,
-    # pruning evidence) lives on the detail line above it.
+    load_at_end = [round(x, 2) for x in os.getloadavg()]
+    contended = ingest_contended or load_at_start[0] > 8
+    # The FULL detail dict goes to a committed file — round 7 AND round
+    # 8 both proved a long stdout line outgrows the driver's tail
+    # window and silently clips data (r7: the headline; r8: the
+    # scale-path timings). Stdout carries only a short pointer line and
+    # the compact headline LAST, small and stable-size.
     detail = {
         "detail": True,
         "scale_path_queries": scale_times,
@@ -503,8 +597,26 @@ def main() -> None:
             "seconds": ext_seconds,
             "points": stream_curve_ext,
         },
+        "load_avg_start": load_at_start,
+        "load_avg_end": load_at_end,
+        "contended": contended,
     }
-    print(json.dumps(detail))
+    detail_file = _detail_path()
+    with open(detail_file, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(
+        json.dumps(
+            {
+                "detail_file": os.path.basename(detail_file),
+                "scale_paths_total_sec": round(sum(scale_times.values()), 3),
+                "ext_curve_samples_per_sec": {
+                    k: v["samples_per_sec"]
+                    for k, v in stream_curve_ext.items()
+                },
+            }
+        )
+    )
     print(
         json.dumps(
             {
@@ -514,6 +626,7 @@ def main() -> None:
                 "queries": times,
                 "errors": errors,
                 "sf": sf,
+                "contended": contended,
                 "ingest_five_tables_sec": ingest_sec,
                 "streaming_ingest_sec": stream_ingest_sec,
                 "streaming_ingest_samples_per_sec": (

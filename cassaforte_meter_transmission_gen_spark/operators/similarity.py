@@ -863,6 +863,7 @@ def pq_topk(
     dim: int = 64,
     train_sample_denom: int | str | None = "auto",
     codebooks: list[list[list[float]]] | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """ANN via product quantization with asymmetric distance
     computation (ADC) + exact rerank — the fourth scale path next to
@@ -891,8 +892,12 @@ def pq_topk(
     train-once/serve-many path (sources.ann_store.trained_pq_codebooks
     persists/reads the artifact): round 7 profiled training at 5.4 s of
     this query's 5.8 s, so serving from persisted books is the 100 TB
-    deployment shape AND the sf0.1 win. Bit-identical either way
-    (deterministic trainer, exact DOUBLE round-trip).
+    deployment shape AND the sf0.1 win. ``codes`` (the pre-encoded
+    candidate table from sources.ann_store.trained_pq_codes) skips
+    ENCODE as well — the serve plan then reads the narrow code parquet
+    instead of carrying 16 argmin-over-codebook expression trees, which
+    dominated warm-serve compile time at sf0.1. Bit-identical either
+    way (deterministic trainer/encoder, exact DOUBLE round-trip).
 
     Returns (query_id, neighbor_id, cosine, rank ≤ k) with EXACT
     cosines; only the ranking beyond the band is approximate."""
@@ -907,7 +912,8 @@ def pq_topk(
         train_sample_denom=train_sample_denom,
     )
     sub = dim // n_subspaces
-    codes = pq_encode(vectors, books, id_col, vec_col)
+    if codes is None:
+        codes = pq_encode(vectors, books, id_col, vec_col)
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -948,6 +954,7 @@ def ivfpq_topk(
     train_sample_denom: int | str | None = "auto",
     centroids: list[list[float]] | None = None,
     codebooks: list[list[list[float]]] | None = None,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ ANN — the composed 100 TB vector-index layout (the shape
     of a Faiss ``IVFx,PQy`` index, here with codebooks trained on raw
@@ -982,7 +989,11 @@ def ivfpq_topk(
 
     ``centroids``/``codebooks`` (pretrained) skip the corresponding
     trainer — see :func:`ivf_topk`/:func:`pq_topk`; sources.ann_store
-    persists/reads both artifacts for the serve path.
+    persists/reads both artifacts for the serve path. ``index`` (the
+    persisted (id, cluster_id, codes) table from
+    sources.ann_store.trained_ivfpq_index) skips the candidate-side
+    assign+encode scan entirely — the probed-cell join then reads the
+    narrow index parquet, which is what a Faiss IVF,PQ index stores.
 
     Returns (query_id, neighbor_id, cosine, rank ≤ k) with EXACT
     cosines; only the ranking beyond the band is approximate."""
@@ -1006,15 +1017,20 @@ def ivfpq_topk(
         train_sample_denom=train_sample_denom,
     )
     sub = dim // n_subspaces
-    # candidate side: ONE scan → (neighbor_id, cluster_id, codes...)
-    ccols: list[Column] = [
-        F.col(id_col).alias("neighbor_id"),
-        F.col("cluster_id"),
-    ]
-    for j, book in enumerate(books):
-        sv = _svec_sql(vec_col, j * sub + 1, sub)
-        ccols.append(F.expr(_argmin_code_sql(sv, book)).alias(f"code_{j}"))
-    codes = assign_to_centroid(vectors, centroids, vec_col).select(*ccols)
+    if index is not None:
+        codes = index.withColumnRenamed(id_col, "neighbor_id")
+    else:
+        # candidate side: ONE scan → (neighbor_id, cluster_id, codes…)
+        ccols: list[Column] = [
+            F.col(id_col).alias("neighbor_id"),
+            F.col("cluster_id"),
+        ]
+        for j, book in enumerate(books):
+            sv = _svec_sql(vec_col, j * sub + 1, sub)
+            ccols.append(
+                F.expr(_argmin_code_sql(sv, book)).alias(f"code_{j}")
+            )
+        codes = assign_to_centroid(vectors, centroids, vec_col).select(*ccols)
     # query side: probes + ADC lookup tables in one projection, then
     # one row per (query, probed cell) — broadcast to the cell join
     q = assign_probes(queries, centroids, n_probes, vec_col).select(

@@ -167,3 +167,40 @@ def kmv_estimate_col(n_col, max_h_col, k: int = KMV_K):
     return F.when(n_col < k, n_col).otherwise(
         F.floor(F.lit(float(k - 1)) * F.lit(float(KMV_DOMAIN)) / max_h_col)
     ).cast("long")
+
+
+# --- hash-sample quantile sketch (mergeable bounded row sample) ---
+
+QSK_K = 512
+
+
+def quantile_sample_sketch(
+    df: DataFrame, key_sql: str, value_sql: str, k: int = QSK_K
+) -> DataFrame:
+    """(h, v): the ``k`` rows whose ROW KEY has the smallest
+    md5-portable hash, carrying the value expression — a fixed-size,
+    MERGEABLE uniform row sample for quantile estimation (the KMV move
+    applied to order statistics: the k hash-smallest rows of a union
+    are a subset of the union of per-slice k-smallest, so per-shard /
+    per-day sketches merge by union + re-take-k and the merged sample
+    is exactly the sample a single global pass would draw).
+
+    This is the mergeable-quantile scale path next to the exact
+    equi-depth machinery (plans.analytics_queries
+    agg_equidepth_price_deciles): O(k) state per slice, one
+    TakeOrdered pass to build, never a global sort. ``key_sql`` must
+    be row-unique (hash ties broken by (h, v) order for determinism);
+    both it and ``value_sql`` are plan-authored SQL text (sqltext.py
+    splice rules). Output columns: ``h``, ``v``."""
+    h = F.expr(kmv_hash_expr(key_sql))
+    return (
+        df.select(h.alias("h"), F.expr(value_sql).alias("v"))
+        .orderBy("h", "v")
+        .limit(k)
+    )
+
+
+def quantile_sample_merge(sketches: DataFrame, k: int = QSK_K) -> DataFrame:
+    """Union sample from a stack of per-slice sketches (columns
+    ``h, v``) over DISJOINT slices: re-take the k hash-smallest."""
+    return sketches.orderBy("h", "v").limit(k)

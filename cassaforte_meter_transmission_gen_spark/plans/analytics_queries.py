@@ -1967,3 +1967,112 @@ def sketch_kmv_userdays_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("exact_intersection"),
     )
+
+
+_QSK_VAL = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DOUBLE)"
+
+
+@register(
+    "sketch_quantile_sample_totalprice",
+    oracle=f"""
+WITH base AS (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DOUBLE) AS v
+  FROM orders
+),
+sa AS (
+  SELECT h, v FROM (
+    SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+             AS BIGINT) AS h, v
+    FROM base WHERE o_orderkey % 2 = 0)
+  ORDER BY h, v LIMIT 512
+),
+sb AS (
+  SELECT h, v FROM (
+    SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+             AS BIGINT) AS h, v
+    FROM base WHERE o_orderkey % 2 = 1)
+  ORDER BY h, v LIMIT 512
+),
+su AS (
+  SELECT h, v FROM (SELECT * FROM sa UNION ALL SELECT * FROM sb)
+  ORDER BY h, v LIMIT 512
+),
+est AS (
+  SELECT CAST(COUNT(*) AS INT) AS n_sample,
+         quantile_cont(v, 0.5) AS est_p50_cents,
+         quantile_cont(v, 0.9) AS est_p90_cents,
+         quantile_cont(v, 0.99) AS est_p99_cents
+  FROM su
+),
+ex AS (
+  SELECT quantile_cont(v, 0.5) AS exact_p50_cents,
+         quantile_cont(v, 0.9) AS exact_p90_cents,
+         quantile_cont(v, 0.99) AS exact_p99_cents
+  FROM base
+)
+SELECT CAST(512 AS INT) AS qsk_k, n_sample,
+       est_p50_cents, est_p90_cents, est_p99_cents,
+       exact_p50_cents, exact_p90_cents, exact_p99_cents
+FROM est, ex
+""",
+    tags=("agg", "approx", "sketch", "quantile", "sample"),
+)
+def sketch_quantile_sample_totalprice(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mergeable quantile sketch over order values — the KLL role in
+    the sketch family (HLL distinct / CMS heavy hitters / KMV set ops
+    / THIS for order statistics), built as a hash-sample
+    (operators.sketches.quantile_sample_sketch): the 512 rows with the
+    smallest md5-portable hash of the row key form a fixed-size
+    uniform sample; per-shard sketches (here the two o_orderkey parity
+    shards, standing in for shards/days) merge by union + re-take-k
+    into EXACTLY the sample one global pass would draw, and quantiles
+    are estimated from the merged sample. Estimates ride beside the
+    exact full-table percentiles (the KMV exactness discipline), and
+    the whole row is value-hash gated: Spark ``percentile`` and DuckDB
+    ``quantile_cont`` agree bit-for-bit on the (n−1)·p definition (the
+    conversion-latency precedent), and the value is integer CENTS as
+    exact doubles so the interpolation inputs are identical.
+
+    Scale shape: each shard sketch is one projection + TakeOrdered
+    (per-partition top-k heaps, one k-row merge — never a global
+    sort); state is O(k) per slice, mergeable across days exactly like
+    the CMS/KMV tables; the exact twin is the verification fixture,
+    not the scale path."""
+    from ..operators.sketches import (
+        QSK_K,
+        quantile_sample_merge,
+        quantile_sample_sketch,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    ska = quantile_sample_sketch(
+        o.filter(F.expr("o_orderkey % 2 = 0")), "o_orderkey", _QSK_VAL
+    )
+    skb = quantile_sample_sketch(
+        o.filter(F.expr("o_orderkey % 2 = 1")), "o_orderkey", _QSK_VAL
+    )
+    sku = quantile_sample_merge(ska.unionByName(skb))
+    est = sku.agg(
+        F.count("*").cast("int").alias("n_sample"),
+        F.expr("percentile(v, 0.5)").alias("est_p50_cents"),
+        F.expr("percentile(v, 0.9)").alias("est_p90_cents"),
+        F.expr("percentile(v, 0.99)").alias("est_p99_cents"),
+    )
+    exact = o.agg(
+        F.expr(f"percentile({_QSK_VAL}, 0.5)").alias("exact_p50_cents"),
+        F.expr(f"percentile({_QSK_VAL}, 0.9)").alias("exact_p90_cents"),
+        F.expr(f"percentile({_QSK_VAL}, 0.99)").alias("exact_p99_cents"),
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        F.lit(QSK_K).cast("int").alias("qsk_k"),
+        "n_sample",
+        "est_p50_cents",
+        "est_p90_cents",
+        "est_p99_cents",
+        "exact_p50_cents",
+        "exact_p90_cents",
+        "exact_p99_cents",
+    )

@@ -821,3 +821,45 @@ def pq_codebooks_sql(
     ]
     parts.append("\nUNION ALL\n".join(selects))
     return "\n".join(parts)
+
+
+@_materialized
+def pq_index_codes_sql(
+    n_subspaces: int = 16,
+    n_codes: int = 16,
+    n_iters: int = 3,
+    train_sample_denom: int | str | None = "auto",
+) -> str:
+    """Oracle for the PERSISTED encoded candidate table (sources.
+    ann_store.trained_pq_codes read back as rows): the per-subspace
+    unrolled k-means chains, then the full-table argmin code
+    assignment — i.e. exactly the ``codes`` CTE of the PQ ANN oracle,
+    returned directly as (vec_id, code_0..code_{m-1}). A hash-green
+    row proves the on-disk index every ``ann_pq_topk`` serve reads is
+    bit-identical to a fresh ``pq_encode`` run."""
+    sub = DIM // n_subspaces
+    parts = [
+        "WITH e AS (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        " FROM embeddings),",
+    ]
+    chains, finals = _pq_subspace_chains(
+        n_subspaces, n_codes, n_iters, train_sample_denom
+    )
+    parts.extend(chains)
+    for j, cb in enumerate(finals):
+        parts.append(f"""k{j} AS (
+  SELECT s.vec_id, (array_agg(s.cid ORDER BY s.d, s.cid))[1] AS code
+  FROM (SELECT x.vec_id, c.cid, {_sq_dist('x.v', 'c.cv', sub)} AS d
+        FROM e{j} x CROSS JOIN {cb} c) s
+  GROUP BY s.vec_id
+),""")
+    parts[-1] = parts[-1].rstrip().removesuffix(",")
+    code_cols = ", ".join(
+        f"CAST(k{j}.code AS INT) AS code_{j}" for j in range(n_subspaces)
+    )
+    code_joins = " ".join(
+        f"JOIN k{j} USING (vec_id)" for j in range(1, n_subspaces)
+    )
+    parts.append(f"SELECT vec_id, {code_cols} FROM k0 {code_joins}")
+    return "\n".join(parts)

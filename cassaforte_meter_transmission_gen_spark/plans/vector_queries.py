@@ -427,18 +427,24 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's SQL-computed denominator.
 
     SERVES FROM PERSISTED STATE (train once, serve many): codebooks
-    come from sources.ann_store.trained_pq_codebooks — round 7
-    profiled in-query training at 5.4 s of this query's 5.8 s at
-    sf0.1; serving from the persisted artifact leaves only the
-    encode/ADC/rerank scan. Bit-identical to self-training, so the
-    training-unrolled oracle stays valid; the artifact itself is
-    hash-verified by ``ann_pq_train_codebooks``."""
+    come from sources.ann_store.trained_pq_codebooks AND the encoded
+    candidate table from trained_pq_codes — round 7 profiled in-query
+    training at 5.4 s of this query's 5.8 s at sf0.1; round 9 moved
+    the per-query re-encode (16 argmin-over-codebook expression trees,
+    the bulk of remaining warm-serve compile+scan cost) into the
+    persisted index as well, leaving only the ADC score + rerank.
+    Bit-identical to self-training/encoding, so the training-unrolled
+    oracle stays valid; the artifacts themselves are hash-verified by
+    ``ann_pq_train_codebooks`` / ``ann_pq_index_codes``."""
     from ..operators.similarity import pq_topk
-    from ..sources.ann_store import trained_pq_codebooks
+    from ..sources.ann_store import trained_pq_codebooks, trained_pq_codes
 
     e = _emb(spark, sf_dir)
     books = trained_pq_codebooks(spark, sf_dir)
-    return pq_topk(e, e.filter(F.col("vec_id") < 5), k=5, codebooks=books)
+    codes = trained_pq_codes(spark, sf_dir)
+    return pq_topk(
+        e, e.filter(F.col("vec_id") < 5), k=5, codebooks=books, codes=codes
+    )
 
 
 @register(
@@ -490,18 +496,30 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline is asserted in tests.
 
     SERVES FROM PERSISTED STATE (train once, serve many): both
-    quantizers come from sources.ann_store — the IVF centroids and the
-    8-subspace codebooks are trained once per corpus and read back for
-    every later query, leaving only the assign/encode/probe/ADC/rerank
-    scan (see ``ann_pq_topk`` for the measured training share)."""
+    quantizers come from sources.ann_store, and the candidate-side
+    assign+encode scan reads the persisted composed index table
+    (trained_ivfpq_index: one (vec_id, cluster_id, codes) parquet —
+    what a Faiss IVF,PQ index stores per vector), leaving only the
+    probed-cell join, ADC score, and rerank per query (see
+    ``ann_pq_topk`` for the measured shares)."""
     from ..operators.similarity import ivfpq_topk
-    from ..sources.ann_store import trained_ivf_centroids, trained_pq_codebooks
+    from ..sources.ann_store import (
+        trained_ivf_centroids,
+        trained_ivfpq_index,
+        trained_pq_codebooks,
+    )
 
     e = _emb(spark, sf_dir)
     cents = trained_ivf_centroids(spark, sf_dir)
     books = trained_pq_codebooks(spark, sf_dir, n_subspaces=8)
+    idx = trained_ivfpq_index(spark, sf_dir)
     return ivfpq_topk(
-        e, e.filter(F.col("vec_id") < 5), k=5, centroids=cents, codebooks=books
+        e,
+        e.filter(F.col("vec_id") < 5),
+        k=5,
+        centroids=cents,
+        codebooks=books,
+        index=idx,
     )
 
 
@@ -553,6 +571,30 @@ def ann_pq_train_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pos, v in enumerate(c)
     ]
     return spark.createDataFrame(rows, "subspace int, cid int, pos int, val double")
+
+
+@register(
+    "ann_pq_index_codes",
+    oracle=vector_oracles.pq_index_codes_sql(),
+    tags=("vector", "ann", "pq", "indexing", "artifact"),
+)
+def ann_pq_index_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ ENCODING pipeline as a first-class query: encode (or
+    read) the persisted candidate-code table (sources.ann_store.
+    trained_pq_codes) and return it as (vec_id, code_0..code_15) —
+    one row per corpus vector, 16 small ints each. Completes the
+    artifact gates: ``ann_pq_train_codebooks`` proves the trained
+    PARAMETERS on disk, this proves the encoded INDEX DATA the
+    ``ann_pq_topk`` serve scan actually reads (the oracle re-derives
+    training + argmin assignment serially, so a hash-green row means
+    the persisted codes are bit-identical to a fresh encode).
+
+    Scale shape: the build is one narrow projection over the corpus
+    (pq_encode — no shuffle, no Python), paid once per corpus
+    fingerprint; the read is a plain parquet scan of ~16 ints/row."""
+    from ..sources.ann_store import trained_pq_codes
+
+    return trained_pq_codes(spark, sf_dir)
 
 
 @register(

@@ -125,3 +125,71 @@ def test_pretrained_serve_equals_self_training(spark, sf_small, store_root):
     served = sorted(map(tuple, pq_topk(emb, q, k=5, codebooks=books).collect()))
     trained = sorted(map(tuple, pq_topk(emb, q, k=5).collect()))
     assert served == trained
+
+
+def test_persisted_codes_serve_equals_fresh_encode(spark, sf_small, store_root):
+    """Serving from the persisted INDEX DATA (encoded code table /
+    composed IVF-PQ index) must be row-identical to the
+    encode-inside-the-query path — the contract that lets the
+    training-unrolled oracles keep gating the index-backed serves."""
+    from cassaforte_meter_transmission_gen_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+    from cassaforte_meter_transmission_gen_spark.sources.ann_store import (
+        trained_ivfpq_index,
+        trained_pq_codes,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+
+    books = trained_pq_codebooks(spark, sf_small)
+    codes = trained_pq_codes(spark, sf_small)
+    served = sorted(
+        map(
+            tuple,
+            pq_topk(emb, q, k=5, codebooks=books, codes=codes).collect(),
+        )
+    )
+    fresh = sorted(
+        map(tuple, pq_topk(emb, q, k=5, codebooks=books).collect())
+    )
+    assert served == fresh
+
+    cents = trained_ivf_centroids(spark, sf_small)
+    books8 = trained_pq_codebooks(spark, sf_small, n_subspaces=8)
+    idx = trained_ivfpq_index(spark, sf_small)
+    served = sorted(
+        map(
+            tuple,
+            ivfpq_topk(
+                emb, q, k=5, centroids=cents, codebooks=books8, index=idx
+            ).collect(),
+        )
+    )
+    fresh = sorted(
+        map(
+            tuple,
+            ivfpq_topk(
+                emb, q, k=5, centroids=cents, codebooks=books8
+            ).collect(),
+        )
+    )
+    assert served == fresh
+
+
+def test_persisted_codes_cache_hit_no_rebuild(spark, sf_small, store_root):
+    """Second read must come from the committed artifact (same rows),
+    and the store must contain exactly one codes directory for the
+    key — the cache, not a rebuild, serves repeat queries."""
+    import os
+
+    from cassaforte_meter_transmission_gen_spark.sources.ann_store import (
+        trained_pq_codes,
+    )
+
+    first = sorted(map(tuple, trained_pq_codes(spark, sf_small).collect()))
+    again = sorted(map(tuple, trained_pq_codes(spark, sf_small).collect()))
+    assert first == again
+    dirs = [d for d in os.listdir(store_root) if d.startswith("pqcodes_")]
+    assert len(dirs) == 1 and ".tmp" not in dirs[0]

@@ -137,13 +137,16 @@ def test_fuzzy_join_resolves_every_probe_exactly_once(spark, sf_small):
 
 def test_attribution_conserves_purchase_value(spark, sf_small):
     """Every purchase with ≥1 touch in the lookback splits its value
-    into fractions that sum back to the original: total credited value
-    equals the total value of attributable purchases (decimal-exact
-    comparison on both sides)."""
+    into integer micro-unit credits of v_micro DIV n_touches each:
+    the total credited micro can fall short of the total attributable
+    micro ONLY by the floor remainders, which are < 1 micro-unit per
+    credit — so 0 ≤ shortfall < n_credits, exactly (int64 on both
+    sides, no tolerance band)."""
     out = REGISTRY["events_attribution_linear_7d"].fn(spark, sf_small)
-    credited = out.agg(
-        F.sum(F.col("credited_value").cast("decimal(18,4)")).alias("t")
-    ).collect()[0].t
+    row = out.agg(
+        F.sum("credited_micro").alias("c"),
+        F.sum("n_credits").alias("n"),
+    ).collect()[0]
 
     e = spark.read.parquet(f"{sf_small}/events.parquet")
     p = e.filter(F.col("event_type") == "purchase").alias("p")
@@ -156,8 +159,51 @@ def test_attribution_conserves_purchase_value(spark, sf_small):
             & (F.col("t.ts") > F.col("p.ts") - F.expr("INTERVAL 7 DAY")),
             "left_semi",
         )
-        .agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("t"))
+        .agg(
+            F.sum(
+                F.expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)")
+            ).alias("t")
+        )
         .collect()[0]
         .t
     )
-    assert abs(float(credited) - float(attributable)) < 1e-2
+    shortfall = attributable - row.c
+    assert 0 <= shortfall < row.n
+
+
+def test_quantile_sample_merge_equals_global_sketch(spark):
+    """Mergeability (the property the 100 TB shard/day rollup relies
+    on): the union + re-take-k of disjoint-slice sketches is EXACTLY
+    the sketch one global pass draws — same (h, v) rows."""
+    from cassaforte_meter_transmission_gen_spark.operators.sketches import (
+        quantile_sample_merge,
+        quantile_sample_sketch,
+    )
+
+    df = spark.range(0, 5000).selectExpr(
+        "id AS k", "CAST((id * 37) % 1000 AS DOUBLE) AS val"
+    )
+    whole = quantile_sample_sketch(df, "k", "val", k=64).collect()
+    parts = [
+        quantile_sample_sketch(
+            df.filter(F.col("k") % 3 == i), "k", "val", k=64
+        )
+        for i in range(3)
+    ]
+    stacked = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    merged = quantile_sample_merge(stacked, k=64).collect()
+    assert sorted(map(tuple, merged)) == sorted(map(tuple, whole))
+
+
+def test_quantile_sample_estimates_within_sampling_error(spark):
+    """On a known uniform distribution the k=512 sample's median must
+    land within a few standard errors of the true median (binomial
+    se ≈ 0.5/sqrt(k) ≈ 2.2% of the range)."""
+    from cassaforte_meter_transmission_gen_spark.operators.sketches import (
+        quantile_sample_sketch,
+    )
+
+    df = spark.range(0, 20000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS val")
+    sk = quantile_sample_sketch(df, "k", "val", k=512)
+    est = sk.agg(F.expr("percentile(v, 0.5)").alias("m")).collect()[0].m
+    assert abs(est - 10000) < 0.1 * 20000  # ±4.5 se

@@ -675,7 +675,12 @@ def test_transform_with_state_counter_matches_v1_and_batch(spark):
     if not transform_with_state_available():
         with pytest.raises(ImportError):
             import google.protobuf.descriptor  # noqa: F401
-        pytest.skip("transformWithState needs google.protobuf (not in sandbox)")
+        pytest.skip(
+            "transformWithStateInPandas (Spark >= 4.0.0, present in this"
+            " runtime's 4.1.x) additionally needs the google.protobuf"
+            " package for its state-server protocol — not installed here;"
+            " `pip install protobuf` unskips this test unchanged"
+        )
 
     emitted = run_bounded_cumulative_v2(spark, num_meters=3, seconds=1800).collect()
     final: dict[int, int] = {}
