@@ -924,3 +924,102 @@ def events_pattern_drop_drop_spike(spark: SparkSession, sf_dir: str) -> DataFram
     return hits.groupBy("user_id").agg(
         F.count("*").cast("long").alias("n_patterns")
     )
+
+
+_CUSUM_K = 300_000_000  # per-event drift allowance, value micro-units
+_CUSUM_H = 1_000_000_000  # alarm threshold, value micro-units
+
+
+@register(
+    "events_cusum_user_value_shift",
+    oracle=f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id,
+         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS BIGINT) AS rn
+  FROM events
+),
+step AS (
+  SELECT user_id, rn, GREATEST(CAST(0 AS BIGINT), v - {_CUSUM_K}) AS s
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn,
+         GREATEST(CAST(0 AS BIGINT), st.s + e.v - {_CUSUM_K})
+  FROM step st JOIN ev e ON e.user_id = st.user_id AND e.rn = st.rn + 1
+)
+SELECT user_id,
+       CAST(COUNT(*) AS INT) AS n_events,
+       CAST(COUNT(*) FILTER (WHERE s > {_CUSUM_H}) AS INT) AS n_alarms,
+       CAST(MAX(s) AS BIGINT) AS max_s,
+       CAST(MIN(rn) FILTER (WHERE s > {_CUSUM_H}) AS INT) AS first_alarm_rn
+FROM step
+GROUP BY user_id
+""",
+    tags=("events", "time-series", "changepoint", "cusum", "integer-exact"),
+)
+def events_cusum_user_value_shift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sequential changepoint detection — one-sided CUSUM per user over
+    the event-value stream: ``S_t = max(0, S_{{t-1}} + (x_t − k))``
+    with an alarm whenever ``S_t > h`` (no reset — the standard
+    monitoring form), reporting per user the alarm count, the peak
+    statistic, and the first alarm position. Completes the time-series
+    monitoring family (TWA / EWMA / pattern / trailing-window) with the
+    RECURSIVE member the others deliberately avoid.
+
+    Why this shape: CUSUM's recurrence is order-dependent and
+    non-associative, so no window frame or groupBy aggregate expresses
+    it. Here each user's (ts, event_id)-sorted value sequence is folded
+    by ONE higher-order ``aggregate`` lambda over a struct accumulator
+    — all int64 micro-units, so the DuckDB oracle (a recursive CTE
+    stepping the identical recurrence) matches bit-for-bit. The alarm
+    rule and thresholds are integer literals shared by both engines.
+
+    Scale shape: one shuffle (groupBy user) and one in-memory fold per
+    user — sequence length is the user's event count, the same
+    per-entity bound every sessionization/window query already carries;
+    an unbounded stream would run the identical recurrence as
+    applyInPandasWithState (the cumulative-energy pattern in
+    streaming/pipeline.py). Nothing driver-side, no Python in the
+    fold (Catalyst higher-order functions, JVM codegen)."""
+    e = _ev(spark, sf_dir)
+    seq = (
+        e.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.expr(
+                "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+            ).alias("v_ppm"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "v_ppm"))
+            ).alias("seq")
+        )
+    )
+    step = f"greatest(0L, acc.s + v - {_CUSUM_K}L)"
+    fold = F.expr(
+        f"""aggregate(
+  transform(seq, x -> x.v_ppm),
+  named_struct('s', 0L, 'mx', 0L, 'n', 0L, 'i', 0L, 'fa', 0L),
+  (acc, v) -> named_struct(
+    's', {step},
+    'mx', greatest(acc.mx, {step}),
+    'n', acc.n + IF({step} > {_CUSUM_H}L, 1L, 0L),
+    'i', acc.i + 1L,
+    'fa', IF(acc.fa = 0L AND {step} > {_CUSUM_H}L, acc.i + 1L, acc.fa)))"""
+    )
+    out = seq.select(
+        "user_id", F.size("seq").alias("n_raw"), fold.alias("r")
+    )
+    return out.select(
+        "user_id",
+        F.col("n_raw").cast("int").alias("n_events"),
+        F.col("r.n").cast("int").alias("n_alarms"),
+        F.col("r.mx").cast("long").alias("max_s"),
+        F.expr("CAST(nullif(r.fa, 0L) AS INT)").alias("first_alarm_rn"),
+    )

@@ -670,3 +670,28 @@ def test_partitioned_read_prunes_directories(spark, sf_small):
     idx = plan.index("PartitionFilters")
     seg = plan[idx : idx + 200]
     assert "day" in seg and "2024-01-08" in seg, seg
+
+
+def test_cusum_single_shuffle_no_python(spark, sf_small):
+    """The CUSUM fold runs as Catalyst higher-order functions over the
+    per-user collected sequence: exactly one hash-partitioned exchange
+    (the groupBy user), no window-sort pass, and no Python evaluation
+    anywhere in the plan."""
+    plan = _plan(REGISTRY["events_cusum_user_value_shift"].fn(spark, sf_small))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" not in plan, plan
+    assert "Python" not in plan and "Arrow" not in plan, plan
+
+
+def test_quantile_sample_sketch_is_take_ordered(spark, sf_small):
+    """Each shard sketch and the merge must plan as TakeOrdered
+    (per-partition top-k heaps + one k-row merge) — never a global
+    sort — the same audit the KMV sketch carries."""
+    from cassaforte_meter_transmission_gen_spark.operators.sketches import (
+        quantile_sample_sketch,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/orders.parquet")
+    plan = _plan(quantile_sample_sketch(docs, "o_orderkey", "o_totalprice"))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan, plan
