@@ -929,10 +929,7 @@ def events_pattern_drop_drop_spike(spark: SparkSession, sf_dir: str) -> DataFram
 _CUSUM_K = 300_000_000  # per-event drift allowance, value micro-units
 _CUSUM_H = 1_000_000_000  # alarm threshold, value micro-units
 
-
-@register(
-    "events_cusum_user_value_shift",
-    oracle=f"""
+_CUSUM_ORACLE = f"""
 WITH RECURSIVE ev AS (
   SELECT user_id,
          CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v,
@@ -955,7 +952,12 @@ SELECT user_id,
        CAST(MIN(rn) FILTER (WHERE s > {_CUSUM_H}) AS INT) AS first_alarm_rn
 FROM step
 GROUP BY user_id
-""",
+"""
+
+
+@register(
+    "events_cusum_user_value_shift",
+    oracle=_CUSUM_ORACLE,
     tags=("events", "time-series", "changepoint", "cusum", "integer-exact"),
 )
 def events_cusum_user_value_shift(
@@ -1023,3 +1025,34 @@ def events_cusum_user_value_shift(
         F.col("r.mx").cast("long").alias("max_s"),
         F.expr("CAST(nullif(r.fa, 0L) AS INT)").alias("first_alarm_rn"),
     )
+
+
+@register(
+    "streaming_cusum_user_value_shift",
+    oracle=_CUSUM_ORACLE,
+    tags=(
+        "events", "streaming", "time-series", "changepoint", "cusum",
+        "integer-exact", "stateful",
+    ),
+)
+def streaming_cusum_user_value_shift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LIVE streaming CUSUM (streaming.pipeline.cusum_stream): the
+    per-user changepoint statistic maintained as
+    ``applyInPandasWithState`` custom state — five int64s per user —
+    over the events table replayed as a time-ordered bounded stream in
+    multiple micro-batches. Gated against the IDENTICAL recursive-CTE
+    oracle as the batch fold (events_cusum_user_value_shift): the
+    stateful stream must converge to exactly what one batch pass
+    computes, the module's standing streaming≡batch argument, here for
+    an ORDER-SENSITIVE recurrence (unlike the commutative counters).
+
+    The per-batch update is vectorized by the reflection identity
+    S_t = c_t − min(0, min c_j) (numpy cumsum + running min — no
+    Python row loop), carried state folds in as the walk offset; the
+    identity is unit-equivalent to the Lindley recursion the oracle
+    steps. State is O(users)·5 int64s, sharded by key."""
+    from ..streaming.pipeline import run_bounded_cusum
+
+    return run_bounded_cusum(spark, sf_dir, _CUSUM_K, _CUSUM_H)

@@ -1386,3 +1386,158 @@ def run_bounded_cms_rollup(
         return spark.read.parquet(f"{out}/estimates")
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+def cusum_stream(
+    stream: DataFrame, k_micro: int, h_micro: int
+) -> DataFrame:
+    """Per-user one-sided CUSUM state over an IN-ORDER event stream
+    (``applyInPandasWithState``) — the live dual of
+    plans.events_queries.events_cusum_user_value_shift's batch fold.
+    State per user: (s, mx, n, i, fa) = current statistic, peak,
+    alarm count, events seen, first-alarm position — five int64s,
+    sharded by user exactly like the cumulative-energy counter.
+
+    The per-batch update is VECTORIZED via the reflection identity
+    ``S_t = c_t − min(0, min_{j≤t} c_j)`` with ``c`` the drift walk
+    offset by the carried state — one numpy cumsum + running min per
+    group instead of a Python row loop, bit-equal to the Lindley
+    recursion ``S_t = max(0, S_{t-1} + d_t)`` (all int64, no floats).
+    Precondition: per-user event order across batches (the staged
+    replay pins file order; a real feed uses log offsets — the SCD2
+    contract)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_fn(key, pdf_iter, state: GroupState):
+        s, mx, n, i, fa = state.get if state.exists else (0, 0, 0, 0, 0)
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        d = pdf["v_micro"].to_numpy(dtype="int64") - k_micro
+        if len(d):
+            c = s + np.cumsum(d)
+            floor = np.minimum(np.minimum.accumulate(c), 0)
+            trail = c - floor  # S_t for every row of this batch
+            alarms = trail > h_micro
+            if fa == 0 and alarms.any():
+                fa = i + int(np.argmax(alarms)) + 1
+            n += int(alarms.sum())
+            mx = max(mx, int(trail.max()))
+            s = int(trail[-1])
+            i += len(trail)
+        state.update((s, mx, n, i, fa))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [i],
+                "n_alarms": [n],
+                "max_s": [mx],
+                "first_alarm_rn": [fa],
+            }
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update_fn,
+        outputStructType=(
+            "user_id bigint, n_events long, n_alarms long,"
+            " max_s long, first_alarm_rn long"
+        ),
+        stateStructType="s long, mx long, n long, i long, fa long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_bounded_cusum(
+    spark: SparkSession,
+    sf_dir: str,
+    k_micro: int,
+    h_micro: int,
+    n_slices: int = 8,
+    files_per_trigger: int = 3,
+) -> DataFrame:
+    """Drive :func:`cusum_stream` over the events table staged as
+    ``n_slices`` GLOBALLY time-ordered files (named and mtime-pinned in
+    order, the run_bounded_scd2 staging) so per-user order holds across
+    micro-batches, then return each user's FINAL state row (n_events is
+    strictly increasing per user across emissions, so max-by picks the
+    last). Gated against the identical recursive-CTE oracle as the
+    batch fold — streaming≡batch, the module's standing argument."""
+    import os
+
+    from pyspark.sql import Window as W
+
+    from ..schemas import load_table
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr(
+            "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+        ).alias("v_micro"),
+    )
+    # fixture staging: one global sort of the (small) verification
+    # corpus into contiguous time slices — a real deployment's feed is
+    # already offset-ordered per key, so this sort is the REPLAY
+    # harness, not the operator
+    sliced = e.withColumn(
+        "slice",
+        F.ntile(n_slices).over(
+            W.orderBy("ts", "event_id")
+        ),
+    )
+    stage = tempfile.mkdtemp(prefix="cusum_stream_in_")
+    atexit.register(shutil.rmtree, stage, ignore_errors=True)
+    in_dir = os.path.join(stage, "in")
+    os.makedirs(in_dir)
+    for i in range(1, n_slices + 1):
+        tmp = os.path.join(stage, f"slice{i}")
+        sliced.filter(F.col("slice") == i).drop("slice").coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f
+            for f in os.listdir(tmp)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        dst = os.path.join(in_dir, f"{i:03d}.parquet")
+        os.replace(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(
+            "user_id bigint, ts timestamp, event_id bigint, v_micro bigint"
+        )
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(in_dir)
+    )
+    name = f"stream_cusum_{k_micro}_{h_micro}"
+    with tempfile.TemporaryDirectory(prefix="cusum_ckpt_") as ckpt:
+        q = (
+            cusum_stream(stream, k_micro, h_micro)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    emitted = spark.table(name)
+    final = emitted.groupBy("user_id").agg(
+        F.max(
+            F.struct("n_events", "n_alarms", "max_s", "first_alarm_rn")
+        ).alias("r")
+    )
+    return final.select(
+        "user_id",
+        F.col("r.n_events").cast("int").alias("n_events"),
+        F.col("r.n_alarms").cast("int").alias("n_alarms"),
+        F.col("r.max_s").cast("long").alias("max_s"),
+        F.expr("CAST(nullif(r.first_alarm_rn, 0L) AS INT)").alias(
+            "first_alarm_rn"
+        ),
+    )

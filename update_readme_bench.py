@@ -72,6 +72,26 @@ def _merge_detail(bench: dict, line: str) -> None:
                 bench.setdefault(k, v)
 
 
+def _merge_detail_file(bench: dict) -> None:
+    """Since round 9 the bulky detail dict lives in a committed
+    ``BENCH_DETAIL_r{N}.json`` referenced by a short stdout pointer
+    line — fold that file in (headline keys win)."""
+    name = bench.pop("detail_file", None)
+    if not name:
+        return
+    p = name if os.path.isabs(name) else os.path.join(REPO, name)
+    if not os.path.exists(p):
+        return
+    try:
+        with open(p) as f:
+            d = json.load(f)
+    except (json.JSONDecodeError, ValueError):
+        return
+    for k, v in d.items():
+        if k != "detail":
+            bench.setdefault(k, v)
+
+
 def load_bench(src: str) -> dict:
     with open(src) as f:
         text = f.read()
@@ -88,12 +108,17 @@ def load_bench(src: str) -> dict:
         m = re.search(r'\{"detail": true.*?\}(?=\s*\n)', tail, re.DOTALL)
         if m:
             _merge_detail(bench, m.group(0))
+        m = re.search(r'"detail_file": "([^"]+)"', tail)
+        if m:
+            bench.setdefault("detail_file", m.group(1))
+        _merge_detail_file(bench)
         if not bench:
             sys.exit(f"{src} has parsed:null and no recoverable headline")
         return bench
     if isinstance(obj, dict):
         return obj  # legacy single-dict local capture
-    # raw bench stdout: JSON line(s) — detail first, headline last
+    # raw bench stdout: JSON line(s) — detail-pointer/detail first,
+    # headline last
     bench: dict = {}
     lines = [ln for ln in text.splitlines() if ln.strip()]
     for ln in reversed(lines):
@@ -106,6 +131,7 @@ def load_bench(src: str) -> dict:
         elif isinstance(d, dict) and not bench.get("metric"):
             for k, v in d.items():
                 bench.setdefault(k, v)
+    _merge_detail_file(bench)
     if not bench:
         sys.exit(f"could not parse any JSON line from {src}")
     return bench
@@ -186,10 +212,21 @@ def render(b: dict, src_name: str) -> str:
             f"{lsh['candidate_fraction']:.2%} of all pairs "
             f"({lsh['n_candidates']:,} of {lsh['n_pairs']:,})."
         )
+    trn = b.get("ann_train_sec")
+    if trn:
+        pts = ", ".join(f"{k} {v} s" for k, v in sorted(trn.items()))
+        lines.append(
+            f"- **ANN train/index builds (paid once per corpus)**: {pts}."
+        )
     scale = b.get("scale_path_queries")
     if scale:
         pts = ", ".join(f"`{k}` {v} s" for k, v in sorted(scale.items()))
         lines.append(f"- **Scale-path queries**: {pts}.")
+    if b.get("contended"):
+        lines.append(
+            "- **CONTENDED RUN**: the bench's own tripwire flagged box "
+            "contention — treat absolute timings as upper bounds."
+        )
     return "\n".join(lines)
 
 
