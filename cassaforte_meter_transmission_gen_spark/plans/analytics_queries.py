@@ -2076,3 +2076,61 @@ def sketch_quantile_sample_totalprice(
         "exact_p90_cents",
         "exact_p99_cents",
     )
+
+
+@register(
+    "streaming_quantile_sketch_daily",
+    oracle="""
+WITH base AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+           AS BIGINT) AS h,
+         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+  FROM events
+),
+sampled AS (
+  SELECT day, h, v,
+         row_number() OVER (PARTITION BY day ORDER BY h, v) AS rn
+  FROM base
+),
+est AS (
+  SELECT day, CAST(COUNT(*) AS INT) AS n_sample,
+         quantile_cont(v, 0.5) AS est_p50_micro,
+         quantile_cont(v, 0.9) AS est_p90_micro
+  FROM sampled WHERE rn <= 512
+  GROUP BY day
+),
+ex AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         quantile_cont(CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+           AS BIGINT), 0.5) AS exact_p50_micro,
+         quantile_cont(CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+           AS BIGINT), 0.9) AS exact_p90_micro
+  FROM events
+  GROUP BY 1
+)
+SELECT est.day, n_sample, est_p50_micro, est_p90_micro,
+       exact_p50_micro, exact_p90_micro
+FROM est JOIN ex ON est.day = ex.day
+""",
+    tags=(
+        "agg", "approx", "sketch", "quantile", "streaming", "exactly-once",
+    ),
+)
+def streaming_quantile_sketch_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LIVE streaming maintenance of the per-day quantile-sample sketch
+    table (streaming.pipeline.quantile_sketch_rollup_batch_fn): each
+    micro-batch merges its days' k hash-smallest (h, v) rows with the
+    last committed sketches by union + re-take-k under the exactly-once
+    batch-id commit-log protocol — the third sketch family maintained
+    streaming-side, after HLL distinct and CMS frequency grids. The
+    final committed table is, BY MERGEABILITY, exactly the sample a
+    one-pass global sketch draws, so the oracle simply draws the same
+    per-day hash sample serially; per-day p50/p90 estimates ride beside
+    the exact percentiles. State: O(days × k) rows regardless of
+    stream length; day is the shard key."""
+    from ..streaming.pipeline import run_bounded_quantile_rollup
+
+    return run_bounded_quantile_rollup(spark, sf_dir)

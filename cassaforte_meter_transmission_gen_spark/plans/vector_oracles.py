@@ -863,3 +863,60 @@ def pq_index_codes_sql(
     )
     parts.append(f"SELECT vec_id, {code_cols} FROM k0 {code_joins}")
     return "\n".join(parts)
+
+
+@_materialized
+def ivfpq_index_rows_sql(
+    n_clusters: int = 16,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    n_iters: int = 3,
+    train_sample_denom: int | str | None = "auto",
+) -> str:
+    """Oracle for the PERSISTED composed IVF-PQ index table (sources.
+    ann_store.trained_ivfpq_index read back as rows): the coarse
+    k-means chain + full-table argmin cell assignment, and the
+    per-subspace chains + argmin code assignment — i.e. exactly the
+    ``cands``/``codes`` CTEs of the IVF-PQ ANN oracle, joined and
+    returned as (vec_id, cluster_id, code_0..code_{m-1}). Hash-green
+    proves the on-disk index every ``ann_ivfpq_topk`` serve reads is
+    bit-identical to a fresh assign+encode pass."""
+    sub = DIM // n_subspaces
+    parts = [
+        "WITH e AS (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        " FROM embeddings),",
+    ]
+    chain, coarse = _kmeans_chain(
+        n_clusters, n_iters, train_sample_denom, prefix="g"
+    )
+    parts.extend(chain)
+    chains, finals = _pq_subspace_chains(
+        n_subspaces, n_codes, n_iters, train_sample_denom
+    )
+    parts.extend(chains)
+    for j, cb in enumerate(finals):
+        parts.append(f"""k{j} AS (
+  SELECT s.vec_id, (array_agg(s.cid ORDER BY s.d, s.cid))[1] AS code
+  FROM (SELECT x.vec_id, c.cid, {_sq_dist('x.v', 'c.cv', sub)} AS d
+        FROM e{j} x CROSS JOIN {cb} c) s
+  GROUP BY s.vec_id
+),""")
+    parts.append(f"""cands AS (
+  SELECT s.vec_id,
+         CAST((array_agg(s.cid ORDER BY s.d, s.cid))[1] AS INT)
+           AS cluster_id
+  FROM (SELECT e.vec_id, c.cid, {_sq_dist('e.v', 'c.cv')} AS d
+        FROM e CROSS JOIN {coarse} c) s
+  GROUP BY s.vec_id
+)""")
+    code_cols = ", ".join(
+        f"CAST(k{j}.code AS INT) AS code_{j}" for j in range(n_subspaces)
+    )
+    code_joins = " ".join(
+        f"JOIN k{j} USING (vec_id)" for j in range(n_subspaces)
+    )
+    parts.append(
+        f"SELECT vec_id, cluster_id, {code_cols} FROM cands {code_joins}"
+    )
+    return "\n".join(parts)

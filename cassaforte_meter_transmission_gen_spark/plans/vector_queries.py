@@ -598,6 +598,32 @@ def ann_pq_index_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivfpq_index_rows",
+    oracle=vector_oracles.ivfpq_index_rows_sql(),
+    tags=("vector", "ann", "ivf", "pq", "indexing", "artifact"),
+)
+def ann_ivfpq_index_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed IVF-PQ INDEX as a first-class query: build (or
+    read) the persisted (vec_id, cluster_id, code_0..code_7) table
+    (sources.ann_store.trained_ivfpq_index) — the coarse cell
+    assignment and the 8 subspace codes per corpus vector, which is
+    exactly what a Faiss IVF,PQ index stores. The oracle re-derives
+    both quantizers and both argmin assignments serially, so a
+    hash-green row completes the artifact chain: parameters
+    (`ann_ivf_train_centroids`, `ann_pq_train_codebooks`), PQ index
+    data (`ann_pq_index_codes`), and now the composed serve table
+    `ann_ivfpq_topk` actually scans.
+
+    Scale shape: the build is ONE scan emitting cell + codes together
+    (assign and encode are projections of the same row), paid once per
+    corpus fingerprint; at 100 TB this table IS the vector index —
+    partitioned by cluster_id for probe-time directory pruning."""
+    from ..sources.ann_store import trained_ivfpq_index
+
+    return trained_ivfpq_index(spark, sf_dir)
+
+
+@register(
     "pipeline_cluster_quality_report",
     oracle=vector_oracles.cluster_doc_quality_sql(),
     tags=("pipeline", "vector", "text", "curation", "kmeans"),

@@ -1541,3 +1541,111 @@ def run_bounded_cusum(
             "first_alarm_rn"
         ),
     )
+
+
+def quantile_sketch_rollup_batch_fn(
+    table_dir: str, commits_dir: str, k: int = 512
+):
+    """foreachBatch body maintaining a PER-DAY quantile-sample sketch
+    table — the counter-merge versioned protocol applied to the third
+    mergeable sketch family (HLL distinct → CMS frequency → THIS for
+    order statistics): per micro-batch, each day's k hash-smallest
+    (h, v) rows from the arriving events are merged with the last
+    COMMITTED day sketches by union + re-take-k — mergeability
+    (operators.sketches.quantile_sample_sketch) guarantees the result
+    equals the one-pass sketch of everything seen. Exactly-once by the
+    same argument as every grain merge: replayed batches re-read the
+    same committed base and overwrite their own ``v=<batch_id>``
+    directory; the atomic marker is the commit point. Sketch state is
+    O(days × k) rows regardless of stream history."""
+    import os
+
+    from ..operators.sketches import kmv_hash_expr
+
+    os.makedirs(commits_dir, exist_ok=True)
+    from pyspark.sql import Window as W
+
+    wday = W.partitionBy("day").orderBy("h", "v")
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        hw = _high_watermark(commits_dir)
+        if hw is not None and batch_id <= hw:
+            return  # replayed, fully applied
+        sk = batch.select(
+            F.date_trunc("day", "ts").alias("day"),
+            F.expr(kmv_hash_expr("CAST(event_id AS STRING)")).alias("h"),
+            F.expr(
+                "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+            ).alias("v"),
+        )
+        if hw is not None:
+            prev = batch.sparkSession.read.schema(
+                "day timestamp, h bigint, v bigint"
+            ).parquet(f"{table_dir}/v={hw}")
+            sk = prev.unionByName(sk)
+        pruned = (
+            sk.withColumn("rn", F.row_number().over(wday))
+            .filter(F.col("rn") <= k)
+            .drop("rn")
+        )
+        pruned.write.mode("overwrite").parquet(f"{table_dir}/v={batch_id}")
+        tmp = os.path.join(commits_dir, f"{batch_id}.tmp")
+        open(tmp, "w").close()
+        os.replace(tmp, os.path.join(commits_dir, str(batch_id)))
+
+    return fn
+
+
+def run_bounded_quantile_rollup(
+    spark: SparkSession, sf_dir: str, k: int = 512
+) -> DataFrame:
+    """Drive :func:`quantile_sketch_rollup_batch_fn` over the bounded
+    event stream to completion, then estimate each day's median and
+    p90 from the FINAL committed sketch table, with the exact per-day
+    percentiles computed query-time beside them (the KMV exactness
+    discipline). Gated against a DuckDB oracle drawing the identical
+    per-day hash sample — streaming maintenance ≡ one-pass sketch, by
+    mergeability."""
+    import os
+
+    from ..schemas import load_table
+
+    out = tempfile.mkdtemp(prefix="qsk_stream_out_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    table_dir = os.path.join(out, "day_sketches")
+    commits = os.path.join(out, "_commits")
+    stream = bounded_events_stream(spark, sf_dir)
+    with tempfile.TemporaryDirectory(prefix="qsk_ckpt_") as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(
+                quantile_sketch_rollup_batch_fn(table_dir, commits, k)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    hw = _high_watermark(commits)
+    sk = spark.read.schema("day timestamp, h bigint, v bigint").parquet(
+        f"{table_dir}/v={hw}"
+    )
+    est = sk.groupBy("day").agg(
+        F.count("*").cast("int").alias("n_sample"),
+        F.expr("percentile(v, 0.5)").alias("est_p50_micro"),
+        F.expr("percentile(v, 0.9)").alias("est_p90_micro"),
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.expr(
+                "percentile(CAST(CAST(value AS DECIMAL(18,6)) * 1000000"
+                " AS BIGINT), 0.5)"
+            ).alias("exact_p50_micro"),
+            F.expr(
+                "percentile(CAST(CAST(value AS DECIMAL(18,6)) * 1000000"
+                " AS BIGINT), 0.9)"
+            ).alias("exact_p90_micro"),
+        )
+    )
+    return est.join(exact, "day")

@@ -928,3 +928,55 @@ def test_scd2_redelivered_seq_under_new_batch_id_is_noop(spark, tmp_path):
     assert (hist[(1, 1)].v, hist[(1, 1)].is_current) == ("a1", True)
     assert (hist[(2, 0)].valid_to_seq, hist[(2, 0)].is_current) == (2, False)
     assert (hist[(2, 2)].v, hist[(2, 2)].is_current) == ("b2", True)
+
+
+def test_quantile_sketch_rollup_replay_is_noop(spark, tmp_path):
+    """Per-day quantile-sketch maintenance: batches merge by union +
+    re-take-k, and a replayed batch id — even with POISON rows — is
+    ignored (the exactly-once discipline every sketch rollup carries).
+    The final committed sketch equals the one-pass per-day sample."""
+    import pyspark.sql.functions as F
+
+    from cassaforte_meter_transmission_gen_spark.operators.sketches import (
+        kmv_hash_expr,
+    )
+    from cassaforte_meter_transmission_gen_spark.streaming.pipeline import (
+        quantile_sketch_rollup_batch_fn,
+    )
+
+    schema = "user_id bigint, ts timestamp, event_id bigint, value double"
+    table = str(tmp_path / "sk")
+    commits = str(tmp_path / "_commits")
+    fn = quantile_sketch_rollup_batch_fn(table, commits, k=8)
+
+    def batch(rows):
+        return spark.createDataFrame(rows, schema)
+
+    import datetime as dt
+
+    d0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [(i % 5, d0 + dt.timedelta(seconds=i), i, float(i)) for i in range(30)]
+    fn(batch(rows[:15]), 0)
+    fn(batch(rows[15:]), 1)
+    fn(batch([(9, d0, 999, 1e9)]), 1)  # replay with poison — must no-op
+
+    got = sorted(
+        (r.h, r.v)
+        for r in spark.read.schema("day timestamp, h bigint, v bigint")
+        .parquet(f"{table}/v=1")
+        .collect()
+    )
+    onepass = (
+        batch(rows)
+        .select(
+            F.expr(kmv_hash_expr("CAST(event_id AS STRING)")).alias("h"),
+            F.expr(
+                "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+            ).alias("v"),
+        )
+        .orderBy("h", "v")
+        .limit(8)
+    )
+    expected = sorted((r.h, r.v) for r in onepass.collect())
+    assert got == expected
+    assert not any(v == 10**15 for _, v in got)  # poison absent
