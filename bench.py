@@ -453,21 +453,27 @@ def main() -> None:
     for _ in range(2):
         if not _timed_ingest():
             break
-    # contention tripwire (round-8 lesson): the two runs disagreeing by
-    # >1.5× is the signature of a loaded box, not of this code — run a
-    # third and flag the record rather than committing a phantom.
-    ingest_contended = (
-        len(ingest_runs) == 2
-        and max(ingest_runs) > 1.5 * min(ingest_runs)
-    )
-    if ingest_contended:
+    # contention tripwire (round-8 lesson): the FIRST run always pays
+    # old-gen warmup (documented above), so runs 1 vs 2 disagreeing is
+    # normal — when they disagree >1.5× run a third, and call the box
+    # contended only if the two BEST runs still disagree >1.5× (steady
+    # state itself unstable = something else is eating the cores).
+    if len(ingest_runs) == 2 and max(ingest_runs) > 1.5 * min(ingest_runs):
         print(
-            f"WARNING: ingest runs {ingest_runs} differ by >1.5x —"
-            " box contention suspected; timing a third run and stamping"
-            " contended:true. Re-run on a drained box before committing.",
+            f"note: ingest runs {ingest_runs} differ by >1.5x —"
+            " timing a third to separate warmup from contention.",
             file=sys.stderr,
         )
         _timed_ingest()
+    best = sorted(ingest_runs)[:2]
+    ingest_contended = len(best) == 2 and best[1] > 1.5 * best[0]
+    if ingest_contended:
+        print(
+            f"WARNING: steady-state ingest runs {ingest_runs} still"
+            " disagree by >1.5x — box contention suspected; stamping"
+            " contended:true. Re-run on a drained box before committing.",
+            file=sys.stderr,
+        )
     ingest_sec = min(ingest_runs) if ingest_runs else None
 
     # the STREAMING five-table path (exactly-once commit-log sink),

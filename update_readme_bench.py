@@ -128,7 +128,9 @@ def load_bench(src: str) -> dict:
             continue
         if isinstance(d, dict) and d.get("detail"):
             _merge_detail(bench, ln)
-        elif isinstance(d, dict) and not bench.get("metric"):
+        elif isinstance(d, dict):
+            # headline line (parsed first, from the tail) or the short
+            # detail-pointer line — setdefault keeps headline keys
             for k, v in d.items():
                 bench.setdefault(k, v)
     _merge_detail_file(bench)
