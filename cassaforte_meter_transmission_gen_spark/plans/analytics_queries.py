@@ -2134,3 +2134,60 @@ def streaming_quantile_sketch_daily(
     from ..streaming.pipeline import run_bounded_quantile_rollup
 
     return run_bounded_quantile_rollup(spark, sf_dir)
+
+
+@register(
+    "streaming_kmv_daily_user_days",
+    oracle="""
+WITH base AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':'
+           || CAST(CAST(ts AS DATE) AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM events
+),
+dd AS (SELECT DISTINCT day, h FROM base),
+ranked AS (
+  SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+  FROM dd
+),
+est AS (
+  SELECT day, COUNT(*) AS n_sk, MAX(h) AS max_h
+  FROM ranked WHERE rn <= 256
+  GROUP BY day
+),
+ex AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(COUNT(DISTINCT CAST(user_id AS VARCHAR) || ':'
+           || CAST(CAST(ts AS DATE) AS VARCHAR)) AS BIGINT)
+           AS exact_user_days
+  FROM events GROUP BY 1
+)
+SELECT est.day, CAST(n_sk AS INT) AS n_sketch,
+       CAST(CASE WHEN n_sk < 256 THEN n_sk
+            ELSE CAST(FLOOR(255.0 * 1152921504606846976.0 / max_h)
+                      AS BIGINT)
+            END AS BIGINT) AS est_user_days,
+       exact_user_days
+FROM est JOIN ex ON est.day = ex.day
+""",
+    tags=(
+        "agg", "approx", "sketch", "kmv", "streaming", "exactly-once",
+    ),
+)
+def streaming_kmv_daily_user_days(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LIVE streaming maintenance of the per-day KMV distinct sketch
+    table (streaming.pipeline.kmv_rollup_batch_fn): per micro-batch
+    each day's k smallest distinct user-day hashes merge with the last
+    committed sketches by union + distinct + re-take-k under the
+    exactly-once commit-log protocol — with this, EVERY mergeable
+    sketch family in the engine (HLL, CMS, quantile sample, KMV) has
+    both a batch and an exactly-once streaming-maintained form. The
+    per-day distinct estimate from the final committed sketch rides
+    beside the exact count, and because the KMV estimator runs on the
+    md5-portable hash the whole row is value-hash gated (the HLL dual
+    is bound-pinned instead). State: O(days × k) int64s."""
+    from ..streaming.pipeline import run_bounded_kmv_rollup
+
+    return run_bounded_kmv_rollup(spark, sf_dir)

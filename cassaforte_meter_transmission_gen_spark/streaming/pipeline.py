@@ -1649,3 +1649,112 @@ def run_bounded_quantile_rollup(
         )
     )
     return est.join(exact, "day")
+
+
+def kmv_rollup_batch_fn(table_dir: str, commits_dir: str, k: int = 256):
+    """foreachBatch body maintaining a PER-DAY KMV distinct sketch
+    table — completing the streaming-maintained sketch family (HLL
+    distinct / CMS frequency / quantile sample / THIS for md5-portable
+    distinct counts whose estimator arithmetic is fully value-hash
+    gated, unlike HLL's bound-pinned oracles): per micro-batch, each
+    day's k smallest distinct user-day hashes from the arriving events
+    merge with the last COMMITTED sketches by union + distinct +
+    re-take-k. Exactly-once by the commit-log protocol; state is
+    O(days × k) int64s."""
+    import os
+
+    from pyspark.sql import Window as W
+
+    from ..operators.sketches import kmv_hash_expr
+
+    os.makedirs(commits_dir, exist_ok=True)
+    wday = W.partitionBy("day").orderBy("h")
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        hw = _high_watermark(commits_dir)
+        if hw is not None and batch_id <= hw:
+            return  # replayed, fully applied
+        key = (
+            "CONCAT(CAST(user_id AS STRING), ':',"
+            " CAST(CAST(ts AS DATE) AS STRING))"
+        )
+        sk = batch.select(
+            F.date_trunc("day", "ts").alias("day"),
+            F.expr(kmv_hash_expr(key)).alias("h"),
+        ).distinct()
+        if hw is not None:
+            prev = batch.sparkSession.read.schema(
+                "day timestamp, h bigint"
+            ).parquet(f"{table_dir}/v={hw}")
+            sk = prev.unionByName(sk).distinct()
+        pruned = (
+            sk.withColumn("rn", F.row_number().over(wday))
+            .filter(F.col("rn") <= k)
+            .drop("rn")
+        )
+        pruned.write.mode("overwrite").parquet(f"{table_dir}/v={batch_id}")
+        tmp = os.path.join(commits_dir, f"{batch_id}.tmp")
+        open(tmp, "w").close()
+        os.replace(tmp, os.path.join(commits_dir, str(batch_id)))
+
+    return fn
+
+
+def run_bounded_kmv_rollup(
+    spark: SparkSession, sf_dir: str, k: int = 256
+) -> DataFrame:
+    """Drive :func:`kmv_rollup_batch_fn` over the bounded event stream
+    to completion, then per day report the KMV distinct-user-day
+    estimate from the FINAL committed sketch beside the exact distinct
+    count (query-time, the KMV discipline). By mergeability the final
+    sketch equals the one-pass per-day sketch, which is what the
+    serial oracle draws."""
+    import os
+
+    from ..operators.sketches import kmv_estimate_col
+    from ..schemas import load_table
+
+    out = tempfile.mkdtemp(prefix="kmv_stream_out_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    table_dir = os.path.join(out, "day_sketches")
+    commits = os.path.join(out, "_commits")
+    stream = bounded_events_stream(spark, sf_dir)
+    with tempfile.TemporaryDirectory(prefix="kmv_ckpt_") as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(
+                kmv_rollup_batch_fn(table_dir, commits, k)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    hw = _high_watermark(commits)
+    sk = spark.read.schema("day timestamp, h bigint").parquet(
+        f"{table_dir}/v={hw}"
+    )
+    est = sk.groupBy("day").agg(
+        F.count("*").alias("n_sk"), F.max("h").alias("max_h")
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count_distinct(
+                F.expr(
+                    "CONCAT(CAST(user_id AS STRING), ':',"
+                    " CAST(CAST(ts AS DATE) AS STRING))"
+                )
+            )
+            .cast("long")
+            .alias("exact_user_days")
+        )
+    )
+    return est.join(exact, "day").select(
+        "day",
+        F.col("n_sk").cast("int").alias("n_sketch"),
+        kmv_estimate_col(F.col("n_sk"), F.col("max_h"), k=k).alias(
+            "est_user_days"
+        ),
+        "exact_user_days",
+    )
