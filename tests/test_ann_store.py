@@ -193,3 +193,27 @@ def test_persisted_codes_cache_hit_no_rebuild(spark, sf_small, store_root):
     assert first == again
     dirs = [d for d in os.listdir(store_root) if d.startswith("pqcodes_")]
     assert len(dirs) == 1 and ".tmp" not in dirs[0]
+
+
+def test_pq_serve_plan_reads_persisted_codes_not_reencode(
+    spark, sf_small, store_root
+):
+    """The warm-serve property the round-9 speedup rests on: with the
+    index artifacts in the store, ann_pq_topk's plan must SCAN the
+    persisted pqcodes parquet instead of carrying the 16
+    argmin-over-codebook encode expressions over the embeddings
+    table (the re-encode path would show a second embeddings scan
+    feeding array_min folds)."""
+    from cassaforte_meter_transmission_gen_spark.plans import REGISTRY
+
+    df = REGISTRY["ann_pq_topk"].fn(spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # candidate side = a parquet scan whose ReadSchema carries the code
+    # columns (the persisted artifact), NOT an argmin fold over a
+    # second embeddings scan
+    assert "code_0" in plan and "code_15" in plan, plan
+    assert "array_min" not in plan, plan  # no in-plan re-encode
+    df2 = REGISTRY["ann_ivfpq_topk"].fn(spark, sf_small)
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    # composed index scan: cell id and codes come from ONE ReadSchema
+    assert "cluster_id" in plan2 and "code_7" in plan2, plan2

@@ -165,3 +165,24 @@ def test_triangle_orientation_preserves_count_on_k5(spark):
     k5 = [(x, y) for i, x in enumerate(names) for y in names[i + 1 :]]
     row = triangle_count(_pair_df(spark, k5)).collect()[0]
     assert (row.n_nodes, row.n_edges, row.n_triangles) == (5, 10, 10)
+
+
+def test_dangling_trade_fixture_really_has_sinks(spark, sf_small):
+    """The dangling-PageRank gate is only meaningful if the fixture
+    graph actually contains sink nodes — pin that the src % 5 <> 0
+    embargo leaves at least one import-only nation at the verification
+    SF, and that its final rank exceeds the bare teleport base (it
+    received redistributed mass plus inflow)."""
+    from cassaforte_meter_transmission_gen_spark.plans import REGISTRY
+
+    out = {
+        r.nationkey: r.rank_ppb
+        for r in REGISTRY["graph_pagerank_dangling_trade"]
+        .fn(spark, sf_small)
+        .collect()
+    }
+    sinks = [k for k in out if k % 5 == 0]
+    assert sinks, "fixture lost its dangling nations"
+    # a sink keeps teleport + dangling share + inflow — strictly above
+    # the bare teleport floor 0.15e9
+    assert all(out[k] > 150_000_000 for k in sinks)
