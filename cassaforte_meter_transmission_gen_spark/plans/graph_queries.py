@@ -244,6 +244,16 @@ def graph_triangle_count_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributes zero wedges. The oracle counts by the plain a<b<c
     method — equal by construction, so the gate pins that orientation
     preserves the count."""
+    edges = _brand_edges(spark, sf_dir)
+    from ..operators.graph import triangle_count
+
+    return triangle_count(edges)
+
+
+def _brand_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The support-thresholded brand co-purchase edge list (ba < bb,
+    co-bought in ≥ 20 orders), built from ONE fact scan and pinned —
+    shared by the triangle and connected-components queries."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     ob = (
@@ -253,15 +263,121 @@ def graph_triangle_count_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = ob.select("l_orderkey", F.col("p_brand").alias("ba"))
     b = ob.select("l_orderkey", F.col("p_brand").alias("bb"))
-    edges = (
+    return (
         a.join(b, "l_orderkey")
         .filter(F.col("ba") < F.col("bb"))
         .groupBy("ba", "bb")
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= 20)
         .select("ba", "bb")
-        .localCheckpoint(eager=True)  # brand²-bounded; reused 5× below
+        .localCheckpoint(eager=True)  # brand²-bounded; reused many×
     )
-    from ..operators.graph import triangle_count
 
-    return triangle_count(edges)
+
+@register(
+    "graph_connected_components_brands",
+    oracle="""
+WITH RECURSIVE ob AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+sup AS (
+  SELECT a.p_brand AS ba, b.p_brand AS bb, COUNT(*) AS s
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand <> b.p_brand
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT ba, bb FROM (
+    SELECT ba, bb,
+           row_number() OVER (PARTITION BY ba ORDER BY s DESC, bb) AS rn
+    FROM sup) q
+  WHERE rn = 1
+),
+pairs AS (
+  SELECT DISTINCT LEAST(ba, bb) AS ba, GREATEST(ba, bb) AS bb FROM top
+),
+edges AS (
+  SELECT ba AS a, bb AS b FROM pairs
+  UNION ALL
+  SELECT bb, ba FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach AS (
+  SELECT node, node AS label FROM nodes
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+),
+comp AS (SELECT node AS brand, MIN(label) AS component_id FROM reach GROUP BY node)
+SELECT brand, component_id,
+       CAST(COUNT(*) OVER (PARTITION BY component_id) AS INT)
+         AS component_size
+FROM comp
+""",
+    tags=("graph", "connected-components", "iterative"),
+)
+def graph_connected_components_brands(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Connected components as a FIRST-CLASS graph query — the third
+    graph-family member beside PageRank and triangles: the min-label
+    labeller with path compression (operators.dedup.duplicate_groups,
+    O(log diameter) rounds, converge-or-raise) over the brand AFFINITY
+    graph — each brand linked to its single strongest co-purchase
+    partner (support desc, name asc tie-break), the classic
+    nearest-neighbor clustering whose forest naturally fragments into
+    affinity clusters (the raw co-purchase graph is complete at every
+    support threshold, so components there would be trivially one).
+    Output: every brand with its component's minimum brand as the
+    cluster id, plus the cluster size. The oracle re-derives the
+    fixpoint with a recursive transitive-closure CTE, so an
+    early-stopped or mis-propagated loop hash-mismatches (the
+    dedup_minhash_groups argument, on a graph fixture).
+
+    Scale: one fact-scan support aggregation, one per-brand window for
+    the top partner, then the labeller — which shuffles on node id
+    only; each round is two keyed self-joins over the label frame
+    (neighbor min + pointer hop), state sharded by vertex — the CC
+    economics already proven by the adversarial 60-chain unit in
+    tests/test_llm_ops.py."""
+    from pyspark.sql import Window as W
+
+    from ..operators.dedup import duplicate_groups
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.select("l_orderkey", F.col("p_brand").alias("ba"))
+    b = ob.select("l_orderkey", F.col("p_brand").alias("bb"))
+    sup = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("ba") != F.col("bb"))
+        .groupBy("ba", "bb")
+        .agg(F.count("*").alias("s"))
+    )
+    w = W.partitionBy("ba").orderBy(F.desc("s"), F.asc("bb"))
+    top = (
+        sup.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("ba", "bb")
+    )
+    edges = (
+        top.select(
+            F.least(F.col("ba"), F.col("bb")).alias("ba"),
+            F.greatest(F.col("ba"), F.col("bb")).alias("bb"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # ≤ one edge per brand; reused
+    )
+    labels = duplicate_groups(edges, a_col="ba", b_col="bb")
+    return labels.select(
+        F.col("doc_id").alias("brand"),
+        F.col("group_id").alias("component_id"),
+    ).withColumn(
+        "component_size",
+        F.count("*").over(W.partitionBy("component_id")).cast("int"),
+    )
