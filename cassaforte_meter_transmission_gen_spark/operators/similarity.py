@@ -769,7 +769,15 @@ def _adc_query_cols(
     ``dt_j`` = dot of the query subvector with every codebook entry (in
     code order), ``rn_j`` = reconstructed-norm² per entry — both as
     server-parsed SQL strings (see :func:`_argmin_code_sql`). Shared by
-    :func:`pq_topk` and :func:`ivfpq_topk`."""
+    :func:`pq_topk` and :func:`ivfpq_topk`.
+
+    Profiled next step if warm serve needs to drop further (r9: the
+    candidate-side re-encode is gone via the persisted index; what
+    remains of the ~0.7 s plan build is parsing these literal tables —
+    16 subspaces × 2 exprs × 16×4 repr-exact doubles ≈ 0.5 MB SQL at
+    PQ16): ship the codebooks as a broadcast relation and build dt/rn
+    with array_agg(... ORDER BY cid) over a join — same values in the
+    same order (the oracle's own qt{j} construction), tiny plan text."""
     cols: list[Column] = []
     for j, book in enumerate(books):
         bl = "array({})".format(
