@@ -794,13 +794,27 @@ def _adc_query_cols(
                 " (acc, x) -> acc + x))"
             ).alias(f"dt_{j}")
         )
-        cols.append(
-            F.expr(
-                f"transform({bl}, cv -> aggregate(cv,"
-                " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))"
-            ).alias(f"rn_{j}")
+        # rn is query-INDEPENDENT: fold each entry's Σx² here with the
+        # same left-to-right IEEE order the in-plan aggregate used —
+        # bit-identical doubles, and the plan carries n_codes scalar
+        # literals per subspace instead of re-embedding the whole
+        # codebook a second time (halves the generated SQL text)
+        rn_lits = ", ".join(
+            _sdlit(_sumsq_serial(c)) for c in book
         )
+        cols.append(F.expr(f"array({rn_lits})").alias(f"rn_{j}"))
     return cols
+
+
+def _sumsq_serial(cv: list[float]) -> float:
+    """Σx² as the identical sequential fold the SQL
+    ``aggregate(cv, 0.0D, (acc, x) -> acc + x*x)`` performs — IEEE
+    double ops are deterministic, so this Python loop reproduces the
+    in-plan value bit for bit (asserted by the ANN parity gates)."""
+    acc = 0.0
+    for x in cv:
+        acc += float(x) * float(x)
+    return acc
 
 
 def _adc_score(n_subspaces: int) -> Column:
