@@ -163,3 +163,63 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_triangles"))
     )
     return n_nodes.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(tri))
+
+
+#: "unreachable" sentinel for hop-bounded shortest path: far above any
+#: real path cost (6 hops × ~1e4 per hop here) yet small enough that
+#: ``d + cost`` can never overflow int64 during a relaxation.
+SP_INF = 1 << 60
+
+
+def hop_bounded_shortest_path(
+    edges: DataFrame, source: int, n_hops: int
+) -> DataFrame:
+    """Single-source cheapest path over ``edges(src, dst, cost)`` with
+    int64 costs, bounded at ``n_hops`` relaxation rounds — Bellman-Ford
+    with a fixed hop budget (the recursive-CTE "path within k hops"
+    shape; run to ``n_hops = |V| - 1`` it is exact unbounded
+    Bellman-Ford, and the CC labeller's converge-or-raise pattern
+    applies when iterating to the fixpoint instead).
+
+    Pure integer arithmetic — min over int64 sums — so a serial SQL
+    oracle matches bit-for-bit; no double accumulates anywhere.
+
+    Scale shape: distance state is one (n, d) row per vertex, sharded
+    by vertex id; each round is edges ⋈ dist (keyed by src) → one
+    partial-agg MIN groupBy (keyed by dst) → one left join back onto
+    the vertex set — the PageRank iteration economics exactly, nothing
+    on the driver. ``edges`` is referenced ``1 + n_hops`` times —
+    callers should pin it (localCheckpoint / persisted table).
+
+    Returns ``(n, d)`` with ``d`` = cheapest known cost from
+    ``source`` using ≤ ``n_hops`` edges, or :data:`SP_INF` if
+    unreached."""
+    nodes = (
+        edges.select(F.col("src").alias("n"))
+        .union(edges.select(F.col("dst").alias("n")))
+        .distinct()
+    )
+    dist = nodes.select(
+        "n",
+        F.when(F.col("n") == source, F.lit(0).cast("long"))
+        .otherwise(F.lit(SP_INF).cast("long"))
+        .alias("d"),
+    )
+    for _ in range(n_hops):
+        relax = (
+            edges.join(dist.withColumnRenamed("n", "src"), "src")
+            .filter(F.col("d") < F.lit(SP_INF))
+            .select(
+                F.col("dst").alias("n"),
+                (F.col("d") + F.col("cost")).alias("cand"),
+            )
+            .groupBy("n")
+            .agg(F.min("cand").alias("mc"))
+        )
+        dist = dist.join(relax, "n", "left").select(
+            "n",
+            F.least(
+                F.col("d"), F.coalesce(F.col("mc"), F.lit(SP_INF).cast("long"))
+            ).alias("d"),
+        )
+    return dist

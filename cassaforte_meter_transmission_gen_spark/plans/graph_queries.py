@@ -136,12 +136,14 @@ def graph_pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pagerank_over_trade(spark, sf_dir, src_where=None)
 
 
-def _pagerank_over_trade(
+def _trade_edges(
     spark: SparkSession, sf_dir: str, src_where: str | None
 ) -> DataFrame:
-    """Shared body: build the nation-trade edge list (one fact scan,
-    optionally filtering SOURCES to manufacture sink nations), pin it,
-    run 3 integer-PageRank iterations, decorate with nation names."""
+    """The nation-trade edge list ``(src, dst, w)`` — ONE fact scan
+    into a (customer-nation, supplier-nation, lineitem-count) agg,
+    optionally filtering SOURCES to manufacture sink nations. Shared
+    by the PageRank and shortest-path queries (both oracles embed the
+    matching _TRADE_EDGES_SQL)."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -158,8 +160,18 @@ def _pagerank_over_trade(
     )
     if src_where:
         edges = edges.filter(F.expr(src_where))
+    return edges
+
+
+def _pagerank_over_trade(
+    spark: SparkSession, sf_dir: str, src_where: str | None
+) -> DataFrame:
+    """Shared body: build the nation-trade edge list, pin it, run 3
+    integer-PageRank iterations, decorate with nation names."""
     # dimension-sized; reused 3 + 2·n_iters times by the iterations
-    edges = edges.localCheckpoint(eager=True)
+    edges = _trade_edges(spark, sf_dir, src_where).localCheckpoint(
+        eager=True
+    )
     from ..operators.graph import integer_pagerank
 
     r = integer_pagerank(edges, n_iters=3)
@@ -380,4 +392,95 @@ def graph_connected_components_brands(
     ).withColumn(
         "component_size",
         F.count("*").over(W.partitionBy("component_id")).cast("int"),
+    )
+
+
+#: Edge cost for the shortest-path query: heavy trade lanes are CHEAP
+#: (cost = 10000 DIV w + 1), so a 2-hop route over two busy lanes can
+#: genuinely undercut a thin direct edge — multi-hop relaxation does
+#: real work even on the complete sf trade graph. Pure integer.
+_SP_COST = "(10000 DIV w) + 1"
+_SP_COST_DUCK = "(10000 // w) + 1"
+_SP_SOURCE = 0
+_SP_HOPS = 6
+
+
+def _sp_iteration_sql(prev: str, this: str) -> str:
+    """One unrolled Bellman-Ford relaxation for the DuckDB oracle —
+    the exact integer step operators.graph.hop_bounded_shortest_path
+    runs: min over (dist[src] + cost) per dst, folded into the carried
+    distance with LEAST. MATERIALIZED because DuckDB re-inlines plain
+    CTEs at every reference."""
+    return f"""
+{this} AS MATERIALIZED (
+  SELECT nodes.n,
+         LEAST(p.d, COALESCE(r.mc, CAST({1 << 60} AS BIGINT))) AS d
+  FROM nodes
+  JOIN {prev} p ON nodes.n = p.n
+  LEFT JOIN (
+    SELECT e.dst AS n, MIN(q.d + e.cost) AS mc
+    FROM edges e
+    JOIN {prev} q ON e.src = q.n
+    WHERE q.d < CAST({1 << 60} AS BIGINT)
+    GROUP BY 1
+  ) r ON nodes.n = r.n
+)"""
+
+
+_SP_ORACLE = f"""
+WITH base AS MATERIALIZED (
+{_TRADE_EDGES_SQL.format(where="")}
+),
+edges AS MATERIALIZED (
+  SELECT src, dst, CAST({_SP_COST_DUCK} AS BIGINT) AS cost FROM base
+),
+nodes AS MATERIALIZED (SELECT src AS n FROM edges UNION SELECT dst FROM edges),
+d0 AS MATERIALIZED (
+  SELECT n, CAST(CASE WHEN n = {_SP_SOURCE} THEN 0 ELSE {1 << 60} END
+                 AS BIGINT) AS d
+  FROM nodes
+),
+{",".join(_sp_iteration_sql(f"d{i}", f"d{i + 1}").strip() for i in range(_SP_HOPS))}
+SELECT nt.n_nationkey AS nationkey, nt.n_name,
+       CASE WHEN dN.d >= CAST({1 << 60} AS BIGINT) THEN NULL
+            ELSE dN.d END AS dist_cost
+FROM d{_SP_HOPS} dN JOIN nation nt ON dN.n = nt.n_nationkey
+"""
+
+
+@register(
+    "graph_shortest_path_trade",
+    oracle=_SP_ORACLE,
+    tags=("graph", "shortest-path", "iterative", "integer-exact"),
+)
+def graph_shortest_path_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source cheapest trade route from nation 0 to every
+    nation, ≤ 6 hops (operators.graph.hop_bounded_shortest_path) —
+    hop-bounded Bellman-Ford, the recursive-CTE shortest-path shape as
+    a distributed iteration. Edge cost is integer ``10000 DIV w + 1``
+    (heavier lanes cheaper), so relaxation genuinely re-routes: a thin
+    direct edge loses to two busy lanes. All-integer mins/sums — the
+    DuckDB oracle unrolls the identical 6 relaxations and matches
+    bit-for-bit.
+
+    Scale: the fact table is scanned ONCE into the (src, dst, w) edge
+    agg (localCheckpoint-pinned, same as PageRank); per round one
+    edges⋈dist join keyed by src, one MIN groupBy keyed by dst, one
+    left join back — distance state sharded by vertex, nothing on the
+    driver. Cited: reference has no graph surface (core.clj); §2.10
+    extension family."""
+    base = _trade_edges(spark, sf_dir, src_where=None)
+    edges = base.select(
+        "src", "dst", F.expr(_SP_COST).cast("long").alias("cost")
+    ).localCheckpoint(eager=True)
+    from ..operators.graph import SP_INF, hop_bounded_shortest_path
+
+    d = hop_bounded_shortest_path(edges, source=_SP_SOURCE, n_hops=_SP_HOPS)
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return d.join(F.broadcast(nation), d.n == nation.n_nationkey).select(
+        F.col("n_nationkey").alias("nationkey"),
+        "n_name",
+        F.when(F.col("d") >= F.lit(SP_INF), F.lit(None).cast("long"))
+        .otherwise(F.col("d"))
+        .alias("dist_cost"),
     )

@@ -186,3 +186,63 @@ def test_dangling_trade_fixture_really_has_sinks(spark, sf_small):
     # a sink keeps teleport + dangling share + inflow — strictly above
     # the bare teleport floor 0.15e9
     assert all(out[k] > 150_000_000 for k in sinks)
+
+
+def _cost_edges_df(spark, triples):
+    return spark.createDataFrame(triples, "src INT, dst INT, cost BIGINT")
+
+
+def test_shortest_path_two_hop_beats_direct(spark):
+    """0→2 direct costs 100; 0→1→2 costs 10+10=20: relaxation must
+    re-route. Node 3 is reachable only through 2."""
+    from cassaforte_meter_transmission_gen_spark.operators.graph import (
+        hop_bounded_shortest_path,
+    )
+
+    d = hop_bounded_shortest_path(
+        _cost_edges_df(
+            spark,
+            [(0, 2, 100), (0, 1, 10), (1, 2, 10), (2, 3, 5)],
+        ),
+        source=0,
+        n_hops=3,
+    )
+    got = {r["n"]: r["d"] for r in d.collect()}
+    assert got == {0: 0, 1: 10, 2: 20, 3: 25}
+
+
+def test_shortest_path_hop_bound_limits_relaxation(spark):
+    """With n_hops=1 the 2-hop improvement must NOT be applied: the
+    direct edge wins, and the 2-hop-only node stays at SP_INF."""
+    from cassaforte_meter_transmission_gen_spark.operators.graph import (
+        SP_INF,
+        hop_bounded_shortest_path,
+    )
+
+    d = hop_bounded_shortest_path(
+        _cost_edges_df(
+            spark,
+            [(0, 2, 100), (0, 1, 10), (1, 2, 10), (2, 3, 5)],
+        ),
+        source=0,
+        n_hops=1,
+    )
+    got = {r["n"]: r["d"] for r in d.collect()}
+    assert got == {0: 0, 1: 10, 2: 100, 3: SP_INF}
+
+
+def test_shortest_path_unreachable_stays_inf(spark):
+    """A node with edges only AWAY from the source component keeps the
+    SP_INF sentinel (surfaced as NULL by the registry query)."""
+    from cassaforte_meter_transmission_gen_spark.operators.graph import (
+        SP_INF,
+        hop_bounded_shortest_path,
+    )
+
+    d = hop_bounded_shortest_path(
+        _cost_edges_df(spark, [(0, 1, 7), (2, 0, 1)]),
+        source=0,
+        n_hops=4,
+    )
+    got = {r["n"]: r["d"] for r in d.collect()}
+    assert got == {0: 0, 1: 7, 2: SP_INF}
