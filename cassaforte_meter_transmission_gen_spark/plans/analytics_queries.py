@@ -2191,3 +2191,297 @@ def streaming_kmv_daily_user_days(
     from ..streaming.pipeline import run_bounded_kmv_rollup
 
     return run_bounded_kmv_rollup(spark, sf_dir)
+
+
+# --- data drift: population stability index ---
+
+#: PSI fixed-width value buckets (events.value spans ~[0, 560] across
+#: the SF fixtures; the last bucket absorbs the tail) and Laplace
+#: smoothing so empty buckets stay inside det_ln's [1, 2^64) domain.
+PSI_BUCKET_W = 50.0
+PSI_N_BUCKETS = 10
+
+
+def _psi_oracle_sql() -> str:
+    """Generated oracle for the PSI drift gate — the det-ln stage
+    fragments are shared verbatim with the Spark plan, so every double
+    is bit-equal, and the per-bucket contribution is floored to an
+    int64 micro-PSI so the TOTAL is an order-free integer sum."""
+    from ..functions.detmath import det_ln_stage_exprs
+
+    st = det_ln_stage_exprs()
+    return f"""
+WITH ev AS (
+  SELECT LEAST(CAST(floor(value / {PSI_BUCKET_W}) AS BIGINT),
+               {PSI_N_BUCKETS - 1}) AS bucket,
+         date_part('day', ts) AS dom
+  FROM events
+),
+cc AS (
+  SELECT bucket,
+         CAST(SUM(CASE WHEN dom <= 7 THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+         CAST(SUM(CASE WHEN dom >= 22 THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
+  FROM ev GROUP BY 1
+),
+sp AS (SELECT range AS bucket FROM range({PSI_N_BUCKETS})),
+c AS (
+  SELECT sp.bucket,
+         COALESCE(c_ref, 0) AS c_ref, COALESCE(c_cur, 0) AS c_cur
+  FROM sp LEFT JOIN cc ON sp.bucket = cc.bucket
+),
+t AS (SELECT CAST(SUM(c_ref) AS BIGINT) AS t_ref,
+             CAST(SUM(c_cur) AS BIGINT) AS t_cur FROM c),
+p AS (
+  SELECT bucket, c_ref, c_cur,
+         ((c_ref + 1) * 1000000) // (t_ref + {PSI_N_BUCKETS}) AS p_ref_ppm,
+         ((c_cur + 1) * 1000000) // (t_cur + {PSI_N_BUCKETS}) AS p_cur_ppm
+  FROM c CROSS JOIN t
+),
+x1 AS (SELECT bucket, c_ref, c_cur, p_ref_ppm, p_cur_ppm,
+              CAST(p_ref_ppm AS DOUBLE) AS x FROM p),
+r1 AS (SELECT bucket, c_ref, c_cur, p_ref_ppm, p_cur_ppm, x,
+              {st['e']} AS e, {st['m']} AS m FROM x1),
+t1 AS (SELECT bucket, c_ref, c_cur, p_ref_ppm, p_cur_ppm, e,
+              {st['tt']} AS tt FROM r1),
+l1 AS (SELECT bucket, c_ref, c_cur, p_ref_ppm, p_cur_ppm,
+              {st['ln']} AS ln_ref FROM t1),
+x2 AS (SELECT bucket, c_ref, c_cur, p_ref_ppm, p_cur_ppm, ln_ref,
+              CAST(p_cur_ppm AS DOUBLE) AS x FROM l1),
+r2 AS (SELECT bucket, c_ref, c_cur, p_ref_ppm, p_cur_ppm, ln_ref, x,
+              {st['e']} AS e, {st['m']} AS m FROM x2),
+t2 AS (SELECT bucket, c_ref, c_cur, p_ref_ppm, p_cur_ppm, ln_ref, e,
+              {st['tt']} AS tt FROM r2),
+l2 AS (SELECT bucket, c_ref, c_cur, p_ref_ppm, p_cur_ppm, ln_ref,
+              {st['ln']} AS ln_cur FROM t2),
+k AS (
+  SELECT bucket, c_ref, c_cur, p_ref_ppm, p_cur_ppm,
+         CAST(floor(CAST(p_ref_ppm - p_cur_ppm AS DOUBLE)
+                    * (ln_ref - ln_cur)) AS BIGINT) AS psi_contrib_micro
+  FROM l2
+)
+SELECT k.bucket, k.c_ref, k.c_cur, k.p_ref_ppm, k.p_cur_ppm,
+       k.psi_contrib_micro, s.psi_total_micro
+FROM k CROSS JOIN (
+  SELECT CAST(SUM(psi_contrib_micro) AS BIGINT) AS psi_total_micro FROM k
+) s
+"""
+
+
+@register(
+    "profile_psi_value_drift",
+    oracle=_psi_oracle_sql(),
+    tags=("profile", "drift", "psi", "quality-gate"),
+)
+def profile_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift gate between the month's first
+    week (reference window, day-of-month ≤ 7) and last week (current
+    window, ≥ 22) of the events value distribution — the standard
+    pre-training distribution-shift check before a new data slice is
+    admitted (PSI < 0.1 stable / 0.1–0.25 drifting / > 0.25 blocked).
+
+    Exactness: counts land in 10 fixed-width buckets (dense via a
+    literal spine, so empty buckets participate), Laplace-smoothed to
+    integer ppm shares (``(c+1)·1e6 DIV (total+10)`` — keeps every
+    share ≥ 1, inside det_ln's domain); ln(p/q) = det_ln(p) −
+    det_ln(q) runs the fixed-order pipeline both engines share
+    bit-for-bit (functions.detmath); each bucket's contribution
+    ``(p_ppm − q_ppm)·Δln`` (≥ 0 — the factors share sign) is floored
+    to an int64 micro-PSI, so the headline total is an order-free
+    integer SUM the hash gate pins exactly.
+
+    Scale: ONE conditional-aggregation scan of the fact table →
+    10-row state; the spine join, totals cross-join, and the eight
+    det-ln projections all operate on 10 rows. At 100 TB the scan is
+    the only cost and it partial-aggregates map-side."""
+    e = _t(spark, sf_dir, "events")
+    cc = psi_bucket_counts(e)
+    return psi_from_counts(spark, cc)
+
+
+def psi_bucket_counts(e: DataFrame) -> DataFrame:
+    """The ONE fact-scan stage of the PSI gate: (bucket, c_ref, c_cur)
+    conditional counts over an events slice — shared by the batch
+    query and the streaming maintenance (whose micro-batches each run
+    this and merge additively)."""
+    ev = e.select(
+        F.least(
+            F.floor(F.col("value") / F.lit(PSI_BUCKET_W)),
+            F.lit(PSI_N_BUCKETS - 1).cast("long"),
+        ).alias("bucket"),
+        F.dayofmonth("ts").alias("dom"),
+    )
+    return ev.groupBy("bucket").agg(
+        F.sum(F.when(F.col("dom") <= 7, 1).otherwise(0))
+        .cast("long")
+        .alias("c_ref"),
+        F.sum(F.when(F.col("dom") >= 22, 1).otherwise(0))
+        .cast("long")
+        .alias("c_cur"),
+    )
+
+
+def psi_from_counts(spark: SparkSession, cc: DataFrame) -> DataFrame:
+    """The post-counts PSI computation over a possibly-sparse
+    (bucket, c_ref, c_cur) frame: densify on the literal spine, smooth
+    to integer ppm shares, det-ln both, floor per-bucket contributions
+    to int64 micro-PSI and total them. Deterministic given the counts,
+    so the streaming-maintained table feeds the IDENTICAL tail and is
+    gated by the IDENTICAL oracle as the batch build."""
+    from ..functions.detmath import det_ln_stage_exprs
+
+    st = det_ln_stage_exprs()
+    sp = spark.range(PSI_N_BUCKETS).select(F.col("id").alias("bucket"))
+    c = (
+        sp.join(cc, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("c_ref", F.lit(0).cast("long")).alias("c_ref"),
+            F.coalesce("c_cur", F.lit(0).cast("long")).alias("c_cur"),
+        )
+        # 10 rows; pinned because BOTH the totals aggregate and the
+        # share projection consume it — without the pin each consumer
+        # re-derives the subtree and the FACT SCAN runs twice
+        .localCheckpoint(eager=True)
+    )
+    tot = c.agg(
+        F.sum("c_ref").cast("long").alias("t_ref"),
+        F.sum("c_cur").cast("long").alias("t_cur"),
+    )
+    p = c.crossJoin(F.broadcast(tot)).selectExpr(
+        "bucket",
+        "c_ref",
+        "c_cur",
+        f"((c_ref + 1) * 1000000) DIV (t_ref + {PSI_N_BUCKETS}) AS p_ref_ppm",
+        f"((c_cur + 1) * 1000000) DIV (t_cur + {PSI_N_BUCKETS}) AS p_cur_ppm",
+    )
+    keep = ["bucket", "c_ref", "c_cur", "p_ref_ppm", "p_cur_ppm"]
+    l1 = (
+        p.selectExpr(*keep, "CAST(p_ref_ppm AS DOUBLE) AS x")
+        .selectExpr(*keep, "x", f"{st['e']} AS e", f"{st['m']} AS m")
+        .selectExpr(*keep, "e", f"{st['tt']} AS tt")
+        .selectExpr(*keep, f"{st['ln']} AS ln_ref")
+    )
+    l2 = (
+        l1.selectExpr(*keep, "ln_ref", "CAST(p_cur_ppm AS DOUBLE) AS x")
+        .selectExpr(
+            *keep, "ln_ref", "x", f"{st['e']} AS e", f"{st['m']} AS m"
+        )
+        .selectExpr(*keep, "ln_ref", "e", f"{st['tt']} AS tt")
+        .selectExpr(*keep, "ln_ref", f"{st['ln']} AS ln_cur")
+    )
+    k = l2.selectExpr(
+        *keep,
+        "CAST(floor(CAST(p_ref_ppm - p_cur_ppm AS DOUBLE)"
+        " * (ln_ref - ln_cur)) AS BIGINT) AS psi_contrib_micro",
+    )
+    s = k.agg(
+        F.sum("psi_contrib_micro").cast("long").alias("psi_total_micro")
+    )
+    return k.crossJoin(F.broadcast(s))
+
+
+# --- multi-dimensional data layout: z-order curve ---
+
+def _z16_sql(bx: str, by: str, idiv: str) -> str:
+    """16-bit Morton/z-value of two 8-bit bucket ids as PURE integer
+    arithmetic — bit i of ``bx`` lands at position 2i+1, bit i of
+    ``by`` at 2i, extracted as ``(v DIV 2^i) % 2`` so the identical
+    formula (modulo the integer-division spelling ``idiv``) parses in
+    Spark SQL and DuckDB with no bit-operator syntax divergence."""
+    terms = []
+    for i in range(8):
+        terms.append(f"(({bx} {idiv} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"(({by} {idiv} {1 << i}) % 2) * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+@register(
+    "pipeline_zorder_layout_blocks",
+    oracle=f"""
+WITH b AS (
+  SELECT l_orderkey % 256 AS bx, l_partkey % 256 AS by
+  FROM lineitem
+),
+z AS (SELECT bx, by, {_z16_sql("bx", "by", "//")} AS zval FROM b)
+SELECT zval // 1024 AS block_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(bx) AS BIGINT) AS min_bx, CAST(max(bx) AS BIGINT) AS max_bx,
+       CAST(min(by) AS BIGINT) AS min_by, CAST(max(by) AS BIGINT) AS max_by,
+       CAST(max(bx) - min(bx) + 1 AS BIGINT) AS span_bx,
+       CAST(max(by) - min(by) + 1 AS BIGINT) AS span_by
+FROM z GROUP BY 1
+""",
+    tags=("pipeline", "layout", "zorder", "integer-exact"),
+)
+def pipeline_zorder_layout_blocks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Z-order (Morton-curve) layout statistics for two-dimensional
+    file clustering — the write-side layout that makes BOTH
+    ``l_orderkey`` and ``l_partkey`` range predicates prune files,
+    where a single-column sort prunes only one of them.
+
+    Each row maps to a 16-bit z-value interleaving the bits of its two
+    8-bit bucket ids; rows are grouped into 64 z-contiguous BLOCKS
+    (zval DIV 1024 — the file boundaries a z-sorted writer would cut)
+    and each block reports its min/max/span per dimension. The z-curve
+    guarantee this query pins: every block spans ≤ 32 of the 256
+    buckets in EACH dimension (a 32×32 tile), so a file-skipping
+    reader with min/max footer stats admits ~√B of B blocks for a
+    point-ish 2-D predicate — with a linear layout the unsorted
+    dimension spans all 256 buckets in every file and prunes nothing
+    (unit-pinned with real parquet footers in tests/test_layout.py).
+
+    Exactness: the Spark side interleaves with the ENGINE's own layout
+    key (sources.layout.zorder_key — the key write_zordered clusters
+    by, row-group pruning footer-proven in tests/test_layout.py); the
+    oracle states the same interleave as pure integer
+    multiply/divide/mod (:func:`_z16_sql` — no bit-operator syntax
+    divergence), so the hash gate pins that the shipped key IS the
+    Morton curve. Scale: one projection + one 64-group partial agg —
+    the actual 100 TB write is ``write_zordered``'s
+    ``repartitionByRange(zval) + sortWithinPartitions(zval)``, one
+    range exchange at write time, pruning free forever after."""
+    from ..sources.layout import zorder_key
+
+    li = _t(spark, sf_dir, "lineitem").selectExpr(
+        "l_orderkey % 256 AS bx", "l_partkey % 256 AS by"
+    )
+    # zorder_key places col_a's bit i at 2i and col_b's at 2i+1, so
+    # (by, bx) reproduces the oracle's bx→odd / by→even positions
+    z = li.select("bx", "by", zorder_key("by", "bx", bits=8).alias("zval"))
+    return (
+        z.selectExpr("zval DIV 1024 AS block_id", "bx", "by")
+        .groupBy("block_id")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("bx").cast("long").alias("min_bx"),
+            F.max("bx").cast("long").alias("max_bx"),
+            F.min("by").cast("long").alias("min_by"),
+            F.max("by").cast("long").alias("max_by"),
+            (F.max("bx") - F.min("bx") + 1).cast("long").alias("span_bx"),
+            (F.max("by") - F.min("by") + 1).cast("long").alias("span_by"),
+        )
+    )
+
+
+@register(
+    "streaming_psi_value_drift",
+    oracle=_psi_oracle_sql(),
+    tags=("streaming", "profile", "drift", "psi", "exactly-once"),
+)
+def streaming_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE streaming maintenance of the PSI drift gate
+    (streaming.pipeline.psi_counts_batch_fn): per micro-batch the
+    arriving events' conditional bucket counts — computed by the SAME
+    one-scan stage the batch query runs — merge additively with the
+    last committed 10-row count table under the exactly-once
+    commit-log protocol (counts are additive, so the replay guard IS
+    the correctness: a double-applied batch would silently shift the
+    distribution). The final committed table feeds the identical
+    det-ln/micro-PSI tail, so this is gated by the IDENTICAL oracle as
+    `profile_psi_value_drift` — drift monitoring that updates per
+    micro-batch instead of per backfill. State: ≤ 10 int64 rows."""
+    from ..streaming.pipeline import run_bounded_psi_drift
+
+    return run_bounded_psi_drift(spark, sf_dir)

@@ -1056,3 +1056,193 @@ def streaming_cusum_user_value_shift(
     from ..streaming.pipeline import run_bounded_cusum
 
     return run_bounded_cusum(spark, sf_dir, _CUSUM_K, _CUSUM_H)
+
+
+@register(
+    "events_seasonal_naive_backtest",
+    oracle="""
+WITH ev AS (
+  SELECT event_type, date_part('hour', ts) AS hod,
+         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v_micro,
+         date_part('day', ts) AS dom
+  FROM events
+),
+g AS (
+  SELECT event_type, hod,
+         CAST(SUM(CASE WHEN dom <= 21 THEN v_micro ELSE 0 END) AS BIGINT)
+           AS s_train,
+         CAST(SUM(CASE WHEN dom <= 21 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_train,
+         CAST(SUM(CASE WHEN dom >= 22 THEN v_micro ELSE 0 END) AS BIGINT)
+           AS s_test,
+         CAST(SUM(CASE WHEN dom >= 22 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_test
+  FROM ev GROUP BY 1, 2
+)
+SELECT event_type, CAST(hod AS BIGINT) AS hod, n_train, n_test,
+       s_train // n_train AS forecast_micro,
+       s_test // n_test AS actual_micro,
+       abs(s_train // n_train - s_test // n_test) AS abs_err_micro,
+       CASE WHEN s_test // n_test > 0
+            THEN (abs(s_train // n_train - s_test // n_test) * 1000000)
+                 // (s_test // n_test)
+            ELSE NULL END AS ape_ppm
+FROM g
+WHERE n_train > 0 AND n_test > 0
+""",
+    tags=("events", "timeseries", "forecast", "backtest", "integer-exact"),
+)
+def events_seasonal_naive_backtest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seasonal-naive forecast backtest: the (event_type, hour-of-day)
+    mean value over weeks 1–3 forecasts week 4+, scored per cell with
+    absolute error and APE — the sanity baseline every fancier
+    load-forecasting model must beat, and the backtest harness shape
+    (train window / holdout window / per-cell score) itself.
+
+    Integer-exact end to end: values quantize to int64 micro-units at
+    the scan (the attribution/EWMA move), train and holdout sums land
+    in ONE conditional-aggregation pass, and both means are floor
+    divisions — abs error in micro-units, APE in ppm, all int64, so
+    the hash gate pins every cell.
+
+    Scale: one fact scan → one (type, hour) partial-agg groupBy; the
+    24×5-cell state is trivially broadcastable as the serving
+    forecast table."""
+    e = _ev(spark, sf_dir)
+    g = (
+        e.select(
+            "event_type",
+            F.hour("ts").cast("long").alias("hod"),
+            F.expr(
+                "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+            ).alias("v_micro"),
+            F.dayofmonth("ts").alias("dom"),
+        )
+        .groupBy("event_type", "hod")
+        .agg(
+            F.sum(F.when(F.col("dom") <= 21, F.col("v_micro")).otherwise(0))
+            .cast("long")
+            .alias("s_train"),
+            F.sum(F.when(F.col("dom") <= 21, 1).otherwise(0))
+            .cast("long")
+            .alias("n_train"),
+            F.sum(F.when(F.col("dom") >= 22, F.col("v_micro")).otherwise(0))
+            .cast("long")
+            .alias("s_test"),
+            F.sum(F.when(F.col("dom") >= 22, 1).otherwise(0))
+            .cast("long")
+            .alias("n_test"),
+        )
+    )
+    return g.filter((F.col("n_train") > 0) & (F.col("n_test") > 0)).selectExpr(
+        "event_type",
+        "hod",
+        "n_train",
+        "n_test",
+        "s_train DIV n_train AS forecast_micro",
+        "s_test DIV n_test AS actual_micro",
+        "abs(s_train DIV n_train - s_test DIV n_test) AS abs_err_micro",
+        "CASE WHEN s_test DIV n_test > 0"
+        " THEN (abs(s_train DIV n_train - s_test DIV n_test) * 1000000)"
+        " DIV (s_test DIV n_test)"
+        " ELSE NULL END AS ape_ppm",
+    )
+
+
+@register(
+    "events_mad_robust_daily_outliers",
+    oracle="""
+WITH ev AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+  FROM events
+),
+d AS (
+  SELECT event_type, day, CAST(SUM(v) AS BIGINT) AS s_micro
+  FROM ev GROUP BY 1, 2
+),
+m AS (SELECT event_type, quantile_cont(s_micro, 0.5) AS med FROM d GROUP BY 1),
+dv AS (
+  SELECT d.event_type, d.day, d.s_micro, m.med,
+         CAST(abs(2 * CAST(s_micro AS DOUBLE) - 2 * med) AS BIGINT) AS dev2
+  FROM d JOIN m USING (event_type)
+),
+md AS (SELECT event_type, quantile_cont(dev2, 0.5) AS mad2 FROM dv GROUP BY 1)
+SELECT dv.event_type, dv.day, dv.s_micro, dv.med AS median_micro,
+       dv.dev2 AS dev_half_micro,
+       CASE WHEN md.mad2 > 0
+            THEN CAST(dv.dev2 AS DOUBLE) / ((3.0 * 1.4826) * md.mad2 / 3.0)
+            ELSE NULL END AS robust_z,
+       CASE WHEN md.mad2 > 0
+                 AND CAST(dv.dev2 AS DOUBLE) > (3.0 * 1.4826) * md.mad2
+            THEN true ELSE false END AS is_outlier
+FROM dv JOIN md USING (event_type)
+""",
+    tags=("events", "timeseries", "robust-stats", "anomaly"),
+)
+def events_mad_robust_daily_outliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Robust daily-volume anomaly detection: flag (event_type, day)
+    cells whose daily value sum deviates from the type's MEDIAN by
+    more than 3 robust standard deviations (1.4826·MAD) — the
+    median/MAD dual of the z-score monitor (`events_zscore_daily_
+    anomaly`), immune to the outliers it hunts (a single blow-out day
+    inflates a mean/stddev gate into missing itself; it barely moves
+    the median).
+
+    Exactness: daily sums are int64 micro-units; BOTH percentile
+    passes run over int64 inputs (the deviation is carried in
+    half-micro units — 2·s − 2·median is exactly integral because an
+    even-count median ends in .5), where Spark ``percentile`` and
+    DuckDB ``quantile_cont`` share the (n−1)·p definition bit-for-bit
+    (the conversion-latency precedent); the final z and flag are
+    fixed-order per-row double ops on those exact inputs, never a
+    cross-row double sum.
+
+    Scale: one fact scan → (type, day) partial-agg groupBy; the
+    two median passes and joins run on the localCheckpoint-pinned
+    150-row daily table. At 100 TB swap percentile for
+    percentile_approx (the documented trade)."""
+    e = _ev(spark, sf_dir)
+    daily = (
+        e.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.expr(
+                "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+            ).alias("v"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("v").cast("long").alias("s_micro"))
+        # small; pinned because the median/deviation stages consume it
+        # repeatedly — without the pin each pass re-scans the fact
+        .localCheckpoint(eager=True)
+    )
+    med = daily.groupBy("event_type").agg(
+        F.expr("percentile(s_micro, 0.5)").alias("med")
+    )
+    dv = daily.join(F.broadcast(med), "event_type").selectExpr(
+        "event_type",
+        "day",
+        "s_micro",
+        "med",
+        "CAST(abs(2 * CAST(s_micro AS DOUBLE) - 2 * med) AS BIGINT) AS dev2",
+    )
+    mad = dv.groupBy("event_type").agg(
+        F.expr("percentile(dev2, 0.5)").alias("mad2")
+    )
+    return dv.join(F.broadcast(mad), "event_type").selectExpr(
+        "event_type",
+        "day",
+        "s_micro",
+        "med AS median_micro",
+        "dev2 AS dev_half_micro",
+        "CASE WHEN mad2 > 0"
+        " THEN CAST(dev2 AS DOUBLE) / ((3.0 * 1.4826) * mad2 / 3.0)"
+        " ELSE NULL END AS robust_z",
+        "CASE WHEN mad2 > 0 AND CAST(dev2 AS DOUBLE) > (3.0 * 1.4826) * mad2"
+        " THEN true ELSE false END AS is_outlier",
+    )

@@ -2329,3 +2329,128 @@ def text_bigram_logprob_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"total_nll_ppm < {BIGRAM_NLL_KEEP_MICRONATS} * n_bigrams AS keep",
         )
     )
+
+
+@register(
+    "text_inverted_index_postings",
+    oracle="""
+SELECT term,
+       CAST(count(*) AS BIGINT) AS cf,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       list(DISTINCT doc_id ORDER BY doc_id)[1:64] AS postings_head
+FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS term
+      FROM documents) t
+GROUP BY term
+HAVING count(DISTINCT doc_id) >= 5
+""",
+    tags=("text", "retrieval", "index"),
+)
+def text_inverted_index_postings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Inverted-index build: term → (collection frequency, document
+    frequency, head of the sorted posting list) — the materialized
+    index the BM25 scan (`text_bm25_topk`) would serve from at scale,
+    rather than re-tokenizing the corpus per query.
+
+    Postings are deterministic (ascending doc id) and CAPPED at the
+    first 64 ids per term: at 100 TB a hot term's full posting list is
+    millions of ids and belongs in per-term shard FILES (the packing
+    writer's layout), not in one aggregation row — the capped head
+    plus (cf, df) is the index metadata row. Terms below df=5 are
+    dropped (singleton tails dominate vocabulary size but never win a
+    lookup).
+
+    Scale shape (plan-audited): exchange 1 pre-collapses the exploded
+    stream to (term, doc_id, tf) with map-side partial aggregation —
+    the per-term dedup happens BEFORE any term-level state exists;
+    exchange 2 repartitions by term for the rank window, and the final
+    groupBy(term) REUSES that partitioning (no third exchange). The
+    collected head is rank-gated to ≤ 64 ids per term BELOW the
+    aggregate (collect_list skips the NULLed rows), so per-term memory
+    is O(64) even for a stopword — an uncapped collect_set on a hot
+    term is the classic inverted-index OOM. Cited: reference has no
+    retrieval surface (core.clj); §2.10 retrieval family."""
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    per_doc = tok.groupBy("term", "doc_id").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    ranked = per_doc.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("term")
+        .agg(
+            F.sum("tf").cast("long").alias("cf"),
+            F.count("*").cast("long").alias("df"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("rn") <= 64, F.col("doc_id"))
+                )
+            ).alias("postings_head"),
+        )
+        .filter(F.col("df") >= 5)
+    )
+
+
+#: Feature-hashing dimensionality and the gated sample stride (every
+#: 20th document — the oracle compare collects rows, the full corpus
+#: materialization is the identical plan minus the sample filter).
+FEATHASH_DIM = 1024
+FEATHASH_STRIDE = 20
+
+
+@register(
+    "pipeline_feature_hashing_sparse",
+    oracle=f"""
+SELECT doc_id,
+       CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT)
+         % {FEATHASH_DIM} AS feature_id,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS term
+      FROM documents
+      WHERE doc_id % {FEATHASH_STRIDE} = 0) t
+GROUP BY 1, 2
+""",
+    tags=("pipeline", "features", "hashing-trick"),
+)
+def pipeline_feature_hashing_sparse(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The hashing trick: every token maps to one of
+    ``FEATHASH_DIM`` = 1024 feature buckets via the portable 60-bit
+    md5 hash, producing the sparse (doc_id, feature_id, count) triples
+    a linear model / logistic quality classifier trains on — feature
+    engineering with NO vocabulary state (no fit pass, no dictionary
+    to broadcast, new tokens hash to existing buckets), which is what
+    makes it the 100 TB-friendly featurizer.
+
+    Deterministic: the bucket is the md5-prefix hash both engines
+    compute bit-identically (functions.text.tok_hash_portable — the
+    same hash every sampler/shard assignment in the catalog uses), so
+    the triples are value-hash gated exactly. The gated query samples
+    every 20th document to keep the compared row set bounded; the full
+    corpus run is the identical one-explode → one-partial-agg-groupBy
+    plan with the filter dropped.
+
+    Scale: explode → groupBy(doc_id, feature_id) partial-aggregates
+    map-side; the shuffle carries int64 triples, never text. Output is
+    the sparse COO layout the packing writer shards by doc_id."""
+    from ..functions.text import tok_hash_portable
+
+    d = _docs(spark, sf_dir).filter(
+        F.col("doc_id") % FEATHASH_STRIDE == 0
+    )
+    tok = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    return tok.select(
+        "doc_id",
+        (tok_hash_portable(F.col("term")) % FEATHASH_DIM).alias(
+            "feature_id"
+        ),
+    ).groupBy("doc_id", "feature_id").agg(
+        F.count("*").cast("long").alias("cnt")
+    )

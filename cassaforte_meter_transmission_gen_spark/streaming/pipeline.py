@@ -1758,3 +1758,77 @@ def run_bounded_kmv_rollup(
         ),
         "exact_user_days",
     )
+
+
+def psi_counts_batch_fn(table_dir: str, commits_dir: str):
+    """foreachBatch body maintaining the PSI drift gate's 10-bucket
+    (c_ref, c_cur) count table: per micro-batch the batch's
+    conditional bucket counts (plans.analytics_queries.
+    psi_bucket_counts — the SAME one-scan stage the batch query runs)
+    merge ADDITIVELY with the last committed counts. Exactly-once by
+    the commit-log protocol; counts are additive int64s, so replayed
+    batches must not double-count — the high-watermark guard is the
+    correctness, not just an optimization. State: ≤ 10 rows."""
+    import os
+
+    os.makedirs(commits_dir, exist_ok=True)
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        from ..plans.analytics_queries import psi_bucket_counts
+
+        hw = _high_watermark(commits_dir)
+        if hw is not None and batch_id <= hw:
+            return  # replayed, fully applied
+        cc = psi_bucket_counts(batch)
+        if hw is not None:
+            prev = batch.sparkSession.read.schema(
+                "bucket bigint, c_ref bigint, c_cur bigint"
+            ).parquet(f"{table_dir}/v={hw}")
+            cc = (
+                prev.unionByName(cc)
+                .groupBy("bucket")
+                .agg(
+                    F.sum("c_ref").cast("long").alias("c_ref"),
+                    F.sum("c_cur").cast("long").alias("c_cur"),
+                )
+            )
+        cc.write.mode("overwrite").parquet(f"{table_dir}/v={batch_id}")
+        tmp = os.path.join(commits_dir, f"{batch_id}.tmp")
+        open(tmp, "w").close()
+        os.replace(tmp, os.path.join(commits_dir, str(batch_id)))
+
+    return fn
+
+
+def run_bounded_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive :func:`psi_counts_batch_fn` over the bounded event stream
+    to completion, then compute the PSI report from the FINAL
+    committed count table via the identical post-counts tail the batch
+    query uses (plans.analytics_queries.psi_from_counts). Counts are
+    additive and applied exactly-once, so the committed table EQUALS
+    the batch one-scan counts and the report is gated by the
+    IDENTICAL oracle."""
+    import os
+
+    from ..plans.analytics_queries import psi_from_counts
+
+    out = tempfile.mkdtemp(prefix="psi_stream_out_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    table_dir = os.path.join(out, "bucket_counts")
+    commits = os.path.join(out, "_commits")
+    stream = bounded_events_stream(spark, sf_dir)
+    with tempfile.TemporaryDirectory(prefix="psi_ckpt_") as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(
+                psi_counts_batch_fn(table_dir, commits)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    hw = _high_watermark(commits)
+    cc = spark.read.schema(
+        "bucket bigint, c_ref bigint, c_cur bigint"
+    ).parquet(f"{table_dir}/v={hw}")
+    return psi_from_counts(spark, cc)

@@ -695,3 +695,111 @@ def test_quantile_sample_sketch_is_take_ordered(spark, sf_small):
     plan = _plan(quantile_sample_sketch(docs, "o_orderkey", "o_totalprice"))
     assert "TakeOrderedAndProject" in plan, plan
     assert "Sort " not in plan, plan
+
+
+def test_shortest_path_edges_pinned_no_fact_rescan(spark, sf_small):
+    """The Bellman-Ford rounds must relax over the pinned edge list:
+    any lineitem/orders scan in the returned plan means the 4-table
+    fact join re-derives per round."""
+    plan = _plan(REGISTRY["graph_shortest_path_trade"].fn(spark, sf_small))
+    assert "lineitem" not in plan and "orders" not in plan, plan
+    assert "BroadcastHashJoin" in plan  # the nation name join
+
+
+def test_psi_drift_fact_scan_pinned_once(spark, sf_small):
+    """The PSI gate reads the fact table exactly once — the 10-row
+    bucket-count state is localCheckpoint-pinned (the PageRank edge
+    move) because BOTH the totals aggregate and the share projection
+    consume it; an events scan in the returned plan means each
+    consumer re-derives the scan."""
+    plan = _plan(REGISTRY["profile_psi_value_drift"].fn(spark, sf_small))
+    assert "events.parquet" not in plan, plan
+    assert "CartesianProduct" not in plan, plan  # scalars broadcast
+    # the pinned scan itself prunes: only value + ts are read
+    from cassaforte_meter_transmission_gen_spark.schemas import load_table
+
+    ev = load_table(spark, sf_small, "events")
+    import pyspark.sql.functions as F
+
+    scan = _plan(
+        ev.select(
+            F.least(F.floor(F.col("value") / F.lit(50.0)), F.lit(9)).alias(
+                "bucket"
+            ),
+            F.dayofmonth("ts").alias("dom"),
+        )
+    )
+    read_schema = scan[scan.index("ReadSchema"):].splitlines()[0]
+    for unneeded in ("props", "event_type", "user_id", "event_id"):
+        assert unneeded not in read_schema, read_schema
+
+
+def test_zorder_blocks_scan_prunes_columns(spark, sf_small):
+    """The z-order stats read exactly (l_orderkey, l_partkey) — the
+    interleave is a projection, never a wide scan."""
+    plan = _plan(REGISTRY["pipeline_zorder_layout_blocks"].fn(spark, sf_small))
+    assert plan.count("lineitem") == 1, plan
+    rs = plan.index("ReadSchema")
+    read_schema = plan[rs:].splitlines()[0]
+    for unneeded in ("l_comment", "l_extendedprice", "l_shipdate"):
+        assert unneeded not in read_schema, read_schema
+
+
+def test_inverted_index_two_bounded_exchanges(spark, sf_small):
+    """Exactly two hash exchanges: (term, doc_id) pre-collapse with a
+    map-side partial agg, then the term repartition for the rank
+    window — the final groupBy(term) must REUSE the window's
+    partitioning, and no uncapped collect_set may appear (per-term
+    state is rank-gated to ≤ 64 ids; an uncapped set on a stopword is
+    the classic inverted-index OOM)."""
+    import re
+
+    plan = _plan(REGISTRY["text_inverted_index_postings"].fn(spark, sf_small))
+    shuffles = re.findall(r"Exchange hashpartitioning", plan)
+    assert len(shuffles) == 2, plan
+    assert "partial_count" in plan, plan  # map-side combine below exch 1
+    assert "collect_set" not in plan, plan  # only the rank-gated list
+
+
+def test_feature_hashing_one_exchange_no_text(spark, sf_small):
+    """Explode → hash → ONE groupBy exchange with map-side partial
+    aggregation; the shuffled schema is int64 triples — document text
+    must never cross the wire."""
+    import re
+
+    plan = _plan(
+        REGISTRY["pipeline_feature_hashing_sparse"].fn(spark, sf_small)
+    )
+    shuffles = re.findall(r"Exchange hashpartitioning", plan)
+    assert len(shuffles) == 1, plan
+    assert "partial_count" in plan, plan
+    # text is consumed by the explode below the exchange; the exchange
+    # input carries only (doc_id, feature_id)
+    exch = plan[plan.index("Exchange hashpartitioning"):]
+    first_proj = exch[exch.index("+- "):].splitlines()[0]
+    assert "text" not in first_proj, first_proj
+
+
+def test_seasonal_backtest_is_one_fact_scan(spark, sf_small):
+    """Train and holdout sums come from ONE conditional-aggregation
+    pass — a second events scan means the windows were aggregated
+    separately."""
+    plan = _plan(
+        REGISTRY["events_seasonal_naive_backtest"].fn(spark, sf_small)
+    )
+    assert plan.count("events.parquet") == 1, plan
+    rs = plan.index("ReadSchema")
+    read_schema = plan[rs:].splitlines()[0]
+    for unneeded in ("props", "user_id", "event_id"):
+        assert unneeded not in read_schema, read_schema
+
+
+def test_mad_outliers_daily_state_pinned(spark, sf_small):
+    """The two median passes and the flag join must run over the
+    pinned daily table: an events scan in the returned plan means a
+    percentile pass re-derived the fact aggregation."""
+    plan = _plan(
+        REGISTRY["events_mad_robust_daily_outliers"].fn(spark, sf_small)
+    )
+    assert "events.parquet" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan  # per-type stats broadcast

@@ -980,3 +980,44 @@ def test_quantile_sketch_rollup_replay_is_noop(spark, tmp_path):
     expected = sorted((r.h, r.v) for r in onepass.collect())
     assert got == expected
     assert not any(v == 10**15 for _, v in got)  # poison absent
+
+
+def test_psi_counts_replay_is_exactly_once(spark, tmp_path):
+    """PSI bucket counts are ADDITIVE, so the replay guard carries the
+    whole correctness: re-delivering a committed batch id (with
+    different rows, the adversarial case) must change nothing, and the
+    committed table must equal the serial sum of the distinct
+    batches."""
+    import pyspark.sql.functions as F
+
+    from cassaforte_meter_transmission_gen_spark.streaming.pipeline import (
+        psi_counts_batch_fn,
+    )
+
+    table = str(tmp_path / "bucket_counts")
+    commits = str(tmp_path / "_commits")
+    fn = psi_counts_batch_fn(table, commits)
+
+    def batch(rows):
+        # (value, day-of-month) pairs on a fixed date skeleton
+        return spark.createDataFrame(
+            [(v, f"2024-01-{d:02d} 12:00:00") for v, d in rows],
+            "value double, ts string",
+        ).select("value", F.col("ts").cast("timestamp").alias("ts"))
+
+    # batch 0: 3 ref-week rows in bucket 0, 1 cur-week row in bucket 9
+    fn(batch([(1.0, 1), (2.0, 2), (3.0, 3), (999.0, 25)]), 0)
+    # batch 1: 2 more cur-week rows in bucket 1
+    fn(batch([(60.0, 23), (70.0, 28)]), 1)
+    # replay id 1 with DIFFERENT rows — must be ignored entirely
+    fn(batch([(60.0, 23)] * 50), 1)
+
+    got = {
+        r["bucket"]: (r["c_ref"], r["c_cur"])
+        for r in spark.read.schema(
+            "bucket bigint, c_ref bigint, c_cur bigint"
+        )
+        .parquet(f"{table}/v=1")
+        .collect()
+    }
+    assert got == {0: (3, 0), 9: (0, 1), 1: (0, 2)}
