@@ -762,50 +762,48 @@ def pq_encode(
     return vectors.select(*cols)
 
 
-def _with_adc_tables(
-    queries_df: DataFrame,
-    books: list[list[list[float]]],
-    sub: int,
-    vec_col: str,
-) -> tuple[DataFrame, list[Column]]:
-    """Attach per-subspace ADC lookup tables to the query side:
+def _adc_query_cols(
+    books: list[list[list[float]]], sub: int, vec_col: str
+) -> list[Column]:
+    """Per-subspace ADC lookup-table columns for the query side:
     ``dt_j`` = dot of the query subvector with every codebook entry (in
-    code order), ``rn_j`` = reconstructed-norm² per entry. Shared by
+    code order), ``rn_j`` = reconstructed-norm² per entry — both as
+    server-parsed SQL strings (see :func:`_argmin_code_sql`). Shared by
     :func:`pq_topk` and :func:`ivfpq_topk`.
 
-    The codebooks travel as ONE broadcast row (`_adc_bk` nested array +
-    the query-independent `_adc_rn` norms, Python doubles shipped
-    binary-exact through createDataFrame), crossJoined onto the query
-    frame — NOT as literal SQL text. The former repr-exact literal
-    tables (16 subspaces × 16×4 doubles at PQ16 ≈ 0.5 MB of SQL) cost
-    ~0.7 s of Catalyst parse on every warm serve; the broadcast-row
-    plan text is a few hundred bytes, and the dt fold
-    (zip_with→aggregate, left-to-right IEEE order) is expression- and
-    value-identical, so the DuckDB oracle gates are unchanged.
-
-    Returns (query frame with the codebook row attached, the dt/rn
-    projection columns to select from it)."""
-    rns = [[_sumsq_serial(c) for c in book] for book in books]
-    brow = queries_df.sparkSession.createDataFrame(
-        [(books, rns)],
-        "_adc_bk array<array<array<double>>>, _adc_rn array<array<double>>",
-    )
+    Profiled next step if warm serve needs to drop further (r9: the
+    candidate-side re-encode is gone via the persisted index; what
+    remains of the ~0.7 s plan build is parsing these literal tables —
+    16 subspaces × 2 exprs × 16×4 repr-exact doubles ≈ 0.5 MB SQL at
+    PQ16): ship the codebooks as a broadcast relation and build dt/rn
+    with array_agg(... ORDER BY cid) over a join — same values in the
+    same order (the oracle's own qt{j} construction), tiny plan text."""
     cols: list[Column] = []
-    for j in range(len(books)):
+    for j, book in enumerate(books):
+        bl = "array({})".format(
+            ", ".join(
+                "array({})".format(", ".join(_sdlit(x) for x in c))
+                for c in book
+            )
+        )
         qsub = _svec_sql(vec_col, j * sub + 1, sub)
         cols.append(
             F.expr(
-                f"transform(_adc_bk[{j}],"
-                f" cv -> aggregate(zip_with({qsub}, cv,"
+                f"transform({bl}, cv -> aggregate(zip_with({qsub}, cv,"
                 " (x, y) -> x * y), CAST(0.0 AS DOUBLE),"
                 " (acc, x) -> acc + x))"
             ).alias(f"dt_{j}")
         )
-        # rn is query-INDEPENDENT: folded once here with the same
-        # left-to-right IEEE order the in-plan aggregate used —
-        # bit-identical doubles riding the same broadcast row
-        cols.append(F.col("_adc_rn")[j].alias(f"rn_{j}"))
-    return queries_df.crossJoin(F.broadcast(brow)), cols
+        # rn is query-INDEPENDENT: fold each entry's Σx² here with the
+        # same left-to-right IEEE order the in-plan aggregate used —
+        # bit-identical doubles, and the plan carries n_codes scalar
+        # literals per subspace instead of re-embedding the whole
+        # codebook a second time (halves the generated SQL text)
+        rn_lits = ", ".join(
+            _sdlit(_sumsq_serial(c)) for c in book
+        )
+        cols.append(F.expr(f"array({rn_lits})").alias(f"rn_{j}"))
+    return cols
 
 
 def _sumsq_serial(cv: list[float]) -> float:
@@ -939,11 +937,10 @@ def pq_topk(
     if codes is None:
         codes = pq_encode(vectors, books, id_col, vec_col)
 
-    qb, adc_cols = _with_adc_tables(queries, books, sub, vec_col)
-    q = qb.select(
+    q = queries.select(
         F.col(id_col).alias("query_id"),
         l2_norm(F.col(vec_col)).alias("q_nrm"),
-        *adc_cols,
+        *_adc_query_cols(books, sub, vec_col),
     )
     approx = (
         codes.crossJoin(F.broadcast(q))
@@ -1058,16 +1055,10 @@ def ivfpq_topk(
         codes = assign_to_centroid(vectors, centroids, vec_col).select(*ccols)
     # query side: probes + ADC lookup tables in one projection, then
     # one row per (query, probed cell) — broadcast to the cell join
-    qb, adc_cols = _with_adc_tables(
-        assign_probes(queries, centroids, n_probes, vec_col),
-        books,
-        sub,
-        vec_col,
-    )
-    q = qb.select(
+    q = assign_probes(queries, centroids, n_probes, vec_col).select(
         F.col(id_col).alias("query_id"),
         l2_norm(F.col(vec_col)).alias("q_nrm"),
-        *adc_cols,
+        *_adc_query_cols(books, sub, vec_col),
         F.explode("probe_ids").alias("cluster_id"),
     )
     approx = (
