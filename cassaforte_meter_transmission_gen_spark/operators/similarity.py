@@ -771,13 +771,14 @@ def _adc_query_cols(
     server-parsed SQL strings (see :func:`_argmin_code_sql`). Shared by
     :func:`pq_topk` and :func:`ivfpq_topk`.
 
-    Profiled next step if warm serve needs to drop further (r9: the
-    candidate-side re-encode is gone via the persisted index; what
-    remains of the ~0.7 s plan build is parsing these literal tables —
-    16 subspaces × 2 exprs × 16×4 repr-exact doubles ≈ 0.5 MB SQL at
-    PQ16): ship the codebooks as a broadcast relation and build dt/rn
-    with array_agg(... ORDER BY cid) over a join — same values in the
-    same order (the oracle's own qt{j} construction), tiny plan text."""
+    MEASURED DEAD END (r9, do not redo): shipping these tables as a
+    one-row broadcast codebook relation (createDataFrame + crossJoin,
+    dt built by transform over the bk column) was implemented, parity
+    stayed green, but a same-session quiet-box A/B showed plan build
+    UNCHANGED (~1.0 s either way — the literal parse was never the
+    cost) and execution ~0.4 s SLOWER (pq exec 0.6–0.9 s literal vs
+    1.0–1.2 s broadcast-row; the literal arrays constant-fold into
+    codegen, a column reference cannot). Reverted; the literals stay."""
     cols: list[Column] = []
     for j, book in enumerate(books):
         bl = "array({})".format(
