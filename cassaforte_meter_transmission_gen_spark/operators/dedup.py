@@ -826,3 +826,74 @@ def duplicate_groups(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("group_id")
     )
+
+
+def prefix_filter_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT Jaccard-threshold set-similarity self-join via prefix
+    filtering (the SSJoin/PPJoin family) — the engine's third near-dup
+    scale path, and the only one that is simultaneously exact AND
+    never-all-pairs: MinHash/SimHash trade recall for pruning; the
+    bounded all-pairs twin (`text_ngram_jaccard_pairs`) trades scale
+    for exactness; prefix filtering gives both.
+
+    The theorem (Chaudhuri et al., SSJoin; Xiao et al., PPJoin): order
+    every document's shingle set by one GLOBAL total order — here
+    ascending (global frequency, shingle), so each doc's RAREST
+    shingles come first — and keep only its prefix of
+    ``|s| − ⌈t·|s|⌉ + 1`` shingles. Any pair with Jaccard ≥ t must
+    share at least one PREFIX shingle, so the candidate join runs on
+    the prefix table (rare shingles ⇒ small buckets by construction)
+    and misses nothing; an exact verify on the candidates removes the
+    false positives. The final pair set is therefore identical to the
+    brute-force join — the oracle computes it the quadratic way and
+    the hash gate pins equality.
+
+    Scale shape: explode → shingle-frequency groupBy (partial agg) →
+    per-doc rank window → prefix self-join keyed by shingle → verify
+    join re-attaching the two shingle arrays by id. Every join is an
+    equi-join on a key; nothing is quadratic in the corpus. The
+    shingle table is derived twice (prefix side + verify side) — at
+    100 TB persist it once; the derivation is one projection.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ t."""
+    from pyspark.sql import Window as W
+
+    sh = docs.select(
+        F.col(id_col).alias("did"),
+        word_shingles(tokens(F.col(text_col))).alias("s"),
+    ).filter(F.size("s") > 0)
+    ex = sh.select("did", F.size("s").alias("n"), F.explode("s").alias("g"))
+    freq = ex.groupBy("g").agg(F.count("*").cast("long").alias("gf"))
+    ranked = ex.join(freq, "g").withColumn(
+        "rn", F.row_number().over(W.partitionBy("did").orderBy("gf", "g"))
+    )
+    pref = ranked.filter(
+        F.col("rn")
+        <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    ).select("did", "g")
+    cand = (
+        pref.select(F.col("did").alias("doc_a"), "g")
+        .join(pref.select(F.col("did").alias("doc_b"), "g"), "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    va = sh.select(F.col("did").alias("doc_a"), F.col("s").alias("s_a"))
+    vb = sh.select(F.col("did").alias("doc_b"), F.col("s").alias("s_b"))
+    inter = F.size(F.array_intersect("s_a", "s_b"))
+    union = F.size("s_a") + F.size("s_b") - inter
+    return (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

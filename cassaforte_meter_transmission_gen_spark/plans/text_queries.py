@@ -2454,3 +2454,53 @@ def pipeline_feature_hashing_sparse(
     ).groupBy("doc_id", "feature_id").agg(
         F.count("*").cast("long").alias("cnt")
     )
+
+
+@register(
+    "dedup_prefix_filter_jaccard_pairs",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+  FROM t WHERE len(toks) >= 3
+),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id)
+SELECT cand.doc_a, cand.doc_b,
+       CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+         / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS jaccard
+FROM cand
+JOIN sh x ON cand.doc_a = x.doc_id
+JOIN sh y ON cand.doc_b = y.doc_id
+WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+      / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.5
+""",
+    tags=("dedup", "ngram", "prefix-filter", "exact"),
+)
+def dedup_prefix_filter_jaccard_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact Jaccard ≥ 0.5 near-duplicate pairs over the FULL corpus
+    via prefix filtering (operators.dedup.prefix_filter_jaccard_pairs
+    — the SSJoin/PPJoin shape): each document keeps only its
+    ``|s| − ⌈0.5·|s|⌉ + 1`` globally-rarest shingles, candidates are
+    pairs sharing a prefix shingle (rare ⇒ small buckets), and the
+    exact verify touches candidates only. No recall loss by the prefix
+    theorem, so the result set IS the brute-force join's — the oracle
+    computes it quadratically (candidate trick without the prefix cut,
+    exact-equivalent for J > 0) and the hash gate pins equality; the
+    engine plan is never all-pairs (plan-audited: equi-joins only, no
+    cartesian).
+
+    This completes the near-dup triptych: MinHash-LSH (probabilistic,
+    fastest), the bounded doc_id<40 exact twin (ground truth for LSH
+    recall), and THIS — exact at corpus scale."""
+    from ..operators.dedup import prefix_filter_jaccard_pairs
+
+    return prefix_filter_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)

@@ -963,3 +963,89 @@ def test_bmp_decode_rejects_bad_containers():
     struct.pack_into("<H", bad_bpp, 28, 8)  # bpp field → 8-bit
     with _pytest.raises(ValueError):
         bmp_decode(bytes(bad_bpp))
+
+
+def test_prefix_filter_jaccard_equals_bruteforce(spark):
+    """Prefix filtering must lose NOTHING vs brute force (the prefix
+    theorem) on a crafted mix: exact dups, a 'shifted by one token'
+    near-dup above threshold, overlapping-but-below pairs, and
+    disjoint docs."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from cassaforte_meter_transmission_gen_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, "X " + base),  # high-jaccard near-dup of 0/1
+        (3, "alpha beta gamma nope nope2 nope3 nope4 nope5 nope6 nope7"),
+        (4, "totally different words with no overlap at all here now"),
+        (5, base + " lambda mu nu xi omicron pi rho sigma tau upsilon"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in prefix_filter_jaccard_pairs(df, threshold=0.5).collect()
+    }
+
+    # serial brute force with the identical shingle definition
+    def shingles(t):
+        w = t.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    want = {}
+    sh = {i: shingles(t) for i, t in docs}
+    for a, b in itertools.combinations(sorted(sh), 2):
+        inter = len(sh[a] & sh[b])
+        if inter == 0:
+            continue
+        j = inter / (len(sh[a]) + len(sh[b]) - inter)
+        if j >= 0.5:
+            want[(a, b)] = j
+    assert set(got) == set(want), (got, want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12
+
+
+def test_prefix_filter_candidates_prune_vs_all_pairs(spark, sf_small):
+    """The candidate set must be far below n·(n−1)/2 — prefix
+    filtering on the corpus fixture, where near-dups are a small
+    minority, has to discard almost every pair before the verify."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from cassaforte_meter_transmission_gen_spark.functions.text import (
+        tokens,
+        word_shingles,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    sh = docs.select(
+        F.col("doc_id").alias("did"),
+        word_shingles(tokens(F.col("text"))).alias("s"),
+    ).filter(F.size("s") > 0)
+    n = sh.count()
+    ex = sh.select(
+        "did", F.size("s").alias("nn"), F.explode("s").alias("g")
+    )
+    freq = ex.groupBy("g").agg(F.count("*").alias("gf"))
+    ranked = ex.join(freq, "g").withColumn(
+        "rn", F.row_number().over(W.partitionBy("did").orderBy("gf", "g"))
+    )
+    pref = ranked.filter(
+        F.col("rn") <= F.col("nn") - F.ceil(0.5 * F.col("nn")) + 1
+    ).select("did", "g")
+    cand = (
+        pref.select(F.col("did").alias("a"), "g")
+        .join(pref.select(F.col("did").alias("b"), "g"), "g")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .count()
+    )
+    assert cand < 0.05 * n * (n - 1) / 2, (cand, n)

@@ -803,3 +803,14 @@ def test_mad_outliers_daily_state_pinned(spark, sf_small):
     )
     assert "events.parquet" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan  # per-type stats broadcast
+
+
+def test_prefix_filter_jaccard_no_cartesian(spark, sf_small):
+    """The exact set-similarity join must be equi-joins end to end —
+    a cartesian/nested-loop anywhere means the prefix filter degraded
+    to all-pairs."""
+    plan = _plan(
+        REGISTRY["dedup_prefix_filter_jaccard_pairs"].fn(spark, sf_small)
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
