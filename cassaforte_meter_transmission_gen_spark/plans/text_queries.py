@@ -2363,14 +2363,17 @@ def text_inverted_index_postings(
 
     Scale shape (plan-audited): exchange 1 pre-collapses the exploded
     stream to (term, doc_id, tf) with map-side partial aggregation —
-    the per-term dedup happens BEFORE any term-level state exists;
-    exchange 2 repartitions by term for the rank window, and the final
-    groupBy(term) REUSES that partitioning (no third exchange). The
-    collected head is rank-gated to ≤ 64 ids per term BELOW the
-    aggregate (collect_list skips the NULLed rows), so per-term memory
-    is O(64) even for a stopword — an uncapped collect_set on a hot
-    term is the classic inverted-index OOM. Cited: reference has no
-    retrieval surface (core.clj); §2.10 retrieval family."""
+    the per-term dedup happens BEFORE any term-level state exists; the
+    cf/df stats and the posting head then derive from that collapsed
+    table on SEPARATE term-keyed branches, because the head's rank
+    filter (rn ≤ 64) sits directly on the window so Spark plans a
+    partial WindowGroupLimit — every map task keeps at most 64 rows
+    per term BEFORE the window shuffle, so a stopword's posting sort
+    is bounded instead of one task sorting its entire document list
+    (the straggler that kills naive index builds); the stats branch is
+    a plain partial-agg groupBy with O(1) state per term. Both
+    branches and the final join are term-partitioned. Cited: reference
+    has no retrieval surface (core.clj); §2.10 retrieval family."""
     d = _docs(spark, sf_dir)
     tok = d.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
@@ -2378,21 +2381,18 @@ def text_inverted_index_postings(
     per_doc = tok.groupBy("term", "doc_id").agg(
         F.count("*").cast("long").alias("tf")
     )
-    w = Window.partitionBy("term").orderBy("doc_id")
-    ranked = per_doc.withColumn("rn", F.row_number().over(w))
-    return (
-        ranked.groupBy("term")
-        .agg(
-            F.sum("tf").cast("long").alias("cf"),
-            F.count("*").cast("long").alias("df"),
-            F.sort_array(
-                F.collect_list(
-                    F.when(F.col("rn") <= 64, F.col("doc_id"))
-                )
-            ).alias("postings_head"),
-        )
-        .filter(F.col("df") >= 5)
+    stats = per_doc.groupBy("term").agg(
+        F.sum("tf").cast("long").alias("cf"),
+        F.count("*").cast("long").alias("df"),
     )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    heads = (
+        per_doc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 64)
+        .groupBy("term")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("postings_head"))
+    )
+    return stats.join(heads, "term").filter(F.col("df") >= 5)
 
 
 #: Feature-hashing dimensionality and the gated sample stride (every

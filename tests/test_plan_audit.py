@@ -745,18 +745,16 @@ def test_zorder_blocks_scan_prunes_columns(spark, sf_small):
         assert unneeded not in read_schema, read_schema
 
 
-def test_inverted_index_two_bounded_exchanges(spark, sf_small):
-    """Exactly two hash exchanges: (term, doc_id) pre-collapse with a
-    map-side partial agg, then the term repartition for the rank
-    window — the final groupBy(term) must REUSE the window's
-    partitioning, and no uncapped collect_set may appear (per-term
-    state is rank-gated to ≤ 64 ids; an uncapped set on a stopword is
-    the classic inverted-index OOM)."""
-    import re
-
+def test_inverted_index_bounded_window_and_no_uncapped_set(spark, sf_small):
+    """The posting-head rank filter must plan as WindowGroupLimit
+    (partial + final): every map task keeps ≤ 64 rows per term BEFORE
+    the window shuffle, so a stopword's posting sort is bounded
+    instead of one task sorting its whole document list — the
+    straggler that kills naive index builds. No uncapped collect_set
+    may appear anywhere (per-term state is the ≤ 64-id list), and the
+    (term, doc_id) pre-collapse partial-aggregates map-side."""
     plan = _plan(REGISTRY["text_inverted_index_postings"].fn(spark, sf_small))
-    shuffles = re.findall(r"Exchange hashpartitioning", plan)
-    assert len(shuffles) == 2, plan
+    assert "WindowGroupLimit" in plan, plan
     assert "partial_count" in plan, plan  # map-side combine below exch 1
     assert "collect_set" not in plan, plan  # only the rank-gated list
 
