@@ -751,3 +751,62 @@ def vector_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_neg=TRIPLET_K_NEG,
         exclude_top=TRIPLET_EXCLUDE_TOP,
     )
+
+
+@register(
+    "vector_norm_grouped_agg_udf",
+    oracle=f"""
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CAST(floor({{norm}} * {_CENTROID_SCALE!r}) AS BIGINT))
+            AS BIGINT) AS norm_micro_sum
+FROM embeddings
+GROUP BY label
+""".format(norm=_NORM.format(v="embedding")),
+    tags=("vector", "pandas-udf", "grouped-agg", "arrow"),
+)
+def vector_norm_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §2.9 GROUPED_AGG pandas-UDF surface — the one vectorized-UDF
+    flavor the catalog had not exercised (scalar pandas_udf,
+    applyInPandas grouped-map, mapInPandas, applyInPandasWithState, and
+    the UDTF already are): a true aggregate UDF usable inside
+    ``groupBy().agg(...)``, here summing each label's fixed-point L2
+    norms.
+
+    Determinism discipline for Python aggregation: the UDF receives
+    the group's rows in ARBITRARY order across retries/partitions, so
+    the reduction must be order-free — each norm (a per-row sequential
+    float64 fold, bit-stable) is floored to int64 micro-units FIRST
+    and the int64s are summed (the same move the applyInPandas
+    centroid uses). A float sum here would be order-dependent and
+    could never hash-match the oracle.
+
+    Scale: partial aggregation applies to pandas GROUPED_AGG (Spark
+    evaluates it per partition then merges? No — GROUPED_AGG is
+    whole-group: one shuffle on label, payload = the group's vectors;
+    at 100 TB prefer the pure-SQL integer sum when expressible, this
+    query exists to pin the API's exactness contract)."""
+    e = _emb(spark, sf_dir)
+    scale = _CENTROID_SCALE
+
+    @F.pandas_udf("long")
+    def norm_micro_sum(col: pd.Series) -> int:
+        import numpy as np
+
+        M = np.vstack([np.asarray(v, dtype=np.float64) for v in col])
+        vv = np.zeros(len(M))
+        for j in range(M.shape[1]):  # sequential per-dimension order
+            vv = vv + M[:, j] * M[:, j]
+        return int(np.floor(np.sqrt(vv) * scale).astype(np.int64).sum())
+
+    # GROUPED_AGG UDFs cannot mix with non-pandas aggregates in one
+    # agg() (INVALID_PANDAS_UDF_PLACEMENT) — the count rides as a
+    # second pandas aggregate
+    @F.pandas_udf("long")
+    def n_rows(col: pd.Series) -> int:
+        return len(col)
+
+    return e.groupBy("label").agg(
+        n_rows(F.col("vec_id")).alias("n_vecs"),
+        norm_micro_sum(F.col("embedding")).alias("norm_micro_sum"),
+    )
