@@ -291,3 +291,49 @@ def decode_bmp_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(
         run, schema="item_id bigint, width int, height int, pixels binary"
     )
+
+
+def perceptual_hash(df: DataFrame) -> DataFrame:
+    """(item_id, width, height, pixels binary) → (item_id, n_pixels,
+    phash bigint): the average-hash (aHash) perceptual fingerprint —
+    per-pixel integer gray = r+g+b, bit p set iff
+    ``gray_p · n_pixels > Σ gray`` (the exact-rational mean compare:
+    no division, no float, ties resolve identically everywhere), bits
+    packed in row-major pixel order. Two images that differ by a few
+    pixels differ in a few BITS, so near-duplicate detection becomes
+    small-Hamming-distance search — the SimHash discipline applied to
+    decoded image content instead of token sets.
+
+    Pure integer arithmetic over the decoded bytes (numpy int64 inside
+    the same Arrow seam as the decoder), so a serial SQL oracle that
+    re-derives the pixels reproduces every bit."""
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, ns, hashes = [], [], []
+            for item_id, px in zip(pdf["item_id"], pdf["pixels"]):
+                a = np.frombuffer(bytes(px), dtype=np.uint8).astype(np.int64)
+                gray = a.reshape(-1, 3).sum(axis=1)
+                n = int(gray.shape[0])
+                total = int(gray.sum())
+                bits = (gray * n) > total
+                ph = 0
+                for p in range(n):  # row-major pixel order
+                    if bool(bits[p]):
+                        ph |= 1 << p
+                ids.append(int(item_id))
+                ns.append(n)
+                hashes.append(ph)
+            yield pd.DataFrame(
+                {
+                    "item_id": pd.Series(ids, dtype="int64"),
+                    "n_pixels": pd.Series(ns, dtype="int32"),
+                    "phash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(
+        run, schema="item_id bigint, n_pixels int, phash bigint"
+    )

@@ -2504,3 +2504,108 @@ def dedup_prefix_filter_jaccard_pairs(
     from ..operators.dedup import prefix_filter_jaccard_pairs
 
     return prefix_filter_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+@register(
+    "multimodal_phash_near_dup",
+    oracle="""
+WITH d AS (SELECT doc_id AS did, doc_id % 5 + 2 AS w, doc_id % 3 + 2 AS h
+           FROM documents WHERE doc_id < 100),
+px AS (
+  SELECT did, w, h, p,
+         ((did * 7919 + (p // w) * 31 + (p % w) * 3 + 0) % 256
+        + (did * 7919 + (p // w) * 31 + (p % w) * 3 + 1) % 256
+        + (did * 7919 + (p // w) * 31 + (p % w) * 3 + 2) % 256) AS gray
+  FROM d, LATERAL (SELECT unnest(range(0, w * h)) AS p) u
+),
+tot AS (SELECT did, w * h AS n, CAST(SUM(gray) AS BIGINT) AS total
+        FROM px GROUP BY did, w, h),
+ph AS (
+  SELECT px.did, tot.n,
+         CAST(SUM(CASE WHEN px.gray * tot.n > tot.total
+                       THEN 1 << px.p ELSE 0 END) AS BIGINT) AS phash
+  FROM px JOIN tot ON px.did = tot.did
+  GROUP BY px.did, tot.n
+),
+bd AS (
+  SELECT did, n, phash, b, (phash // (1 << (8 * b))) % 256 AS v
+  FROM ph, LATERAL (SELECT unnest(range(0, 3)) AS b) u
+),
+cand AS (
+  SELECT DISTINCT a.did AS item_a, b.did AS item_b
+  FROM bd a JOIN bd b ON a.b = b.b AND a.v = b.v AND a.n = b.n
+                     AND a.did < b.did
+)
+SELECT cand.item_a, cand.item_b, CAST(x.n AS INT) AS n_pixels,
+       CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hamming
+FROM cand JOIN ph x ON cand.item_a = x.did JOIN ph y ON cand.item_b = y.did
+WHERE bit_count(xor(x.phash, y.phash)) <= 2
+""",
+    tags=("multimodal", "dedup", "phash", "pandas-udf"),
+)
+def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-duplicate detection end to end: real BMP containers
+    are decoded (operators.multimodal.bmp_decode — headers, padding,
+    bottom-up rows, BGR), each image fingerprinted with the
+    average-hash (operators.multimodal.perceptual_hash: bit p iff
+    ``gray_p·n > Σgray``, the division-free mean compare), and
+    near-dup pairs found by the SimHash pigeonhole: 3 bands of 8 bits,
+    any pair within Hamming distance 2 must agree on ≥ 1 whole band,
+    so candidates come from a banded equi-join — never all-pairs —
+    and the exact bit_count(xor) ≤ 2 verify runs on candidates only.
+    Same-shape pairing rides on the band key (n_pixels equality), so
+    hashes of different geometries never compare.
+
+    The oracle re-derives every pixel from the synthetic pattern
+    formula and replays the identical integer hash/band/verify chain,
+    so a hash-green row proves the DECODED content produced those
+    bits — the container transforms, the aHash, and the pruning all at
+    once. This is the multimodal member of the near-dup family
+    (exact / MinHash / SimHash / embedding-cosine / prefix-filter /
+    THIS)."""
+    from ..operators.multimodal import (
+        decode_bmp_features,
+        encode_synthetic_bmps,
+        perceptual_hash,
+    )
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 100).select("doc_id")
+    ph = perceptual_hash(
+        decode_bmp_features(encode_synthetic_bmps(d, "doc_id"))
+    )
+    bands = ph.selectExpr(
+        "item_id",
+        "n_pixels",
+        "phash",
+        "explode(array(0, 1, 2)) AS b",
+    ).selectExpr(
+        "item_id", "n_pixels", "phash", "b",
+        "(phash DIV (1 << (8 * b))) % 256 AS v",
+    )
+    a = bands.selectExpr(
+        "item_id AS item_a", "n_pixels", "b", "v"
+    )
+    b = bands.selectExpr(
+        "item_id AS item_b", "n_pixels", "b", "v"
+    )
+    cand = (
+        a.join(b, ["b", "v", "n_pixels"])
+        .filter(F.col("item_a") < F.col("item_b"))
+        .select("item_a", "item_b")
+        .distinct()
+    )
+    x = ph.selectExpr(
+        "item_id AS item_a", "n_pixels", "phash AS ph_a"
+    )
+    y = ph.selectExpr("item_id AS item_b", "phash AS ph_b")
+    return (
+        cand.join(x, "item_a")
+        .join(y, "item_b")
+        .selectExpr(
+            "item_a",
+            "item_b",
+            "n_pixels",
+            "CAST(bit_count(ph_a ^ ph_b) AS BIGINT) AS hamming",
+        )
+        .filter(F.col("hamming") <= 2)
+    )

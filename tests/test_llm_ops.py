@@ -1049,3 +1049,39 @@ def test_prefix_filter_candidates_prune_vs_all_pairs(spark, sf_small):
         .count()
     )
     assert cand < 0.05 * n * (n - 1) / 2, (cand, n)
+
+
+def test_perceptual_hash_known_bits_and_near_dup(spark):
+    """aHash bits from first principles on a hand-built 2×1 image
+    (one dark, one bright pixel → exactly the bright bit set), and the
+    near-dup property: flipping ONE pixel of a larger image changes
+    few bits, a different pattern changes many."""
+    from cassaforte_meter_transmission_gen_spark.operators.multimodal import (
+        bmp_encode,
+        decode_bmp_features,
+        perceptual_hash,
+    )
+
+    def ph_of(rgb_bytes, w, h):
+        df = spark.createDataFrame(
+            [(0, bmp_encode(w, h, bytes(rgb_bytes)), "bmp")],
+            "item_id long, payload binary, format string",
+        )
+        row = perceptual_hash(decode_bmp_features(df)).first()
+        return row["phash"], row["n_pixels"]
+
+    # pixel 0 gray=3, pixel 1 gray=600: mean compare sets only bit 1
+    ph, n = ph_of([1, 1, 1, 200, 200, 200], 2, 1)
+    assert (n, ph) == (2, 0b10)
+
+    base = list(range(48))  # 4×4 image, 48 bytes, strictly rising grays
+    ph_base, _ = ph_of(base, 4, 4)
+    near = list(base)
+    near[0:3] = [255, 255, 255]  # one pixel blown out
+    ph_near, _ = ph_of(near, 4, 4)
+    far = [(i * 37) % 256 for i in range(48)]
+    ph_far, _ = ph_of(far, 4, 4)
+    d_near = bin(ph_base ^ ph_near).count("1")
+    d_far = bin(ph_base ^ ph_far).count("1")
+    assert d_near <= 4, (bin(ph_base), bin(ph_near))
+    assert d_far > d_near, (d_far, d_near)

@@ -812,3 +812,12 @@ def test_prefix_filter_jaccard_no_cartesian(spark, sf_small):
     )
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_phash_near_dup_banded_equi_join_only(spark, sf_small):
+    """The perceptual-hash pair search must be the banded equi-join —
+    a cartesian/nested-loop anywhere means the pigeonhole pruning
+    degraded to all-pairs image comparison."""
+    plan = _plan(REGISTRY["multimodal_phash_near_dup"].fn(spark, sf_small))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
