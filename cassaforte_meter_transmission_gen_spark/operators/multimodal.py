@@ -337,3 +337,101 @@ def perceptual_hash(df: DataFrame) -> DataFrame:
     return df.mapInPandas(
         run, schema="item_id bigint, n_pixels int, phash bigint"
     )
+
+
+def wav_encode(sample_rate: int, samples: list[int]) -> bytes:
+    """16-bit mono PCM WAV bytes from int16 samples via the stdlib
+    ``wave`` module — a REAL audio container (RIFF/fmt/data chunks),
+    no external codec libs, the audio sibling of :func:`bmp_encode`."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def wav_decode(b: bytes) -> tuple[int, int, list[int]]:
+    """(sample_rate, n_samples, samples) back out of the WAV container
+    — stdlib ``wave`` parse of the RIFF chunks + little-endian int16
+    payload unpack."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(b), "rb") as w:
+        assert w.getnchannels() == 1 and w.getsampwidth() == 2
+        rate = w.getframerate()
+        n = w.getnframes()
+        samples = list(struct.unpack(f"<{n}h", w.readframes(n)))
+    return rate, n, samples
+
+
+def synthetic_wav_pattern(item_id: int) -> tuple[int, list[int]]:
+    """Deterministic int16 sample pattern per item: length and rate
+    derive from the id; sample i = ((id·31 + i·7) mod 2048) − 1024 —
+    integer, sign-alternating, reproducible in pure SQL."""
+    n = item_id % 50 + 20
+    rate = 8000 + (item_id % 3) * 4000
+    return rate, [((item_id * 31 + i * 7) % 2048) - 1024 for i in range(n)]
+
+
+def encode_synthetic_wavs(df: DataFrame, id_col: str = "item_id") -> DataFrame:
+    """(id) → (item_id, payload binary, format 'wav'): each row becomes
+    a REAL WAV file of its synthetic PCM pattern, built executor-side
+    in Arrow batches."""
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = [wav_encode(*synthetic_wav_pattern(int(i))) for i in ids]
+            yield pd.DataFrame(
+                {"item_id": ids, "payload": payloads, "format": "wav"}
+            )
+
+    return df.mapInPandas(run, schema="item_id bigint, payload binary, format string")
+
+
+def decode_wav_features(df: DataFrame) -> DataFrame:
+    """(item_id, payload) → integer audio features through the REAL
+    decode: sample rate and count from the container, Σ|sample| (the
+    integer loudness proxy) and the zero-crossing count (the integer
+    pitch proxy — strict sign changes) from the PCM payload. All-int64
+    so a serial SQL oracle that re-derives the samples pins every
+    value; the float feature pipeline (MFCCs etc.) plugs into the same
+    Arrow seam."""
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, rates, ns, sums, zcs = [], [], [], [], []
+            for item_id, b in zip(pdf["item_id"], pdf["payload"]):
+                rate, n, samples = wav_decode(bytes(b))
+                a = np.asarray(samples, dtype=np.int64)
+                ids.append(int(item_id))
+                rates.append(rate)
+                ns.append(n)
+                sums.append(int(np.abs(a).sum()))
+                zcs.append(int(((a[1:] * a[:-1]) < 0).sum()))
+            yield pd.DataFrame(
+                {
+                    "item_id": pd.Series(ids, dtype="int64"),
+                    "sample_rate": pd.Series(rates, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int32"),
+                    "sum_abs": pd.Series(sums, dtype="int64"),
+                    "zero_crossings": pd.Series(zcs, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(
+        run,
+        schema="item_id bigint, sample_rate int, n_samples int,"
+        " sum_abs bigint, zero_crossings bigint",
+    )

@@ -1246,3 +1246,114 @@ def events_mad_robust_daily_outliers(
         "CASE WHEN mad2 > 0 AND CAST(dev2 AS DOUBLE) > (3.0 * 1.4826) * mad2"
         " THEN true ELSE false END AS is_outlier",
     )
+
+
+@register(
+    "events_ab_conversion_ztest",
+    oracle="""
+WITH u AS (
+  SELECT user_id, user_id % 2 AS variant,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                             AND date_part('day', ts) <= 7
+                            THEN 1 ELSE 0 END) >= 4
+              THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY 1, 2
+),
+v AS (
+  SELECT variant,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(converted) AS BIGINT) AS n_converted
+  FROM u GROUP BY 1
+),
+w AS (
+  SELECT a.n_users AS n_a, a.n_converted AS x_a,
+         b.n_users AS n_b, b.n_converted AS x_b
+  FROM v a JOIN v b ON a.variant = 0 AND b.variant = 1
+)
+SELECT variant, n_users, n_converted,
+       (n_converted * 1000000) // n_users AS conv_ppm,
+       z.z_stat
+FROM v CROSS JOIN (
+  SELECT CASE WHEN x_a + x_b = 0 OR x_a + x_b = n_a + n_b THEN NULL
+              ELSE (CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+                   / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                          * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                          * (1.0 / n_a + 1.0 / n_b)) END AS z_stat
+  FROM w
+) z
+""",
+    tags=("events", "experiment", "ab-test", "statistics"),
+)
+def events_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for an A/B experiment readout — the
+    standard experimentation-analysis shape: users split into variants
+    by the deterministic hash rule (user_id parity here; production
+    uses the same seedless-hash discipline as the split manifests),
+    conversion = at least 4 purchases in week 1 (an OR-flag saturates
+    at ~100%% on this corpus — every user purchases eventually — which
+    degenerates the pooled variance to zero; the thresholded
+    high-value definition keeps a real base rate), and the pooled z
+    statistic decides significance (|z| > 1.96 ⇒ p < 0.05 two-sided);
+    the degenerate all-or-none pooled rate returns NULL on both
+    engines instead of 0/0 (Spark ANSI would raise, DuckDB would NaN).
+
+    Exactness: user-level conversion flags and per-variant counts are
+    one conditional aggregation each (integers); the conversion rate
+    rides as exact integer ppm; the z statistic is a FIXED-ORDER chain
+    of double divisions/multiplies and one sqrt over those exact
+    integers — IEEE-754 division and sqrt are correctly rounded, so
+    both engines produce the identical bits with no cross-row double
+    summation anywhere.
+
+    Scale: one fact scan → per-user groupBy (partial agg) → 2-row
+    variant agg; the z row is a broadcast cross join. Output: one row
+    per variant with counts, ppm rate, and the shared z."""
+    e = _ev(spark, sf_dir)
+    u = (
+        e.select(
+            "user_id",
+            (F.col("user_id") % 2).alias("variant"),
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.dayofmonth("ts") <= 7),
+                1,
+            )
+            .otherwise(0)
+            .alias("is_wk1_purchase"),
+        )
+        .groupBy("user_id", "variant")
+        .agg(
+            F.when(F.sum("is_wk1_purchase") >= 4, 1)
+            .otherwise(0)
+            .alias("converted")
+        )
+    )
+    v = (
+        u.groupBy("variant")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("converted").cast("long").alias("n_converted"),
+        )
+        # 2 rows; pinned — both the variant report and the z pivot
+        # consume it, and without the pin each re-derives the fact scan
+        .localCheckpoint(eager=True)
+    )
+    a = v.filter(F.col("variant") == 0).selectExpr(
+        "n_users AS n_a", "n_converted AS x_a"
+    )
+    b = v.filter(F.col("variant") == 1).selectExpr(
+        "n_users AS n_b", "n_converted AS x_b"
+    )
+    z = a.crossJoin(b).selectExpr(
+        "CASE WHEN x_a + x_b = 0 OR x_a + x_b = n_a + n_b THEN NULL"
+        " ELSE (CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)"
+        " / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))"
+        " * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))"
+        " * (1.0 / n_a + 1.0 / n_b)) END AS z_stat"
+    )
+    return v.selectExpr(
+        "variant",
+        "n_users",
+        "n_converted",
+        "(n_converted * 1000000) DIV n_users AS conv_ppm",
+    ).crossJoin(F.broadcast(z))

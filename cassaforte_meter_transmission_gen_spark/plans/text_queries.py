@@ -2609,3 +2609,44 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= 2)
     )
+
+
+@register(
+    "multimodal_wav_decode",
+    oracle="""
+WITH d AS (SELECT doc_id AS did, doc_id % 50 + 20 AS n,
+                  8000 + (doc_id % 3) * 4000 AS rate
+           FROM documents WHERE doc_id < 100),
+sm AS (
+  SELECT did, n, rate, i, ((did * 31 + i * 7) % 2048) - 1024 AS s
+  FROM d, LATERAL (SELECT unnest(range(0, n)) AS i) u
+),
+lg AS (SELECT *, LAG(s) OVER (PARTITION BY did ORDER BY i) AS lag_s FROM sm)
+SELECT did AS item_id, CAST(rate AS INT) AS sample_rate,
+       CAST(n AS INT) AS n_samples,
+       CAST(SUM(abs(s)) AS BIGINT) AS sum_abs,
+       CAST(SUM(CASE WHEN i > 0 AND s * lag_s < 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS zero_crossings
+FROM lg
+GROUP BY 1, 2, 3
+""",
+    tags=("multimodal", "codec", "wav", "audio", "pandas-udf"),
+)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A GENUINE audio decode behind the multimodal seam
+    (operators.multimodal.wav_encode/wav_decode — stdlib ``wave``
+    RIFF containers, 16-bit mono PCM, no external codec libs): 100
+    deterministic synthetic waveforms are encoded into real WAV files
+    executor-side, decoded back through the container, and reduced to
+    INTEGER audio features — Σ|sample| (loudness proxy) and the strict
+    zero-crossing count (pitch proxy). The oracle re-derives every
+    sample from the pattern formula, so a hash-green row proves the
+    decoder recovered rate, length, and PCM content through the RIFF
+    chunks — the audio sibling of `multimodal_bmp_decode`; with it the
+    multimodal family has real image AND audio codecs behind the one
+    mapInPandas seam (video frame-sampling shares the byte-range
+    machinery of `multimodal_frame_sample`)."""
+    from ..operators.multimodal import decode_wav_features, encode_synthetic_wavs
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 100).select("doc_id")
+    return decode_wav_features(encode_synthetic_wavs(d, "doc_id"))

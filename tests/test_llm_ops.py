@@ -1085,3 +1085,30 @@ def test_perceptual_hash_known_bits_and_near_dup(spark):
     d_far = bin(ph_base ^ ph_far).count("1")
     assert d_near <= 4, (bin(ph_base), bin(ph_near))
     assert d_far > d_near, (d_far, d_near)
+
+
+def test_wav_codec_roundtrip_property():
+    """Stdlib-wave WAV codec: arbitrary int16 sample vectors round-trip
+    through the RIFF container byte-exactly at every rate."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cassaforte_meter_transmission_gen_spark.operators.multimodal import (
+        wav_decode,
+        wav_encode,
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-32768, max_value=32767),
+            min_size=1,
+            max_size=200,
+        ),
+        st.sampled_from([8000, 12000, 16000, 44100]),
+    )
+    def roundtrip(samples, rate):
+        r, n, s = wav_decode(wav_encode(rate, samples))
+        assert (r, n, s) == (rate, len(samples), samples)
+
+    roundtrip()
