@@ -2485,3 +2485,93 @@ def streaming_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipeline import run_bounded_psi_drift
 
     return run_bounded_psi_drift(spark, sf_dir)
+
+
+# --- approximate query processing: deterministic hash-sampled agg ---
+
+#: Knuth multiplicative hash constants shared with the corpus shuffle
+#: (plans/text_queries.py) — one sampling discipline everywhere.
+AQP_HASH_A = 2654435761
+AQP_HASH_MOD = 1 << 32
+AQP_ID_MOD = 1 << 31
+AQP_DENOM = 16  # keep 1/16 of order keys
+
+
+@register(
+    "agg_aqp_hash_sampled_revenue",
+    oracle=f"""
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(18,4))) AS DOUBLE) AS sample_revenue,
+         CAST(COUNT(*) AS BIGINT) AS sample_rows
+  FROM lineitem
+  WHERE (((l_orderkey % {AQP_ID_MOD}) * {AQP_HASH_A})
+         % {AQP_HASH_MOD}) % {AQP_DENOM} = 0
+  GROUP BY 1
+),
+x AS (
+  SELECT l_returnflag,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(18,4))) AS DOUBLE) AS exact_revenue,
+         CAST(COUNT(*) AS BIGINT) AS exact_rows
+  FROM lineitem GROUP BY 1
+)
+SELECT x.l_returnflag, s.sample_rows, x.exact_rows,
+       s.sample_revenue * {AQP_DENOM} AS est_revenue,
+       x.exact_revenue,
+       CAST(floor(abs(s.sample_revenue * {AQP_DENOM} - x.exact_revenue)
+                  * 1000000 / x.exact_revenue) AS BIGINT) AS abs_err_ppm
+FROM x JOIN s USING (l_returnflag)
+""",
+    tags=("agg", "aqp", "sampling", "approximate"),
+)
+def agg_aqp_hash_sampled_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Approximate query processing by DETERMINISTIC hash sampling:
+    revenue per return flag estimated from the 1/16 of ORDERS whose
+    Knuth-hashed key lands in bucket 0 (sampling by order key, not by
+    row, so line items of one order stay together — the correlated
+    unit a per-row Bernoulli sample would shear), scaled by 16, and
+    reported BESIDE the exact answer with the realized ppm error —
+    the dashboard pattern at 100 TB: answer from the sample partition,
+    audit the estimator against the exact batch run.
+
+    Unlike TABLESAMPLE/rand() the sample is a pure function of the
+    key — replayable, resumable, and identical across engines, so
+    even the ESTIMATE is value-hash gated (the same seedless-hash
+    discipline as the corpus shuffle and split manifests). Decimal
+    sums keep both the sample and exact aggregates order-independent.
+
+    Scale: two partial-agg scans (sample + exact twin); in production
+    the sample side reads a 16× smaller materialized partition and
+    the exact twin runs on the batch cadence."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)"
+    s = (
+        li.filter(
+            F.expr(
+                f"(((l_orderkey % {AQP_ID_MOD}) * {AQP_HASH_A})"
+                f" % {AQP_HASH_MOD}) % {AQP_DENOM} = 0"
+            )
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr(rev).alias("sample_revenue"),
+            F.count("*").cast("long").alias("sample_rows"),
+        )
+    )
+    x = li.groupBy("l_returnflag").agg(
+        F.expr(rev).alias("exact_revenue"),
+        F.count("*").cast("long").alias("exact_rows"),
+    )
+    return x.join(s, "l_returnflag").selectExpr(
+        "l_returnflag",
+        "sample_rows",
+        "exact_rows",
+        f"sample_revenue * {AQP_DENOM} AS est_revenue",
+        "exact_revenue",
+        f"CAST(floor(abs(sample_revenue * {AQP_DENOM} - exact_revenue)"
+        " * 1000000 / exact_revenue) AS BIGINT) AS abs_err_ppm",
+    )

@@ -2650,3 +2650,74 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 100).select("doc_id")
     return decode_wav_features(encode_synthetic_wavs(d, "doc_id"))
+
+
+@register(
+    "pipeline_dataset_card",
+    oracle="""
+WITH a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT)
+           AS n_exact_dup_docs,
+         CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+         CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+         quantile_cont(n_chars, 0.5) AS p50_chars
+  FROM documents
+)
+SELECT metric, value FROM (
+  SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM a
+  UNION ALL SELECT 'total_chars', CAST(total_chars AS DOUBLE) FROM a
+  UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM a
+  UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM a
+  UNION ALL SELECT 'n_exact_dup_docs', CAST(n_exact_dup_docs AS DOUBLE) FROM a
+  UNION ALL SELECT 'min_chars', CAST(min_chars AS DOUBLE) FROM a
+  UNION ALL SELECT 'max_chars', CAST(max_chars AS DOUBLE) FROM a
+  UNION ALL SELECT 'mean_chars_floor',
+                   CAST(total_chars // n_docs AS DOUBLE) FROM a
+  UNION ALL SELECT 'p50_chars', p50_chars FROM a
+) t
+""",
+    tags=("pipeline", "report", "dataset-card"),
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DATASET CARD summary block — the corpus-level numbers a
+    published training set ships with (docs, bytes, source/language
+    diversity, exact-dup rate, length distribution), folded into ONE
+    scan with multi-distinct aggregation and unpivoted to (metric,
+    value) rows so downstream tooling renders the card directly.
+
+    Exactness: counts/sums/min/max are integers carried as exact
+    doubles; the median uses the proven percentile ≡ quantile_cont
+    (n−1)·p identity; the dup count is n − distinct(md5). Scale: one
+    fact scan — Catalyst's Expand rewrite evaluates the three DISTINCT
+    aggregates in the same pass (the profiling query's plan shape) —
+    then a 1-row stack."""
+    d = _docs(spark, sf_dir)
+    a = d.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        (F.count("*") - F.countDistinct(F.md5("text")))
+        .cast("long")
+        .alias("n_exact_dup_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.expr("percentile(n_chars, 0.5)").alias("p50_chars"),
+    )
+    return a.selectExpr(
+        "stack(9,"
+        " 'n_docs', CAST(n_docs AS DOUBLE),"
+        " 'total_chars', CAST(total_chars AS DOUBLE),"
+        " 'n_sources', CAST(n_sources AS DOUBLE),"
+        " 'n_langs', CAST(n_langs AS DOUBLE),"
+        " 'n_exact_dup_docs', CAST(n_exact_dup_docs AS DOUBLE),"
+        " 'min_chars', CAST(min_chars AS DOUBLE),"
+        " 'max_chars', CAST(max_chars AS DOUBLE),"
+        " 'mean_chars_floor', CAST(total_chars DIV n_docs AS DOUBLE),"
+        " 'p50_chars', p50_chars"
+        ") AS (metric, value)"
+    )

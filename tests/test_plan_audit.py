@@ -821,3 +821,24 @@ def test_phash_near_dup_banded_equi_join_only(spark, sf_small):
     plan = _plan(REGISTRY["multimodal_phash_near_dup"].fn(spark, sf_small))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_dataset_card_is_one_fact_scan(spark, sf_small):
+    """All card metrics — including the three DISTINCT aggregates —
+    must come from ONE documents scan (Catalyst's Expand rewrite);
+    a second scan means a metric was computed in its own pass."""
+    plan = _plan(REGISTRY["pipeline_dataset_card"].fn(spark, sf_small))
+    assert plan.count("documents.parquet") == 1, plan
+    assert "Expand" in plan, plan
+
+
+def test_aqp_sample_filter_reaches_scan(spark, sf_small):
+    """The 1/16 hash-sample predicate must reach the sample-side scan
+    as a data filter (pure key arithmetic, evaluable at the reader) —
+    sampling AFTER a full materialization forfeits the 16x read."""
+    plan = _plan(REGISTRY["agg_aqp_hash_sampled_revenue"].fn(spark, sf_small))
+    assert plan.count("lineitem") == 2, plan  # sample side + exact twin
+    import re
+
+    # the sample branch's scan carries the modular-arithmetic filter
+    assert re.search(r"Filter .*2654435761", plan), plan
