@@ -1074,16 +1074,20 @@ def test_perceptual_hash_known_bits_and_near_dup(spark):
     ph, n = ph_of([1, 1, 1, 200, 200, 200], 2, 1)
     assert (n, ph) == (2, 0b10)
 
-    base = list(range(48))  # 4×4 image, 48 bytes, strictly rising grays
+    # BIMODAL base (8 dark, 8 bright pixels): the mean sits in the gap,
+    # so bits are far from the threshold — the regime aHash is built
+    # for (a near-linear ramp would cluster pixels AT the mean and any
+    # edit would cascade through the threshold)
+    base = [10] * 24 + [240] * 24  # 4×4 image, 48 bytes
     ph_base, _ = ph_of(base, 4, 4)
     near = list(base)
-    near[0:3] = [255, 255, 255]  # one pixel blown out
+    near[0:3] = [255, 255, 255]  # one dark pixel blown out bright
     ph_near, _ = ph_of(near, 4, 4)
-    far = [(i * 37) % 256 for i in range(48)]
+    far = [(200 if (i // 3) % 2 else 15) for i in range(48)]  # stripes
     ph_far, _ = ph_of(far, 4, 4)
     d_near = bin(ph_base ^ ph_near).count("1")
     d_far = bin(ph_base ^ ph_far).count("1")
-    assert d_near <= 4, (bin(ph_base), bin(ph_near))
+    assert d_near == 1, (bin(ph_base), bin(ph_near))
     assert d_far > d_near, (d_far, d_near)
 
 
