@@ -897,3 +897,67 @@ def prefix_filter_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT shingle-containment join: ordered pairs (a, b) where
+    ``|s_a ∩ s_b| / |s_a| ≥ t`` — document a is mostly CONTAINED in b.
+    The asymmetric near-dup relation Jaccard misses: a quote, excerpt,
+    or boilerplate-wrapped copy has low Jaccard against its source
+    (the union is dominated by the longer doc) but high containment.
+
+    Prefix filtering applies to the PROBE side only: if a's
+    ``⌈t·|s_a|⌉`` matching shingles exist in b, at least one lies in
+    a's ``|s_a| − ⌈t·|s_a|⌉ + 1`` globally-rarest shingles, so
+    candidates = (a-prefix ⋈ full index on shingle) — never all-pairs;
+    the indexed side cannot be pruned (any of b's shingles may be the
+    witness), which is the structural difference from the symmetric
+    join (:func:`prefix_filter_jaccard_pairs`). The exact intersection
+    verify on candidates makes the result identical to brute force.
+
+    Returns (doc_a, doc_b, containment) with a ≠ b, containment ≥ t
+    measured INTO a (numerator over |s_a|)."""
+    from pyspark.sql import Window as W
+
+    sh = docs.select(
+        F.col(id_col).alias("did"),
+        word_shingles(tokens(F.col(text_col))).alias("s"),
+    ).filter(F.size("s") > 0)
+    ex = sh.select("did", F.size("s").alias("n"), F.explode("s").alias("g"))
+    freq = ex.groupBy("g").agg(F.count("*").cast("long").alias("gf"))
+    ranked = ex.join(freq, "g").withColumn(
+        "rn", F.row_number().over(W.partitionBy("did").orderBy("gf", "g"))
+    )
+    pref = ranked.filter(
+        F.col("rn")
+        <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    ).select(F.col("did").alias("doc_a"), "g")
+    index = ex.select(F.col("did").alias("doc_b"), "g")
+    cand = (
+        pref.join(index, "g")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    va = sh.select(
+        F.col("did").alias("doc_a"), F.col("s").alias("s_a")
+    )
+    vb = sh.select(F.col("did").alias("doc_b"), F.col("s").alias("s_b"))
+    return (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("s_a", "s_b")).cast("double")
+                / F.size("s_a").cast("double")
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

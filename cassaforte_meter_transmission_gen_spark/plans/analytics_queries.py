@@ -2575,3 +2575,74 @@ def agg_aqp_hash_sampled_revenue(
         f"CAST(floor(abs(sample_revenue * {AQP_DENOM} - exact_revenue)"
         " * 1000000 / exact_revenue) AS BIGINT) AS abs_err_ppm",
     )
+
+
+@register(
+    "window_wow_revenue_movers",
+    oracle="""
+WITH w AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(date_trunc('week', o.o_orderdate) AS DATE) AS week,
+         CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,4)) * 10000
+                       AS BIGINT)) AS BIGINT) AS rev_c4
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+l AS (
+  SELECT segment, week, rev_c4,
+         LAG(rev_c4) OVER (PARTITION BY segment ORDER BY week) AS prev_c4
+  FROM w
+)
+SELECT segment, week, rev_c4, prev_c4,
+       ((rev_c4 - prev_c4) * 1000000) // prev_c4 AS change_ppm
+FROM l
+WHERE prev_c4 IS NOT NULL AND prev_c4 > 0
+ORDER BY abs(((rev_c4 - prev_c4) * 1000000) // prev_c4) DESC,
+         segment, week
+LIMIT 20
+""",
+    tags=("window", "lag", "topk", "integer-exact"),
+)
+def window_wow_revenue_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue movers — the BI 'biggest swings' report:
+    weekly revenue per market segment, the lag window computes the
+    change against the prior week, and the 20 largest absolute ppm
+    swings surface (deterministic tie-break on segment, week).
+
+    Exactness: revenue quantizes to DECIMAL(18,4)·10⁴ int64 at the row
+    (the v_micro idiom), weekly sums are integer, and the change is an
+    integer ppm floor-division — no double ever aggregates. Weeks are
+    Monday-truncated identically in both engines.
+
+    Scale: one fact scan → (segment, week) partial-agg groupBy
+    (customer dimension broadcast) → per-segment lag window over
+    ~300-row state → TakeOrdered top-20 (per-partition heaps, never a
+    global sort)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date(F.date_trunc("week", "o_orderdate")).alias("week"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)"
+        ).alias("p_c4"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "week")
+        .agg(F.sum("p_c4").cast("long").alias("rev_c4"))
+    )
+    lw = W.partitionBy("segment").orderBy("week")
+    l = w.withColumn("prev_c4", F.lag("rev_c4").over(lw)).filter(
+        F.col("prev_c4").isNotNull() & (F.col("prev_c4") > 0)
+    )
+    return (
+        l.selectExpr(
+            "segment",
+            "week",
+            "rev_c4",
+            "prev_c4",
+            "((rev_c4 - prev_c4) * 1000000) DIV prev_c4 AS change_ppm",
+        )
+        .orderBy(F.abs(F.col("change_ppm")).desc(), "segment", "week")
+        .limit(20)
+    )

@@ -2721,3 +2721,45 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'p50_chars', p50_chars"
         ") AS (metric, value)"
     )
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+  FROM t WHERE len(toks) >= 3
+),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id <> b.doc_id)
+SELECT cand.doc_a, cand.doc_b,
+       CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(x.s)
+         AS containment
+FROM cand
+JOIN sh x ON cand.doc_a = x.doc_id
+JOIN sh y ON cand.doc_b = y.doc_id
+WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(x.s) >= 0.8
+""",
+    tags=("dedup", "ngram", "containment", "exact"),
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-containment ≥ 0.8 pairs over the FULL corpus
+    (operators.dedup.containment_pairs) — the asymmetric near-dup
+    relation: a quote, excerpt, or boilerplate-wrapped copy scores low
+    Jaccard against its source (the union is dominated by the longer
+    document) but high containment, so this catches the inclusion
+    duplicates the symmetric join structurally cannot. Prefix
+    filtering prunes the PROBE side (any qualifying pair shares one of
+    the probe's rarest shingles); the full shingle index serves the
+    other side; the exact verify makes the pair set identical to the
+    brute-force oracle."""
+    from ..operators.dedup import containment_pairs
+
+    return containment_pairs(_docs(spark, sf_dir), threshold=0.8)

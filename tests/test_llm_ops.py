@@ -1116,3 +1116,50 @@ def test_wav_codec_roundtrip_property():
         assert (r, n, s) == (rate, len(samples), samples)
 
     roundtrip()
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    """An excerpt inside a much longer document: containment ≥ 0.8
+    fires (excerpt → source) while Jaccard ≥ 0.5 does not — the
+    asymmetric relation is the point of the operator. Equality with a
+    serial brute-force model on the same fixture."""
+    from cassaforte_meter_transmission_gen_spark.operators.dedup import (
+        containment_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    quote = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"w{i}" for i in range(40))
+    docs = [
+        (0, quote),
+        (1, filler + " " + quote),  # source wrapping the excerpt
+        (2, "unrelated text entirely " + " ".join(f"x{i}" for i in range(20))),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    cont = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in containment_pairs(df, threshold=0.8).collect()
+    }
+    jac = {
+        (r["doc_a"], r["doc_b"])
+        for r in prefix_filter_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    assert (0, 1) in cont and cont[(0, 1)] >= 0.99  # excerpt → source
+    assert (1, 0) not in cont  # the long doc is NOT contained in the quote
+    assert (0, 1) not in jac and (1, 0) not in jac  # Jaccard blind here
+
+    # serial brute force agreement
+    def shingles(t):
+        w = t.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    sh = {i: shingles(t) for i, t in docs}
+    want = {}
+    for a in sh:
+        for b in sh:
+            if a == b:
+                continue
+            c = len(sh[a] & sh[b]) / len(sh[a])
+            if c >= 0.8:
+                want[(a, b)] = c
+    assert set(cont) == set(want)

@@ -842,3 +842,20 @@ def test_aqp_sample_filter_reaches_scan(spark, sf_small):
 
     # the sample branch's scan carries the modular-arithmetic filter
     assert re.search(r"Filter .*2654435761", plan), plan
+
+
+def test_containment_pairs_no_cartesian(spark, sf_small):
+    """The asymmetric containment join must stay equi-joins end to
+    end — probe-prefix against the full shingle index, never
+    all-pairs."""
+    plan = _plan(REGISTRY["dedup_containment_pairs"].fn(spark, sf_small))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_wow_movers_take_ordered_and_broadcast(spark, sf_small):
+    """Top-20 swings plan as TakeOrderedAndProject (per-partition
+    heaps, no global sort) with the customer dimension broadcast."""
+    plan = _plan(REGISTRY["window_wow_revenue_movers"].fn(spark, sf_small))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
