@@ -1357,3 +1357,51 @@ def events_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_converted",
         "(n_converted * 1000000) DIV n_users AS conv_ppm",
     ).crossJoin(F.broadcast(z))
+
+
+@register(
+    "events_top_trigram_paths",
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_type, ts, event_id,
+         LEAD(event_type) OVER w AS e2,
+         LEAD(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type AS step1, e2 AS step2, e3 AS step3,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM s
+WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n DESC, step1, step2, step3
+LIMIT 25
+""",
+    tags=("events", "sequence-mining", "topk"),
+)
+def events_top_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 most-travelled 3-step event paths — sequence mining one
+    order above the Markov transition matrix (`events_markov_
+    transitions` sees only bigrams; 'view→click→purchase vs
+    view→click→error' is a trigram question). Two LEADs from ONE
+    user-keyed window pass produce every consecutive triple, a
+    partial-agg groupBy counts them, TakeOrdered surfaces the top
+    paths with a full deterministic tie-break.
+
+    Scale: one fact scan → one window shuffle keyed by user (state =
+    2 look-ahead rows) → count groupBy on ≤ |event_types|³ keys —
+    no self-joins, the MATCH_RECOGNIZE-free shape shared with the
+    drop-drop-spike detector."""
+    e = _ev(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        F.col("event_type").alias("step1"),
+        F.lead("event_type").over(w).alias("step2"),
+        F.lead("event_type", 2).over(w).alias("step3"),
+    ).filter(F.col("step2").isNotNull() & F.col("step3").isNotNull())
+    return (
+        s.groupBy("step1", "step2", "step3")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), "step1", "step2", "step3")
+        .limit(25)
+    )

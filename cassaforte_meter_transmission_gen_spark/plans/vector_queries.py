@@ -810,3 +810,49 @@ def vector_norm_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_rows(F.col("vec_id")).alias("n_vecs"),
         norm_micro_sum(F.col("embedding")).alias("norm_micro_sum"),
     )
+
+
+@register(
+    "pipeline_class_weights",
+    oracle="""
+WITH c AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_label
+  FROM embeddings GROUP BY 1
+),
+t AS (SELECT CAST(SUM(n_label) AS BIGINT) AS n_total,
+             CAST(COUNT(*) AS BIGINT) AS n_classes FROM c)
+SELECT c.label, c.n_label, t.n_total,
+       (t.n_total * 1000000) // (t.n_classes * c.n_label)
+         AS weight_ppm
+FROM c CROSS JOIN t
+""",
+    tags=("pipeline", "training", "class-balance", "integer-exact"),
+)
+def pipeline_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-frequency class weights for imbalanced training — the
+    sklearn ``class_weight='balanced'`` formula
+    ``n_total / (n_classes · n_label)`` carried as EXACT integer ppm,
+    so the weight table every trainer consumes is value-hash
+    reproducible (a float division here would be the one
+    nondeterministic input to an otherwise deterministic data
+    pipeline). One label groupBy (partial agg) + one broadcast totals
+    row; the output is dimension-sized and broadcasts into the
+    training join at any corpus scale."""
+    e = _emb(spark, sf_dir)
+    c = (
+        e.groupBy("label")
+        .agg(F.count("*").cast("long").alias("n_label"))
+        # consumed by both the totals aggregate and the weight
+        # projection — pinned so the fact scan runs once
+        .localCheckpoint(eager=True)
+    )
+    t = c.agg(
+        F.sum("n_label").cast("long").alias("n_total"),
+        F.count("*").cast("long").alias("n_classes"),
+    )
+    return c.crossJoin(F.broadcast(t)).selectExpr(
+        "label",
+        "n_label",
+        "n_total",
+        "(n_total * 1000000) DIV (n_classes * n_label) AS weight_ppm",
+    )
