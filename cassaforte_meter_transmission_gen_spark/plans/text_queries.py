@@ -2763,3 +2763,140 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import containment_pairs
 
     return containment_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+#: Collocation mining support threshold: bigrams below this count are
+#: noise; the PMI computation runs only on the survivors.
+PMI_MIN_COUNT = 20
+
+
+def _pmi_oracle_sql() -> str:
+    """Generated oracle for the PMI collocations — the det-ln stage
+    fragments shared verbatim with the Spark plan; PMI in integer
+    micro-nats via ln(c_xy·N_t²) − ln(N_b·c_x·c_y), both arguments
+    exact int64 inside det_ln's domain at the gated SFs."""
+    from ..functions.detmath import det_ln_stage_exprs
+
+    st = det_ln_stage_exprs()
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT toks[i] AS w1, toks[i+1] AS w2
+  FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) u
+),
+cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+       FROM bg GROUP BY 1, 2),
+ct AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_t
+  FROM (SELECT unnest(toks) AS tok FROM t) s GROUP BY 1
+),
+sc AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n_t,
+              (SELECT CAST(SUM(c_xy) AS BIGINT) FROM cb) AS n_b
+       FROM ct),
+k AS (
+  SELECT cb.w1, cb.w2, cb.c_xy, x.c_t AS c_x, y.c_t AS c_y,
+         sc.n_t, sc.n_b
+  FROM cb JOIN ct x ON cb.w1 = x.tok JOIN ct y ON cb.w2 = y.tok
+  CROSS JOIN sc
+  WHERE cb.c_xy >= {PMI_MIN_COUNT}
+),
+x1 AS (SELECT *, CAST(c_xy * n_t * n_t AS DOUBLE) AS x FROM k),
+r1 AS (SELECT w1, w2, c_xy, c_x, c_y, n_b, x,
+              {st['e']} AS e, {st['m']} AS m FROM x1),
+t1 AS (SELECT w1, w2, c_xy, c_x, c_y, n_b, e, {st['tt']} AS tt FROM r1),
+l1 AS (SELECT w1, w2, c_xy, c_x, c_y, n_b, {st['ln']} AS ln_num FROM t1),
+x2 AS (SELECT w1, w2, c_xy, ln_num,
+              CAST(n_b * c_x * c_y AS DOUBLE) AS x FROM l1),
+r2 AS (SELECT w1, w2, c_xy, ln_num, x,
+              {st['e']} AS e, {st['m']} AS m FROM x2),
+t2 AS (SELECT w1, w2, c_xy, ln_num, e, {st['tt']} AS tt FROM r2),
+l2 AS (SELECT w1, w2, c_xy, ln_num, {st['ln']} AS ln_den FROM t2)
+SELECT w1, w2, c_xy,
+       CAST(floor((ln_num - ln_den) * 1000000) AS BIGINT) AS pmi_micro
+FROM l2
+ORDER BY pmi_micro DESC, w1, w2
+LIMIT 20
+"""
+
+
+@register(
+    "text_pmi_collocations",
+    oracle=_pmi_oracle_sql(),
+    tags=("text", "collocations", "pmi", "det-ln"),
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by pointwise mutual information — the
+    corpus-linguistics gate for tokenizer/quality diagnostics: which
+    adjacent word pairs co-occur far beyond chance
+    (PMI = ln(p(xy)/(p(x)·p(y)))). Bigrams with support ≥ 20 only;
+    PMI is carried in integer micro-nats via
+    ``det_ln(c_xy·N_t²) − det_ln(N_b·c_x·c_y)`` — both arguments exact
+    int64 products inside det_ln's [1, 2^64) domain at the gated
+    scale factors (at 100 TB split into the five-term ln sum so each
+    argument stays a single count).
+
+    Scale shape: bigram extraction is SHUFFLE-FREE (arrays_zip of the
+    token array against its own tail — no posexplode+window), then one
+    bigram-count groupBy, one vocab-count groupBy, two vocab joins on
+    the support-filtered survivors, one broadcast scalar row, and the
+    fixed det-ln projection chain; TakeOrdered top-20."""
+    from ..functions.detmath import det_ln_stage_exprs
+
+    st = det_ln_stage_exprs()
+    d = _docs(spark, sf_dir)
+    t = d.select(tokens(F.col("text")).alias("toks"))
+    bg = t.selectExpr(
+        "explode(arrays_zip(slice(toks, 1, size(toks) - 1),"
+        " slice(toks, 2, size(toks) - 1))) AS p"
+    ).selectExpr("p['0'] AS w1", "p['1'] AS w2")
+    cb = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c_xy"))
+    ct = (
+        t.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("c_t"))
+        # vocab-sized; consumed by the scalar row AND two joins
+        .localCheckpoint(eager=True)
+    )
+    nt = ct.agg(F.sum("c_t").cast("long").alias("n_t"))
+    nb = cb.agg(F.sum("c_xy").cast("long").alias("n_b"))
+    k = (
+        cb.filter(F.col("c_xy") >= PMI_MIN_COUNT)
+        .join(
+            ct.select(F.col("tok").alias("w1"), F.col("c_t").alias("c_x")),
+            "w1",
+        )
+        .join(
+            ct.select(F.col("tok").alias("w2"), F.col("c_t").alias("c_y")),
+            "w2",
+        )
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nb))
+    )
+    keep1 = ["w1", "w2", "c_xy", "c_x", "c_y", "n_b"]
+    l1 = (
+        k.selectExpr(*keep1, "CAST(c_xy * n_t * n_t AS DOUBLE) AS x")
+        .selectExpr(*keep1, "x", f"{st['e']} AS e", f"{st['m']} AS m")
+        .selectExpr(*keep1, "e", f"{st['tt']} AS tt")
+        .selectExpr(*keep1, f"{st['ln']} AS ln_num")
+    )
+    keep2 = ["w1", "w2", "c_xy", "ln_num"]
+    l2 = (
+        l1.selectExpr(*keep2, "CAST(n_b * c_x * c_y AS DOUBLE) AS x")
+        .selectExpr(*keep2, "x", f"{st['e']} AS e", f"{st['m']} AS m")
+        .selectExpr(*keep2, "e", f"{st['tt']} AS tt")
+        .selectExpr(*keep2, f"{st['ln']} AS ln_den")
+    )
+    return (
+        l2.selectExpr(
+            "w1",
+            "w2",
+            "c_xy",
+            "CAST(floor((ln_num - ln_den) * 1000000) AS BIGINT)"
+            " AS pmi_micro",
+        )
+        .orderBy(F.desc("pmi_micro"), "w1", "w2")
+        .limit(20)
+    )

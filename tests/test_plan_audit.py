@@ -859,3 +859,22 @@ def test_wow_movers_take_ordered_and_broadcast(spark, sf_small):
     plan = _plan(REGISTRY["window_wow_revenue_movers"].fn(spark, sf_small))
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pmi_bigram_extraction_shuffle_free(spark, sf_small):
+    """Bigram extraction must be the arrays_zip-against-own-tail
+    projection — a posexplode+window formulation would shuffle every
+    TOKEN by doc before any aggregation. Only count groupBys and the
+    survivor joins may exchange."""
+    from pyspark.sql import functions as F
+
+    from cassaforte_meter_transmission_gen_spark.functions.text import tokens
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    bg = docs.select(tokens(F.col("text")).alias("toks")).selectExpr(
+        "explode(arrays_zip(slice(toks, 1, size(toks) - 1),"
+        " slice(toks, 2, size(toks) - 1))) AS p"
+    )
+    plan = _plan(bg)
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
