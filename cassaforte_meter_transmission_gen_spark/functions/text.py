@@ -42,11 +42,24 @@ def normalize_text(text: Column) -> Column:
 
 def word_shingles(toks: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles (classic near-dup unit). Empty for
-    docs shorter than n tokens (guarded: Spark's ``sequence(1, 0)``
-    would count *down*, not return empty)."""
+    docs shorter than n tokens.
+
+    Built as arrays_zip of the token array against its own shifted
+    slices, with the per-shingle lambda touching ONLY its struct
+    element — the earlier sequence+element_at(toks, i+j) form CAPTURED
+    the outer token expression inside the interpreted HOF lambda, and
+    when ``toks`` arrives as an inline ``split(text)`` the capture
+    re-evaluates the regex split per element reference (3·|shingles|
+    splits per row — profiled ~2 ms/row at sf0.1, the dominant cost of
+    every shingle-consuming plan). Same shingle strings in the same
+    order, so every MinHash/LSH/span oracle is unchanged."""
+    win = F.size(toks) - (n - 1)
+    zipped = F.arrays_zip(
+        *[F.slice(toks, i + 1, win).alias(f"t{i}") for i in range(n)]
+    )
     grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+        zipped,
+        lambda s: F.concat_ws(" ", *[s[f"t{i}"] for i in range(n)]),
     )
     empty = F.array().cast("array<string>")
     return F.array_distinct(F.when(F.size(toks) >= n, grams).otherwise(empty))

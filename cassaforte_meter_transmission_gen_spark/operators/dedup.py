@@ -863,10 +863,14 @@ def prefix_filter_jaccard_pairs(
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ t."""
     from pyspark.sql import Window as W
 
-    sh = docs.select(
-        F.col(id_col).alias("did"),
-        word_shingles(tokens(F.col(text_col))).alias("s"),
-    ).filter(F.size("s") > 0)
+    sh = _shingled(docs, text_col, id_col, 3).select(
+        F.col("doc_id").alias("did"), F.col("shingles").alias("s")
+    )
+    # size and explode both reference the NAMED column so the shingle
+    # expression evaluates once per row inside one codegen project —
+    # filtering/size-ing the raw expression re-inlines it into the
+    # Filter and the Generate (the _shingled lesson: measured 5× and
+    # here ~7× at sf0.1 — 22.4 s → 3.3 s for the exploded count)
     ex = sh.select("did", F.size("s").alias("n"), F.explode("s").alias("g"))
     freq = ex.groupBy("g").agg(F.count("*").cast("long").alias("gf"))
     ranked = ex.join(freq, "g").withColumn(
@@ -875,11 +879,28 @@ def prefix_filter_jaccard_pairs(
     pref = ranked.filter(
         F.col("rn")
         <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
-    ).select("did", "g")
+    ).select("did", "n", "g")
+    # LENGTH FILTER (lossless): J(A,B) ≥ t ⇒ |A∩B|/|A∪B| ≤ min/max, so
+    # both sizes lie within factor t of each other — without it a hot
+    # prefix shingle pairs every short doc with every long one and the
+    # candidate set grows superlinearly (measured 3.2 s → 26.6 s for
+    # 10× docs before this predicate; prefix + length is the PPJoin
+    # pruning pair)
     cand = (
-        pref.select(F.col("did").alias("doc_a"), "g")
-        .join(pref.select(F.col("did").alias("doc_b"), "g"), "g")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        pref.select(
+            F.col("did").alias("doc_a"), F.col("n").alias("n_a"), "g"
+        )
+        .join(
+            pref.select(
+                F.col("did").alias("doc_b"), F.col("n").alias("n_b"), "g"
+            ),
+            "g",
+        )
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("n_a") >= F.ceil(F.lit(threshold) * F.col("n_b")))
+            & (F.col("n_b") >= F.ceil(F.lit(threshold) * F.col("n_a")))
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )
@@ -924,10 +945,10 @@ def containment_pairs(
     measured INTO a (numerator over |s_a|)."""
     from pyspark.sql import Window as W
 
-    sh = docs.select(
-        F.col(id_col).alias("did"),
-        word_shingles(tokens(F.col(text_col))).alias("s"),
-    ).filter(F.size("s") > 0)
+    sh = _shingled(docs, text_col, id_col, 3).select(
+        F.col("doc_id").alias("did"), F.col("shingles").alias("s")
+    )
+    # named-column size/explode — see prefix_filter_jaccard_pairs
     ex = sh.select("did", F.size("s").alias("n"), F.explode("s").alias("g"))
     freq = ex.groupBy("g").agg(F.count("*").cast("long").alias("gf"))
     ranked = ex.join(freq, "g").withColumn(
@@ -936,11 +957,19 @@ def containment_pairs(
     pref = ranked.filter(
         F.col("rn")
         <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
-    ).select(F.col("did").alias("doc_a"), "g")
-    index = ex.select(F.col("did").alias("doc_b"), "g")
+    ).select(F.col("did").alias("doc_a"), F.col("n").alias("n_a"), "g")
+    index = ex.select(
+        F.col("did").alias("doc_b"), F.col("n").alias("n_b"), "g"
+    )
+    # length filter (lossless, one-sided for containment): b must hold
+    # ≥ ⌈t·|s_a|⌉ of a's shingles, so |s_b| ≥ ⌈t·|s_a|⌉ — prunes the
+    # probe×short-doc pairs the shared-shingle join would admit
     cand = (
         pref.join(index, "g")
-        .filter(F.col("doc_a") != F.col("doc_b"))
+        .filter(
+            (F.col("doc_a") != F.col("doc_b"))
+            & (F.col("n_b") >= F.ceil(F.lit(threshold) * F.col("n_a")))
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )
