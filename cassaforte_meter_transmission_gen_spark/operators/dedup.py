@@ -857,14 +857,19 @@ def prefix_filter_jaccard_pairs(
     per-doc rank window → prefix self-join keyed by shingle → verify
     join re-attaching the two shingle arrays by id. Every join is an
     equi-join on a key; nothing is quadratic in the corpus. The
-    shingle table is derived twice (prefix side + verify side) — at
-    100 TB persist it once; the derivation is one projection.
+    shingle table is PINNED once (localCheckpoint — the PageRank-edges
+    pattern): three consumers (prefix derivation + both verify sides)
+    would otherwise each re-derive the tokenize→shingle projection
+    from the raw scan, because AQE does not reuse exchanges across
+    branches whose column pruning differs.
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ t."""
     from pyspark.sql import Window as W
 
-    sh = _shingled(docs, text_col, id_col, 3).select(
-        F.col("doc_id").alias("did"), F.col("shingles").alias("s")
+    sh = (
+        _shingled(docs, text_col, id_col, 3)
+        .select(F.col("doc_id").alias("did"), F.col("shingles").alias("s"))
+        .localCheckpoint(eager=True)
     )
     # size and explode both reference the NAMED column so the shingle
     # expression evaluates once per row inside one codegen project —
@@ -942,11 +947,16 @@ def containment_pairs(
     verify on candidates makes the result identical to brute force.
 
     Returns (doc_a, doc_b, containment) with a ≠ b, containment ≥ t
-    measured INTO a (numerator over |s_a|)."""
+    measured INTO a (numerator over |s_a|). The shingle table is
+    pinned once (localCheckpoint, the PageRank-edges pattern) and
+    feeds the probe prefix, the full index, and both verify sides —
+    no consumer re-derives the tokenize→shingle projection."""
     from pyspark.sql import Window as W
 
-    sh = _shingled(docs, text_col, id_col, 3).select(
-        F.col("doc_id").alias("did"), F.col("shingles").alias("s")
+    sh = (
+        _shingled(docs, text_col, id_col, 3)
+        .select(F.col("doc_id").alias("did"), F.col("shingles").alias("s"))
+        .localCheckpoint(eager=True)
     )
     # named-column size/explode — see prefix_filter_jaccard_pairs
     ex = sh.select("did", F.size("s").alias("n"), F.explode("s").alias("g"))

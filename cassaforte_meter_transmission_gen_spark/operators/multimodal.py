@@ -231,12 +231,16 @@ def bmp_decode(b: bytes) -> tuple[int, int, bytes]:
     return width, height, bytes(rgb)
 
 
-def synthetic_bmp_pattern(item_id: int) -> tuple[int, int, bytes]:
+def synthetic_bmp_pattern(
+    item_id: int, width: int | None = None, height: int | None = None
+) -> tuple[int, int, bytes]:
     """Deterministic per-id test image: width = id%5+2, height =
-    id%3+2 (mixed widths exercise every row-padding amount 0-3),
+    id%3+2 (mixed widths exercise every row-padding amount 0-3) unless
+    overridden (e.g. the canonical 8×8 aHash grid);
     pixel (y, x, channel) = (id·7919 + y·31 + x·3 + c) mod 256 in RGB
     order — a pure integer formula a SQL oracle re-derives exactly."""
-    w, h = item_id % 5 + 2, item_id % 3 + 2
+    w = width if width is not None else item_id % 5 + 2
+    h = height if height is not None else item_id % 3 + 2
     rgb = bytes(
         (item_id * 7919 + y * 31 + x * 3 + c) % 256
         for y in range(h)
@@ -246,16 +250,26 @@ def synthetic_bmp_pattern(item_id: int) -> tuple[int, int, bytes]:
     return w, h, rgb
 
 
-def encode_synthetic_bmps(df: DataFrame, id_col: str = "item_id") -> DataFrame:
+def encode_synthetic_bmps(
+    df: DataFrame,
+    id_col: str = "item_id",
+    width: int | None = None,
+    height: int | None = None,
+) -> DataFrame:
     """(id) → (item_id, payload binary, format 'bmp'): each row becomes
     a REAL BMP file of its synthetic pattern, built executor-side in
-    Arrow batches — the encode half of the genuine-codec proof."""
+    Arrow batches — the encode half of the genuine-codec proof.
+    ``width``/``height`` pin a fixed geometry (e.g. 8×8 for the
+    word-packed aHash path); default derives mixed sizes from the id."""
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
 
         for pdf in batches:
             ids = pdf[id_col].astype("int64")
-            payloads = [bmp_encode(*synthetic_bmp_pattern(int(i))) for i in ids]
+            payloads = [
+                bmp_encode(*synthetic_bmp_pattern(int(i), width, height))
+                for i in ids
+            ]
             yield pd.DataFrame(
                 {"item_id": ids, "payload": payloads, "format": "bmp"}
             )
@@ -306,7 +320,14 @@ def perceptual_hash(df: DataFrame) -> DataFrame:
 
     Pure integer arithmetic over the decoded bytes (numpy int64 inside
     the same Arrow seam as the decoder), so a serial SQL oracle that
-    re-derives the pixels reproduces every bit."""
+    re-derives the pixels reproduces every bit.
+
+    LIMIT (enforced): the single-int64 packing holds at most 63 bits,
+    so images with ``n_pixels > 63`` raise ValueError here instead of
+    overflowing ``pd.Series(dtype='int64')`` executor-side. For
+    arbitrary sizes — including the canonical 8×8 aHash grid, which is
+    exactly 64 bits — use :func:`perceptual_hash_words`, which packs
+    the same bits into ``array<bigint>`` words."""
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import numpy as np
         import pandas as pd
@@ -317,6 +338,12 @@ def perceptual_hash(df: DataFrame) -> DataFrame:
                 a = np.frombuffer(bytes(px), dtype=np.uint8).astype(np.int64)
                 gray = a.reshape(-1, 3).sum(axis=1)
                 n = int(gray.shape[0])
+                if n > 63:
+                    raise ValueError(
+                        f"perceptual_hash packs bits into one int64 and "
+                        f"supports at most 63 pixels (got {n}); use "
+                        "perceptual_hash_words for larger images"
+                    )
                 total = int(gray.sum())
                 bits = (gray * n) > total
                 ph = 0
@@ -336,6 +363,69 @@ def perceptual_hash(df: DataFrame) -> DataFrame:
 
     return df.mapInPandas(
         run, schema="item_id bigint, n_pixels int, phash bigint"
+    )
+
+
+#: bits per fingerprint word in perceptual_hash_words: 56 = 7 whole
+#: 8-bit bands per word, so band b lives entirely inside word b DIV 7
+#: at byte offset b % 7 — banding never straddles a word boundary and
+#: every word value stays < 2^56 (int64-safe on both engines).
+PHASH_WORD_BITS = 56
+PHASH_BAND_BITS = 8
+
+
+def phash_band_count(n_pixels: int) -> int:
+    """Bands derived from the fingerprint bit width: ``ceil(n/8)``
+     8-bit bands cover all n bits, so a pair within Hamming distance
+    ``d`` agrees on at least ``bands - d`` whole bands (pigeonhole) —
+    any ``d < bands`` makes a banded equi-join lossless."""
+    return -(-n_pixels // PHASH_BAND_BITS)
+
+
+def perceptual_hash_words(df: DataFrame) -> DataFrame:
+    """(item_id, width, height, pixels binary) → (item_id, n_pixels,
+    words array<bigint>): the aHash fingerprint of
+    :func:`perceptual_hash` for ARBITRARY image sizes — same exact-
+    rational mean compare (bit p set iff ``gray_p·n > Σgray``), bits
+    packed little-endian into 56-bit words (word w holds bits
+    [56w, 56w+56)), so an 8×8 = 64-pixel grid — the canonical aHash
+    size that overflows the single-int64 variant — emits two words and
+    any size emits ``ceil(n/56)``. 56 = 7×8 keeps every 8-bit band
+    inside one word: band b of :func:`phash_band_count` bands is
+    ``(words[b DIV 7] >> 8·(b%7)) & 255`` on both engines, and
+    Hamming distance is Σ bit_count(xor) over aligned words."""
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, ns, words_col = [], [], []
+            for item_id, px in zip(pdf["item_id"], pdf["pixels"]):
+                a = np.frombuffer(bytes(px), dtype=np.uint8).astype(np.int64)
+                gray = a.reshape(-1, 3).sum(axis=1)
+                n = int(gray.shape[0])
+                total = int(gray.sum())
+                bits = (gray * n) > total
+                n_words = -(-n // PHASH_WORD_BITS) if n else 0
+                words = [0] * n_words
+                for p in range(n):  # row-major pixel order
+                    if bool(bits[p]):
+                        words[p // PHASH_WORD_BITS] |= 1 << (
+                            p % PHASH_WORD_BITS
+                        )
+                ids.append(int(item_id))
+                ns.append(n)
+                words_col.append(words)
+            yield pd.DataFrame(
+                {
+                    "item_id": pd.Series(ids, dtype="int64"),
+                    "n_pixels": pd.Series(ns, dtype="int32"),
+                    "words": words_col,
+                }
+            )
+
+    return df.mapInPandas(
+        run, schema="item_id bigint, n_pixels int, words array<bigint>"
     )
 
 
@@ -365,7 +455,14 @@ def wav_decode(b: bytes) -> tuple[int, int, list[int]]:
     import wave
 
     with wave.open(io.BytesIO(b), "rb") as w:
-        assert w.getnchannels() == 1 and w.getsampwidth() == 2
+        if w.getnchannels() != 1 or w.getsampwidth() != 2:
+            # ValueError (not assert: stripped under python -O) — matches
+            # bmp_decode's loud-container contract; a stereo or 8-bit
+            # payload must never silently mis-unpack into garbage.
+            raise ValueError(
+                f"unsupported WAV variant (channels={w.getnchannels()}, "
+                f"sampwidth={w.getsampwidth()}); engine decodes 16-bit mono PCM"
+            )
         rate = w.getframerate()
         n = w.getnframes()
         samples = list(struct.unpack(f"<{n}h", w.readframes(n)))

@@ -2900,3 +2900,109 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi_micro"), "w1", "w2")
         .limit(20)
     )
+
+
+@register(
+    "multimodal_phash64_words_near_dup",
+    oracle="""
+WITH d AS (SELECT doc_id AS did FROM documents WHERE doc_id < 100),
+px AS (
+  SELECT did, p,
+         ((did * 7919 + (p // 8) * 31 + (p % 8) * 3 + 0) % 256
+        + (did * 7919 + (p // 8) * 31 + (p % 8) * 3 + 1) % 256
+        + (did * 7919 + (p // 8) * 31 + (p % 8) * 3 + 2) % 256) AS gray
+  FROM d, LATERAL (SELECT unnest(range(0, 64)) AS p) u
+),
+tot AS (SELECT did, CAST(SUM(gray) AS BIGINT) AS total FROM px GROUP BY did),
+wd AS (
+  SELECT px.did, px.p // 56 AS wi,
+         CAST(SUM(CASE WHEN px.gray * 64 > tot.total
+                       THEN 1 << (px.p % 56) ELSE 0 END) AS BIGINT) AS word
+  FROM px JOIN tot ON px.did = tot.did
+  GROUP BY px.did, px.p // 56
+),
+ph AS (SELECT did,
+              MAX(CASE WHEN wi = 0 THEN word END) AS w0,
+              MAX(CASE WHEN wi = 1 THEN word END) AS w1
+       FROM wd GROUP BY did),
+bd AS (
+  SELECT wd.did, u.b, (wd.word // (1 << (8 * (u.b % 7)))) % 256 AS v
+  FROM wd, LATERAL (SELECT unnest(range(0, 8)) AS b) u
+  WHERE wd.wi = u.b // 7
+),
+cand AS (SELECT DISTINCT a.did AS item_a, b.did AS item_b
+         FROM bd a JOIN bd b ON a.b = b.b AND a.v = b.v AND a.did < b.did)
+SELECT cand.item_a, cand.item_b,
+       CAST(bit_count(xor(x.w0, y.w0))
+          + bit_count(xor(x.w1, y.w1)) AS BIGINT) AS hamming
+FROM cand JOIN ph x ON cand.item_a = x.did JOIN ph y ON cand.item_b = y.did
+WHERE bit_count(xor(x.w0, y.w0)) + bit_count(xor(x.w1, y.w1)) <= 2
+""",
+    tags=("multimodal", "dedup", "phash", "words", "pandas-udf"),
+)
+def multimodal_phash64_words_near_dup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The CANONICAL 8x8 = 64-bit aHash — the size the single-int64
+    perceptual_hash cannot hold (bit 63 overflows signed packing; the
+    operator now refuses n > 63 loudly) — through the word-packed
+    variant (operators.multimodal.perceptual_hash_words): bits packed
+    into 56-bit words so every value stays < 2^56 on both engines and
+    every 8-bit band lives inside one word. 100 real 8x8 BMP
+    containers are encoded, decoded, fingerprinted into two words, and
+    near-dup pairs found by the derived banding
+    (phash_band_count(64) = 8 bands; Hamming <= 2 flips <= 2 bands, so
+    >= 6 agree — the banded equi-join is lossless by pigeonhole).
+    Hamming distance is the word-wise popcount fold
+    (aggregate(zip_with(xor))) — the shape that generalizes to any
+    image size, closing the ADVICE r9 overflow finding as a working
+    operator rather than just a guard.
+
+    The oracle re-derives all 64 pixels per image from the synthetic
+    formula and replays the identical word packing, banding, and
+    verify, so hash-green rows pin the decoded content bit-for-bit."""
+    from ..operators.multimodal import (
+        decode_bmp_features,
+        encode_synthetic_bmps,
+        perceptual_hash_words,
+        phash_band_count,
+    )
+
+    n_bands = phash_band_count(64)  # 8 bands of 8 bits over 64 bits
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 100).select("doc_id")
+    ph = perceptual_hash_words(
+        decode_bmp_features(
+            encode_synthetic_bmps(d, "doc_id", width=8, height=8)
+        )
+    )
+    bands = ph.selectExpr(
+        "item_id",
+        "words",
+        f"explode(sequence(0, {n_bands - 1})) AS b",
+    ).selectExpr(
+        "item_id",
+        "b",
+        "(words[b DIV 7] DIV (CAST(1 AS BIGINT) << (8 * (b % 7)))) % 256"
+        " AS v",
+    )
+    a = bands.selectExpr("item_id AS item_a", "b", "v")
+    bb = bands.selectExpr("item_id AS item_b", "b", "v")
+    cand = (
+        a.join(bb, ["b", "v"])
+        .filter(F.col("item_a") < F.col("item_b"))
+        .select("item_a", "item_b")
+        .distinct()
+    )
+    x = ph.selectExpr("item_id AS item_a", "words AS wa")
+    y = ph.selectExpr("item_id AS item_b", "words AS wb")
+    return (
+        cand.join(x, "item_a")
+        .join(y, "item_b")
+        .selectExpr(
+            "item_a",
+            "item_b",
+            "CAST(aggregate(zip_with(wa, wb, (u, v) -> bit_count(u ^ v)),"
+            " 0, (acc, h) -> acc + h) AS BIGINT) AS hamming",
+        )
+        .filter(F.col("hamming") <= 2)
+    )

@@ -84,9 +84,27 @@ def main() -> int:
         results[name] = row
         print(f"{name}: {status} ({secs}s)", flush=True)
 
+    # auditability stamp (VERDICT r9 item 8): record which code this
+    # artifact verified, so "artifact predates features" is checkable
+    # mechanically — bench.py compares the name set against the live
+    # registry every run and flags staleness into the graded record.
+    try:
+        import subprocess
+
+        git_head = subprocess.run(
+            ["git", "-C", REPO, "rev-parse", "HEAD"],
+            capture_output=True,
+            text=True,
+            timeout=10,
+        ).stdout.strip() or None
+    except Exception:  # noqa: BLE001
+        git_head = None
+
     summary = {
         "round": rnd,
         "sf_dir": args.sf_dir,
+        "git_head": git_head,
+        "registry_total": len(REGISTRY),
         "total": len(results),
         "pass": sum(1 for r in results.values() if r["status"] == "pass"),
         "rows_only": sum(1 for r in results.values() if r["status"] == "rows_only"),

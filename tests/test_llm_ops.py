@@ -1118,6 +1118,87 @@ def test_wav_codec_roundtrip_property():
     roundtrip()
 
 
+def test_wav_decode_rejects_bad_containers():
+    """The WAV decoder validates the container loudly (ValueError, not
+    a strippable assert): stereo and 8-bit payloads raise instead of
+    silently mis-unpacking into garbage features — the bmp_decode
+    contract applied to audio (ADVICE r9)."""
+    import io
+    import struct
+    import wave
+
+    import pytest as _pytest
+
+    from cassaforte_meter_transmission_gen_spark.operators.multimodal import (
+        wav_decode,
+    )
+
+    def make_wav(channels, sampwidth, frames):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(channels)
+            w.setsampwidth(sampwidth)
+            w.setframerate(8000)
+            w.writeframes(frames)
+        return buf.getvalue()
+
+    # stereo 16-bit: two interleaved channels
+    stereo = make_wav(2, 2, struct.pack("<4h", 1, 2, 3, 4))
+    with _pytest.raises(ValueError):
+        wav_decode(stereo)
+    # mono 8-bit: unsigned bytes
+    eight_bit = make_wav(1, 1, bytes([128, 200, 55, 0]))
+    with _pytest.raises(ValueError):
+        wav_decode(eight_bit)
+
+
+def test_perceptual_hash_word_packing_and_63_pixel_limit(spark):
+    """The single-int64 aHash refuses n_pixels > 63 loudly (ADVICE r9:
+    bit 63 overflows signed packing), and perceptual_hash_words holds
+    the SAME bits for any size: one word equal to phash on a small
+    image, and on the canonical 8x8 grid the two 56-bit words repack
+    to a serially computed 64-bit fingerprint."""
+    import pytest as _pytest
+
+    from cassaforte_meter_transmission_gen_spark.operators.multimodal import (
+        PHASH_WORD_BITS,
+        bmp_encode,
+        decode_bmp_features,
+        perceptual_hash,
+        perceptual_hash_words,
+        phash_band_count,
+        synthetic_bmp_pattern,
+    )
+
+    def frame(item_id, w, h, rgb):
+        return spark.createDataFrame(
+            [(item_id, bmp_encode(w, h, bytes(rgb)), "bmp")],
+            "item_id long, payload binary, format string",
+        )
+
+    # small image: words == [phash]
+    base = [10] * 24 + [240] * 24  # 4x4 bimodal
+    small = frame(1, 4, 4, base)
+    ph = perceptual_hash(decode_bmp_features(small)).first()["phash"]
+    words = perceptual_hash_words(decode_bmp_features(small)).first()
+    assert words["n_pixels"] == 16 and list(words["words"]) == [ph]
+
+    # 8x8 (64 px): int64 variant refuses, words variant matches serial
+    w8, h8, rgb8 = synthetic_bmp_pattern(7, width=8, height=8)
+    big = frame(7, w8, h8, rgb8)
+    with _pytest.raises(Exception, match="at most 63 pixels"):
+        perceptual_hash(decode_bmp_features(big)).collect()
+    row = perceptual_hash_words(decode_bmp_features(big)).first()
+    gray = [sum(rgb8[3 * p : 3 * p + 3]) for p in range(64)]
+    total = sum(gray)
+    serial = [0, 0]
+    for p, g in enumerate(gray):
+        if g * 64 > total:
+            serial[p // PHASH_WORD_BITS] |= 1 << (p % PHASH_WORD_BITS)
+    assert row["n_pixels"] == 64 and list(row["words"]) == serial
+    assert phash_band_count(64) == 8 and phash_band_count(16) == 2
+
+
 def test_containment_catches_what_jaccard_misses(spark):
     """An excerpt inside a much longer document: containment ≥ 0.8
     fires (excerpt → source) while Jaccard ≥ 0.5 does not — the

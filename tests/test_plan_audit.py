@@ -806,12 +806,16 @@ def test_mad_outliers_daily_state_pinned(spark, sf_small):
 def test_prefix_filter_jaccard_no_cartesian(spark, sf_small):
     """The exact set-similarity join must be equi-joins end to end —
     a cartesian/nested-loop anywhere means the prefix filter degraded
-    to all-pairs."""
+    to all-pairs — and the shingle table must be derived ONCE: a
+    documents scan in the returned plan means a consumer (prefix or
+    a verify side) re-derived the tokenize→shingle projection instead
+    of reading the localCheckpoint pin."""
     plan = _plan(
         REGISTRY["dedup_prefix_filter_jaccard_pairs"].fn(spark, sf_small)
     )
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "documents.parquet" not in plan, plan
 
 
 def test_phash_near_dup_banded_equi_join_only(spark, sf_small):
@@ -819,6 +823,17 @@ def test_phash_near_dup_banded_equi_join_only(spark, sf_small):
     a cartesian/nested-loop anywhere means the pigeonhole pruning
     degraded to all-pairs image comparison."""
     plan = _plan(REGISTRY["multimodal_phash_near_dup"].fn(spark, sf_small))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_phash64_words_near_dup_banded_equi_join_only(spark, sf_small):
+    """The word-packed 64-bit aHash pair search must also be the
+    banded equi-join — the derived banding (8 bands over 2 words) has
+    to prune exactly like the single-word variant."""
+    plan = _plan(
+        REGISTRY["multimodal_phash64_words_near_dup"].fn(spark, sf_small)
+    )
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
@@ -851,6 +866,8 @@ def test_containment_pairs_no_cartesian(spark, sf_small):
     plan = _plan(REGISTRY["dedup_containment_pairs"].fn(spark, sf_small))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+    # shingle table pinned once — no consumer re-derives from the scan
+    assert "documents.parquet" not in plan, plan
 
 
 def test_wow_movers_take_ordered_and_broadcast(spark, sf_small):
