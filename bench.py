@@ -632,13 +632,20 @@ def main() -> None:
     # artifact is self-labelling rather than procedurally avoided.
     parity_fresh: dict = {"checked": False}
     try:
-        detail_file_probe = _detail_path()  # BENCH_DETAIL_r{N}.json
+        # round inferred from committed BENCH_r*.json directly (the
+        # detail path may be overridden to a round-less local name)
+        import glob as _glob
         import re as _re
 
-        m = _re.search(r"_r(\d+)\.json$", os.path.basename(detail_file_probe))
         here = os.path.dirname(os.path.abspath(__file__))
-        if m:
-            ppath = os.path.join(here, f"PARITY_r{int(m.group(1)):02d}.json")
+        rounds = [
+            int(m.group(1))
+            for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
+            if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
+        ]
+        rnd = (max(rounds) + 1) if rounds else 1
+        if rnd:
+            ppath = os.path.join(here, f"PARITY_r{rnd:02d}.json")
             if not os.path.exists(ppath):
                 parity_fresh = {
                     "checked": True,

@@ -1405,3 +1405,167 @@ def events_top_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "step1", "step2", "step3")
         .limit(25)
     )
+
+
+@register(
+    "events_theil_sen_daily_trend",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT)
+           AS v_micro
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type,
+         CAST(FLOOR(CAST(b.v_micro - a.v_micro AS DOUBLE)
+                    / date_diff('day', a.day, b.day)) AS BIGINT) AS slope
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       quantile_cont(slope, 0.5) AS slope_micro_med
+FROM pairs GROUP BY event_type
+""",
+    tags=("events", "timeseries", "robust-statistics", "theil-sen"),
+)
+def events_theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per event type: the median of all
+    pairwise day-to-day slopes of the daily value total — the
+    breakdown-resistant alternative to least-squares (one corrupted
+    day can drag an OLS slope arbitrarily; the slope MEDIAN tolerates
+    up to ~29% corrupted days), the standard robust companion to the
+    MAD outlier gate. Daily totals are exact int64 micro-units, each
+    pairwise slope is floor((v2−v1)/Δdays) with the division done on
+    exactly-representable doubles (|Δv| ≤ ~2^40 ≪ 2^53) so both
+    engines round identically, and the median uses the proven
+    percentile ≡ quantile_cont (n−1)·p identity over integers.
+
+    Scale shape: the pairwise join runs on the DAILY AGGREGATE, not
+    the raw events — per type the pair count is bounded by the
+    calendar (days²/2, e.g. 66k pairs for a year), so the self-join
+    is equi-keyed on type and structurally tiny no matter how many
+    raw events feed each day; the one fact scan partial-aggregates
+    map-side into (type, day) rows first."""
+    daily = (
+        _ev(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(FLOOR(value * 1000000) AS BIGINT)"))
+            .cast("long")
+            .alias("v_micro")
+        )
+    )
+    a = daily.select(
+        "event_type",
+        F.col("day").alias("day_a"),
+        F.col("v_micro").alias("v_a"),
+    )
+    b = daily.select(
+        "event_type",
+        F.col("day").alias("day_b"),
+        F.col("v_micro").alias("v_b"),
+    )
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("day_a") < F.col("day_b"))
+        .select(
+            "event_type",
+            F.expr(
+                "CAST(FLOOR(CAST(v_b - v_a AS DOUBLE)"
+                " / datediff(day_b, day_a)) AS BIGINT)"
+            ).alias("slope"),
+        )
+    )
+    return pairs.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.expr("percentile(slope, 0.5)").alias("slope_micro_med"),
+    )
+
+
+@register(
+    "events_session_bounce_rate",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+),
+per_sess AS (
+  SELECT user_id, session_seq,
+         CAST(count(*) AS BIGINT) AS n_events,
+         max(CASE WHEN is_new = 1 THEN event_type END) AS entry_type
+  FROM sessions GROUP BY user_id, session_seq
+)
+SELECT entry_type,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS bounce_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS bounce_ppm
+FROM per_sess GROUP BY entry_type
+""",
+    tags=("events", "sessionization", "product-analytics"),
+)
+def events_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate by session ENTRY event type — the product-analytics
+    read on top of gap sessionization: of all sessions that opened
+    with a given event type, what fraction ended after that single
+    event. Reuses the 30-minute gaps-and-islands session definition
+    (`events_sessionization_30m`); the entry event needs NO second
+    window pass because it is exactly the ``is_new = 1`` row that
+    opened the session, so one user-keyed exchange serves the lag
+    window, the running sum, and the per-session aggregate. The rate
+    is integer ppm (bounces·10⁶ div sessions — both operands positive,
+    truncating and flooring division agree)."""
+    e = _ev(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 1_800_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = flagged.withColumn(
+        "session_seq",
+        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    per_sess = sess.groupBy("user_id", "session_seq").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.max(
+            F.when(F.col("is_new") == 1, F.col("event_type"))
+        ).alias("entry_type"),
+    )
+    bounce = F.sum(
+        F.when(F.col("n_events") == 1, 1).otherwise(0)
+    ).cast("long")
+    return per_sess.groupBy("entry_type").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        bounce.alias("bounce_sessions"),
+        F.expr(
+            "CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000"
+            " DIV count(*) AS BIGINT)"
+        ).alias("bounce_ppm"),
+    )

@@ -3006,3 +3006,220 @@ def multimodal_phash64_words_near_dup(
         )
         .filter(F.col("hamming") <= 2)
     )
+
+
+@register(
+    "multimodal_png_decode",
+    oracle="""
+WITH d AS (SELECT doc_id, doc_id % 5 + 2 AS w, 7 AS h
+           FROM documents WHERE doc_id < 100)
+SELECT doc_id AS item_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       lower(array_to_string(
+         list_transform(range(0, w * h * 3),
+           i -> lpad(to_hex((doc_id * 7919 + (i // (w * 3)) * 31
+                             + ((i % (w * 3)) // 3) * 3 + (i % 3)) % 256),
+                     2, '0')),
+         '')) AS pixel_hex
+FROM d
+""",
+    tags=("multimodal", "codec", "png", "zlib", "pandas-udf"),
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A COMPRESSED image decode behind the multimodal seam
+    (operators.multimodal.png_encode/png_decode — stdlib zlib, no
+    codec libs): 100 synthetic patterns are encoded into real PNGs
+    (chunk CRCs, one deflate-compressed IDAT, scanline filters cycling
+    None/Sub/Up/Average/Paeth per row) and decoded back to canonical
+    RGB. Where the BMP twin proves container parsing, THIS proves the
+    dominant-web-format machinery: zlib inflate plus all five filter
+    reconstructions — any botched predictor corrupts every later
+    scanline of its image (filters chain on the prior row), so the
+    pixel hash gate is unforgiving. Mixed widths (2-6) x height 7
+    guarantee every filter type runs on every image; the oracle
+    re-derives the pixels from the integer pattern formula, same as
+    `multimodal_bmp_decode`."""
+    from ..operators.multimodal import decode_png_features, encode_synthetic_pngs
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 100).select("doc_id")
+    payloads = encode_synthetic_pngs(d, "doc_id", height=7)
+    feats = decode_png_features(payloads)
+    return feats.select(
+        "item_id",
+        "width",
+        "height",
+        F.lower(F.hex("pixels")).alias("pixel_hex"),
+    )
+
+
+@register(
+    "pipeline_snapshot_diff",
+    oracle="""
+WITH v1 AS (SELECT doc_id, md5(text) AS fp FROM documents),
+v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 5 THEN md5(text || ' v2')
+              ELSE md5(text) END AS fp
+  FROM documents WHERE doc_id % 17 <> 3
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, md5(text) AS fp
+  FROM documents WHERE doc_id % 19 = 7
+),
+j AS (
+  SELECT CASE WHEN v1.doc_id IS NULL THEN 'added'
+              WHEN v2.doc_id IS NULL THEN 'removed'
+              WHEN v1.fp <> v2.fp THEN 'changed'
+              ELSE 'unchanged' END AS change_type
+  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+)
+SELECT change_type, CAST(count(*) AS BIGINT) AS n_docs
+FROM j GROUP BY change_type
+""",
+    tags=("pipeline", "versioning", "diff"),
+)
+def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff — the data-versioning primitive every
+    training-data release needs: given two corpus versions, count the
+    added / removed / changed / unchanged documents, comparing content
+    by fingerprint so the diff never shuffles text. Version 2 is
+    derived deterministically from the fixture corpus (every 17th doc
+    deleted, every 13th edited, every 19th cloned as a new id) so both
+    engines construct the identical pair of versions and the gate pins
+    the whole classification.
+
+    Scale shape: each side reduces to (doc_id, md5) BEFORE the full
+    outer join — the join key is the id and the payload is a 32-byte
+    fingerprint, so a 100 TB corpus diffs by shuffling ids+hashes, not
+    documents; the classification is a null-pattern CASE over the
+    joined pair and the result is a 4-row aggregate."""
+    d = _docs(spark, sf_dir)
+    v1 = d.select("doc_id", F.md5("text").alias("fp"))
+    v2 = (
+        d.filter(F.col("doc_id") % 17 != 3)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 13 == 5,
+                F.md5(F.concat(F.col("text"), F.lit(" v2"))),
+            )
+            .otherwise(F.md5("text"))
+            .alias("fp"),
+        )
+        .unionAll(
+            d.filter(F.col("doc_id") % 19 == 7).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.md5("text").alias("fp"),
+            )
+        )
+    )
+    j = v1.withColumnRenamed("fp", "fp1").join(
+        v2.withColumnRenamed("fp", "fp2")
+        .withColumnRenamed("doc_id", "doc_id2"),
+        F.col("doc_id") == F.col("doc_id2"),
+        "full_outer",
+    )
+    return (
+        j.select(
+            F.when(F.col("doc_id").isNull(), F.lit("added"))
+            .when(F.col("doc_id2").isNull(), F.lit("removed"))
+            .when(F.col("fp1") != F.col("fp2"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("change_type")
+        )
+        .groupBy("change_type")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+@register(
+    "pipeline_group_aware_split_leakage",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, md5(substr(text, 1, 64)) AS fp,
+         ((((doc_id % {SHUFFLE_ID_MOD}) * {SPLIT_HASH_A})
+           % {SHUFFLE_HASH_MOD}) % 100) AS naive_pct
+  FROM documents
+),
+s AS (
+  SELECT doc_id, fp,
+         CASE WHEN naive_pct < 80 THEN 'train'
+              WHEN naive_pct < 90 THEN 'val' ELSE 'test' END AS naive_split,
+         CASE WHEN CAST(('0x' || substr(md5(fp), 1, 15)) AS BIGINT) % 100 < 80
+                THEN 'train'
+              WHEN CAST(('0x' || substr(md5(fp), 1, 15)) AS BIGINT) % 100 < 90
+                THEN 'val' ELSE 'test' END AS aware_split
+  FROM d
+),
+g AS (
+  SELECT fp, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT naive_split) AS BIGINT) AS naive_splits,
+         CAST(count(DISTINCT aware_split) AS BIGINT) AS aware_splits
+  FROM s GROUP BY fp
+)
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS multi_doc_groups,
+       CAST(SUM(CASE WHEN naive_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS leaked_groups_naive,
+       CAST(SUM(CASE WHEN aware_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS leaked_groups_aware
+FROM g
+""",
+    tags=("pipeline", "split", "dedup", "leakage"),
+)
+def pipeline_group_aware_split_leakage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Train/test LEAKAGE audit of split assignment: documents sharing
+    a content fingerprint (here the 64-char-prefix hash — the cheap
+    blocking key of the near-dup family) are one GROUP; a group
+    spanning train and test contaminates evaluation. The naive
+    id-hash split (`pipeline_train_val_test_split`'s assignment)
+    splits multi-doc groups whenever its members' ids hash apart —
+    measured side by side with the GROUP-AWARE assignment (split =
+    hash of the group fingerprint), which structurally cannot leak:
+    every member inherits the group's split. The query reports both
+    leak counts from one scan, so the gated row proves
+    ``leaked_groups_aware = 0`` while naive leaks > 0 on the same
+    corpus — the reason dedup must run BEFORE splitting at 100 TB.
+
+    Scale shape: one scan projects (doc_id, fp, two pure-arithmetic
+    split labels); one fingerprint groupBy with two small DISTINCTs
+    inside bounded groups; a one-row summary aggregate."""
+    from ..functions.text import tok_hash_portable
+
+    d = _docs(spark, sf_dir)
+    naive_pct = (
+        ((F.col("doc_id") % SHUFFLE_ID_MOD) * SPLIT_HASH_A) % SHUFFLE_HASH_MOD
+    ) % 100
+    fp = F.md5(F.substring("text", 1, 64))
+    aware_pct = tok_hash_portable(F.col("fp")) % 100
+    s = d.select(fp.alias("fp"), naive_pct.alias("naive_pct")).select(
+        "fp",
+        F.when(F.col("naive_pct") < 80, F.lit("train"))
+        .when(F.col("naive_pct") < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("naive_split"),
+        F.when(aware_pct < 80, F.lit("train"))
+        .when(aware_pct < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("aware_split"),
+    )
+    g = s.groupBy("fp").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("naive_split").cast("long").alias("naive_splits"),
+        F.countDistinct("aware_split").cast("long").alias("aware_splits"),
+    )
+    return g.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("multi_doc_groups"),
+        F.sum(F.when(F.col("naive_splits") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("leaked_groups_naive"),
+        F.sum(F.when(F.col("aware_splits") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("leaked_groups_aware"),
+    )

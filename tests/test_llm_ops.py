@@ -1118,6 +1118,72 @@ def test_wav_codec_roundtrip_property():
     roundtrip()
 
 
+def test_png_codec_roundtrip_property():
+    """Stdlib-zlib PNG codec: arbitrary RGB images round-trip through
+    compression + scanline filtering byte-exactly — heights ≥ 5
+    exercise all five filter types (the encoder cycles them per row),
+    so a botched Sub/Up/Average/Paeth reconstruction cannot pass."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cassaforte_meter_transmission_gen_spark.operators.multimodal import (
+        png_decode,
+        png_encode,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=9),
+        st.integers(min_value=5, max_value=9),
+        st.randoms(use_true_random=False),
+    )
+    def roundtrip(w, h, rng):
+        rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        assert png_decode(png_encode(w, h, rgb)) == (w, h, rgb)
+
+    roundtrip()
+
+
+def test_png_decode_rejects_bad_containers():
+    """The PNG decoder validates loudly: foreign signature, corrupted
+    chunk CRC, truncated trailer, and unsupported variants all raise
+    instead of producing garbage pixels."""
+    import struct
+
+    import pytest as _pytest
+
+    from cassaforte_meter_transmission_gen_spark.operators.multimodal import (
+        png_decode,
+        png_encode,
+    )
+
+    good = png_encode(3, 5, bytes(range(45)))
+    with _pytest.raises(ValueError):  # bad signature
+        png_decode(b"BM" + good[2:])
+    bad = bytearray(good)
+    bad[30] ^= 0xFF  # corrupt a byte under the IHDR CRC
+    with _pytest.raises(ValueError):
+        png_decode(bytes(bad))
+    with _pytest.raises(ValueError):  # missing IEND trailer
+        png_decode(good[:-8])
+    with _pytest.raises(ValueError):  # mid-chunk truncation
+        png_decode(good[:40])
+    # unsupported variant: 16-bit depth in IHDR (CRC recomputed so the
+    # depth check itself fires, not the CRC gate)
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 3, 5, 16, 2, 0, 0, 0)
+    chunk = (
+        struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    deep = good[:8] + chunk + good[8 + 25 :]
+    with _pytest.raises(ValueError, match="unsupported PNG"):
+        png_decode(deep)
+
+
 def test_wav_decode_rejects_bad_containers():
     """The WAV decoder validates the container loudly (ValueError, not
     a strippable assert): stereo and 8-bit payloads raise instead of

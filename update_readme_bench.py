@@ -167,6 +167,15 @@ def render(b: dict, src_name: str) -> str:
             f"- **Exactly-once streaming ingest**: {sps / 1e6:.1f}M samples/s "
             f"at the default micro-batch size."
         )
+    op = b.get("streaming_ingest_operating_point_samples_per_sec")
+    opt = b.get("streaming_operating_point_files_per_trigger")
+    if op:
+        lines.append(
+            f"- **Streaming ingest at the operating point**: "
+            f"{op / 1e6:.1f}M samples/s at {opt} files/trigger — the curve "
+            f"argmax, the figure a throughput-tuned deployment gets (the "
+            f"default-trigger number above is the latency-biased config)."
+        )
     curve = b.get("streaming_ingest_batch_size_curve")
     if curve:
         pts = ", ".join(
