@@ -328,3 +328,48 @@ def source_partitioned_pruned_read(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("double")
         .alias("total_value"),
     )
+
+
+@register(
+    "join_bucketed_sortmerge_revenue",
+    oracle="""
+SELECT c.c_custkey, c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS order_count,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+         AS total_revenue
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey, c.c_mktsegment
+""",
+    tags=("join", "layout", "scale-path"),
+)
+def join_bucketed_sortmerge_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Customer order revenue off bucketed layouts: orders and customer
+    are both written CLUSTERED BY (custkey) INTO 8 BUCKETS once
+    (sources.bucketed, fingerprint-cached), so the join AND the
+    per-customer aggregate both ride the bucket partitioning — the
+    whole plan has ZERO Exchange (plan-audited). This is the 100 TB
+    fact⋈dim shape: at scale `customer` is far past broadcast size, and
+    an unbucketed SMJ would shuffle 100 TB of orders every run; the
+    bucketed layout pays one layout write, then every revenue/retention/
+    RFM query on custkey is shuffle-free forever (analog: ref
+    core.clj:21-24 keys the physical layout on host_id for the same
+    reason). The MERGE hint pins SortMergeJoin — at sf0.01 the planner
+    would broadcast the small dimension, which hides exactly the
+    exchange this layout exists to eliminate."""
+    from ..sources.bucketed import bucketed_table
+
+    o = spark.table(bucketed_table(spark, sf_dir, "orders", "o_custkey"))
+    c = spark.table(bucketed_table(spark, sf_dir, "customer", "c_custkey"))
+    return (
+        c.hint("MERGE")
+        .join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("*").alias("order_count"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_revenue"),
+        )
+    )

@@ -429,3 +429,29 @@ def test_ivf_append_composes_with_streaming_foreachbatch(spark, sf_med):
         g = read_ivf_partitioned(spark, grown).select("vec_id", "cluster_id")
         f = read_ivf_partitioned(spark, full).select("vec_id", "cluster_id")
         assert sorted(map(tuple, g.collect())) == sorted(map(tuple, f.collect()))
+
+
+def test_bucketed_table_reregisters_from_files(spark, sf_small, monkeypatch, tmp_path):
+    """Catalog-lost-but-files-present (a fresh session on a warm box):
+    bucketed_table must re-register via DDL — Spark recovers bucket ids
+    from the file names — and the re-registered table must still join
+    exchange-free."""
+    from cassaforte_meter_transmission_gen_spark.sources.bucketed import (
+        bucketed_table,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_BUCKET_STORE", str(tmp_path))
+    name = bucketed_table(spark, sf_small, "customer", "c_custkey")
+    n_rows = spark.table(name).count()
+    spark.sql(f"DROP TABLE `{name}`")  # catalog forgets; files remain
+    name2 = bucketed_table(spark, sf_small, "customer", "c_custkey")
+    assert name2 == name
+    assert spark.table(name2).count() == n_rows
+    # layout trusted: self-join on the bucket key plans no Exchange
+    t = spark.table(name2)
+    j = t.hint("MERGE").join(
+        spark.table(name2).withColumnRenamed("c_name", "rhs_name"),
+        "c_custkey",
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

@@ -895,3 +895,13 @@ def test_pmi_bigram_extraction_shuffle_free(spark, sf_small):
     plan = _plan(bg)
     assert "Exchange" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_bucketed_sortmerge_join_zero_exchange(spark, sf_small):
+    """The whole bucketed plan — scan → SMJ → groupBy(custkey) — must
+    contain no Exchange: both scans report bucket HashPartitioning and
+    the aggregate's clustering contains the bucket key."""
+    df = REGISTRY["join_bucketed_sortmerge_revenue"].fn(spark, sf_small)
+    plan = _plan(df)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan
