@@ -1,0 +1,115 @@
+"""Distributed PCA over the embedding corpus via exact second moments.
+
+The scalable shape: one pass over the vectors computes the 64×64
+second-moment (Gram) matrix upper triangle plus the per-dimension sums
+— 2 080 + 64 + 1 numbers regardless of corpus size — then the
+eigendecomposition runs driver-side on that fixed-size summary (numpy,
+O(d³) on d=64). This is the textbook covariance-method PCA factored for
+a cluster: the data-sized work is a partial-aggregated explode (each
+task emits ≤2 080 rows), the driver never sees a row of data, and at
+100 TB the shuffle is 2 080 rows × tasks. Per-row products are exact
+(float32×float32 is exact in double) and summed as DECIMAL so the
+moment matrix is order-independent — bit-identical across cluster
+sizes, which makes the downstream eigenbasis reproducible too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: corpus embedding dimension (TESTDATA.md: embeddings.embedding)
+DIM = 64
+
+#: pico-unit quantization for exact cross-engine product sums: each
+#: float32×float32 product (exact in double) is rounded at 1e-12 IN
+#: DOUBLE — the same IEEE multiply+round on both engines — then summed
+#: as integers, so the moment matrix hash is exact. (Double→DECIMAL
+#: conversion is NOT exact-identical across engines: DuckDB scales in
+#: double and can land one ulp off Spark's BigDecimal path.)
+MOMENT_SCALE = 1_000_000_000_000
+
+
+def second_moments_upper(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Upper-triangle second-moment matrix of ``vec_col``: one row per
+    (i, j), i ≤ j, with ``m2_p12 = Σ round(x_i·x_j·1e12)`` in exact
+    pico-units. The per-row product table is built JVM-side as one
+    generated ``flatten(transform(...))`` expression — no Python in the
+    data path — and the groupBy partial-aggregates to ≤2 080 rows per
+    task before the (only) shuffle. Sums carry as DECIMAL(38,0), good
+    to ~10^26 row-products — no overflow at any realistic corpus."""
+    prods = df.select(
+        F.expr(
+            f"flatten(transform(sequence(0, {DIM - 1}), i -> "
+            f"transform(sequence(i, {DIM - 1}), j -> struct("
+            f"i * {DIM} + j AS pk, "
+            f"CAST(round(CAST({vec_col}[i] AS DOUBLE) * CAST({vec_col}[j] AS DOUBLE)"
+            f" * {MOMENT_SCALE}) AS DECIMAL(20,0)) AS v))))"
+        ).alias("ps")
+    )
+    return (
+        prods.select(F.explode("ps").alias("p"))
+        .groupBy(F.col("p.pk").alias("pk"))
+        .agg(F.sum("p.v").cast("decimal(38,0)").alias("m2_p12"))
+        .select(
+            F.expr(f"CAST(pk DIV {DIM} AS BIGINT)").alias("i"),
+            F.expr(f"CAST(pk % {DIM} AS BIGINT)").alias("j"),
+            "m2_p12",
+        )
+    )
+
+
+def first_moments(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension sums and the row count — the other half of the
+    covariance sufficient statistics. One row out per dimension."""
+    return (
+        df.select(F.posexplode(vec_col).alias("i", "x"))
+        .groupBy("i")
+        .agg(
+            F.sum(
+                F.expr(f"CAST(round(CAST(x AS DOUBLE) * {MOMENT_SCALE})"
+                       f" AS DECIMAL(20,0))")
+            )
+            .cast("decimal(38,0)")
+            .alias("s1_p12"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def pca_top_components(
+    df: DataFrame, k: int = 2, vec_col: str = "embedding"
+):
+    """Driver-side eigendecomposition of the covariance assembled from
+    the distributed sufficient statistics. Returns
+    ``(eigvals_desc, components[k][DIM], explained_variance_ratio)``.
+    The collects are the fixed-size moment summaries (2 080 + 64 rows),
+    never data."""
+    import numpy as np
+
+    m2 = {
+        (r["i"], r["j"]): float(r["m2_p12"]) / MOMENT_SCALE
+        for r in second_moments_upper(df, vec_col).collect()
+    }
+    fm = first_moments(df, vec_col).collect()
+    n = fm[0]["n"]
+    s1 = np.zeros(DIM)
+    for r in fm:
+        s1[r["i"]] = float(r["s1_p12"]) / MOMENT_SCALE
+    cov = np.zeros((DIM, DIM))
+    for (i, j), v in m2.items():
+        # covariance from moments: E[xy] − E[x]E[y], unbiased n−1 scaling
+        c = (v - s1[i] * s1[j] / n) / (n - 1)
+        cov[i, j] = cov[j, i] = c
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1]
+    vals = vals[order]
+    comps = vecs[:, order].T[:k]
+    # sign convention: largest-|coef| entry positive, so the basis is
+    # deterministic across LAPACK builds
+    for c in comps:
+        pivot = int(np.argmax(np.abs(c)))
+        if c[pivot] < 0:
+            c *= -1
+    ratio = vals[:k] / vals.sum()
+    return vals, comps, ratio

@@ -204,3 +204,86 @@ def quantile_sample_merge(sketches: DataFrame, k: int = QSK_K) -> DataFrame:
     """Union sample from a stack of per-slice sketches (columns
     ``h, v``) over DISJOINT slices: re-take the k hash-smallest."""
     return sketches.orderBy("h", "v").limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Misra–Gries heavy hitters: the two-pass EXACT protocol
+# ---------------------------------------------------------------------------
+
+
+def misra_gries_candidates(
+    df: DataFrame, key_col: str, k: int
+) -> DataFrame:
+    """Pass 1 of exact heavy hitters: per-partition Misra–Gries summary
+    with ``k`` counters over ``key_col``.
+
+    Guarantee (Misra–Gries 1982; merge form per Agarwal et al.,
+    "Mergeable Summaries", PODS'12): every key with partition frequency
+    > n_p/(k+1) survives the partition's summary, so any key with
+    GLOBAL frequency > n/(k+1) survives in at least one partition (an
+    averaging argument) — the union of per-partition candidates is a
+    superset of the true heavy hitters at support 1/(k+1). Pass 2
+    (:func:`heavy_hitters_exact`) then counts ONLY the candidates
+    exactly, so the final answer is exact, not approximate.
+
+    Vectorization: rows are never visited one at a time in Python —
+    each Arrow batch is collapsed to exact counts by pandas
+    ``value_counts`` (C speed), and the *summary-level* MG merge (add
+    counts, subtract the (k+1)-th largest, drop ≤0) touches only the
+    ≤ k + distinct(batch) live counters. At 100 TB each task emits at
+    most k+1 rows regardless of input size, so the candidate relation
+    is ~k × tasks rows — always broadcastable.
+
+    Output: one row per candidate (``key``) plus one sentinel row
+    (``key`` NULL, ``part_rows`` = partition row count) per partition,
+    so pass 2 recovers the exact global total without a second scan.
+    """
+    import pandas as pd
+
+    out_schema = f"key {df.schema[key_col].dataType.simpleString()}, part_rows bigint"
+
+    def summarize(batches):
+        counters: dict = {}
+        n_rows = 0
+        for pdf in batches:
+            vc = pdf[key_col].value_counts()  # exact, vectorized
+            n_rows += int(vc.sum())
+            for key, c in vc.items():
+                counters[key] = counters.get(key, 0) + int(c)
+            if len(counters) > k:
+                # MG merge step: subtract the (k+1)-th largest count
+                # from everything; at most k counters stay positive
+                sub = sorted(counters.values(), reverse=True)[k]
+                counters = {c_k: v - sub for c_k, v in counters.items() if v > sub}
+        yield pd.DataFrame(
+            {"key": list(counters) + [None], "part_rows": [0] * len(counters) + [n_rows]}
+        )
+
+    return df.select(key_col).mapInPandas(summarize, schema=out_schema)
+
+
+def heavy_hitters_exact(
+    df: DataFrame, key_col: str, inv_support: int
+) -> DataFrame:
+    """Exact heavy hitters at support 1/``inv_support`` in two passes:
+    MG candidates (pass 1, ≤ ``inv_support`` counters/task) → exact
+    count of the candidate keys only (pass 2) → integer-compare filter
+    ``count * inv_support > total``. The second pass groups only rows
+    whose key is in the broadcast candidate set — at 100 TB the shuffle
+    carries the heavy tail, never the long tail. Returns
+    (``key_col``, ``exact_count``), exact by the MG superset guarantee.
+    """
+    summary = misra_gries_candidates(df, key_col, k=inv_support)
+    summary = summary.localCheckpoint(eager=True)  # one pass, two readers
+    candidates = (
+        summary.filter(F.col("key").isNotNull()).select("key").distinct()
+    )
+    total = summary.agg(F.sum("part_rows").alias("total"))
+    return (
+        df.join(F.broadcast(candidates), df[key_col] == F.col("key"), "inner")
+        .groupBy(key_col)
+        .agg(F.count("*").alias("exact_count"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("exact_count") * inv_support > F.col("total"))
+        .select(key_col, "exact_count")
+    )

@@ -2646,3 +2646,92 @@ def window_wow_revenue_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("change_ppm")).desc(), "segment", "week")
         .limit(20)
     )
+
+
+@register(
+    "agg_heavy_hitters_two_pass",
+    oracle="""
+WITH c AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS exact_count
+  FROM lineitem GROUP BY l_partkey
+), t AS (SELECT CAST(SUM(exact_count) AS BIGINT) AS total FROM c)
+SELECT c.l_partkey, c.exact_count
+FROM c, t WHERE c.exact_count * 1500 > t.total
+""",
+    tags=("agg", "sketch", "scale-path"),
+)
+def agg_heavy_hitters_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts appearing in more than 1/1500 of all lineitems — EXACT, via
+    the two-pass Misra–Gries protocol (operators.sketches): pass 1 is a
+    per-task MG summary with 1500 counters (each task emits ≤1501 rows
+    no matter how many it read; the union is a guaranteed superset of
+    the true hitters), pass 2 exact-counts ONLY the broadcast candidate
+    set. At 100 TB the naive oracle shape — groupBy ALL keys then
+    filter — shuffles the full long tail (billions of near-singleton
+    keys) to answer a question about the few heavy ones; the two-pass
+    shuffle carries candidates only. The oracle IS the naive shape, so
+    this query also gates the protocol's exactness per run."""
+    from ..operators.sketches import heavy_hitters_exact
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return heavy_hitters_exact(li, "l_partkey", inv_support=1500)
+
+
+#: train-split z-score expression — both engines evaluate this exact
+#: text on the SAME broadcast stats doubles, so per-row results are
+#: bit-identical (scalar IEEE ops, no aggregation order involved)
+_ZSCORE = (
+    "(o_totalprice - sx / CAST(cnt AS DOUBLE)) / "
+    "sqrt(sxx / CAST(cnt AS DOUBLE) - "
+    "(sx / CAST(cnt AS DOUBLE)) * (sx / CAST(cnt AS DOUBLE)))"
+)
+
+
+@register(
+    "pipeline_standard_scaler_monthly",
+    oracle=f"""
+WITH s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sxx
+  FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'
+)
+SELECT strftime(o.o_orderdate, '%Y-%m') AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST({_ZSCORE} AS DECIMAL(18,6))) AS DOUBLE) AS z_sum
+FROM orders o, s
+GROUP BY month
+""",
+    tags=("pipeline", "ml"),
+)
+def pipeline_standard_scaler_monthly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Feature scaling with a train/serve split — the fit-on-train,
+    apply-everywhere discipline every leakage-free ML pipeline needs:
+    μ and σ come ONLY from pre-cutoff orders (decimal-exact one-row
+    aggregate), then the z-score applies to ALL rows via a broadcast of
+    that single stats row. Drift shows up directly: post-cutoff months
+    with inflated mean z. At 100 TB the fit is one partial-aggregated
+    scan collapsing to one row; the apply is embarrassingly parallel
+    with zero extra shuffle (the broadcast is 3 doubles). Monthly z-sums
+    are decimal-summed so the parity hash is exact."""
+    o = load_table(spark, sf_dir, "orders")
+    stats = (
+        o.filter(F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("sx"),
+            F.sum((F.col("o_totalprice") * F.col("o_totalprice")).cast("decimal(30,6)"))
+            .cast("double")
+            .alias("sxx"),
+        )
+    )
+    return (
+        o.crossJoin(F.broadcast(stats))
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.expr(_ZSCORE).cast(DEC)).cast("double").alias("z_sum"),
+        )
+    )

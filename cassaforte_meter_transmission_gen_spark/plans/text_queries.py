@@ -3223,3 +3223,63 @@ def pipeline_group_aware_split_leakage(
         .cast("long")
         .alias("leaked_groups_aware"),
     )
+
+
+@register(
+    "text_readability_flesch",
+    oracle="""
+WITH counts AS (
+  SELECT doc_id,
+         GREATEST(CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT), 1)
+           AS words,
+         GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1)
+           AS sentences,
+         GREATEST(CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT), 1)
+           AS syllables
+  FROM documents
+)
+SELECT doc_id, words, sentences, syllables,
+       CAST(floor(206835.0 - 1015.0 * words / sentences
+                  - 84600.0 * syllables / words) AS BIGINT) AS flesch_milli
+FROM counts
+""",
+    tags=("text", "quality"),
+)
+def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document in exact milli-units, from three
+    deterministic regex counts (word runs, sentence-punctuation runs,
+    vowel-group syllable proxy — the standard dictionary-free
+    heuristic). Pure per-row JVM regex work — no shuffle at all, scales
+    as a map-only pass; the integer milli-unit floor makes the score
+    hash-exact (the inner ratios are BIGINT/BIGINT → identical IEEE
+    doubles on both engines). A quality-filter building block alongside
+    text_quality_score: readability bands are a standard pretraining
+    mix dimension."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.select(
+        "doc_id",
+        F.greatest(
+            F.expr("CAST(size(regexp_extract_all(text, '[A-Za-z]+', 0)) AS BIGINT)"),
+            F.lit(1).cast("bigint"),
+        ).alias("words"),
+        F.greatest(
+            F.expr("CAST(size(regexp_extract_all(text, '[.!?]+', 0)) AS BIGINT)"),
+            F.lit(1).cast("bigint"),
+        ).alias("sentences"),
+        F.greatest(
+            F.expr(
+                "CAST(size(regexp_extract_all(text, '[aeiouyAEIOUY]+', 0)) AS BIGINT)"
+            ),
+            F.lit(1).cast("bigint"),
+        ).alias("syllables"),
+    )
+    return counts.select(
+        "doc_id",
+        "words",
+        "sentences",
+        "syllables",
+        F.expr(
+            "CAST(floor(206835.0 - 1015.0 * words / sentences"
+            " - 84600.0 * syllables / words) AS BIGINT)"
+        ).alias("flesch_milli"),
+    )

@@ -856,3 +856,38 @@ def pipeline_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_total",
         "(n_total * 1000000) DIV (n_classes * n_label) AS weight_ppm",
     )
+
+
+@register(
+    "vector_pca_second_moments",
+    oracle="""
+WITH prods AS (
+  SELECT (p1.i - 1) * 64 + (p2.i - 1) AS pk,
+         CAST(round(CAST(e.embedding[p1.i] AS DOUBLE)
+                    * CAST(e.embedding[p2.i] AS DOUBLE)
+                    * 1000000000000) AS DECIMAL(20,0)) AS v
+  FROM embeddings e, range(1, 65) p1(i), range(1, 65) p2(i)
+  WHERE p2.i >= p1.i
+)
+SELECT CAST(pk // 64 AS BIGINT) AS i,
+       CAST(pk % 64 AS BIGINT) AS j,
+       CAST(SUM(v) AS DECIMAL(38,0)) AS m2_p12
+FROM prods GROUP BY pk
+""",
+    tags=("vector", "pca", "scale-path"),
+)
+def vector_pca_second_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle second-moment (Gram) matrix of the embedding
+    corpus in exact pico-units — the distributed half of
+    covariance-method PCA (operators.pca). One pass, fixed-size output
+    (2 080 rows) no matter the corpus size: per-row pairwise products
+    are one generated JVM expression, the groupBy partial-aggregates
+    each task to ≤2 080 rows before the only shuffle, and the
+    quantize-in-double-then-integer-sum carrier makes the moments
+    bit-identical across any cluster size AND across engines
+    (float32×float32 is exact in double; round(·×1e12) is one IEEE op).
+    The driver-side eigh over this summary is unit-tested against
+    numpy.cov (tests/test_llm_ops.py)."""
+    from ..operators.pca import second_moments_upper
+
+    return second_moments_upper(_emb(spark, sf_dir))

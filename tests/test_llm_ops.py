@@ -1310,3 +1310,47 @@ def test_containment_catches_what_jaccard_misses(spark):
             if c >= 0.8:
                 want[(a, b)] = c
     assert set(cont) == set(want)
+
+
+def test_pca_moments_match_numpy_cov(spark, sf_small):
+    """The distributed sufficient-statistics path must reproduce
+    numpy.cov + eigh on the collected data (the single-node ground
+    truth) to float64 tolerance, with a deterministic sign convention
+    and descending, ratio-normalized spectrum."""
+    import numpy as np
+
+    from cassaforte_meter_transmission_gen_spark.operators.pca import (
+        pca_top_components,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    vals, comps, ratio = pca_top_components(emb, k=3)
+    x = np.array([r["embedding"] for r in emb.select("embedding").collect()])
+    cov = np.cov(x, rowvar=False)
+    ref_vals = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    assert np.allclose(vals, ref_vals, rtol=1e-8)
+    assert ratio.shape == (3,) and ratio[0] >= ratio[1] >= ratio[2] > 0
+    # components are orthonormal eigenvectors of the true covariance
+    for lam, c in zip(vals[:3], comps):
+        assert abs(np.linalg.norm(c) - 1.0) < 1e-9
+        assert np.allclose(cov @ c, lam * c, atol=1e-8)
+        assert c[int(np.argmax(np.abs(c)))] > 0  # sign pinned
+
+
+def test_misra_gries_exact_on_adversarial_skew(spark):
+    """MG candidates must never miss a true heavy hitter even when one
+    partition holds only long-tail keys: plant a key at 25% global
+    frequency concentrated in one partition and spread 600 singleton
+    keys across the rest, with counters (k=8) far below the distinct
+    count (608)."""
+    from cassaforte_meter_transmission_gen_spark.operators.sketches import (
+        heavy_hitters_exact,
+    )
+
+    rows = [(7,)] * 200 + [(1000 + i,) for i in range(600)]
+    df = spark.createDataFrame(rows, "key_val bigint").repartition(8)
+    got = {
+        (r["key_val"], r["exact_count"])
+        for r in heavy_hitters_exact(df, "key_val", inv_support=8).collect()
+    }
+    assert got == {(7, 200)}  # 200*8 > 800; every singleton 1*8 < 800
