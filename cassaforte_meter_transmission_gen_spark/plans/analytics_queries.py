@@ -2735,3 +2735,29 @@ def pipeline_standard_scaler_monthly(
             F.sum(F.expr(_ZSCORE).cast(DEC)).cast("double").alias("z_sum"),
         )
     )
+
+
+@register(
+    "streaming_mg_heavy_hitters",
+    oracle="""
+WITH c AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_count
+  FROM events GROUP BY user_id
+), t AS (SELECT CAST(SUM(exact_count) AS BIGINT) AS total FROM c)
+SELECT c.user_id, c.exact_count
+FROM c, t WHERE c.exact_count * 200 > t.total
+""",
+    tags=("streaming", "sketch", "exactly-once"),
+)
+def streaming_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-maintained Misra–Gries summary (exactly-once
+    commit-log protocol) + one exact verify pass — the live dual of
+    agg_heavy_hitters_two_pass, gated against the identical naive
+    oracle: the MG state is approximate but candidate-complete, so the
+    verified output is exact and full-value-hash comparable. Events
+    replay one file per micro-batch; each batch merges into a
+    ≤200-row summary (mergeable-summaries MG merge); replays are
+    idempotent no-ops against the committed high watermark."""
+    from ..streaming.pipeline import run_bounded_mg_heavy_hitters
+
+    return run_bounded_mg_heavy_hitters(spark, sf_dir, inv_support=200)

@@ -1569,3 +1569,123 @@ def events_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV count(*) AS BIGINT)"
         ).alias("bounce_ppm"),
     )
+
+
+#: CUPED regression coefficient and centering, evaluated per row on the
+#: broadcast one-row moment stats — a fixed-order chain of double ops
+#: over decimal-exact sums, so both engines produce identical bits
+_CUPED_THETA = (
+    "((sxy - sx * sy / CAST(nu AS DOUBLE))"
+    " / (sxx - sx * sx / CAST(nu AS DOUBLE)))"
+)
+_CUPED_YADJ = f"(y - {_CUPED_THETA} * (x - sx / CAST(nu AS DOUBLE)))"
+
+
+@register(
+    "events_ab_cuped_adjusted",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id, user_id % 2 AS variant,
+         CAST(SUM(CASE WHEN date_part('day', ts) <= 7
+                       THEN CAST(value AS DECIMAL(18,6))
+                       ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS x,
+         CAST(SUM(CASE WHEN date_part('day', ts) >= 8
+                       THEN CAST(value AS DECIMAL(18,6))
+                       ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nu,
+         CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(30,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(30,6))) AS DOUBLE) AS sxx
+  FROM u
+),
+v AS (
+  SELECT u.variant,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(CAST(u.y AS DECIMAL(18,6))) AS DOUBLE) AS ysum,
+         CAST(SUM(CAST({_CUPED_YADJ} AS DECIMAL(18,6))) AS DOUBLE) AS yadjsum
+  FROM u, m GROUP BY 1
+)
+SELECT v.variant, v.n_users,
+       v.ysum / CAST(v.n_users AS DOUBLE) AS mean_value,
+       v.yadjsum / CAST(v.n_users AS DOUBLE) AS mean_value_cuped,
+       {_CUPED_THETA} AS theta
+FROM v, m
+""",
+    tags=("events", "experiment", "ab-test", "statistics"),
+)
+def events_ab_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al., WSDM'13 — the
+    industry-standard experimentation estimator): per-user experiment
+    value (days 8+) adjusted by the pre-experiment covariate (days ≤7),
+    ``y' = y − θ(x − x̄)`` with θ = cov(x,y)/var(x) fitted on the
+    pooled pre-period. Same variant hash rule as
+    events_ab_conversion_ztest; reported per variant next to the
+    unadjusted mean so the variance reduction is visible.
+
+    Exactness: per-user x/y and the four moments are decimal-exact
+    sums; θ, x̄ and every per-user adjustment are fixed-order scalar
+    double ops on those broadcast one-row stats; the per-variant
+    adjusted sums go back through decimal. Bit-identical across
+    engines and cluster sizes.
+
+    Scale: one fact scan → per-user partial-agg groupBy (pinned:
+    consumed by both the moment row and the variant report — the
+    AQE-no-reuse rule); the moments are one broadcast row, so the
+    adjustment is map-side; the final agg is 2 rows."""
+    e = _ev(spark, sf_dir)
+    u = (
+        e.select(
+            "user_id",
+            (F.col("user_id") % 2).alias("variant"),
+            F.when(
+                F.dayofmonth("ts") <= 7, F.col("value").cast(DEC)
+            )
+            .otherwise(F.lit(0).cast(DEC))
+            .alias("xv"),
+            F.when(
+                F.dayofmonth("ts") >= 8, F.col("value").cast(DEC)
+            )
+            .otherwise(F.lit(0).cast(DEC))
+            .alias("yv"),
+        )
+        .groupBy("user_id", "variant")
+        .agg(
+            F.sum("xv").cast("double").alias("x"),
+            F.sum("yv").cast("double").alias("y"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    m = u.agg(
+        F.count("*").alias("nu"),
+        F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(30,6)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(30,6)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    v = (
+        u.crossJoin(F.broadcast(m))
+        .groupBy("variant")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum(F.col("y").cast(DEC)).cast("double").alias("ysum"),
+            F.sum(F.expr(_CUPED_YADJ).cast(DEC)).cast("double").alias("yadjsum"),
+            F.first(F.expr(_CUPED_THETA)).alias("theta"),
+        )
+    )
+    return v.select(
+        "variant",
+        "n_users",
+        (F.col("ysum") / F.col("n_users").cast("double")).alias("mean_value"),
+        (F.col("yadjsum") / F.col("n_users").cast("double")).alias(
+            "mean_value_cuped"
+        ),
+        "theta",
+    )

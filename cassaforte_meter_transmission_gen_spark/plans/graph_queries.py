@@ -484,3 +484,129 @@ def graph_shortest_path_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("d"))
         .alias("dist_cost"),
     )
+
+
+def _hits_step_sql(state: str, raw_name: str, out_name: str,
+                   from_col: str, to_col: str) -> str:
+    """One HITS half-step for the oracle: weighted inflow sums in
+    HUGEINT, then L1 re-normalization to ~ppb shares with the same
+    truncating integer division Spark runs (DECIMAL(38,0) DIV)."""
+    return f"""
+{raw_name} AS MATERIALIZED (
+  SELECT e.{to_col} AS n, SUM(CAST(s.v AS HUGEINT) * e.w) AS raw
+  FROM edges e JOIN {state} s ON e.{from_col} = s.n GROUP BY 1
+),
+{out_name} AS MATERIALIZED (
+  SELECT nodes.n,
+         CAST(COALESCE(r.raw, 0) //
+              GREATEST(CAST(1 AS BIGINT),
+                       CAST(t.s // 1000000000 AS BIGINT)) AS BIGINT) AS v
+  FROM nodes
+  CROSS JOIN (SELECT CAST(COALESCE(SUM(raw), 0) AS HUGEINT) AS s
+              FROM {raw_name}) t
+  LEFT JOIN {raw_name} r ON nodes.n = r.n
+)"""
+
+
+def _hits_oracle() -> str:
+    steps = []
+    state = "h0"
+    for t in range(1, 4):
+        steps.append(_hits_step_sql(state, f"rawa{t}", f"a{t}", "src", "dst"))
+        steps.append(_hits_step_sql(f"a{t}", f"rawh{t}", f"h{t}", "dst", "src"))
+        state = f"h{t}"
+    chain = ",".join(s.strip() for s in steps)
+    return f"""
+WITH edges AS MATERIALIZED (
+{_TRADE_EDGES_SQL.format(where="")}
+),
+nodes AS MATERIALIZED (SELECT src AS n FROM edges UNION SELECT dst FROM edges),
+h0 AS (SELECT n, CAST(1000000000 AS BIGINT) AS v FROM nodes),
+{chain}
+SELECT nt.n_nationkey AS nationkey, nt.n_name,
+       h3.v AS hub_ppb, a3.v AS auth_ppb
+FROM nodes
+JOIN h3 ON nodes.n = h3.n
+JOIN a3 ON nodes.n = a3.n
+JOIN nation nt ON nodes.n = nt.n_nationkey
+"""
+
+
+@register(
+    "graph_hits_nation_trade",
+    oracle=_hits_oracle(),
+    tags=("graph", "hits", "iterative", "integer-exact"),
+)
+def graph_hits_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg) on the nation trade
+    network, 3 alternating power iterations: a hub is a nation whose
+    customers buy from authoritative supplier nations and vice versa.
+
+    Integer-exact formulation (the PageRank move): scores start at 1e9
+    ppb; each half-step sums weighted inflow ``v·w`` in DECIMAL(38,0)
+    (HUGEINT on the oracle — overflow-proof at any corpus scale), then
+    re-normalizes to ~ppb L1 shares with one truncating division by
+    ``greatest(1, total DIV 1e9)`` — every op is integer
+    multiply/sum/DIV, so the oracle matches bit-for-bit where the
+    textbook L2 normalization (a sqrt over a parallel double sum) never
+    could.
+
+    Scale: edges and nodes are dimension-sized and pinned once
+    (localCheckpoint); each half-step is one edges⋈state join + one
+    partial-agg groupBy + one broadcast one-row total — the same
+    per-iteration shape as PageRank's dangling-mass pass. Each
+    normalized state is pinned because two consumers read it (the next
+    half-step's join and the final report / total row) — the
+    AQE-no-reuse rule."""
+    edges = _trade_edges(spark, sf_dir, None).localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("n"))
+        .union(edges.select(F.col("dst").alias("n")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def half_step(state: DataFrame, from_col: str, to_col: str) -> DataFrame:
+        raw = (
+            edges.join(
+                state.select(F.col("n").alias("jn"), "v"),
+                edges[from_col] == F.col("jn"),
+            )
+            .groupBy(F.col(to_col).alias("n"))
+            .agg(F.sum(F.expr("CAST(v AS DECIMAL(38,0)) * w")).alias("raw"))
+            .localCheckpoint(eager=True)  # read by the total AND the join
+        )
+        tot = raw.agg(
+            F.coalesce(F.sum("raw"), F.lit(0).cast("decimal(38,0)")).alias("s")
+        )
+        return (
+            nodes.join(raw, "n", "left")
+            .crossJoin(F.broadcast(tot))
+            .selectExpr(
+                "n",
+                "CAST(COALESCE(raw, CAST(0 AS DECIMAL(38,0))) DIV "
+                "greatest(CAST(1 AS BIGINT), "
+                "CAST(s DIV 1000000000 AS BIGINT)) AS BIGINT) AS v",
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    h = nodes.select("n", F.lit(1000000000).cast("long").alias("v"))
+    for _ in range(3):
+        a = half_step(h, "src", "dst")
+        h = half_step(a, "dst", "src")
+    nt = _t(spark, sf_dir, "nation")
+    return (
+        nodes.join(h.withColumnRenamed("v", "hub_ppb"), "n")
+        .join(a.withColumnRenamed("v", "auth_ppb"), "n")
+        .join(
+            F.broadcast(nt),
+            F.col("n") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_nationkey").alias("nationkey"),
+            "n_name",
+            "hub_ppb",
+            "auth_ppb",
+        )
+    )

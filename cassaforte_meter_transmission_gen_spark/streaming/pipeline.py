@@ -1832,3 +1832,125 @@ def run_bounded_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket bigint, c_ref bigint, c_cur bigint"
     ).parquet(f"{table_dir}/v={hw}")
     return psi_from_counts(spark, cc)
+
+
+def mg_rollup_batch_fn(table_dir: str, commits_dir: str, k: int):
+    """foreachBatch body for a streaming-maintained Misra–Gries heavy
+    hitter summary over ``user_id`` — the live dual of
+    operators.sketches.misra_gries_candidates, under the exactly-once
+    commit-log protocol (versioned state dirs + atomic marker,
+    :func:`streaming_ingest_batch_fn`).
+
+    Per micro-batch: exact batch counts (one partial-agg groupBy) merge
+    with the last COMMITTED summary, then the MG merge step — subtract
+    the (k+1)-th largest merged count from everything, keep positive —
+    caps the state at ≤ k rows. By the mergeable-summaries theorem
+    (Agarwal et al., PODS'12) the maintained summary preserves the
+    guarantee: any key with stream-to-date frequency > n/(k+1) is
+    present. The subtraction threshold is a one-row broadcast
+    (sort-desc/limit(k+1) over a ≤ k+distinct(batch) frame), so state
+    never exceeds k rows no matter the stream length — the fixed-size
+    property every streaming sketch here shares. Replays re-read the
+    same committed base and overwrite their own version dir: idempotent."""
+    os.makedirs(commits_dir, exist_ok=True)
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        hw = _high_watermark(commits_dir)
+        if hw is not None and batch_id <= hw:
+            return  # replayed, fully applied
+        counts = batch.groupBy("user_id").agg(
+            F.count("*").cast("long").alias("cnt")
+        )
+        if hw is not None:
+            prev = batch.sparkSession.read.schema(
+                "user_id long, cnt long"
+            ).parquet(f"{table_dir}/v={hw}")
+            counts = (
+                prev.unionByName(counts)
+                .groupBy("user_id")
+                .agg(F.sum("cnt").cast("long").alias("cnt"))
+            )
+        # MG cap: subtract the (k+1)-th largest count (0 when ≤ k keys)
+        kth = (
+            counts.orderBy(F.desc("cnt"), "user_id")
+            .limit(k + 1)
+            .agg(
+                F.when(F.count("*") > k, F.min("cnt"))
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("sub")
+            )
+        )
+        summary = (
+            counts.crossJoin(F.broadcast(kth))
+            .select("user_id", (F.col("cnt") - F.col("sub")).alias("cnt"))
+            .filter(F.col("cnt") > 0)
+        )
+        summary.write.mode("overwrite").parquet(f"{table_dir}/v={batch_id}")
+        tmp = os.path.join(commits_dir, f"{batch_id}.tmp")
+        open(tmp, "w").close()
+        os.replace(tmp, os.path.join(commits_dir, str(batch_id)))
+
+    return fn
+
+
+def run_bounded_mg_heavy_hitters(
+    spark: SparkSession,
+    sf_dir: str,
+    inv_support: int = 200,
+    n_files: int = 4,
+) -> DataFrame:
+    """Drive :func:`mg_rollup_batch_fn` over a bounded replay of
+    ``events`` (one file per micro-batch), then EXACT-verify the final
+    committed candidate summary with one batch pass — the streaming
+    dual of ``agg_heavy_hitters_two_pass``, sharing its oracle shape:
+    the output is the exact heavy-hitter set at support 1/inv_support,
+    so the DuckDB gate pins it by full value hash even though the
+    maintained state is an approximate summary. At 100 TB: each event
+    folds into a ≤ inv_support-row summary once; the verify pass
+    shuffles candidate keys only."""
+    from ..schemas import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    stage = tempfile.mkdtemp(prefix="mg_stream_in_")
+    atexit.register(shutil.rmtree, stage, ignore_errors=True)
+    out = tempfile.mkdtemp(prefix="mg_stream_out_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    try:
+        ev.repartition(n_files).write.mode("overwrite").parquet(f"{stage}/in")
+        table_dir = f"{out}/mg_summary"
+        commits = f"{out}/_commits"
+        stream = (
+            spark.readStream.schema("user_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{stage}/in")
+        )
+        with tempfile.TemporaryDirectory(prefix="mg_ckpt_") as ckpt:
+            q = (
+                stream.writeStream.foreachBatch(
+                    mg_rollup_batch_fn(table_dir, commits, k=inv_support)
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        hw = _high_watermark(commits)
+        candidates = (
+            spark.read.schema("user_id long, cnt long")
+            .parquet(f"{table_dir}/v={hw}")
+            .select("user_id")
+        )
+        total = ev.agg(F.count("*").alias("total"))
+        res = (
+            ev.join(F.broadcast(candidates), "user_id")
+            .groupBy("user_id")
+            .agg(F.count("*").cast("long").alias("exact_count"))
+            .crossJoin(F.broadcast(total))
+            .filter(F.col("exact_count") * inv_support > F.col("total"))
+            .select("user_id", "exact_count")
+        )
+        res.write.mode("overwrite").parquet(f"{out}/hitters")
+        return spark.read.parquet(f"{out}/hitters")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

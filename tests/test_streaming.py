@@ -1021,3 +1021,41 @@ def test_psi_counts_replay_is_exactly_once(spark, tmp_path):
         .collect()
     }
     assert got == {0: (3, 0), 9: (0, 1), 1: (0, 2)}
+
+
+def test_mg_rollup_replay_is_exactly_once_and_capped(spark, tmp_path):
+    """The streaming Misra–Gries merge must (a) be a no-op on replayed
+    batch ids — counts are additive, so a leaked replay shifts them
+    deterministically — and (b) keep the committed summary ≤ k rows
+    while never losing a true heavy hitter: a key fed in every batch at
+    high rate must survive with a count no greater than its true count
+    (MG undercounts, never overcounts)."""
+    from cassaforte_meter_transmission_gen_spark.streaming.pipeline import (
+        mg_rollup_batch_fn,
+    )
+
+    table = str(tmp_path / "mg_summary")
+    commits = str(tmp_path / "_commits")
+    fn = mg_rollup_batch_fn(table, commits, k=5)
+
+    def batch(users):
+        return spark.createDataFrame(
+            [(u,) for u in users], "user_id long"
+        )
+
+    fn(batch([7] * 30 + list(range(100, 120))), 0)
+    fn(batch([7] * 30 + list(range(200, 220))), 1)
+    fn(batch([7] * 30 + list(range(200, 220))), 1)  # replay — no-op
+    fn(batch([7] * 999), 1)  # late replay, new values — ditto
+
+    stored = {
+        r["user_id"]: r["cnt"]
+        for r in spark.read.schema("user_id long, cnt long")
+        .parquet(f"{table}/v=1")
+        .collect()
+    }
+    assert len(stored) <= 5
+    # key 7: true count 60 across both committed batches; MG may have
+    # subtracted but never added — and at 60/100 support it MUST survive
+    assert 0 < stored[7] <= 60
+    assert 60 > 100 // (5 + 1)  # sanity: above the guarantee line
