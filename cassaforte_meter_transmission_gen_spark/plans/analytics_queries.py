@@ -2761,3 +2761,192 @@ def streaming_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipeline import run_bounded_mg_heavy_hitters
 
     return run_bounded_mg_heavy_hitters(spark, sf_dir, inv_support=200)
+
+
+@register(
+    "pipeline_target_encoding_loo",
+    oracle="""
+WITH s AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_cat,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_cat
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o.o_orderkey, o.o_orderpriority, s.n_cat,
+       CASE WHEN s.n_cat > 1
+            THEN (s.sum_cat - o.o_totalprice) / CAST(s.n_cat - 1 AS DOUBLE)
+            ELSE NULL END AS loo_encoding
+FROM orders o JOIN s ON o.o_orderpriority = s.o_orderpriority
+""",
+    tags=("pipeline", "ml", "feature"),
+)
+def pipeline_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of the order-priority category —
+    the standard high-cardinality categorical feature for gradient
+    boosting, with the leakage guard built into the formula: each row's
+    own target is subtracted from its category mean
+    (``(Σ_cat − y_i)/(n_cat − 1)``), so the encoding never memorizes
+    the row it describes. Category sums are decimal-exact; the per-row
+    encoding is one subtraction and one division of the SAME doubles on
+    both engines. Scale: one partial-agg groupBy to category cardinality
+    rows, broadcast back — the apply is map-side, no second shuffle;
+    singleton categories yield NULL (nothing to leave out) on both
+    engines."""
+    o = load_table(spark, sf_dir, "orders")
+    s = o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_cat"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("sum_cat"),
+    )
+    return (
+        o.join(F.broadcast(s), "o_orderpriority")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "n_cat",
+            F.when(
+                F.col("n_cat") > 1,
+                (F.col("sum_cat") - F.col("o_totalprice"))
+                / (F.col("n_cat") - 1).cast("double"),
+            ).alias("loo_encoding"),
+        )
+    )
+
+
+@register(
+    "pipeline_winsorize_monthly_revenue",
+    oracle="""
+WITH b AS (
+  SELECT quantile_cont(o_totalprice, 0.01) AS lo,
+         quantile_cont(o_totalprice, 0.99) AS hi
+  FROM orders
+)
+SELECT strftime(o.o_orderdate, '%Y-%m') AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN o.o_totalprice < b.lo THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clipped_low,
+       CAST(SUM(CASE WHEN o.o_totalprice > b.hi THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clipped_high,
+       CAST(SUM(CAST(CASE WHEN o.o_totalprice < b.lo THEN b.lo
+                          WHEN o.o_totalprice > b.hi THEN b.hi
+                          ELSE o.o_totalprice END AS DECIMAL(18,6)))
+            AS DOUBLE) AS winsorized_sum
+FROM orders o, b
+GROUP BY month
+""",
+    tags=("pipeline", "ml", "robust"),
+)
+def pipeline_winsorize_monthly_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Winsorized monthly revenue — the robust-preprocessing clip at
+    the exact p01/p99 fences (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont`` bit-for-bit on the (n−1)·p definition), the
+    standard tail-taming step before a loss-sensitive model sees the
+    value column. Clip bounds are ONE one-row aggregate broadcast back;
+    the clip is map-side; clipped-row counts ride the same scan so the
+    report shows exactly how much mass the fences moved. Monthly sums
+    decimal-exact."""
+    o = load_table(spark, sf_dir, "orders")
+    b = o.agg(
+        F.expr("percentile(o_totalprice, 0.01)").alias("lo"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("hi"),
+    )
+    clipped = (
+        F.when(F.col("o_totalprice") < F.col("lo"), F.col("lo"))
+        .when(F.col("o_totalprice") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("o_totalprice"))
+    )
+    return (
+        o.crossJoin(F.broadcast(b))
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.when(F.col("o_totalprice") < F.col("lo"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_low"),
+            F.sum(F.when(F.col("o_totalprice") > F.col("hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_high"),
+            F.sum(clipped.cast(DEC)).cast("double").alias("winsorized_sum"),
+        )
+    )
+
+
+#: Benford expected first-digit shares in exact integer ppm —
+#: floor(1e6·log10(1+1/d)). Computed once in Python and inlined as the
+#: SAME literals into both plans, so no cross-engine log arithmetic
+#: exists anywhere in the query.
+import math as _math
+
+_BENFORD_PPM = {
+    d: int(_math.floor(1_000_000 * _math.log10(1 + 1 / d)))
+    for d in range(1, 10)
+}
+_BENFORD_SQL_CASE = (
+    "CASE digit "
+    + " ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items())
+    + " END"
+)
+
+
+@register(
+    "profile_benford_first_digit",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(substring(CAST(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                             AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM lineitem
+),
+c AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit
+),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+SELECT c.digit, c.n,
+       (c.n * 1000000) // t.total AS obs_ppm,
+       CAST({_BENFORD_SQL_CASE} AS BIGINT) AS exp_ppm,
+       (((c.n * 1000000) // t.total - {_BENFORD_SQL_CASE})
+        * ((c.n * 1000000) // t.total - {_BENFORD_SQL_CASE}))
+       // {_BENFORD_SQL_CASE} AS dev_micro
+FROM c, t
+""",
+    tags=("profile", "quality", "statistics"),
+)
+def profile_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of the money column — the
+    classic fabricated-data / unit-mixing detector in a data-quality
+    suite: observed first-significant-digit shares vs the log10(1+1/d)
+    expectation, with a per-digit squared-deviation score. All integer:
+    values quantize to cents first (both engines cast the SAME bigint
+    to string for the digit), shares are exact integer ppm, the
+    expectation constants are Python-precomputed literals inlined into
+    BOTH plans, and the deviation is integer multiply/DIV — fully
+    value-hash gated. Scale: map + one 9-row groupBy; the total is a
+    broadcast one-row cross join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = (
+        li.select(
+            F.expr(
+                "CAST(substring(CAST(CAST(floor(l_extendedprice * 100) AS BIGINT)"
+                " AS STRING), 1, 1) AS INT)"
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").cast("long").alias("n"))
+        # 9 rows; pinned — the total row and the report both consume it,
+        # and without the pin each re-derives the fact scan
+        .localCheckpoint(eager=True)
+    )
+    t = c.agg(F.sum("n").cast("long").alias("total"))
+    spark_case = _BENFORD_SQL_CASE
+    return (
+        c.crossJoin(F.broadcast(t))
+        .selectExpr(
+            "digit",
+            "n",
+            "(n * 1000000) DIV total AS obs_ppm",
+            f"CAST({spark_case} AS BIGINT) AS exp_ppm",
+            f"(((n * 1000000) DIV total - {spark_case})"
+            f" * ((n * 1000000) DIV total - {spark_case}))"
+            f" DIV {spark_case} AS dev_micro",
+        )
+    )

@@ -373,3 +373,98 @@ def join_bucketed_sortmerge_revenue(
             .alias("total_revenue"),
         )
     )
+
+
+@register(
+    "source_python_datasource_rollup",
+    oracle="""
+WITH j AS (
+  SELECT CAST(floor(SUM(CAST(i % 120 AS DOUBLE)) / 15000) AS INT) AS joules
+  FROM range(15000) t(i)
+),
+g AS (
+  SELECT CAST(42000 + (i // 3600) AS INT) AS said,
+         1356998400 + (i % 3600) AS epoch,
+         j.joules
+  FROM range(0, 14400) t(i), j
+)
+SELECT said,
+       CAST((epoch // 60) * 60 AS BIGINT) AS minute_epoch,
+       CAST(SUM(joules) AS BIGINT) AS joules_minute,
+       CAST(COUNT(*) AS BIGINT) AS n_seconds
+FROM g GROUP BY 1, 2
+""",
+    tags=("source", "datasource-v2", "generator"),
+)
+def source_python_datasource_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The meter generator served through Spark's Python DataSource V2
+    API (sources/meter_datasource.py): 4 meters × 1 hour read via
+    ``spark.read.format("meter_samples_py")`` — one InputPartition per
+    meter (genuinely parallel, meter-clustered arrow batches) — then
+    the K3 minute rollup on top. The oracle re-derives the identical
+    rows from the sawtooth formula in pure SQL, so a green hash proves
+    the pluggable source path (schema negotiation, options, partition
+    fan-out, arrow transfer) delivers exactly the generator's data.
+    At 100 TB the same class reads a meter fleet in parallel the way
+    the Cassandra connector (io.py) would — this is the extensibility
+    seam, exercised."""
+    from ..sources.meter_datasource import register_meter_datasource
+
+    register_meter_datasource(spark)
+    src = (
+        spark.read.format("meter_samples_py")
+        .option("num_meters", 4)
+        .option("seconds", 3600)
+        .load()
+    )
+    return (
+        src.groupBy(
+            "said",
+            F.expr("CAST((epoch DIV 60) * 60 AS BIGINT)").alias("minute_epoch"),
+        )
+        .agg(
+            F.sum("joules").cast("long").alias("joules_minute"),
+            F.count("*").alias("n_seconds"),
+        )
+    )
+
+
+@register(
+    "streaming_python_datasource_rollup",
+    oracle="""
+WITH j AS (
+  SELECT CAST(floor(SUM(CAST(i % 120 AS DOUBLE)) / 15000) AS INT) AS joules
+  FROM range(15000) t(i)
+),
+g AS (
+  SELECT CAST(42000 + (i // 3600) AS INT) AS said,
+         1356998400 + (i % 3600) AS epoch,
+         j.joules
+  FROM range(0, 14400) t(i), j
+)
+SELECT said,
+       CAST((epoch // 60) * 60 AS BIGINT) AS minute_epoch,
+       CAST(SUM(joules) AS BIGINT) AS joules_minute,
+       CAST(COUNT(*) AS BIGINT) AS n_seconds
+FROM g GROUP BY 1, 2
+""",
+    tags=("streaming", "source", "datasource-v2"),
+)
+def streaming_python_datasource_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The custom Python STREAMING source driven to completion: the
+    same generator feed as source_python_datasource_rollup, but
+    arriving as offset-tracked micro-batches (900 ticks each) through
+    ``DataSourceStreamReader`` into a checkpointed parquet sink —
+    Spark's source-offset + sink-commit machinery providing
+    exactly-once. Gated against the IDENTICAL oracle as the batch read:
+    streaming ≡ batch for the pluggable source seam, the engine's
+    Kafka-shaped ingress contract exercised without Kafka."""
+    from ..streaming.pipeline import run_bounded_python_source_stream
+
+    return run_bounded_python_source_stream(
+        spark, num_meters=4, seconds=3600, ticks_per_batch=900
+    )

@@ -1954,3 +1954,76 @@ def run_bounded_mg_heavy_hitters(
         return spark.read.parquet(f"{out}/hitters")
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+def run_bounded_python_source_stream(
+    spark: SparkSession,
+    num_meters: int = 4,
+    seconds: int = 3600,
+    ticks_per_batch: int = 900,
+    timeout_s: float = 120.0,
+) -> DataFrame:
+    """Drive the Python DataSourceStreamReader
+    (sources/meter_datasource.py) to completion: micro-batches of
+    ``ticks_per_batch`` seconds × all meters append to a parquet sink
+    under Spark's own checkpoint (source offsets + sink commit log =
+    exactly-once), until the bounded feed's full row count has landed.
+    Returns the minute rollup over the streamed rows — gated against
+    the IDENTICAL oracle as the batch DataSource read
+    (source_python_datasource_rollup): streaming ≡ batch for the
+    pluggable source seam."""
+    import time
+
+    from ..sources.meter_datasource import register_meter_datasource
+
+    register_meter_datasource(spark)
+    out = tempfile.mkdtemp(prefix="pyds_stream_out_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    sink = f"{out}/rows"
+    stream = (
+        spark.readStream.format("meter_samples_py")
+        .option("num_meters", num_meters)
+        .option("seconds", seconds)
+        .option("ticks_per_batch", ticks_per_batch)
+        .load()
+    )
+    with tempfile.TemporaryDirectory(prefix="pyds_ckpt_") as ckpt:
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        expected = num_meters * seconds
+        deadline = time.time() + timeout_s
+        try:
+            while time.time() < deadline:
+                try:
+                    n = spark.read.schema(
+                        "said int, epoch bigint, joules int"
+                    ).parquet(sink).count()
+                except Exception:  # sink dir not created yet
+                    n = 0
+                if n >= expected:
+                    break
+                time.sleep(0.5)
+            else:
+                raise TimeoutError(
+                    f"bounded python-source stream incomplete after "
+                    f"{timeout_s}s ({n}/{expected} rows)"
+                )
+        finally:
+            q.stop()
+            q.awaitTermination()
+    rows = spark.read.schema("said int, epoch bigint, joules int").parquet(sink)
+    return (
+        rows.groupBy(
+            "said",
+            F.expr("CAST((epoch DIV 60) * 60 AS BIGINT)").alias("minute_epoch"),
+        )
+        .agg(
+            F.sum("joules").cast("long").alias("joules_minute"),
+            F.count("*").alias("n_seconds"),
+        )
+    )

@@ -1,0 +1,73 @@
+"""Python DataSource V2 seam (sources/meter_datasource.py): the meter
+generator as a pluggable format — partition fan-out, option plumbing,
+arrow-batch transfer, and the bounded streaming reader."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cassaforte_meter_transmission_gen_spark.sources.meter_datasource import (
+    register_meter_datasource,
+    shared_tick_joules,
+)
+
+
+def _read(spark, **opts):
+    register_meter_datasource(spark)
+    r = spark.read.format("meter_samples_py")
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_datasource_partition_per_meter(spark):
+    """One InputPartition per meter: the parallel-read contract — a
+    1000-meter read is 1000 independent tasks."""
+    df = _read(spark, num_meters=6, seconds=100)
+    assert df.rdd.getNumPartitions() == 6
+    assert df.count() == 600
+
+
+def test_datasource_rows_match_generator_semantics(spark):
+    """Option plumbing + content: seconds ticks per meter, contiguous
+    epochs from t0, said range from start_said, and the golden shared
+    tick energy (59 — the reference's joules fixture) on every row."""
+    df = _read(
+        spark, num_meters=2, seconds=10, start_said=500, t0_epoch=1000
+    )
+    rows = sorted(
+        (r["said"], r["epoch"], r["joules"]) for r in df.collect()
+    )
+    assert shared_tick_joules() == 59
+    assert rows == [
+        (said, 1000 + t, 59) for said in (500, 501) for t in range(10)
+    ]
+
+
+def test_datasource_stream_equals_batch(spark):
+    """The DataSourceStreamReader drains the bounded feed through
+    checkpointed micro-batches (4 batches of 900 ticks) and the landed
+    rows aggregate to exactly the batch read's rollup — streaming ≡
+    batch for the pluggable source seam."""
+    from cassaforte_meter_transmission_gen_spark.streaming.pipeline import (
+        run_bounded_python_source_stream,
+    )
+
+    streamed = run_bounded_python_source_stream(
+        spark, num_meters=2, seconds=1800, ticks_per_batch=900
+    )
+    batch = (
+        _read(spark, num_meters=2, seconds=1800)
+        .groupBy(
+            "said",
+            F.expr("CAST((epoch DIV 60) * 60 AS BIGINT)").alias("minute_epoch"),
+        )
+        .agg(
+            F.sum("joules").cast("long").alias("joules_minute"),
+            F.count("*").alias("n_seconds"),
+        )
+    )
+    got = sorted(map(tuple, streamed.collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want
+    assert len(want) == 2 * 30

@@ -1354,3 +1354,26 @@ def test_misra_gries_exact_on_adversarial_skew(spark):
         for r in heavy_hitters_exact(df, "key_val", inv_support=8).collect()
     }
     assert got == {(7, 200)}  # 200*8 > 800; every singleton 1*8 < 800
+
+
+def test_gram_arrow_kernel_bit_equals_jvm_expression(spark, sf_small):
+    """The numpy Gram kernel and the pure-JVM expression form must
+    produce the IDENTICAL 2 080 moment rows — the exact-HALF_UP
+    quantizer claim, asserted bit-for-bit (any np.rint/trunc(x+0.5)
+    shortcut would diverge on tie-adjacent products)."""
+    from cassaforte_meter_transmission_gen_spark.operators.pca import (
+        second_moments_upper,
+        second_moments_upper_arrow,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    jvm = {
+        (r["i"], r["j"]): r["m2_p12"]
+        for r in second_moments_upper(emb).collect()
+    }
+    arrow = {
+        (r["i"], r["j"]): r["m2_p12"]
+        for r in second_moments_upper_arrow(emb).collect()
+    }
+    assert len(jvm) == 64 * 65 // 2
+    assert jvm == arrow
