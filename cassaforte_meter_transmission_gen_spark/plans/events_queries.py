@@ -1689,3 +1689,51 @@ def events_ab_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "theta",
     )
+
+
+@register(
+    "events_variant_shred_props",
+    oracle="""
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+         AS sum_k,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS INT)
+         AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT)
+         AS max_k,
+       CAST(SUM(CASE WHEN json_extract_string(props, '$.missing') IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_field,
+       count(*) AS n_events
+FROM events
+GROUP BY event_type
+""",
+    tags=("events", "variant", "semi-structured"),
+)
+def events_variant_shred_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type: props
+    parses ONCE into a variant value (``parse_json`` — the open-format
+    binary encoding that replaces per-path string re-parsing), then
+    every field access is a typed ``variant_get`` over the shredded
+    value. At 100 TB this is the difference between N string parses per
+    row (get_json_object per path) and one parse feeding N cheap typed
+    reads — the semi-structured analog of columnar shredding. A missing
+    path returns SQL NULL (counted per group to pin that semantic).
+    The oracle reads the same fields via DuckDB's JSON functions, so
+    the hash gates the variant path's typed extraction end to end."""
+    e = _ev(spark, sf_dir)
+    v = e.select(
+        "event_type", F.expr("parse_json(props)").alias("v")
+    )
+    return v.groupBy("event_type").agg(
+        F.sum(F.expr("variant_get(v, '$.k', 'int')")).cast("long").alias("sum_k"),
+        F.min(F.expr("variant_get(v, '$.k', 'int')")).alias("min_k"),
+        F.max(F.expr("variant_get(v, '$.k', 'int')")).alias("max_k"),
+        F.sum(
+            F.when(
+                F.expr("variant_get(v, '$.missing', 'int')").isNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_missing_field"),
+        F.count("*").alias("n_events"),
+    )

@@ -3283,3 +3283,121 @@ def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - 84600.0 * syllables / words) AS BIGINT)"
         ).alias("flesch_milli"),
     )
+
+
+ZIPF_TOP_R = 100
+#: micro-unit quantization of the det-ln values keeps every regression
+#: component an exact int64 (ln ≤ ~21 even at 2^30-token corpora →
+#: xq·yq ≤ ~4.4e14, ×R rows ≪ 2^63)
+_ZIPF_Q = 1_000_000
+_ZIPF_SLOPE = (
+    "CAST(r * sxy - sx * sy AS DOUBLE) / CAST(r * sxx - sx * sx AS DOUBLE)"
+)
+_ZIPF_INTERCEPT = (
+    f"(CAST(sy AS DOUBLE) / {_ZIPF_Q}.0"
+    f" - ({_ZIPF_SLOPE}) * CAST(sx AS DOUBLE) / {_ZIPF_Q}.0)"
+    " / CAST(r AS DOUBLE)"
+)
+
+
+def _zipf_oracle_sql() -> str:
+    from ..functions.detmath import det_ln_stage_exprs
+
+    st = det_ln_stage_exprs()
+
+    def stages(pfx: str, src: str, x_expr: str, keep: str, out: str) -> str:
+        return f"""
+{pfx}x AS (SELECT {keep}, ({x_expr}) AS x FROM {src}),
+{pfx}r AS (SELECT {keep}, x, {st['e']} AS e, {st['m']} AS m FROM {pfx}x),
+{pfx}t AS (SELECT {keep}, e, {st['tt']} AS tt FROM {pfx}r),
+{pfx}l AS (SELECT {keep}, {st['ln']} AS {out} FROM {pfx}t)"""
+
+    return f"""
+WITH c AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS tok
+        FROM documents) t
+  GROUP BY tok
+),
+top AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rnk
+  FROM c ORDER BY n DESC, tok LIMIT {ZIPF_TOP_R}
+),{stages("zx", "top", "CAST(rnk AS DOUBLE)", "n", "lx")},
+withlx AS (SELECT n, lx FROM zxl),{stages("zy", "withlx", "CAST(n AS DOUBLE)", "lx", "ly")},
+q AS (
+  SELECT CAST(round(lx * {_ZIPF_Q}) AS BIGINT) AS xq,
+         CAST(round(ly * {_ZIPF_Q}) AS BIGINT) AS yq
+  FROM zyl
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS r,
+         CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy,
+         CAST(SUM(xq * yq) AS BIGINT) AS sxy,
+         CAST(SUM(xq * xq) AS BIGINT) AS sxx
+  FROM q
+)
+SELECT r AS n_ranks, {_ZIPF_SLOPE} AS zipf_slope,
+       {_ZIPF_INTERCEPT} AS zipf_intercept
+FROM s
+"""
+
+
+@register(
+    "text_zipf_rank_frequency_fit",
+    oracle=_zipf_oracle_sql(),
+    tags=("text", "statistics", "detln"),
+)
+def text_zipf_rank_frequency_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token distribution: OLS slope of
+    ln(frequency) on ln(rank) over the top 100 tokens — natural text
+    lands near −1, and a corpus whose slope drifts (template spam,
+    boilerplate floods, deduplication bugs) fails the curation gate.
+    Cross-engine exact: both ln's run the shared det-ln pipeline
+    (bit-equal by construction), each ln is quantized to int64
+    micro-units so the regression components are exact integer sums,
+    and slope/intercept are fixed-order doubles over those integers.
+    Scale: token counting is the partial-agg explode every text query
+    uses; the fit itself touches only the TakeOrdered top-100."""
+    from pyspark.sql import Window as W
+
+    from ..functions.detmath import det_ln_stage_exprs
+    from ..functions.text import tokens
+
+    st = det_ln_stage_exprs()
+    d = _docs(spark, sf_dir)
+    top = (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(ZIPF_TOP_R)
+        .withColumn(
+            "rnk", F.row_number().over(W.orderBy(F.desc("n"), "tok"))
+        )
+    )
+
+    def ln_stages(df: DataFrame, x_expr: str, keep: list[str], out: str) -> DataFrame:
+        return (
+            df.selectExpr(*keep, f"({x_expr}) AS x")
+            .selectExpr(*keep, "x", f"{st['e']} AS e", f"{st['m']} AS m")
+            .selectExpr(*keep, "e", f"{st['tt']} AS tt")
+            .selectExpr(*keep, f"{st['ln']} AS {out}")
+        )
+
+    lx = ln_stages(top, "CAST(rnk AS DOUBLE)", ["n"], "lx")
+    ly = ln_stages(lx, "CAST(n AS DOUBLE)", ["lx"], "ly")
+    s = ly.selectExpr(
+        f"CAST(round(lx * {_ZIPF_Q}) AS BIGINT) AS xq",
+        f"CAST(round(ly * {_ZIPF_Q}) AS BIGINT) AS yq",
+    ).agg(
+        F.count("*").alias("r"),
+        F.sum("xq").cast("long").alias("sx"),
+        F.sum("yq").cast("long").alias("sy"),
+        F.sum(F.expr("xq * yq")).cast("long").alias("sxy"),
+        F.sum(F.expr("xq * xq")).cast("long").alias("sxx"),
+    )
+    return s.selectExpr(
+        "r AS n_ranks",
+        f"{_ZIPF_SLOPE} AS zipf_slope",
+        f"{_ZIPF_INTERCEPT} AS zipf_intercept",
+    )

@@ -1472,3 +1472,58 @@ def join_fuzzy_blocked_levenshtein(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("rn") == 1)
         .select("probe", "matched_name", F.col("distance").cast("int").alias("distance"))
     )
+
+
+@register(
+    "sql_recursive_order_chain_depth",
+    oracle="""
+SELECT CAST(row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+         AS chain_depth,
+       o_orderkey, o_custkey
+FROM orders
+""",
+    tags=("sql", "recursive-cte", "iterative"),
+)
+def sql_recursive_order_chain_depth(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spark 4 RECURSIVE CTE surface: each customer's orders form a
+    successor chain (order → next order by date); the recursive walk
+    assigns every order its depth along the chain. The oracle derives
+    the same depths INDEPENDENTLY via row_number — a closed form the
+    recursion must agree with on every row, which gates both the
+    recursion semantics (anchor ∪ step, termination on the NULL
+    successor) and the successor construction. This is the
+    fixpoint-iteration surface as a declarative SQL feature, beside the
+    engine's unrolled-iteration operators (PageRank/CC/shortest-path):
+    at scale each recursion step is one join of the frontier against
+    the static successor edges — the same per-round economics, with the
+    engine owning the loop."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_rcte_src")
+    return spark.sql(
+        """
+WITH RECURSIVE walk(o_custkey, o_orderkey, chain_depth) AS (
+  SELECT o_custkey, o_orderkey, CAST(1 AS BIGINT)
+  FROM (
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS rn
+    FROM orders_rcte_src
+  ) WHERE rn = 1
+  UNION ALL
+  SELECT n.o_custkey, n.next_key, w.chain_depth + 1
+  FROM walk w
+  JOIN (
+    SELECT o_custkey, o_orderkey,
+           lead(o_orderkey) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey)
+             AS next_key
+    FROM orders_rcte_src
+  ) n ON w.o_orderkey = n.o_orderkey
+  WHERE n.next_key IS NOT NULL
+)
+SELECT chain_depth, o_orderkey, o_custkey FROM walk
+"""
+    )

@@ -905,3 +905,69 @@ def test_bucketed_sortmerge_join_zero_exchange(spark, sf_small):
     plan = _plan(df)
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan, plan
+
+
+def test_heavy_hitters_candidates_broadcast_below_exact_pass(spark, sf_small):
+    """Two-pass heavy hitters: the verify pass must join the fact
+    against BROADCAST candidates (never shuffle the fact on the join),
+    with the Python summary stage present exactly once."""
+    df = REGISTRY["agg_heavy_hitters_two_pass"].fn(spark, sf_small)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    # the MG summary itself was materialized by the eager pin (one
+    # Python pass total), so no MapInPandas may appear in the verify plan
+    assert "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cuped_user_state_pinned_once(spark, sf_small):
+    """CUPED reads the per-user frame twice (moment row + variant
+    report); the pin must keep the events fact scan out of the final
+    plan entirely."""
+    df = REGISTRY["events_ab_cuped_adjusted"].fn(spark, sf_small)
+    plan = _plan(df)
+    assert "events.parquet" not in plan, "fact scan re-derived past the pin"
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_hits_edges_pinned_no_fact_rescan(spark, sf_small):
+    """All 6 HITS half-steps must reuse the pinned edge list — no
+    lineitem/orders scan may survive into the iteration plan."""
+    df = REGISTRY["graph_hits_nation_trade"].fn(spark, sf_small)
+    plan = _plan(df)
+    assert "lineitem" not in plan and "orders" not in plan
+
+
+def test_benford_counts_pinned_once(spark, sf_small):
+    """The 9-row digit-count state feeds the total row and the report;
+    the pin must keep the lineitem scan out of the final plan."""
+    df = REGISTRY["profile_benford_first_digit"].fn(spark, sf_small)
+    plan = _plan(df)
+    assert "lineitem" not in plan
+
+
+def test_scaler_and_winsorize_broadcast_stats(spark, sf_small):
+    """Fit/apply queries: the one-row stats side must broadcast (the
+    apply is map-side) — a shuffled stats join would mean the plan
+    repartitions the fact to meet a 1-row relation."""
+    for name in (
+        "pipeline_standard_scaler_monthly",
+        "pipeline_winsorize_monthly_revenue",
+        "pipeline_target_encoding_loo",
+    ):
+        plan = _plan(REGISTRY[name].fn(spark, sf_small))
+        assert (
+            "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+        ), name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_pca_arrow_kernel_one_shuffle_fixed_width(spark, sf_small):
+    """The Gram query's only exchange is the 2 080-key aggregate over
+    per-task partials; the Python stage appears once and reads ONLY the
+    vector column (column pruning through mapInPandas)."""
+    df = REGISTRY["vector_pca_second_moments"].fn(spark, sf_small)
+    plan = _plan(df)
+    assert plan.count("MapInPandas") == 1
+    read_schema = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "embedding" in read_schema and "vec_id" not in read_schema
