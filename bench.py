@@ -109,9 +109,11 @@ SCALE_PATHS = [
 #: first run is JIT/GC-sensitive (±45% swings measured in r7/r9 with
 #: no code change) — steady-state serve latency is the honest figure.
 #: The bucketed SMJ's first run pays the fingerprint-cached layout
-#: write (train-once), so its rerun is the serve figure too.
+#: write (train-once), so its rerun is the serve figure too; the PCA
+#: arrow kernel's first run pays Python-worker startup (measured 3.5 s
+#: cold vs 0.7 s steady at sf0.1).
 #: Both runs land in the detail file so the variance stays visible.
-BEST_OF_TWO = ("ann_", "join_bucketed_")
+BEST_OF_TWO = ("ann_", "join_bucketed_", "vector_pca_")
 
 
 def _scan_metrics(node, out: list) -> None:
@@ -276,6 +278,54 @@ def main() -> None:
         }
     except Exception as exc:  # noqa: BLE001
         errors["lsh_hi_stats"] = f"{type(exc).__name__}: {exc}"[:500]
+    finally:
+        spark.catalog.clearCache()
+
+    # the two-pass heavy-hitter pruning claim, measured: how many
+    # candidate keys the Misra–Gries pass admits into the exact verify
+    # shuffle vs the distinct-key universe the naive plan would shuffle.
+    hh_prune_stats = None
+    try:
+        from cassaforte_meter_transmission_gen_spark.operators.sketches import (
+            misra_gries_candidates,
+        )
+        from cassaforte_meter_transmission_gen_spark.schemas import load_table
+
+        from pyspark.sql import functions as F
+
+        li = load_table(spark, sf_dir, "lineitem")
+        cand = (
+            misra_gries_candidates(li, "l_partkey", k=1500)
+            .filter(F.col("key").isNotNull())
+            .select("key")
+            .distinct()
+            .count()
+        )
+        distinct_keys = li.select("l_partkey").distinct().count()
+        hh_prune_stats = {
+            "mg_candidates": cand,
+            "distinct_keys": distinct_keys,
+            "admitted_fraction": round(cand / max(1, distinct_keys), 6),
+        }
+    except Exception as exc:  # noqa: BLE001
+        errors["hh_prune_stats"] = f"{type(exc).__name__}: {exc}"[:500]
+    finally:
+        spark.catalog.clearCache()
+
+    # the bucketed-layout claim, asserted on the live plan: the SMJ +
+    # groupBy over the fingerprint-cached bucketed tables must contain
+    # ZERO Exchange nodes (the same property test_plan_audit pins at
+    # sf0.001, recorded here at the bench scale).
+    bucketed_plan_stats = None
+    try:
+        df = REGISTRY["join_bucketed_sortmerge_revenue"].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        bucketed_plan_stats = {
+            "sort_merge_join": "SortMergeJoin" in plan,
+            "exchange_count": plan.count("Exchange"),
+        }
+    except Exception as exc:  # noqa: BLE001
+        errors["bucketed_plan_stats"] = f"{type(exc).__name__}: {exc}"[:500]
     finally:
         spark.catalog.clearCache()
 
@@ -705,6 +755,8 @@ def main() -> None:
         "ivf_prune": ivf_prune,
         "pq_io": pq_io,
         "bloom_prune": bloom_prune_stats,
+        "hh_prune": hh_prune_stats,
+        "bucketed_plan": bucketed_plan_stats,
         "ingest_runs_sec": ingest_runs,
         "streaming_ingest_batch_size_curve": stream_curve,
         "streaming_ingest_batch_size_curve_ext": {

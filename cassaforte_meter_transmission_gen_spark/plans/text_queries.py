@@ -3401,3 +3401,106 @@ def text_zipf_rank_frequency_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_ZIPF_SLOPE} AS zipf_slope",
         f"{_ZIPF_INTERCEPT} AS zipf_intercept",
     )
+
+
+#: shared by the BMP and PNG phash near-dup twins: the oracle derives
+#: fingerprints from the synthetic PATTERN, so a green hash on each
+#: codec proves that codec's decode produced the identical content
+_PHASH64_WORDS_ORACLE = """
+WITH d AS (SELECT doc_id AS did FROM documents WHERE doc_id < 100),
+px AS (
+  SELECT did, p,
+         ((did * 7919 + (p // 8) * 31 + (p % 8) * 3 + 0) % 256
+        + (did * 7919 + (p // 8) * 31 + (p % 8) * 3 + 1) % 256
+        + (did * 7919 + (p // 8) * 31 + (p % 8) * 3 + 2) % 256) AS gray
+  FROM d, LATERAL (SELECT unnest(range(0, 64)) AS p) u
+),
+tot AS (SELECT did, CAST(SUM(gray) AS BIGINT) AS total FROM px GROUP BY did),
+wd AS (
+  SELECT px.did, px.p // 56 AS wi,
+         CAST(SUM(CASE WHEN px.gray * 64 > tot.total
+                       THEN 1 << (px.p % 56) ELSE 0 END) AS BIGINT) AS word
+  FROM px JOIN tot ON px.did = tot.did
+  GROUP BY px.did, px.p // 56
+),
+ph AS (SELECT did,
+              MAX(CASE WHEN wi = 0 THEN word END) AS w0,
+              MAX(CASE WHEN wi = 1 THEN word END) AS w1
+       FROM wd GROUP BY did),
+bd AS (
+  SELECT wd.did, u.b, (wd.word // (1 << (8 * (u.b % 7)))) % 256 AS v
+  FROM wd, LATERAL (SELECT unnest(range(0, 8)) AS b) u
+  WHERE wd.wi = u.b // 7
+),
+cand AS (SELECT DISTINCT a.did AS item_a, b.did AS item_b
+         FROM bd a JOIN bd b ON a.b = b.b AND a.v = b.v AND a.did < b.did)
+SELECT cand.item_a, cand.item_b,
+       CAST(bit_count(xor(x.w0, y.w0))
+          + bit_count(xor(x.w1, y.w1)) AS BIGINT) AS hamming
+FROM cand JOIN ph x ON cand.item_a = x.did JOIN ph y ON cand.item_b = y.did
+WHERE bit_count(xor(x.w0, y.w0)) + bit_count(xor(x.w1, y.w1)) <= 2
+"""
+
+
+@register(
+    "multimodal_png_phash_near_dup",
+    oracle=_PHASH64_WORDS_ORACLE,
+    tags=("multimodal", "dedup", "phash", "png", "pandas-udf"),
+)
+def multimodal_png_phash_near_dup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The phash64 near-dup chain over REAL PNGs — same synthetic
+    patterns as the BMP twin, but the payloads travel through zlib
+    compression, CRC-checked chunks, and all five scanline filters
+    before the fingerprint. The oracle is IDENTICAL to the BMP twin's
+    (it re-derives from the pattern formula): both queries green means
+    both codecs decode to the same bits — the codec-agnostic pipeline
+    contract (decode seam → fingerprint → banding → verify) holds
+    regardless of container, which is exactly what a multi-format
+    100 TB image corpus requires."""
+    from ..operators.multimodal import (
+        decode_png_features,
+        encode_synthetic_pngs,
+        perceptual_hash_words,
+        phash_band_count,
+    )
+
+    n_bands = phash_band_count(64)
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 100).select("doc_id")
+    ph = perceptual_hash_words(
+        decode_png_features(
+            encode_synthetic_pngs(d, "doc_id", width=8, height=8)
+        )
+    )
+    bands = ph.selectExpr(
+        "item_id",
+        "words",
+        f"explode(sequence(0, {n_bands - 1})) AS b",
+    ).selectExpr(
+        "item_id",
+        "b",
+        "(words[b DIV 7] DIV (CAST(1 AS BIGINT) << (8 * (b % 7)))) % 256"
+        " AS v",
+    )
+    a = bands.selectExpr("item_id AS item_a", "b", "v")
+    bb = bands.selectExpr("item_id AS item_b", "b", "v")
+    cand = (
+        a.join(bb, ["b", "v"])
+        .filter(F.col("item_a") < F.col("item_b"))
+        .select("item_a", "item_b")
+        .distinct()
+    )
+    x = ph.selectExpr("item_id AS item_a", "words AS wa")
+    y = ph.selectExpr("item_id AS item_b", "words AS wb")
+    return (
+        cand.join(x, "item_a")
+        .join(y, "item_b")
+        .selectExpr(
+            "item_a",
+            "item_b",
+            "CAST(aggregate(zip_with(wa, wb, (u, v) -> bit_count(u ^ v)),"
+            " 0, (acc, h) -> acc + h) AS BIGINT) AS hamming",
+        )
+        .filter(F.col("hamming") <= 2)
+    )
