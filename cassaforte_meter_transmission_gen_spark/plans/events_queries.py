@@ -1737,3 +1737,210 @@ def events_variant_shred_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_missing_field"),
         F.count("*").alias("n_events"),
     )
+
+
+@register(
+    "events_asof_tolerance_last_click_1h",
+    oracle="""
+WITH clicks AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+purch AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+m AS (
+  SELECT p.user_id, p.ts, p.event_id, p.value,
+         c.ts AS m_ts, c.value AS m_value
+  FROM purch p ASOF LEFT JOIN clicks c
+    ON p.user_id = c.user_id AND p.ts >= c.ts
+)
+SELECT user_id, ts, event_id, value,
+       CASE WHEN m_ts >= ts - INTERVAL 1 HOUR THEN m_ts END AS matched_ts,
+       CASE WHEN m_ts >= ts - INTERVAL 1 HOUR THEN m_value END AS value_asof,
+       CASE WHEN m_ts IS NULL THEN 'no_prior'
+            WHEN m_ts >= ts - INTERVAL 1 HOUR THEN 'matched'
+            ELSE 'stale' END AS match_status
+FROM m
+""",
+    tags=("events", "asof-join", "tolerance"),
+)
+def events_asof_tolerance_last_click_1h(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """As-of join with a STALENESS TOLERANCE — the kdb ``wj`` /
+    pandas ``merge_asof(tolerance=...)`` semantic the plain as-of
+    lacks: each purchase takes its user's last click ONLY if that
+    click is within the 1-hour window; older matches are reported as
+    'stale' with NULL payload (distinct from 'no_prior'). The
+    tolerance is a post-predicate on the as-of match, so the plan is
+    the same single user-keyed window pass as
+    events_asof_purchase_last_click — no extra join, no extra
+    shuffle; at 100 TB tolerance costs nothing beyond the CASE."""
+    from ..operators.asof import asof_join
+
+    e = _ev(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    m = asof_join(purch, clicks, on=["user_id"], value_cols=["value"])
+    ok = F.col("matched_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")
+    return m.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(ok, F.col("matched_ts")).alias("matched_ts"),
+        F.when(ok, F.col("value_asof")).alias("value_asof"),
+        F.when(F.col("matched_ts").isNull(), F.lit("no_prior"))
+        .when(ok, F.lit("matched"))
+        .otherwise(F.lit("stale"))
+        .alias("match_status"),
+    )
+
+
+LTTB_BUCKETS = 20
+#: triangle area ×2 for point (x, y) against the prev/next bucket
+#: anchors — one fixed-order double cross product, identical text on
+#: both engines (inputs are exact: integer micros and decimal-exact
+#: bucket averages)
+_LTTB_AREA2 = (
+    "abs((ax_prev - ax_next) * (y - ay_prev)"
+    " - (ax_prev - x) * (ay_next - ay_prev))"
+)
+
+
+@register(
+    "events_lttb_downsample_by_type",
+    oracle=f"""
+WITH pts AS (
+  SELECT event_type, ts, event_id,
+         CAST(epoch_us(ts) AS DOUBLE) AS x,
+         CAST(value AS DOUBLE) AS y,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+bkt AS (
+  SELECT *, CASE WHEN rn = 1 THEN 0
+                 WHEN rn = n THEN {LTTB_BUCKETS - 1}
+                 ELSE 1 + ((rn - 2) * {LTTB_BUCKETS - 2}) // (n - 2)
+            END AS b
+  FROM pts
+),
+avgs AS (
+  SELECT event_type, b,
+         CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS ax,
+         CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS ay
+  FROM bkt GROUP BY event_type, b
+),
+anch AS (
+  SELECT event_type, b,
+         lag(ax)  OVER (PARTITION BY event_type ORDER BY b) AS ax_prev,
+         lag(ay)  OVER (PARTITION BY event_type ORDER BY b) AS ay_prev,
+         lead(ax) OVER (PARTITION BY event_type ORDER BY b) AS ax_next,
+         lead(ay) OVER (PARTITION BY event_type ORDER BY b) AS ay_next
+  FROM avgs
+),
+scored AS (
+  SELECT bkt.event_type, bkt.b, bkt.ts, bkt.event_id, bkt.y,
+         row_number() OVER (
+           PARTITION BY bkt.event_type, bkt.b
+           ORDER BY {_LTTB_AREA2} DESC, bkt.ts, bkt.event_id
+         ) AS pick
+  FROM bkt JOIN anch ON bkt.event_type = anch.event_type AND bkt.b = anch.b
+  WHERE bkt.b > 0 AND bkt.b < {LTTB_BUCKETS - 1}
+)
+SELECT event_type, CAST(b AS BIGINT) AS bucket, ts, y AS value
+FROM scored WHERE pick = 1
+UNION ALL
+SELECT event_type, CAST(b AS BIGINT) AS bucket, ts, y AS value
+FROM bkt WHERE b = 0 OR b = {LTTB_BUCKETS - 1}
+""",
+    tags=("events", "timeseries", "downsample"),
+)
+def events_lttb_downsample_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Visualization-grade downsampling: each event type's value series
+    reduced to 20 points by the LTTB family (largest-triangle
+    bucketing — Steinarsson 2013): endpoints pinned, interior points
+    bucketed by rank, and each bucket keeps the point spanning the
+    largest triangle against its neighbor buckets' centroids. This is
+    the variant using BOTH neighbors' averages as anchors (classic
+    LTTB anchors on the previously SELECTED point — an inherently
+    serial recurrence; the averaged-anchor form is order-equivalent in
+    practice and embarrassingly parallel: one rank window, one
+    bucket aggregate, one lag/lead pass, one per-bucket argmax — every
+    stage partial-aggregated, so a billion-point series downsamples in
+    one shuffle round). Exactness: x is integer epoch-micros, bucket
+    centroids come from decimal-exact sums, the area is one
+    fixed-order double cross product shared textually with the oracle,
+    and the argmax tie-breaks on (ts, event_id)."""
+    from pyspark.sql import Window as W
+
+    e = _ev(spark, sf_dir)
+    B = LTTB_BUCKETS
+    wo = W.partitionBy("event_type").orderBy("ts", "event_id")
+    pts = e.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.expr("CAST(unix_micros(ts) AS DOUBLE)").alias("x"),
+        F.col("value").cast("double").alias("y"),
+    ).withColumn("rn", F.row_number().over(wo)).withColumn(
+        "n", F.count("*").over(W.partitionBy("event_type"))
+    )
+    bkt = pts.withColumn(
+        "b",
+        F.expr(
+            f"CASE WHEN rn = 1 THEN 0 WHEN rn = n THEN {B - 1} "
+            f"ELSE 1 + ((rn - 2) * {B - 2}) DIV (n - 2) END"
+        ),
+    ).localCheckpoint(eager=True)  # consumed by avgs AND the score join
+    avgs = bkt.groupBy("event_type", "b").agg(
+        (
+            F.sum(F.col("x").cast("decimal(38,6)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("ax"),
+        (
+            F.sum(F.col("y").cast(DEC)).cast("double")
+            / F.count("*").cast("double")
+        ).alias("ay"),
+    )
+    wb = W.partitionBy("event_type").orderBy("b")
+    anch = avgs.select(
+        "event_type",
+        "b",
+        F.lag("ax").over(wb).alias("ax_prev"),
+        F.lag("ay").over(wb).alias("ay_prev"),
+        F.lead("ax").over(wb).alias("ax_next"),
+        F.lead("ay").over(wb).alias("ay_next"),
+    )
+    interior = (
+        bkt.filter((F.col("b") > 0) & (F.col("b") < B - 1))
+        .join(F.broadcast(anch), ["event_type", "b"])
+        .withColumn(
+            "pick",
+            F.row_number().over(
+                W.partitionBy("event_type", "b").orderBy(
+                    F.expr(_LTTB_AREA2).desc(), "ts", "event_id"
+                )
+            ),
+        )
+        .filter(F.col("pick") == 1)
+        .select(
+            "event_type",
+            F.col("b").cast("long").alias("bucket"),
+            "ts",
+            F.col("y").alias("value"),
+        )
+    )
+    pinned = bkt.filter((F.col("b") == 0) | (F.col("b") == B - 1)).select(
+        "event_type",
+        F.col("b").cast("long").alias("bucket"),
+        "ts",
+        F.col("y").alias("value"),
+    )
+    return interior.unionByName(pinned)
