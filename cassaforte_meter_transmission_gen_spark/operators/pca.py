@@ -29,6 +29,14 @@ DIM = 64
 #: double and can land one ulp off Spark's BigDecimal path.)
 MOMENT_SCALE = 1_000_000_000_000
 
+#: rows a single Arrow-kernel task accumulates before flushing a partial
+#: 2 080-row frame: |cell| ≤ rows × ~1e12 for unit-scale embeddings, so
+#: 4M rows keeps a 2× margin under int64's ~9.2e18 (numpy wraps
+#: SILENTLY on overflow — the flush is what makes the kernel safe in
+#: the billion-row-task regime it exists for). Module-level so tests
+#: can shrink it and exercise the multi-partial merge path.
+FLUSH_EVERY_ROWS = 4_000_000
+
 
 def second_moments_upper(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Upper-triangle second-moment matrix of ``vec_col``: one row per
@@ -157,12 +165,34 @@ def second_moments_upper_arrow(
     JVM-expression form measured 8.1 s steady-state at sf0.1 (10.4 M
     exploded rows through the aggregate); this form is bounded by the
     Arrow transfer of the raw vectors. Chunked at 1 024 rows so the
-    (c, 64, 64) product tensor stays ~33 MB."""
+    (c, 64, 64) product tensor stays ~33 MB.
+
+    Overflow safety: pico-unit products of unit-scale embeddings are
+    ~1e12 per row, so an int64 cell wraps SILENTLY (numpy raises
+    nothing) after ~9.2e6 rows in one task — exactly the large-task
+    regime this kernel exists for. The accumulator therefore FLUSHES a
+    partial 2 080-row frame and zeroes itself every
+    ``FLUSH_EVERY_ROWS`` rows; the downstream DECIMAL(38,0) sum merges
+    partials, so task output grows only by (rows/4M) × 2 080 rows —
+    still summary-sized — and no cell can ever exceed ~4e18 < 2^63."""
     import numpy as np
     import pandas as pd
 
+    flush_every = FLUSH_EVERY_ROWS
+    iu = np.triu_indices(DIM)
+
+    def _frame(acc):
+        return pd.DataFrame(
+            {
+                "i": iu[0].astype("int64"),
+                "j": iu[1].astype("int64"),
+                "part_p12": acc[iu],
+            }
+        )
+
     def gram(batches):
         acc = np.zeros((DIM, DIM), dtype=np.int64)
+        since_flush = 0
         for pdf in batches:
             x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             for lo in range(0, len(x), 1024):
@@ -170,14 +200,12 @@ def second_moments_upper_arrow(
                 p = c[:, :, None] * c[:, None, :]
                 p *= float(MOMENT_SCALE)
                 acc += _round_half_away_int64(p).sum(axis=0)
-        iu = np.triu_indices(DIM)
-        yield pd.DataFrame(
-            {
-                "i": iu[0].astype("int64"),
-                "j": iu[1].astype("int64"),
-                "part_p12": acc[iu],
-            }
-        )
+                since_flush += len(c)
+                if since_flush >= flush_every:
+                    yield _frame(acc)
+                    acc = np.zeros((DIM, DIM), dtype=np.int64)
+                    since_flush = 0
+        yield _frame(acc)
 
     return (
         df.select(vec_col)

@@ -275,12 +275,17 @@ def heavy_hitters_exact(
     """
     summary = misra_gries_candidates(df, key_col, k=inv_support)
     summary = summary.localCheckpoint(eager=True)  # one pass, two readers
+    # Reserved alias: if key_col is itself named "key", an unaliased
+    # join condition would be ambiguous (both sides carry "key").
     candidates = (
-        summary.filter(F.col("key").isNotNull()).select("key").distinct()
+        summary.filter(F.col("key").isNotNull())
+        .select(F.col("key").alias("__hh_key"))
+        .distinct()
     )
     total = summary.agg(F.sum("part_rows").alias("total"))
     return (
-        df.join(F.broadcast(candidates), df[key_col] == F.col("key"), "inner")
+        df.join(F.broadcast(candidates), df[key_col] == F.col("__hh_key"), "inner")
+        .drop("__hh_key")
         .groupBy(key_col)
         .agg(F.count("*").alias("exact_count"))
         .crossJoin(F.broadcast(total))

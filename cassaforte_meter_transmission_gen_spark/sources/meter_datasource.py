@@ -130,8 +130,15 @@ class MeterSamplesStreamReader(DataSourceStreamReader):
     — deterministic end-to-end, so the streamed result is gated against
     the identical oracle as the batch read (streaming ≡ batch for a
     pluggable source). Offsets are driver state; Spark's checkpoint
-    persists them, and commit() is a no-op because the generator is
-    replayable from any offset — the Kafka-consumer contract."""
+    persists them, and commit() is a no-op write-side because the
+    generator is replayable from any offset — the Kafka-consumer
+    contract. On a RESTART from checkpoint the reader is constructed
+    fresh (cursor 0) while Spark's start offset is already ahead, so
+    ``latestOffset`` must never advance from the stale in-memory
+    counter alone: ``partitions()``/``commit()`` fast-forward the
+    cursor to the highest offset Spark has shown us, guaranteeing a
+    resumed query never re-covers committed tick ranges under new
+    batch ids (no duplicate rows in an append sink)."""
 
     def __init__(self, options):
         self.num_meters = int(options.get("num_meters", DEFAULT_NUM_METERS))
@@ -148,8 +155,17 @@ class MeterSamplesStreamReader(DataSourceStreamReader):
         self._current = min(self._current + self.ticks_per_batch, self.seconds)
         return {"tick": self._current}
 
+    def _fast_forward(self, tick: int) -> None:
+        # Checkpoint-restart safety: Spark replays offsets it already
+        # knows (start of the next batch / committed end); the cursor
+        # must never lag them or latestOffset would re-advance through
+        # already-committed ranges.
+        if tick > self._current:
+            self._current = min(tick, self.seconds)
+
     def partitions(self, start: dict, end: dict):
         s, e = int(start["tick"]), int(end["tick"])
+        self._fast_forward(max(s, e))
         return [
             MeterStreamPartition(self.start_said + m, self.t0_epoch, s, e)
             for m in range(self.num_meters)
@@ -182,7 +198,12 @@ class MeterSamplesStreamReader(DataSourceStreamReader):
         )
 
     def commit(self, end) -> None:
-        pass  # replayable source: nothing to release
+        # Replayable source: nothing to release write-side, but the
+        # committed end offset is the authoritative restart floor.
+        try:
+            self._fast_forward(int(end["tick"]))
+        except (TypeError, KeyError):
+            pass
 
     def stop(self) -> None:
         pass

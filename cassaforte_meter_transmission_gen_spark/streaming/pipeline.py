@@ -1997,6 +1997,7 @@ def run_bounded_python_source_stream(
         )
         expected = num_meters * seconds
         deadline = time.time() + timeout_s
+        n = 0  # keep the timeout report well-defined if the loop never runs
         try:
             while time.time() < deadline:
                 try:

@@ -71,3 +71,51 @@ def test_datasource_stream_equals_batch(spark):
     want = sorted(map(tuple, batch.collect()))
     assert got == want
     assert len(want) == 2 * 30
+
+
+def test_stream_reader_restart_fast_forwards_cursor():
+    """Checkpoint-restart contract: a FRESH reader (in-memory cursor 0)
+    handed offsets Spark already knows — via partitions() replay or
+    commit() — must fast-forward, so latestOffset never re-covers
+    committed tick ranges (which would duplicate rows in an append
+    sink)."""
+    from cassaforte_meter_transmission_gen_spark.sources.meter_datasource import (
+        MeterSamplesStreamReader,
+    )
+
+    opts = {"num_meters": 2, "seconds": 3600, "ticks_per_batch": 900}
+
+    # restart path 1: Spark replays the last planned batch range
+    r = MeterSamplesStreamReader(opts)
+    r.partitions({"tick": 1800}, {"tick": 2700})
+    assert r.latestOffset() == {"tick": 3600}  # 2700 + 900, not 900
+
+    # restart path 2: only a commit arrives before the next planning
+    r2 = MeterSamplesStreamReader(opts)
+    r2.commit({"tick": 2700})
+    assert r2.latestOffset() == {"tick": 3600}
+
+    # cursor never exceeds the bounded feed
+    r3 = MeterSamplesStreamReader(opts)
+    r3.commit({"tick": 9999})
+    assert r3.latestOffset() == {"tick": 3600}
+
+    # and a fresh start is unaffected
+    r4 = MeterSamplesStreamReader(opts)
+    assert r4.latestOffset() == {"tick": 900}
+
+
+def test_bounded_stream_zero_timeout_reports_timeout_not_nameerror(spark):
+    """Regression: a deadline that elapses before the first poll must
+    raise TimeoutError with a well-defined row count (n initialized),
+    not NameError."""
+    import pytest
+
+    from cassaforte_meter_transmission_gen_spark.streaming.pipeline import (
+        run_bounded_python_source_stream,
+    )
+
+    with pytest.raises(TimeoutError, match=r"0/\d+ rows"):
+        run_bounded_python_source_stream(
+            spark, num_meters=1, seconds=60, ticks_per_batch=60, timeout_s=-1.0
+        )

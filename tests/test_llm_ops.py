@@ -1377,3 +1377,43 @@ def test_gram_arrow_kernel_bit_equals_jvm_expression(spark, sf_small):
     }
     assert len(jvm) == 64 * 65 // 2
     assert jvm == arrow
+
+
+def test_heavy_hitters_key_col_named_key(spark):
+    """Regression: when the caller's key column is literally named
+    ``key``, the candidate join must not be ambiguous (the MG summary
+    frame also carries a ``key`` column) — the candidate side is
+    aliased to a reserved name internally."""
+    from cassaforte_meter_transmission_gen_spark.operators.sketches import (
+        heavy_hitters_exact,
+    )
+
+    rows = [(7,)] * 60 + [(100 + i,) for i in range(40)]
+    df = spark.createDataFrame(rows, "key bigint").repartition(4)
+    out = heavy_hitters_exact(df, "key", inv_support=4)
+    assert out.columns == ["key", "exact_count"]
+    got = {(r["key"], r["exact_count"]) for r in out.collect()}
+    assert got == {(7, 60)}  # 60*4 > 100; singletons 1*4 < 100
+
+
+def test_gram_arrow_kernel_flush_partials_merge_exact(spark, sf_small, monkeypatch):
+    """Overflow-safety flush: with the flush threshold shrunk below the
+    corpus size, each task emits MULTIPLE partial 2 080-row frames and
+    the downstream DECIMAL sum must merge them to the bit-identical
+    moments the JVM expression form computes (the production 4M-row
+    threshold is what keeps int64 cells from silently wrapping in
+    billion-row tasks)."""
+    import cassaforte_meter_transmission_gen_spark.operators.pca as pca
+
+    emb = load_table(spark, sf_small, "embeddings").coalesce(1)
+    monkeypatch.setattr(pca, "FLUSH_EVERY_ROWS", 16)
+    arrow = {
+        (r["i"], r["j"]): r["m2_p12"]
+        for r in pca.second_moments_upper_arrow(emb).collect()
+    }
+    jvm = {
+        (r["i"], r["j"]): r["m2_p12"]
+        for r in pca.second_moments_upper(emb).collect()
+    }
+    assert len(arrow) == 64 * 65 // 2
+    assert arrow == jvm
