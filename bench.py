@@ -263,6 +263,47 @@ def main() -> None:
             if len(runs) > 1:
                 scale_reruns[name] = runs
 
+    # ANN retrieval-quality artifact (VERDICT r10 #2): recall@5 of
+    # every approximate serve path against the exact brute-force top-5
+    # at the graded operating points (nprobe, codebook sizes). A
+    # codebook/banding regression that stayed deterministic would pass
+    # every value-hash gate while silently degrading retrieval — this
+    # records the quality number per round; tests/test_ann_store.py
+    # floors the same statistic.
+    ann_recall_at_5: dict[str, float] = {}
+    try:
+        exact_pairs: dict = {}
+        for r in (
+            REGISTRY["ann_bruteforce_cosine_topk"].fn(spark, sf_dir).collect()
+        ):
+            exact_pairs.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        for name in (
+            "ann_lsh_bucketed_topk",
+            "ann_ivf_topk",
+            "ann_int8_quantized_topk",
+            "ann_pq_topk",
+            "ann_ivfpq_topk",
+        ):
+            try:
+                approx: dict = {}
+                for r in REGISTRY[name].fn(spark, sf_dir).collect():
+                    approx.setdefault(r["query_id"], set()).add(
+                        r["neighbor_id"]
+                    )
+                recalls = [
+                    len(approx.get(q, set()) & s) / len(s)
+                    for q, s in exact_pairs.items()
+                ]
+                ann_recall_at_5[name] = round(
+                    sum(recalls) / len(recalls), 4
+                )
+            except Exception as exc:  # noqa: BLE001
+                errors[f"ann_recall_{name}"] = f"{type(exc).__name__}: {exc}"[:500]
+            finally:
+                spark.catalog.clearCache()
+    except Exception as exc:  # noqa: BLE001
+        errors["ann_recall_baseline"] = f"{type(exc).__name__}: {exc}"[:500]
+
     # the 100 TB LSH-dedup pruning claim, measured: the hi config
     # (16 tables × 8 planes, threshold 0.8) should confine the verify
     # join to ≈ 16·0.5⁸ ≈ 6% of all pairs (vs the documented
@@ -750,6 +791,7 @@ def main() -> None:
         "streaming_operating_point": op_point,
         "parity_artifact_check": parity_fresh,
         "ann_train_sec": ann_train_sec,
+        "ann_recall_at_5": ann_recall_at_5,
         "lsh_hi_candidate_pruning": lsh_hi_stats,
         "flagship_prune": flagship_prune,
         "ivf_prune": ivf_prune,

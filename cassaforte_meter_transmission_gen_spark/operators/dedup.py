@@ -527,11 +527,19 @@ def embedding_cosine_duplicates_lsh(
     random regime that heavy pruning is mathematically impossible
     (0.63 vs 0.5 per-plane gap), so the candidate set stays near-
     quadratic and this config only wins over the exact form by
-    confining the join. Real near-dup corpora sit at cosine ≥ 0.8
-    (per-plane agreement 0.795): 16 tables × 8 planes gives recall
-    ≈ 1-(1-0.795⁸)¹⁶ ≈ 0.94 while pruning candidates to
-    ≈ 16·0.5⁸ ≈ 6% of pairs — that is the 100 TB configuration
-    (measured: see :func:`embedding_cosine_lsh_stats`)."""
+    confining the join. MEASURED (SCALING_r11.json): time exponent
+    1.90 over a 1×→10× corpus — the quadratic is real, and no plane/
+    table rebalance escapes it at this threshold (recall 0.97 at p=6
+    needs ~54 tables ⇒ candidate fraction 54·0.5⁶ ≈ 0.84, still
+    ~all-pairs). Low-threshold full-corpus near-dup therefore routes
+    through the data-adaptive cell-confined path instead
+    (:func:`semantic_duplicates_clustered` with corpus-adaptive
+    :func:`semantic_n_clusters` — same threshold, linear verify).
+    Real near-dup corpora sit at cosine ≥ 0.8 (per-plane agreement
+    0.795): 16 tables × 8 planes gives recall ≈ 1-(1-0.795⁸)¹⁶ ≈ 0.94
+    while pruning candidates to ≈ 16·0.5⁸ ≈ 6% of pairs — that is the
+    100 TB configuration for the real regime (measured exponent 0.89
+    at 1×→10×: see :func:`embedding_cosine_lsh_stats`)."""
     from .similarity import cosine_pre, l2_norm
 
     cand = _lsh_candidate_pairs(vectors, n_tables, n_planes, id_col, vec_col, dim)
@@ -628,6 +636,26 @@ def embedding_cosine_lsh_stats(
     )
 
 
+#: target EXPECTED vectors per SemDeDup cell — the scale invariant.
+#: Fixed cell COUNT makes cell SIZE grow with the corpus and the
+#: within-cell pairwise verify grow quadratically (measured: time
+#: exponent 1.81 over a 1×→10× corpus, SCALING_r11.json before-fix);
+#: holding cell SIZE roughly constant instead keeps the verify linear in
+#: corpus size at the cost of a k that grows with n. 125 is chosen so
+#: the legacy 16-cell configuration IS the adaptive formula at the
+#: 2 000-vector bench corpus (2000/125 = 16) and every parity corpus
+#: (≤ 2 000 vectors) stays on the oracle-gated base.
+SEMDEDUP_TARGET_CELL = 125
+
+
+def semantic_n_clusters(n_vectors: int, base: int = 16) -> int:
+    """Corpus-adaptive SemDeDup cell count: ceil(n / target cell size),
+    floored at the legacy ``base`` so every parity corpus (≤ 20k
+    vectors) resolves to the oracle-gated fixed-k configuration — the
+    adaptive branch only engages beyond oracle-verified scale."""
+    return max(base, -(-n_vectors // SEMDEDUP_TARGET_CELL))
+
+
 def semantic_duplicates_clustered(
     vectors: DataFrame,
     threshold: float = 0.4,
@@ -671,6 +699,14 @@ def semantic_duplicates_clustered(
         l2_norm,
     )
 
+    # The argmin-over-centroids assignment is the CPU-heavy per-row
+    # expression here; a small single-file corpus reads as 1-2
+    # partitions and would serialize it onto two cores (measured 21.6 s
+    # at 20k×160 cells on 2 partitions vs the data's ~2 s of work) —
+    # the same small-file guard the shingle paths use. Values are
+    # unchanged: assignment is per-row and the k-means update sums are
+    # fixed-point integers, order-free by design.
+    vectors = _spread(vectors)
     if centroids is None:
         centroids = kmeans_centroids(
             vectors,
@@ -682,9 +718,16 @@ def semantic_duplicates_clustered(
             train_sample_denom=train_sample_denom,
         )
     # candidates stay NARROW (id, cluster_id); vectors re-attach by id
-    # only for the verify join — same shape as the LSH candidate path
-    asg = assign_to_centroid(vectors, centroids, vec_col).select(
-        F.col(id_col).alias("__id"), "cluster_id"
+    # only for the verify join — same shape as the LSH candidate path.
+    # Pinned: both sides of the candidate self-join and the verify
+    # branches read it, and AQE does not reuse exchanges across
+    # branches — unpinned, the argmin expression would re-evaluate per
+    # consumer (the localCheckpoint rule every iterative operator here
+    # follows).
+    asg = (
+        assign_to_centroid(vectors, centroids, vec_col)
+        .select(F.col(id_col).alias("__id"), "cluster_id")
+        .localCheckpoint(eager=True)
     )
     a = asg.select(F.col("__id").alias("dup_a"), "cluster_id")
     b = asg.select(F.col("__id").alias("dup_b"), "cluster_id")

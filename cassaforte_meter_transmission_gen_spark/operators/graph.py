@@ -223,3 +223,54 @@ def hop_bounded_shortest_path(
             ).alias("d"),
         )
     return dist
+
+
+def kcore_decomposition(
+    edges: DataFrame, k: int, max_iters: int = 12
+) -> DataFrame:
+    """K-core of an undirected graph: the maximal subgraph in which
+    every vertex has degree ≥ k, computed by the textbook peel loop —
+    repeatedly drop all vertices of degree < k until none remain.
+
+    ``edges`` is the distinct undirected edge list ``(a, b)`` with
+    ``a < b`` (callers pin it — the loop re-derives state per round).
+    Integer-exact trivially (degrees are counts), so the unrolled SQL
+    oracle matches bit-for-bit at whatever level the peel converges.
+
+    Scale shape (the CC labeller's economics): each round is one
+    union-groupBy degree count plus one broadcast semi-join of the
+    surviving vertex set against the edge list — vertex state is
+    dimension-sized here and shards by vertex id at billion-edge
+    scale; the one driver scalar per round is the dropped-vertex
+    count (the convergence test). Converge-or-raise: if the peel has
+    not reached a fixpoint after ``max_iters`` rounds the operator
+    raises rather than return a non-core subgraph — the oracle unrolls
+    the same number of levels, so a silent early stop cannot pass the
+    gate.
+
+    Returns ``(v, degree)`` — the surviving vertices with their
+    WITHIN-CORE degree (all ≥ k by the fixpoint condition); empty when
+    the graph has no k-core."""
+    cur = edges
+    for _ in range(max_iters):
+        cur = cur.localCheckpoint(eager=True)  # peel state, reused 3×
+        deg = (
+            cur.select(F.col("a").alias("v"))
+            .unionAll(cur.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").cast("long").alias("degree"))
+        )
+        if deg.filter(F.col("degree") < k).count() == 0:
+            return deg
+        keep = deg.filter(F.col("degree") >= k).select("v")
+        cur = (
+            cur.join(
+                F.broadcast(keep.withColumnRenamed("v", "a")), "a"
+            )
+            .join(F.broadcast(keep.withColumnRenamed("v", "b")), "b")
+            .select("a", "b")
+        )
+    raise RuntimeError(
+        f"k-core peel did not converge within {max_iters} rounds "
+        f"(k={k}) — raise max_iters (and the oracle's unroll depth)"
+    )

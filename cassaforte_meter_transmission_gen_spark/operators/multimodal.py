@@ -743,3 +743,283 @@ def decode_wav_features(df: DataFrame) -> DataFrame:
         schema="item_id bigint, sample_rate int, n_samples int,"
         " sum_abs bigint, zero_crossings bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# GIF / LZW — the third compression family behind the codec seam.
+# BMP proved container parsing, PNG proved zlib/deflate + scanline
+# filters; GIF-LZW is a genuinely different algorithm: a variable-width
+# code table built symmetrically by encoder and decoder (GIF87a layout,
+# LSB-first bit packing, CLEAR/EOI control codes, 12-bit cap).
+# Stdlib-only, like every codec here.
+# ---------------------------------------------------------------------------
+
+#: GIF LZW hard cap: code widths grow 3..12 bits, table ≤ 4096 entries
+_GIF_MAX_CODE_BITS = 12
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW: emits CLEAR, then greedy longest-match codes
+    while growing the string table; code width bumps when the next
+    free code would overflow it; the table resets via CLEAR at 4096.
+    Returns the packed LSB-first code stream."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+
+    def fresh_table() -> tuple[dict, int, int]:
+        return (
+            {bytes([i]): i for i in range(clear)},
+            eoi + 1,
+            min_code_size + 1,
+        )
+
+    table, next_code, width = fresh_table()
+    emit(clear, width)
+    w = b""
+    for k in indices:
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        table[wk] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < _GIF_MAX_CODE_BITS:
+            width += 1
+        if next_code > (1 << _GIF_MAX_CODE_BITS):
+            emit(clear, width)
+            table, next_code, width = fresh_table()
+        w = bytes([k])
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """Inverse of :func:`_lzw_encode`: rebuilds the identical string
+    table from the code stream (including the code==next 'cScSc' case)
+    and validates loudly — an out-of-range code or a stream that never
+    reaches EOI raises instead of yielding garbage pixels."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    table: list[bytes] = []
+    width = min_code_size + 1
+    prev: bytes | None = None
+    bitbuf = 0
+    nbits = 0
+    pos = 0
+
+    def reset() -> None:
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+        prev = None
+
+    reset()
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream ended before EOI")
+            bitbuf |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        nbits -= width
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            return bytes(out)
+        if code < len(table) and code != eoi:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"corrupt LZW code {code} (table {len(table)})")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < _GIF_MAX_CODE_BITS:
+                width += 1
+        prev = entry
+
+
+def gif_encode(
+    width: int, height: int, indices: bytes, palette: bytes
+) -> bytes:
+    """Encode palette-indexed pixels (row-major, len == width*height)
+    as a real GIF87a: logical screen descriptor, global color table
+    (palette = n·3 RGB bytes, n a power of two ≥ 4), image descriptor,
+    LZW-compressed data in ≤255-byte sub-blocks, trailer."""
+    import struct
+
+    n_colors = len(palette) // 3
+    if n_colors * 3 != len(palette) or n_colors & (n_colors - 1) or n_colors < 4:
+        raise ValueError("palette must be a power-of-two color count >= 4")
+    if len(indices) != width * height:
+        raise ValueError("indices length must be width*height")
+    if max(indices) >= n_colors:
+        raise ValueError("palette index out of range")
+    mcs = max(2, n_colors.bit_length() - 1)
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HH", width, height)
+    out += bytes([0x80 | (n_colors.bit_length() - 2), 0, 0])
+    out += palette
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    out.append(mcs)
+    stream = _lzw_encode(indices, mcs)
+    for lo in range(0, len(stream), 255):
+        block = stream[lo : lo + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def gif_decode(b: bytes) -> tuple[int, int, bytes]:
+    """Decode a GIF87a/89a produced by :func:`gif_encode` (one image,
+    global color table, no interlace/extensions) to (width, height,
+    canonical top-down RGB). Validates the container loudly: magic,
+    GCT presence, descriptor type, sub-block framing, index range."""
+    import struct
+
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload (bad magic)")
+    packed = b[10]
+    if not packed & 0x80:
+        raise ValueError("unsupported GIF: no global color table")
+    n_colors = 2 << (packed & 0x07)
+    pos = 13
+    palette = b[pos : pos + n_colors * 3]
+    if len(palette) < n_colors * 3:
+        raise ValueError("truncated GIF color table")
+    pos += n_colors * 3
+    if pos >= len(b) or b[pos] != 0x2C:
+        raise ValueError(
+            f"unsupported GIF block 0x{b[pos]:02x} (extensions not supported)"
+            if pos < len(b)
+            else "truncated GIF (no image descriptor)"
+        )
+    left, top, width, height = struct.unpack_from("<HHHH", b, pos + 1)
+    flags = b[pos + 9]
+    if left or top or flags & 0xC0:
+        raise ValueError("unsupported GIF image descriptor (LCT/interlace)")
+    pos += 10
+    mcs = b[pos]
+    pos += 1
+    stream = bytearray()
+    while True:
+        if pos >= len(b):
+            raise ValueError("truncated GIF data sub-blocks")
+        n = b[pos]
+        pos += 1
+        if n == 0:
+            break
+        stream += b[pos : pos + n]
+        if len(stream) < n:
+            raise ValueError("truncated GIF sub-block")
+        pos += n
+    indices = _lzw_decode(bytes(stream), mcs)
+    if len(indices) != width * height:
+        raise ValueError(
+            f"GIF pixel count mismatch: {len(indices)} != {width * height}"
+        )
+    rgb = bytearray(width * height * 3)
+    for i, idx in enumerate(indices):
+        if idx >= n_colors:
+            raise ValueError("GIF index out of palette range")
+        rgb[i * 3 : i * 3 + 3] = palette[idx * 3 : idx * 3 + 3]
+    return width, height, bytes(rgb)
+
+
+#: colors in the synthetic GIF palette (fits a 4-bit LZW code)
+_GIF_PATTERN_COLORS = 16
+
+
+def synthetic_gif_pattern(
+    item_id: int, width: int | None = None, height: int | None = None
+) -> tuple[int, int, bytes, bytes]:
+    """Deterministic per-id palette image: width = id%5+6, height 8
+    unless overridden; index (y, x) = (id·7919 + y·31 + (x div 2)·3)
+    mod 16 — the div-2 creates horizontal runs so the LZW table gets
+    real multi-symbol entries; palette color c =
+    ((id·37 + c·11) % 256, (id·59 + c·23) % 256, (id·83 + c·29) % 256).
+    Pure integer formulas a SQL oracle re-derives exactly."""
+    w = width if width is not None else item_id % 5 + 6
+    h = height if height is not None else 8
+    indices = bytes(
+        (item_id * 7919 + y * 31 + (x // 2) * 3) % _GIF_PATTERN_COLORS
+        for y in range(h)
+        for x in range(w)
+    )
+    palette = bytes(
+        v % 256
+        for c in range(_GIF_PATTERN_COLORS)
+        for v in (item_id * 37 + c * 11, item_id * 59 + c * 23, item_id * 83 + c * 29)
+    )
+    return w, h, indices, palette
+
+
+def encode_synthetic_gifs(df: DataFrame, id_col: str = "item_id") -> DataFrame:
+    """(id) → (item_id, payload binary, format 'gif'): real GIF87a
+    files built executor-side in Arrow batches."""
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                w, h, idx, pal = synthetic_gif_pattern(int(i))
+                payloads.append(gif_encode(w, h, idx, pal))
+            yield pd.DataFrame(
+                {"item_id": ids, "payload": payloads, "format": "gif"}
+            )
+
+    return df.mapInPandas(run, schema="item_id bigint, payload binary, format string")
+
+
+def decode_gif_features(df: DataFrame) -> DataFrame:
+    """(item_id, payload) → (item_id, width, height, pixels binary):
+    the real GIF decode path — sub-block reassembly, variable-width
+    LZW inflate, palette application — canonical RGB out, same seam as
+    the BMP/PNG/WAV decoders."""
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            widths, heights, pixels = [], [], []
+            for b in pdf["payload"]:
+                w, h, rgb = gif_decode(bytes(b))
+                widths.append(w)
+                heights.append(h)
+                pixels.append(rgb)
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"],
+                    "width": pd.Series(widths, dtype="int32"),
+                    "height": pd.Series(heights, dtype="int32"),
+                    "pixels": pixels,
+                }
+            )
+
+    return df.mapInPandas(
+        run, schema="item_id bigint, width int, height int, pixels binary"
+    )

@@ -187,3 +187,205 @@ def bpe_vocab(
         F.sum("wcount").alias("token_count"),
         F.countDistinct("word").alias("n_words"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer training (SentencePiece shape) — the other
+# tokenizer family a training-data pipeline ships beside BPE.
+# ---------------------------------------------------------------------------
+
+#: max piece length considered by the seed vocabulary and the Viterbi
+#: lattice (SentencePiece defaults to 16; 4 keeps the generated oracle
+#: bounded while exercising the full multi-length lattice)
+UNIGRAM_MAX_PIECE = 4
+
+#: multi-character pieces kept at seeding, ranked (freq DESC, piece) —
+#: single characters are ALWAYS kept (SentencePiece's required-char
+#: rule), which also guarantees every word stays segmentable
+UNIGRAM_SEED_MULTI = 96
+
+#: EM rounds run by the catalog query (each is one Viterbi E-step over
+#: the distinct-word table + one det-ln M-step over the vocab)
+UNIGRAM_EM_ROUNDS = 2
+
+#: words longer than this are excluded from training in BOTH engines —
+#: bounds the lattice depth (SentencePiece's max-sentence-length analog)
+UNIGRAM_MAX_WORD = 24
+
+#: unreachable-lattice sentinel; real paths are ≤ 24 pieces × ~30 nats
+#: ≪ this, and sentinel+nll drift stays far below 2^63
+UNIGRAM_INF = 1 << 60
+
+
+def unigram_words(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus collapsed once to (word, wcount), capped at
+    UNIGRAM_MAX_WORD chars — the only full-corpus pass in unigram
+    training; every EM round runs on this distinct-word table."""
+    return bpe_word_counts(docs, text_col).filter(
+        F.length("word") <= UNIGRAM_MAX_WORD
+    )
+
+
+def unigram_seed_vocab(words: DataFrame) -> DataFrame:
+    """Seed pieces: every substring of length 1..UNIGRAM_MAX_PIECE of
+    every distinct word, corpus-frequency weighted. All single chars
+    kept; multi-char pieces ranked (freq DESC, piece) and capped at
+    UNIGRAM_SEED_MULTI. Returns (piece, f) with f ≥ 1."""
+    subs = (
+        words.select(
+            "word",
+            "wcount",
+            F.explode(F.sequence(F.lit(1), F.length("word"))).alias("pos"),
+        )
+        .select(
+            "word",
+            "wcount",
+            "pos",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(
+                        F.lit(UNIGRAM_MAX_PIECE),
+                        F.length("word") - F.col("pos") + 1,
+                    ),
+                )
+            ).alias("plen"),
+        )
+        .select(
+            F.expr("substring(word, pos, plen)").alias("piece"),
+            "wcount",
+        )
+        .groupBy("piece")
+        .agg(F.sum("wcount").cast("long").alias("f"))
+    )
+    chars = subs.filter(F.length("piece") == 1)
+    multi = (
+        subs.filter(F.length("piece") > 1)
+        .orderBy(F.desc("f"), "piece")
+        .limit(UNIGRAM_SEED_MULTI)
+    )
+    return chars.unionAll(multi)
+
+
+def unigram_piece_nll(vocab: DataFrame) -> DataFrame:
+    """M-step: (piece, f) → (piece, nll_ppm) where nll_ppm =
+    FLOOR(ln(total/f)·1e6) via the fixed-order det-ln pipeline — the
+    identical four projections the DuckDB oracle runs, so the integer
+    micro-nat table is bit-equal across engines. Runs over the
+    vocab-sized table only, never data."""
+    from ..functions.detmath import det_ln_stage_exprs
+
+    st = det_ln_stage_exprs()
+    total = vocab.agg(F.sum("f").alias("t"))
+    vx = vocab.crossJoin(F.broadcast(total)).selectExpr(
+        "piece", "f", "CAST(t AS DOUBLE) / CAST(f AS DOUBLE) AS x"
+    )
+    vr = vx.selectExpr("piece", "f", "x", f"{st['e']} AS e", f"{st['m']} AS m")
+    vt = vr.selectExpr("piece", "f", "e", f"{st['tt']} AS tt")
+    return vt.selectExpr(
+        "piece",
+        "f",
+        f"CAST(FLOOR(({st['ln']}) * 1000000) AS BIGINT) AS nll_ppm",
+    )
+
+
+def _viterbi_segment(word: str, nll: dict) -> list[str]:
+    """Integer Viterbi over the piece lattice, then longest-piece-first
+    backtrack — the tie-break the oracle's CASE chain replays exactly.
+    All arithmetic is int (micro-nats): no float order-dependence."""
+    L = len(word)
+    best = [UNIGRAM_INF] * (L + 1)
+    best[0] = 0
+    for i in range(1, L + 1):
+        b = UNIGRAM_INF
+        for l in range(1, min(UNIGRAM_MAX_PIECE, i) + 1):
+            n = nll.get(word[i - l : i])
+            cand = best[i - l] + n if n is not None else UNIGRAM_INF
+            if cand < b:
+                b = cand
+        best[i] = b
+    pieces: list[str] = []
+    i = L
+    while i > 0:
+        chosen = 1
+        for l in range(min(UNIGRAM_MAX_PIECE, i), 0, -1):
+            p = word[i - l : i]
+            n = nll.get(p)
+            if n is not None and best[i - l] + n == best[i]:
+                chosen = l
+                break
+        pieces.append(word[i - chosen : i])
+        i -= chosen
+    return pieces
+
+
+def unigram_estep_counts(words: DataFrame, nll_rows: list) -> DataFrame:
+    """E-step: Viterbi-segment every DISTINCT word under the current
+    piece NLLs (a broadcast-by-closure dict — the vocab is bounded at
+    chars + UNIGRAM_SEED_MULTI rows) and emit exact corpus-weighted
+    piece counts. Python touches only the distinct-word table, via
+    Arrow; the count aggregation is a JVM groupBy."""
+    import pandas as pd
+
+    nll = {r["piece"]: int(r["nll_ppm"]) for r in nll_rows}
+
+    def segment(batches):
+        for pdf in batches:
+            out_p: list[str] = []
+            out_c: list[int] = []
+            for word, wcount in zip(pdf["word"], pdf["wcount"]):
+                for p in _viterbi_segment(word, nll):
+                    out_p.append(p)
+                    out_c.append(int(wcount))
+            yield pd.DataFrame({"piece": out_p, "wc": out_c})
+
+    return (
+        words.mapInPandas(segment, schema="piece string, wc long")
+        .groupBy("piece")
+        .agg(F.sum("wc").cast("long").alias("cnt"))
+    )
+
+
+def unigram_lm_train(
+    docs: DataFrame,
+    em_rounds: int = UNIGRAM_EM_ROUNDS,
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram-LM tokenizer training (the SentencePiece EM shape,
+    fixed seed vocab, +1-smoothed M-step, no pruning — pruning is a
+    trivial filter on the returned counts):
+
+    1. collapse the corpus to distinct words (the only 100 TB pass),
+    2. seed pieces = capped substrings, chars always kept,
+    3. per EM round: Viterbi E-step over distinct words (integer
+       micro-nat lattice, longest-piece backtrack) → exact piece
+       counts; M-step nll'(p) = ln(Σ(cnt+1)/(cnt(p)+1)) via det-ln.
+
+    Returns one row per seed piece: (piece, cnt, nll_ppm) — the final
+    E-step's exact count and the final M-step's micro-nat NLL.
+    Deterministic end-to-end: integer DP, binary-string tie-breaks,
+    det-ln quantization — value-hash-equal to the generated DuckDB
+    oracle stepping identical EM iterations. Driver state is
+    vocab-sized (the NLL dict per round); words/counts never collect.
+    """
+    words = unigram_words(docs, text_col).localCheckpoint(eager=True)
+    vocab = unigram_seed_vocab(words).localCheckpoint(eager=True)
+    nll_rows = unigram_piece_nll(vocab).collect()
+    counts = None
+    for _ in range(em_rounds):
+        counts = unigram_estep_counts(words, nll_rows)
+        smoothed = vocab.join(counts, "piece", "left").select(
+            "piece",
+            (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1)).alias("f"),
+        )
+        nll_rows = unigram_piece_nll(smoothed).collect()
+    final_counts = {r["piece"]: int(r["cnt"]) for r in counts.collect()}
+    nll_map = {r["piece"]: int(r["nll_ppm"]) for r in nll_rows}
+    spark = docs.sparkSession
+    rows = [
+        (p, final_counts.get(p, 0), nll_map[p])
+        for p in sorted(nll_map)
+    ]
+    return spark.createDataFrame(
+        rows, schema="piece string, cnt long, nll_ppm long"
+    )

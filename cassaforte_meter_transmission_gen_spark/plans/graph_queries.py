@@ -610,3 +610,113 @@ def graph_hits_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             "auth_ppb",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition — community structure beside PageRank / HITS /
+# CC / shortest path, same pinned-trade-edge-list economics.
+# ---------------------------------------------------------------------------
+
+#: k-core support threshold divisor: an undirected trade edge survives
+#: iff its pair traded ≥ |lineitem|/600 line items — corpus-relative so
+#: the graph stays comparable across scale factors
+KCORE_W_DIVISOR = 600
+
+#: the core order: vertices must keep ≥ this many heavy trade partners
+KCORE_K = 12
+
+#: oracle unroll depth == operator max_iters: converge-or-raise on the
+#: Spark side means an unconverged peel can never silently pass parity
+KCORE_UNROLL = 12
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peel chain: level i keeps only edges whose endpoints
+    had degree ≥ k at level i−1; once the peel reaches its fixpoint
+    every later level is a no-op, so the final level's degree table IS
+    the k-core regardless of where convergence happened (≤ the unroll
+    depth, which the operator enforces by raising)."""
+    parts = [
+        f"""
+WITH e AS MATERIALIZED (
+{_TRADE_EDGES_SQL.format(where="")}
+),
+thr AS (SELECT CAST(COUNT(*) // {KCORE_W_DIVISOR} AS BIGINT) AS t
+        FROM lineitem),
+u0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e, thr WHERE w >= t AND src <> dst
+)"""
+    ]
+    for i in range(KCORE_UNROLL):
+        parts.append(f""",
+d{i} AS MATERIALIZED (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM (SELECT a AS v FROM u{i} UNION ALL SELECT b FROM u{i})
+  GROUP BY v
+),
+u{i + 1} AS MATERIALIZED (
+  SELECT u.a, u.b FROM u{i} u
+  JOIN d{i} da ON da.v = u.a AND da.degree >= {KCORE_K}
+  JOIN d{i} db ON db.v = u.b AND db.degree >= {KCORE_K}
+)""")
+    n = KCORE_UNROLL
+    parts.append(f""",
+dfin AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM (SELECT a AS v FROM u{n} UNION ALL SELECT b FROM u{n})
+  GROUP BY v
+)
+SELECT CAST(d.v AS INT) AS nationkey, n.n_name,
+       d.degree AS core_degree
+FROM dfin d JOIN nation n ON n.n_nationkey = d.v""")
+    return "".join(parts)
+
+
+@register(
+    "graph_kcore_trade",
+    oracle=_kcore_oracle(),
+    tags=("graph", "kcore", "iterative", "integer-exact"),
+)
+def graph_kcore_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core decomposition of the heavy-trade nation graph: keep an
+    undirected edge when the nation pair traded ≥ |lineitem|/600 line
+    items, then peel vertices with fewer than 12 surviving heavy
+    partners until fixpoint (operators.graph.kcore_decomposition) —
+    the standard community-density read (who sits in the densely
+    interconnected trading club, and how embedded), beside
+    PageRank/HITS (importance), CC (reachability), and shortest path.
+
+    Economics match the other graph queries: ONE fact scan builds the
+    thresholded edge list, pinned with localCheckpoint; each peel
+    round is a union-groupBy degree count plus a broadcast semi-join
+    of survivors; degrees are counts so the unrolled oracle matches
+    integer-exactly, and the operator raises if the peel outruns the
+    oracle's unroll depth — silent non-convergence cannot pass the
+    gate. At sf0.01 the peel genuinely removes vertices (25 → 18) and
+    re-checks the cascaded degrees."""
+    from ..operators.graph import kcore_decomposition
+
+    total = _t(spark, sf_dir, "lineitem").count()
+    directed = _trade_edges(spark, sf_dir, src_where=None)
+    und = (
+        directed.filter(
+            (F.col("w") >= F.lit(total // KCORE_W_DIVISOR))
+            & (F.col("src") != F.col("dst"))
+        )
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    core = kcore_decomposition(und, k=KCORE_K, max_iters=KCORE_UNROLL)
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return core.join(
+        F.broadcast(nation), core.v == nation.n_nationkey
+    ).select(
+        F.col("n_nationkey").cast("int").alias("nationkey"),
+        "n_name",
+        F.col("degree").alias("core_degree"),
+    )

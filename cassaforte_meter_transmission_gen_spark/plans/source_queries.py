@@ -468,3 +468,42 @@ def streaming_python_datasource_rollup(
     return run_bounded_python_source_stream(
         spark, num_meters=4, seconds=3600, ticks_per_batch=900
     )
+
+
+@register(
+    "source_xml_roundtrip",
+    oracle=f"""
+SELECT p_brand, count(*) AS n_parts,
+       CAST(SUM(CAST(p_size AS BIGINT)) AS BIGINT) AS total_size,
+       {sql_dec_sum("p_retailprice")} AS total_retail
+FROM part GROUP BY p_brand
+""",
+    tags=("source", "xml"),
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part → XML (Spark 4's NATIVE xml source — one <part> element
+    per row under a collection root) → re-read with rowTag + pinned
+    schema → aggregate. Completes the format matrix beside
+    csv/json/orc/text/binary/parquet: value-hash equality with the
+    parquet-derived oracle proves element text round-trips ints,
+    strings, and shortest-repr doubles exactly. The reader is a real
+    distributed source (splittable by element), not a driver-side
+    parse."""
+    src = load_table(spark, sf_dir, "part")
+    out = os.path.join(_scratch("src_xml_"), "part")
+    src.write.mode("overwrite").format("xml").option("rowTag", "part").save(
+        out
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "part")
+        .schema(src.schema)
+        .load(out)
+    )
+    from .compat import dec_sum
+
+    return back.groupBy("p_brand").agg(
+        F.count("*").alias("n_parts"),
+        F.sum(F.col("p_size").cast("long")).alias("total_size"),
+        dec_sum(F.col("p_retailprice")).alias("total_retail"),
+    )

@@ -3504,3 +3504,221 @@ def multimodal_png_phash_near_dup(
         )
         .filter(F.col("hamming") <= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer training (SentencePiece EM shape) — the oracle
+# steps IDENTICAL EM iterations in pure SQL: the Viterbi lattice is a
+# recursive-CTE integer DP with a sliding 5-value best window, the
+# backtrack a second recursive CTE replaying the longest-piece-first
+# tie-break, and the M-step the shared det-ln micro-nat pipeline.
+# ---------------------------------------------------------------------------
+
+
+def _unigram_lm_oracle_sql() -> str:
+    """Generated oracle twin of text_unigram_lm_train_vocab. All
+    constants (max piece 4, seed cap, word cap, EM rounds, INF
+    sentinel) come from operators.tokenizer; all doubles flow through
+    the same det-ln stage fragments as the Spark plan, so every
+    micro-nat integer — and therefore every lattice decision — is
+    bit-equal across engines."""
+    from ..functions.detmath import det_ln_stage_exprs
+    from ..operators.tokenizer import (
+        UNIGRAM_EM_ROUNDS,
+        UNIGRAM_INF,
+        UNIGRAM_MAX_PIECE,
+        UNIGRAM_MAX_WORD,
+        UNIGRAM_SEED_MULTI,
+    )
+
+    assert UNIGRAM_MAX_PIECE == 4  # the DP window below is hand-unrolled
+    st = det_ln_stage_exprs()
+    inf = f"CAST({UNIGRAM_INF} AS BIGINT)"
+
+    def nll_block(r: int, src: str) -> str:
+        return f""",
+n{r}t AS (SELECT CAST(SUM(f) AS BIGINT) AS t FROM {src}),
+n{r}x AS (SELECT piece, CAST(t AS DOUBLE) / CAST(f AS DOUBLE) AS x
+          FROM {src} CROSS JOIN n{r}t),
+n{r}r AS (SELECT piece, x, {st['e']} AS e, {st['m']} AS m FROM n{r}x),
+n{r}s AS (SELECT piece, e, {st['tt']} AS tt FROM n{r}r),
+n{r} AS MATERIALIZED (
+  SELECT piece, CAST(FLOOR(({st['ln']}) * 1000000) AS BIGINT) AS nll_ppm
+  FROM n{r}s)"""
+
+    def em_block(r: int) -> str:
+        # round r consumes n{r-1}; emits counts c{r} and smoothed v{r}
+        p = r - 1
+        return f""",
+dp{r} AS (
+  SELECT word, wcount, len, 0 AS i,
+         CAST(0 AS BIGINT) AS q0, {inf} AS q1, {inf} AS q2,
+         {inf} AS q3, {inf} AS q4
+  FROM w
+  UNION ALL
+  SELECT d.word, d.wcount, d.len, d.i + 1,
+         LEAST(
+           CASE WHEN p1.nll_ppm IS NULL THEN {inf}
+                ELSE d.q0 + p1.nll_ppm END,
+           CASE WHEN p2.nll_ppm IS NULL THEN {inf}
+                ELSE d.q1 + p2.nll_ppm END,
+           CASE WHEN p3.nll_ppm IS NULL THEN {inf}
+                ELSE d.q2 + p3.nll_ppm END,
+           CASE WHEN p4.nll_ppm IS NULL THEN {inf}
+                ELSE d.q3 + p4.nll_ppm END
+         ) AS q0,
+         d.q0 AS q1, d.q1 AS q2, d.q2 AS q3, d.q3 AS q4
+  FROM dp{r} d
+  LEFT JOIN n{p} p1 ON p1.piece = substr(d.word, d.i + 1, 1)
+  LEFT JOIN n{p} p2 ON d.i >= 1 AND p2.piece = substr(d.word, d.i, 2)
+  LEFT JOIN n{p} p3 ON d.i >= 2 AND p3.piece = substr(d.word, d.i - 1, 3)
+  LEFT JOIN n{p} p4 ON d.i >= 3 AND p4.piece = substr(d.word, d.i - 2, 4)
+  WHERE d.i < d.len
+),
+dm{r} AS MATERIALIZED (SELECT * FROM dp{r}),
+bt{r} AS (
+  SELECT word, wcount, len AS i, CAST(NULL AS VARCHAR) AS piece FROM w
+  UNION ALL
+  SELECT word, wcount, i - l AS i,
+         substr(word, CAST(i - l + 1 AS INT), CAST(l AS INT)) AS piece
+  FROM (
+    SELECT b.word, b.wcount, b.i,
+           CASE WHEN b.i >= 4 AND e4.nll_ppm IS NOT NULL
+                     AND d.q4 + e4.nll_ppm = d.q0 THEN 4
+                WHEN b.i >= 3 AND e3.nll_ppm IS NOT NULL
+                     AND d.q3 + e3.nll_ppm = d.q0 THEN 3
+                WHEN b.i >= 2 AND e2.nll_ppm IS NOT NULL
+                     AND d.q2 + e2.nll_ppm = d.q0 THEN 2
+                ELSE 1 END AS l
+    FROM bt{r} b
+    JOIN dm{r} d ON d.word = b.word AND d.i = b.i
+    LEFT JOIN n{p} e2 ON b.i >= 2 AND e2.piece = substr(b.word, b.i - 1, 2)
+    LEFT JOIN n{p} e3 ON b.i >= 3 AND e3.piece = substr(b.word, b.i - 2, 3)
+    LEFT JOIN n{p} e4 ON b.i >= 4 AND e4.piece = substr(b.word, b.i - 3, 4)
+    WHERE b.i > 0
+  )
+),
+c{r} AS MATERIALIZED (
+  SELECT piece, CAST(SUM(wcount) AS BIGINT) AS cnt
+  FROM bt{r} WHERE piece IS NOT NULL GROUP BY piece
+),
+v{r} AS MATERIALIZED (
+  SELECT v0.piece, CAST(COALESCE(c{r}.cnt, 0) + 1 AS BIGINT) AS f
+  FROM v0 LEFT JOIN c{r} USING (piece)
+)"""
+
+    rounds = "".join(
+        em_block(r) + nll_block(r, f"v{r}")
+        for r in range(1, UNIGRAM_EM_ROUNDS + 1)
+    )
+    last = UNIGRAM_EM_ROUNDS
+    return f"""
+WITH RECURSIVE
+w AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS wcount,
+         CAST(length(word) AS INT) AS len
+  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+          AS word
+        FROM documents)
+  GROUP BY word
+  HAVING length(word) <= {UNIGRAM_MAX_WORD}
+),
+s1 AS (SELECT word, wcount, len, unnest(range(1, len + 1)) AS pos FROM w),
+s2 AS (SELECT word, wcount, pos,
+              unnest(range(1, least({UNIGRAM_MAX_PIECE},
+                                    len - pos + 1) + 1)) AS plen
+       FROM s1),
+sub AS MATERIALIZED (
+  SELECT substr(word, CAST(pos AS INT), CAST(plen AS INT)) AS piece,
+         CAST(SUM(wcount) AS BIGINT) AS f
+  FROM s2 GROUP BY piece
+),
+v0 AS MATERIALIZED (
+  SELECT piece, f FROM sub WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, f FROM (
+    SELECT piece, f FROM sub WHERE length(piece) > 1
+    ORDER BY f DESC, piece LIMIT {UNIGRAM_SEED_MULTI})
+){nll_block(0, 'v0')}{rounds}
+SELECT v0.piece AS piece,
+       CAST(COALESCE(c{last}.cnt, 0) AS BIGINT) AS cnt,
+       n{last}.nll_ppm AS nll_ppm
+FROM v0
+LEFT JOIN c{last} USING (piece)
+JOIN n{last} USING (piece)
+"""
+
+
+@register(
+    "text_unigram_lm_train_vocab",
+    oracle=_unigram_lm_oracle_sql(),
+    tags=("text", "tokenizer", "unigram", "em"),
+)
+def text_unigram_lm_train_vocab(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Unigram-LM tokenizer training (SentencePiece shape) beside BPE:
+    seed vocab = capped substrings of the corpus-collapsed distinct
+    words (chars always kept), then EM rounds of Viterbi E-step +
+    +1-smoothed det-ln M-step — see operators.tokenizer.unigram_lm_train
+    for the full scale design (the only 100 TB pass is the word
+    collapse; every EM round runs over the distinct-word table, Python
+    touches it only via Arrow, and all lattice arithmetic is integer
+    micro-nats so the result is bit-equal to this query's generated
+    recursive-CTE oracle)."""
+    from ..operators.tokenizer import unigram_lm_train
+
+    return unigram_lm_train(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_gif_decode",
+    oracle="""
+WITH d AS (SELECT doc_id, doc_id % 5 + 6 AS w, 8 AS h
+           FROM documents WHERE doc_id < 100)
+SELECT doc_id AS item_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       lower(array_to_string(
+         list_transform(range(0, w * h * 3),
+           i -> lpad(to_hex(
+             CASE (i % 3)
+               WHEN 0 THEN (doc_id * 37
+                 + ((doc_id * 7919 + (i // (w * 3)) * 31
+                     + (((i % (w * 3)) // 3) // 2) * 3) % 16) * 11) % 256
+               WHEN 1 THEN (doc_id * 59
+                 + ((doc_id * 7919 + (i // (w * 3)) * 31
+                     + (((i % (w * 3)) // 3) // 2) * 3) % 16) * 23) % 256
+               ELSE (doc_id * 83
+                 + ((doc_id * 7919 + (i // (w * 3)) * 31
+                     + (((i % (w * 3)) // 3) // 2) * 3) % 16) * 29) % 256
+             END), 2, '0')),
+         '')) AS pixel_hex
+FROM d
+""",
+    tags=("multimodal", "codec", "gif", "lzw", "pandas-udf"),
+)
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The THIRD compression family behind the codec seam
+    (operators.multimodal.gif_encode/gif_decode — stdlib-only): 100
+    synthetic palette patterns are encoded into real GIF87a files
+    (global color table, LZW-compressed sub-blocks) and decoded back
+    to canonical RGB. BMP proved containers and PNG proved
+    zlib/deflate; GIF-LZW is a genuinely different algorithm — a
+    variable-width code table grown symmetrically by encoder and
+    decoder (3→12-bit codes, CLEAR/EOI control codes, the cScSc
+    self-reference case) where one misplaced width bump corrupts every
+    later code in the stream, so the pixel hash gate is unforgiving.
+    The div-2 run structure in the pattern forces real multi-symbol
+    dictionary entries; the oracle re-derives every pixel from the
+    integer palette formula, same as the BMP/PNG twins."""
+    from ..operators.multimodal import decode_gif_features, encode_synthetic_gifs
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 100).select("doc_id")
+    feats = decode_gif_features(encode_synthetic_gifs(d, "doc_id"))
+    return feats.select(
+        "item_id",
+        "width",
+        "height",
+        F.lower(F.hex("pixels")).alias("pixel_hex"),
+    )

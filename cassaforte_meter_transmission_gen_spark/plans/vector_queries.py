@@ -351,13 +351,28 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition key so the pairwise pass runs partition-local. Fully
     hash-gated via the shared unrolled-k-means oracle chain. Serves
     from the persisted quantizer (same trainer+config as IVF, so the
-    artifact is shared — train once, every consumer reads)."""
-    from ..operators.dedup import semantic_duplicates_clustered
+    artifact is shared — train once, every consumer reads).
+
+    Scale fix (SCALING_r11 before-fix exponent 1.81): the cell COUNT
+    is corpus-adaptive (operators.dedup.semantic_n_clusters — cell
+    SIZE held ≈ constant), so the within-cell pairwise verify grows
+    linearly with the corpus instead of quadratically. Every parity
+    corpus resolves to the legacy fixed 16 cells (the oracle-gated
+    branch); beyond ~20k vectors the adaptive branch trains its own
+    k = ceil(n/1250) quantizer on the deterministic hash sample."""
+    from ..operators.dedup import (
+        semantic_duplicates_clustered,
+        semantic_n_clusters,
+    )
     from ..sources.ann_store import trained_ivf_centroids
 
-    cents = trained_ivf_centroids(spark, sf_dir)
+    e = _emb(spark, sf_dir)
+    k = semantic_n_clusters(e.count())
+    if k == 16:  # parity configuration — shared persisted quantizer
+        cents = trained_ivf_centroids(spark, sf_dir)
+        return semantic_duplicates_clustered(e, threshold=0.4, centroids=cents)
     return semantic_duplicates_clustered(
-        _emb(spark, sf_dir), threshold=0.4, centroids=cents
+        e, threshold=0.4, n_clusters=k, train_sample_denom="auto"
     )
 
 

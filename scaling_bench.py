@@ -75,6 +75,12 @@ def main() -> None:
     ap.add_argument("--queries", default=",".join(SCALE_PATHS))
     ap.add_argument("--out", default=None)
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument(
+        "--skip-ann-train",
+        action="store_true",
+        help="skip the per-corpus ANN artifact training (for probing "
+        "queries that train inline or need no persisted index)",
+    )
     args = ap.parse_args()
     scales = sorted({int(s) for s in args.scales.split(",") if s})
     queries = [q for q in args.queries.split(",") if q]
@@ -121,7 +127,7 @@ def main() -> None:
         ).mode("overwrite").save()
         # per-corpus ANN artifacts (train-once economics, timed apart)
         tr: dict[str, float] = {}
-        for label, train in (
+        for label, train in () if args.skip_ann_train else (
             ("ivf_centroids", lambda: trained_ivf_centroids(spark, d)),
             ("pq16_codebooks", lambda: trained_pq_codebooks(spark, d)),
             ("pq8_codebooks", lambda: trained_pq_codebooks(spark, d, n_subspaces=8)),

@@ -246,3 +246,67 @@ def test_shortest_path_unreachable_stays_inf(spark):
     )
     got = {r["n"]: r["d"] for r in d.collect()}
     assert got == {0: 0, 1: 7, 2: SP_INF}
+
+
+def _und_edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in pairs], "a bigint, b bigint"
+    ).distinct()
+
+
+def test_kcore_clique_survives_intact(spark):
+    """A K5 is its own 4-core: no vertex peels, every within-core
+    degree is 4."""
+    from cassaforte_meter_transmission_gen_spark.operators.graph import (
+        kcore_decomposition,
+    )
+
+    k5 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    got = {
+        r["v"]: r["degree"]
+        for r in kcore_decomposition(_und_edges_df(spark, k5), k=4).collect()
+    }
+    assert got == {v: 4 for v in range(5)}
+
+
+def test_kcore_path_cascade_peels_to_empty(spark):
+    """A 6-path has no 2-core: endpoints peel first, each removal
+    exposes a new endpoint — a genuinely multi-round cascade (3 peel
+    rounds) ending empty."""
+    from cassaforte_meter_transmission_gen_spark.operators.graph import (
+        kcore_decomposition,
+    )
+
+    path = [(i, i + 1) for i in range(5)]
+    got = kcore_decomposition(_und_edges_df(spark, path), k=2).collect()
+    assert got == []
+
+
+def test_kcore_pendant_peels_and_degrees_recount(spark):
+    """A triangle with a pendant vertex: the pendant (degree 1) peels,
+    the triangle survives as the 2-core, and the reported degrees are
+    the WITHIN-core degrees (the ex-neighbor drops from 3 to 2)."""
+    from cassaforte_meter_transmission_gen_spark.operators.graph import (
+        kcore_decomposition,
+    )
+
+    g = [(0, 1), (1, 2), (0, 2), (2, 3)]
+    got = {
+        r["v"]: r["degree"]
+        for r in kcore_decomposition(_und_edges_df(spark, g), k=2).collect()
+    }
+    assert got == {0: 2, 1: 2, 2: 2}
+
+
+def test_kcore_converge_or_raise(spark):
+    """A peel that cannot finish within max_iters raises instead of
+    returning a non-core subgraph (the oracle-unroll safety contract)."""
+    import pytest
+
+    from cassaforte_meter_transmission_gen_spark.operators.graph import (
+        kcore_decomposition,
+    )
+
+    path = [(i, i + 1) for i in range(9)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore_decomposition(_und_edges_df(spark, path), k=2, max_iters=2)

@@ -1417,3 +1417,159 @@ def test_gram_arrow_kernel_flush_partials_merge_exact(spark, sf_small, monkeypat
     }
     assert len(arrow) == 64 * 65 // 2
     assert arrow == jvm
+
+
+def test_gif_lzw_roundtrip_and_table_growth():
+    """LZW is self-inverse across the interesting regimes: empty,
+    single symbol, runs (dictionary hits), the full code-width growth
+    to 12 bits, and the 4096-entry CLEAR reset on a 60k-symbol
+    stream. Also pins the cScSc case (code == next free code)."""
+    import random
+
+    from cassaforte_meter_transmission_gen_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    for mcs in (2, 4):
+        for data in (
+            b"",
+            b"\x00",
+            b"\x00" * 50,  # aaa… drives the cScSc self-reference case
+            bytes(range(1 << mcs)) * 40,
+            bytes((i * 7) % (1 << mcs) for i in range(5000)),
+        ):
+            assert _lzw_decode(_lzw_encode(data, mcs), mcs) == data
+    rng = random.Random(7)
+    big = bytes(rng.randrange(16) for _ in range(60000))
+    assert _lzw_decode(_lzw_encode(big, 4), 4) == big
+
+
+def test_gif_roundtrip_all_synthetic_patterns():
+    """gif_decode(gif_encode(...)) reproduces the palette-expanded RGB
+    for every synthetic pattern the catalog query encodes."""
+    from cassaforte_meter_transmission_gen_spark.operators.multimodal import (
+        gif_decode,
+        gif_encode,
+        synthetic_gif_pattern,
+    )
+
+    for i in range(100):
+        w, h, idx, pal = synthetic_gif_pattern(i)
+        assert gif_decode(gif_encode(w, h, idx, pal)) == (
+            w,
+            h,
+            bytes(pal[ix * 3 + c] for ix in idx for c in range(3)),
+        )
+
+
+def test_gif_decode_rejects_bad_containers():
+    """Foreign or corrupted payloads raise loudly (the BMP/PNG/WAV
+    contract): bad magic, missing color table, extension blocks,
+    truncated sub-blocks, corrupt LZW codes."""
+    import pytest
+
+    from cassaforte_meter_transmission_gen_spark.operators.multimodal import (
+        gif_decode,
+        gif_encode,
+        synthetic_gif_pattern,
+    )
+
+    w, h, idx, pal = synthetic_gif_pattern(3)
+    good = gif_encode(w, h, idx, pal)
+    with pytest.raises(ValueError, match="magic"):
+        gif_decode(b"BM" + good[2:])
+    with pytest.raises(ValueError, match="color table"):
+        bad = bytearray(good)
+        bad[10] &= 0x7F  # clear the GCT flag
+        gif_decode(bytes(bad))
+    with pytest.raises(ValueError):
+        gif_decode(good[: len(good) // 2])  # truncated mid-stream
+    with pytest.raises(ValueError, match="extensions not supported"):
+        bad = bytearray(good)
+        bad[13 + 16 * 3] = 0x21  # image descriptor → extension block
+        gif_decode(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        # chop inside the LZW sub-blocks: framing walk runs off the end
+        gif_decode(good[: 13 + 16 * 3 + 12])
+
+
+def test_unigram_lm_serial_model_equivalence(spark, sf_small):
+    """The distributed unigram-LM trainer lands on the identical
+    (piece, cnt, nll_ppm) table as a serial pure-Python EM stepping the
+    same seed/Viterbi/smoothing rules — the BPE serial-model test's
+    twin for the EM family."""
+    import math
+
+    from cassaforte_meter_transmission_gen_spark.functions.detmath import det_ln
+    from cassaforte_meter_transmission_gen_spark.operators.tokenizer import (
+        UNIGRAM_EM_ROUNDS,
+        UNIGRAM_MAX_PIECE,
+        UNIGRAM_MAX_WORD,
+        UNIGRAM_SEED_MULTI,
+        _viterbi_segment,
+        unigram_lm_train,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    got = {
+        r["piece"]: (r["cnt"], r["nll_ppm"])
+        for r in unigram_lm_train(docs).collect()
+    }
+
+    wc: dict = {}
+    for (t,) in docs.select("text").collect():
+        for w in t.split(" "):
+            if w and len(w) <= UNIGRAM_MAX_WORD:
+                wc[w] = wc.get(w, 0) + 1
+    sub: dict = {}
+    for w, c in wc.items():
+        for i in range(len(w)):
+            for l in range(1, min(UNIGRAM_MAX_PIECE, len(w) - i) + 1):
+                sub[w[i : i + l]] = sub.get(w[i : i + l], 0) + c
+    vocab = {p: f for p, f in sub.items() if len(p) == 1}
+    vocab.update(
+        dict(
+            sorted(
+                ((p, f) for p, f in sub.items() if len(p) > 1),
+                key=lambda x: (-x[1], x[0]),
+            )[:UNIGRAM_SEED_MULTI]
+        )
+    )
+
+    def mstep(freqs):
+        tot = sum(freqs.values())
+        return {
+            p: math.floor(det_ln(float(tot) / float(f)) * 1000000)
+            for p, f in freqs.items()
+        }
+
+    nll = mstep(vocab)
+    counts: dict = {}
+    for _ in range(UNIGRAM_EM_ROUNDS):
+        counts = {}
+        for w, c in wc.items():
+            for p in _viterbi_segment(w, nll):
+                counts[p] = counts.get(p, 0) + c
+        nll = mstep({p: counts.get(p, 0) + 1 for p in vocab})
+    want = {p: (counts.get(p, 0), nll[p]) for p in vocab}
+    assert got == want
+
+
+def test_semantic_n_clusters_parity_floor_and_scaling():
+    """The adaptive SemDeDup cell count resolves to the legacy
+    oracle-gated 16 cells on every parity/bench corpus (≤ 2 000
+    vectors) and grows with cell size held ≈ SEMDEDUP_TARGET_CELL
+    beyond — the SCALING_r11 quadratic fix."""
+    from cassaforte_meter_transmission_gen_spark.operators.dedup import (
+        SEMDEDUP_TARGET_CELL,
+        semantic_n_clusters,
+    )
+
+    assert [semantic_n_clusters(n) for n in (1, 500, 2000)] == [16, 16, 16]
+    assert semantic_n_clusters(20_000) == 160
+    assert semantic_n_clusters(200_000) == 1600
+    # ceil semantics: one vector over a boundary adds a cell
+    assert (
+        semantic_n_clusters(SEMDEDUP_TARGET_CELL * 100 + 1) == 101
+    )

@@ -139,6 +139,42 @@ def load_bench(src: str) -> dict:
     return bench
 
 
+def _operating_point_range() -> dict | None:
+    """Min/max of per-run extended-curve argmax throughputs across ALL
+    committed curve-bearing artifacts (BENCH_DETAIL_r*, BENCH_local*,
+    BENCH_DETAIL_local), plus the knee-region floor — the smallest
+    files/trigger any run's argmax landed on. Returns None when fewer
+    than two runs carry an extended curve."""
+    argmaxes: list[tuple[int, float]] = []  # (files_per_trigger, sps)
+    pats = ("BENCH_DETAIL_r*.json", "BENCH_DETAIL_local.json", "BENCH_local*.json")
+    for pat in pats:
+        for p in glob.glob(os.path.join(REPO, pat)):
+            try:
+                with open(p) as f:
+                    d = json.load(f)
+            except (json.JSONDecodeError, OSError, ValueError):
+                continue
+            ext = (d.get("streaming_ingest_batch_size_curve_ext") or {}).get(
+                "points"
+            ) or {}
+            pts = {
+                int(k): float(v["samples_per_sec"])
+                for k, v in ext.items()
+                if isinstance(v, dict) and "samples_per_sec" in v
+            }
+            if pts:
+                k_best = max(pts, key=lambda k: pts[k])
+                argmaxes.append((k_best, pts[k_best]))
+    if len(argmaxes) < 2:
+        return None
+    return {
+        "n_runs": len(argmaxes),
+        "lo": min(s for _, s in argmaxes),
+        "hi": max(s for _, s in argmaxes),
+        "knee_files": min(k for k, _ in argmaxes),
+    }
+
+
 def render(b: dict, src_name: str) -> str:
     rnd = re.search(r"r(\d+)", src_name)
     origin = (
@@ -170,11 +206,26 @@ def render(b: dict, src_name: str) -> str:
     op = b.get("streaming_ingest_operating_point_samples_per_sec")
     opt = b.get("streaming_operating_point_files_per_trigger")
     if op:
+        # The knee is a REGION, not a point: the 256-vs-512 argmax flips
+        # sign inside box noise run-to-run (three committed runs
+        # quantify it), so the honest operating-point figure is the
+        # min–max of per-run argmaxes across committed curve artifacts,
+        # with this run's own argmax beside it.
+        rng = _operating_point_range()
+        range_txt = (
+            f" Across {rng['n_runs']} committed curve artifacts the "
+            f"per-run argmax spans {rng['lo'] / 1e6:.1f}–"
+            f"{rng['hi'] / 1e6:.1f}M samples/s, argmax always in the "
+            f"≥{rng['knee_files']} files/trigger region."
+            if rng
+            else ""
+        )
         lines.append(
-            f"- **Streaming ingest at the operating point**: "
-            f"{op / 1e6:.1f}M samples/s at {opt} files/trigger — the curve "
-            f"argmax, the figure a throughput-tuned deployment gets (the "
+            f"- **Streaming ingest at the operating point**: knee region "
+            f"≥{min(int(opt), 256)} files/trigger; this run's curve argmax "
+            f"{op / 1e6:.1f}M samples/s at {opt} files/trigger (the "
             f"default-trigger number above is the latency-biased config)."
+            + range_txt
         )
     curve = b.get("streaming_ingest_batch_size_curve")
     if curve:
