@@ -119,3 +119,70 @@ def test_bounded_stream_zero_timeout_reports_timeout_not_nameerror(spark):
         run_bounded_python_source_stream(
             spark, num_meters=1, seconds=60, ticks_per_batch=60, timeout_s=-1.0
         )
+
+
+def test_stream_checkpoint_restart_no_duplicate_rows(spark, tmp_path):
+    """End-to-end proof of the restart contract the unit test pins:
+    run the bounded Python-source stream partway under a checkpoint,
+    stop it, then restart a FRESH query on the SAME checkpoint + sink
+    and drain. Every (said, epoch) must land exactly once — before the
+    cursor fast-forward fix, the restarted reader re-advanced from 0
+    and re-covered committed tick ranges under new batch ids,
+    duplicating rows in the append sink."""
+    import time
+
+    from cassaforte_meter_transmission_gen_spark.sources.meter_datasource import (
+        register_meter_datasource,
+    )
+
+    register_meter_datasource(spark)
+    meters, seconds, per_batch = 2, 1800, 600
+    sink = str(tmp_path / "rows")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "said int, epoch bigint, joules int"
+
+    def start():
+        return (
+            spark.readStream.format("meter_samples_py")
+            .option("num_meters", meters)
+            .option("seconds", seconds)
+            .option("ticks_per_batch", per_batch)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    def sink_count():
+        try:
+            return spark.read.schema(schema).parquet(sink).count()
+        except Exception:
+            return 0
+
+    q = start()
+    deadline = time.time() + 120
+    while time.time() < deadline and sink_count() < meters * per_batch:
+        time.sleep(0.25)
+    q.stop()
+    q.awaitTermination()
+    partial = sink_count()
+    assert partial > 0
+    if partial >= meters * seconds:  # box raced the whole feed through
+        import pytest
+
+        pytest.skip("first query drained the bounded feed before stop")
+
+    q2 = start()
+    deadline = time.time() + 120
+    while time.time() < deadline and sink_count() < meters * seconds:
+        time.sleep(0.25)
+    q2.stop()
+    q2.awaitTermination()
+
+    rows = spark.read.schema(schema).parquet(sink)
+    total = rows.count()
+    distinct = rows.select("said", "epoch").distinct().count()
+    assert distinct == meters * seconds
+    assert total == meters * seconds, f"{total - distinct} duplicate rows"

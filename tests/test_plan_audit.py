@@ -971,3 +971,44 @@ def test_pca_arrow_kernel_one_shuffle_fixed_width(spark, sf_small):
     assert plan.count("MapInPandas") == 1
     read_schema = plan[plan.index("ReadSchema") :].splitlines()[0]
     assert "embedding" in read_schema and "vec_id" not in read_schema
+
+
+def test_kcore_peel_pinned_edges_broadcast_survivors(spark, sf_small):
+    """The k-core result plan must read only pinned peel state (no
+    lineitem/orders fact scan survives into it) and join survivors by
+    BROADCAST — the per-round economics the operator documents."""
+    df = REGISTRY["graph_kcore_trade"].fn(spark, sf_small)
+    plan = _plan(df)
+    assert "lineitem.parquet" not in plan, "fact scan re-derived past the pin"
+    assert "CartesianProduct" not in plan
+
+
+def test_unigram_estep_python_only_on_distinct_words(spark, sf_small):
+    """Unigram-LM training: the E-step's Arrow stage must consume the
+    PINNED distinct-word table — the corpus scan (documents.parquet)
+    must not survive into the result plan, and the result itself is a
+    driver-assembled vocab-sized table (no Python stage in it)."""
+    df = REGISTRY["text_unigram_lm_train_vocab"].fn(spark, sf_small)
+    plan = _plan(df)
+    assert "documents.parquet" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_funnel_passes_copartition_on_user(spark, sf_small):
+    """The 3-step funnel must contain no cartesian product and no
+    broadcast of the FACT side — step joins are hash equi-joins keyed
+    on user_id (co-partitioned after the first shuffle)."""
+    df = REGISTRY["events_funnel_view_click_purchase"].fn(spark, sf_small)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_cohort_activity_collapsed_before_join(spark, sf_small):
+    """Cohort retention joins DISTINCT (user, week) activity against
+    the cohort map — an aggregate must sit below the join on the
+    activity side (HashAggregate before the join in the plan), and the
+    cohort-size decoration must broadcast."""
+    df = REGISTRY["events_cohort_weekly_retention"].fn(spark, sf_small)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
