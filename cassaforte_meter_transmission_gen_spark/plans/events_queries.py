@@ -2119,3 +2119,134 @@ def events_funnel_view_click_purchase(
                                   ELSE CAST(n3 * 1000000 DIV n2 AS BIGINT) END
         ) AS (step, n_users, conversion_ppm)"""
     )
+
+
+@register(
+    "events_model_auc_exact",
+    oracle="""
+WITH scored AS (
+  SELECT CAST(floor(value) AS BIGINT) AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+  FROM events
+),
+by_score AS (
+  SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(label) AS BIGINT) AS pos
+  FROM scored GROUP BY score
+),
+pref AS (
+  SELECT score, cnt, pos, cnt - pos AS neg,
+         CAST(COALESCE(SUM(cnt - pos) OVER (ORDER BY score
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_neg_below
+  FROM by_score
+),
+tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS p,
+               CAST(SUM(neg) AS BIGINT) AS n FROM pref),
+u AS (SELECT CAST(SUM(pos * (2 * cum_neg_below + neg)) AS BIGINT)
+        AS numer2 FROM pref)
+SELECT p AS n_pos, n AS n_neg,
+       CAST(numer2 * 1000000 // (2 * p * n) AS BIGINT) AS auc_ppm
+FROM tot, u
+""",
+    tags=("events", "ml-eval", "auc", "integer-exact"),
+)
+def events_model_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC with tie correction — the offline model-eval
+    primitive (here scoring how well `value` predicts the purchase
+    label; ≈ 0.4918 on this noise fixture, exactly, which is the
+    point: the gate pins the estimator arithmetic, not the model).
+
+    Scale shape: AUC = P(score_pos > score_neg) + ½P(tie) needs no
+    per-row rank — one map-side-combinable groupBy collapses the fact
+    to SCORE-LEVEL (cnt, pos) rows, and the single window (negatives
+    below each score) runs over distinct scores, not events. Doubling
+    the rank sum keeps the tie half-credit integral: auc_ppm =
+    Σ pos_s·(2·cum_neg_below + neg_s) · 1e6 DIV (2·P·N) — every term
+    int64, bit-equal across engines. The same two-pass bucketed
+    prefix-sum that backs `agg_equidepth_price_deciles` replaces the
+    window when even distinct-score cardinality is too large for one
+    task."""
+    ev = _ev(spark, sf_dir)
+    scored = ev.select(
+        F.floor("value").cast("long").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("label"),
+    )
+    by_score = scored.groupBy("score").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("label").cast("long").alias("pos"),
+    )
+    w = W.orderBy("score").rowsBetween(W.unboundedPreceding, -1)
+    pref = by_score.select(
+        "score",
+        "pos",
+        (F.col("cnt") - F.col("pos")).alias("neg"),
+        F.coalesce(
+            F.sum(F.col("cnt") - F.col("pos")).over(w), F.lit(0)
+        )
+        .cast("long")
+        .alias("cum_neg_below"),
+    )
+    tot = pref.agg(
+        F.sum("pos").cast("long").alias("p"),
+        F.sum("neg").cast("long").alias("n"),
+        F.sum(
+            F.col("pos") * (F.lit(2) * F.col("cum_neg_below") + F.col("neg"))
+        )
+        .cast("long")
+        .alias("numer2"),
+    )
+    return tot.selectExpr(
+        "p AS n_pos",
+        "n AS n_neg",
+        "CAST(numer2 * 1000000 DIV (2 * p * n) AS BIGINT) AS auc_ppm",
+    )
+
+
+@register(
+    "events_model_calibration_buckets",
+    oracle="""
+WITH scored AS (
+  SELECT CAST(floor(value / 50) AS BIGINT) AS bucket, value,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+  FROM events
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+         AS score_milli_sum,
+       CAST(SUM(label) * 1000000 // COUNT(*) AS BIGINT)
+         AS observed_rate_ppm
+FROM scored GROUP BY bucket
+""",
+    tags=("events", "ml-eval", "calibration"),
+)
+def events_model_calibration_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Calibration / reliability curve companion to the exact AUC:
+    score buckets (width 50) with the exact integer-milli score mass
+    and the observed positive rate in integer ppm — a calibrated model
+    shows monotone agreement between the two columns; this fixture's
+    noise shows a flat ~20% base rate, exactly. One conditional-
+    aggregation scan, map-side combinable, no window."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.select(
+            F.floor(F.col("value") / 50).cast("long").alias("bucket"),
+            F.floor(F.col("value") * 1000).cast("long").alias("score_milli"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("label"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("score_milli").cast("long").alias("score_milli_sum"),
+            F.expr(
+                "CAST(SUM(label) * 1000000 DIV COUNT(*) AS BIGINT)"
+            ).alias("observed_rate_ppm"),
+        )
+    )
