@@ -2027,101 +2027,6 @@ def events_cohort_weekly_retention(
 
 
 @register(
-    "events_funnel_view_click_purchase",
-    oracle="""
-WITH t1 AS (
-  SELECT user_id, MIN(ts) AS ts1 FROM events
-  WHERE event_type = 'view' GROUP BY user_id
-),
-t2 AS (
-  SELECT e.user_id, MIN(e.ts) AS ts2
-  FROM events e JOIN t1 USING (user_id)
-  WHERE e.event_type = 'click' AND e.ts > t1.ts1
-    AND e.ts <= t1.ts1 + INTERVAL 3 DAY
-  GROUP BY e.user_id
-),
-t3 AS (
-  SELECT e.user_id, MIN(e.ts) AS ts3
-  FROM events e JOIN t2 USING (user_id)
-  WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
-    AND e.ts <= t2.ts2 + INTERVAL 3 DAY
-  GROUP BY e.user_id
-),
-n AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM t1) AS n1,
-             (SELECT CAST(COUNT(*) AS BIGINT) FROM t2) AS n2,
-             (SELECT CAST(COUNT(*) AS BIGINT) FROM t3) AS n3)
-SELECT step, n_users, conversion_ppm FROM (
-  SELECT '1_view' AS step, n1 AS n_users,
-         CAST(1000000 AS BIGINT) AS conversion_ppm FROM n
-  UNION ALL
-  SELECT '2_click', n2,
-         CASE WHEN n1 = 0 THEN NULL
-              ELSE CAST(n2 * 1000000 // n1 AS BIGINT) END FROM n
-  UNION ALL
-  SELECT '3_purchase', n3,
-         CASE WHEN n2 = 0 THEN NULL
-              ELSE CAST(n3 * 1000000 // n2 AS BIGINT) END FROM n
-)
-""",
-    tags=("events", "funnel", "product-analytics"),
-)
-def events_funnel_view_click_purchase(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Strictly-ordered funnel conversion (view → click → purchase):
-    a user advances a step only with an event STRICTLY AFTER their
-    previous step's first completion AND within a 3-day step window —
-    the standard time-bounded funnel definition, which a naive
-    per-type min() gets wrong when a purchase precedes the first view
-    (and which an unbounded funnel saturates on this fixture: bounded,
-    the steps convert 150 → 115 → 81 at sf0.01). Three passes, each one filter + equi-join on
-    user_id + min-agg; after the first shuffle every pass is
-    co-partitioned on the same key, and per-step state is one
-    timestamp per surviving user. Step conversion is integer ppm of
-    the PREVIOUS step (NULL on an empty previous step, identically in
-    both engines)."""
-    ev = _ev(spark, sf_dir)
-    t1 = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("ts1"))
-    )
-    t2 = (
-        ev.filter(F.col("event_type") == "click")
-        .join(t1, "user_id")
-        .filter(
-            (F.col("ts") > F.col("ts1"))
-            & (F.col("ts") <= F.expr("ts1 + INTERVAL 3 DAY"))
-        )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("ts2"))
-    )
-    t3 = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(t2, "user_id")
-        .filter(
-            (F.col("ts") > F.col("ts2"))
-            & (F.col("ts") <= F.expr("ts2 + INTERVAL 3 DAY"))
-        )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("ts3"))
-    )
-    n1 = t1.agg(F.count("*").cast("long").alias("n1"))
-    n2 = t2.agg(F.count("*").cast("long").alias("n2"))
-    n3 = t3.agg(F.count("*").cast("long").alias("n3"))
-    n = n1.crossJoin(n2).crossJoin(n3)
-    return n.selectExpr(
-        """stack(3,
-           '1_view', n1, CAST(1000000 AS BIGINT),
-           '2_click', n2, CASE WHEN n1 = 0 THEN NULL
-                               ELSE CAST(n2 * 1000000 DIV n1 AS BIGINT) END,
-           '3_purchase', n3, CASE WHEN n2 = 0 THEN NULL
-                                  ELSE CAST(n3 * 1000000 DIV n2 AS BIGINT) END
-        ) AS (step, n_users, conversion_ppm)"""
-    )
-
-
-@register(
     "events_model_auc_exact",
     oracle="""
 WITH scored AS (
