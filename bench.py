@@ -102,6 +102,12 @@ SCALE_PATHS = [
     "agg_heavy_hitters_two_pass",
     "vector_pca_second_moments",
     "graph_hits_nation_trade",
+    # round-11 additions: the adaptive-cell SemDeDup fix is tracked
+    # here (its 10x regression story lives in SCALING_r11.json), plus
+    # the unigram-LM trainer and the k-core peel — the round's new
+    # iterative families, both measured sublinear at 10x
+    "text_unigram_lm_train_vocab",
+    "graph_kcore_trade",
 ]
 
 #: scale-path names re-timed a second time with the min reported:

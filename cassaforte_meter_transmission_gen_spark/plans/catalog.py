@@ -52,6 +52,15 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
+        if name in REGISTRY:
+            # latest-wins would silently SHADOW the earlier query — a
+            # duplicate registration once hid a shipped funnel behind a
+            # re-implementation for a whole parity cycle. Fail at import.
+            raise ValueError(
+                f"duplicate catalog registration: {name!r} "
+                f"(already registered by "
+                f"{REGISTRY[name].fn.__name__!r})"
+            )
         REGISTRY[name] = Query(name=name, fn=wrapped, oracle=oracle, tags=tuple(tags))
         return wrapped
 

@@ -104,3 +104,16 @@ def test_nanos_long_column_roundtrips_to_timestamp(spark, tmp_path):
             ),
         ]
         assert vals == want, unit
+
+
+def test_catalog_rejects_duplicate_registration():
+    """latest-wins registration once silently shadowed a shipped query
+    behind a re-implementation; the catalog now fails at import time."""
+    import pytest
+
+    from cassaforte_meter_transmission_gen_spark.plans.catalog import register
+
+    with pytest.raises(ValueError, match="duplicate catalog registration"):
+        @register("q01_pricing_summary")
+        def dup(spark, sf_dir):  # pragma: no cover
+            raise AssertionError
