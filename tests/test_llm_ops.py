@@ -1573,3 +1573,51 @@ def test_semantic_n_clusters_parity_floor_and_scaling():
     assert (
         semantic_n_clusters(SEMDEDUP_TARGET_CELL * 100 + 1) == 101
     )
+
+
+def test_arrow_assign_agrees_with_sql_form_and_dispatch(spark, sf_small):
+    """The large-k Arrow assignment kernel must agree with the
+    oracle-twinned SQL expression on the gated configuration (k=16,
+    below the dispatch threshold) — and assign_to_centroid must
+    dispatch to it at k ≥ ARROW_ASSIGN_MIN_K (where the generated
+    argmin expression stops being viable: 21.6 s at k=160 on 20k rows
+    measured, non-compiling near k≈1000)."""
+    from pyspark.sql import functions as F
+
+    from cassaforte_meter_transmission_gen_spark.operators.similarity import (
+        ARROW_ASSIGN_MIN_K,
+        _argmin_code_sql,
+        assign_to_centroid,
+        assign_to_centroid_arrow,
+        kmeans_centroids,
+    )
+
+    e = load_table(spark, sf_small, "embeddings")
+    cents = kmeans_centroids(e, n_clusters=16, n_iters=2)
+    sql_ids = {
+        r["vec_id"]: r["cluster_id"]
+        for r in e.withColumn(
+            "cluster_id",
+            F.expr(
+                _argmin_code_sql(
+                    "transform(embedding, x -> CAST(x AS DOUBLE))", cents
+                )
+            ),
+        )
+        .select("vec_id", "cluster_id")
+        .collect()
+    }
+    arw_ids = {
+        r["vec_id"]: r["cluster_id"]
+        for r in assign_to_centroid_arrow(e, cents)
+        .select("vec_id", "cluster_id")
+        .collect()
+    }
+    assert sql_ids == arw_ids
+
+    big = [[float((i * 37 + j * 11) % 100) / 100 for j in range(64)]
+           for i in range(ARROW_ASSIGN_MIN_K)]
+    plan = assign_to_centroid(e, big)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan  # dispatched to the Arrow kernel
+    small_plan = assign_to_centroid(e, cents)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in small_plan  # gated configs stay SQL
