@@ -3722,3 +3722,66 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         F.lower(F.hex("pixels")).alias("pixel_hex"),
     )
+
+
+@register(
+    "multimodal_gif_frame_sample",
+    oracle="""
+WITH d AS (SELECT doc_id, doc_id % 4 + 5 AS w, 6 AS h,
+                  doc_id % 3 + 4 AS n_frames
+           FROM documents WHERE doc_id < 50),
+fr AS (SELECT doc_id, w, h, CAST(unnest(range(0, n_frames)) AS BIGINT) AS f
+       FROM d)
+SELECT doc_id AS item_id,
+       CAST(f AS INT) AS frame_idx,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       lower(array_to_string(
+         list_transform(range(0, w * h * 3),
+           i -> lpad(to_hex(
+             CASE (i % 3)
+               WHEN 0 THEN (doc_id * 37
+                 + ((doc_id * 7919 + f * 101 + (i // (w * 3)) * 31
+                     + (((i % (w * 3)) // 3) // 2) * 3) % 16) * 11) % 256
+               WHEN 1 THEN (doc_id * 59
+                 + ((doc_id * 7919 + f * 101 + (i // (w * 3)) * 31
+                     + (((i % (w * 3)) // 3) // 2) * 3) % 16) * 23) % 256
+               ELSE (doc_id * 83
+                 + ((doc_id * 7919 + f * 101 + (i // (w * 3)) * 31
+                     + (((i % (w * 3)) // 3) // 2) * 3) % 16) * 29) % 256
+             END), 2, '0')),
+         '')) AS pixel_hex
+FROM fr WHERE f % 2 = 0
+""",
+    tags=("multimodal", "codec", "gif", "video", "frame-sample"),
+)
+def multimodal_gif_frame_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VIDEO-shaped decode behind the codec seam: 50 synthetic
+    animations (4-6 frames each) are encoded into REAL animated GIF89a
+    containers (per-frame Graphic Control Extensions + independent LZW
+    streams) and frame-SAMPLED — every 2nd frame decoded, the rest
+    skipped at the container level — the training-pipeline read where
+    a job never inflates the whole stream
+    (operators.multimodal.sample_gif_frames). Upgrades the stubbed
+    frame-sampler plumbing to a genuine end-to-end decode: the oracle
+    re-derives every sampled frame's pixels from the integer pattern
+    formula, so a hash-green row pins container walking (extension
+    skipping, sub-block framing), per-frame LZW, and the sampling rule
+    all at once."""
+    from ..operators.multimodal import (
+        encode_synthetic_gif_animations,
+        sample_gif_frames,
+    )
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 50).select("doc_id")
+    clips = encode_synthetic_gif_animations(d, "doc_id")
+    sampled = sample_gif_frames(clips.select("item_id", "payload"), stride=2)
+    return sampled.select(
+        "item_id",
+        "frame_idx",
+        "width",
+        "height",
+        F.lower(F.hex("pixels")).alias("pixel_hex"),
+    )

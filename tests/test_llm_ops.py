@@ -1621,3 +1621,31 @@ def test_arrow_assign_agrees_with_sql_form_and_dispatch(spark, sf_small):
     assert "MapInPandas" in plan  # dispatched to the Arrow kernel
     small_plan = assign_to_centroid(e, cents)._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in small_plan  # gated configs stay SQL
+
+
+def test_gif_animation_roundtrip_and_rejects():
+    """Animated GIF89a: every synthetic clip round-trips frame-exact;
+    the strict single-image decoder still rejects animated containers
+    (extensions), and the frames decoder rejects truncation and a
+    frame-count lie."""
+    import pytest
+
+    from cassaforte_meter_transmission_gen_spark.operators.multimodal import (
+        gif_decode,
+        gif_decode_frames,
+        gif_encode_animation,
+        synthetic_gif_animation,
+    )
+
+    w, h, frames, pal = synthetic_gif_animation(11)
+    enc = gif_encode_animation(w, h, frames, pal)
+    w2, h2, dec = gif_decode_frames(enc)
+    assert (w2, h2, len(dec)) == (w, h, len(frames))
+    for rgb, idx in zip(dec, frames):
+        assert rgb == bytes(pal[i * 3 + c] for i in idx for c in range(3))
+    with pytest.raises(ValueError, match="extension"):
+        gif_decode(enc)  # the still decoder stays strict
+    with pytest.raises(ValueError, match="truncated"):
+        gif_decode_frames(enc[:-2])  # trailer chopped
+    with pytest.raises(ValueError):
+        gif_encode_animation(w, h, [], pal)
