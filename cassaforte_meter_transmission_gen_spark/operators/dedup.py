@@ -650,9 +650,10 @@ SEMDEDUP_TARGET_CELL = 125
 
 def semantic_n_clusters(n_vectors: int, base: int = 16) -> int:
     """Corpus-adaptive SemDeDup cell count: ceil(n / target cell size),
-    floored at the legacy ``base`` so every parity corpus (≤ 20k
-    vectors) resolves to the oracle-gated fixed-k configuration — the
-    adaptive branch only engages beyond oracle-verified scale."""
+    floored at the legacy ``base`` so every parity corpus (≤ 2 000
+    vectors at SEMDEDUP_TARGET_CELL = 125, i.e. n ≤ base·target)
+    resolves to the oracle-gated fixed-k configuration — the adaptive
+    branch only engages beyond oracle-verified scale."""
     return max(base, -(-n_vectors // SEMDEDUP_TARGET_CELL))
 
 

@@ -368,6 +368,8 @@ def unigram_lm_train(
     oracle stepping identical EM iterations. Driver state is
     vocab-sized (the NLL dict per round); words/counts never collect.
     """
+    if em_rounds < 1:
+        raise ValueError("em_rounds must be >= 1")
     words = unigram_words(docs, text_col).localCheckpoint(eager=True)
     vocab = unigram_seed_vocab(words).localCheckpoint(eager=True)
     nll_rows = unigram_piece_nll(vocab).collect()

@@ -2048,10 +2048,11 @@ pref AS (
 ),
 tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS p,
                CAST(SUM(neg) AS BIGINT) AS n FROM pref),
-u AS (SELECT CAST(SUM(pos * (2 * cum_neg_below + neg)) AS BIGINT)
-        AS numer2 FROM pref)
+u AS (SELECT CAST(SUM(CAST(pos AS HUGEINT) * (2 * cum_neg_below + neg))
+        AS HUGEINT) AS numer2 FROM pref)
 SELECT p AS n_pos, n AS n_neg,
-       CAST(numer2 * 1000000 // (2 * p * n) AS BIGINT) AS auc_ppm
+       CAST(numer2 * 1000000 // (2 * CAST(p AS HUGEINT) * n) AS BIGINT)
+         AS auc_ppm
 FROM tot, u
 """,
     tags=("events", "ml-eval", "auc", "integer-exact"),
@@ -2064,14 +2065,21 @@ def events_model_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: AUC = P(score_pos > score_neg) + ½P(tie) needs no
     per-row rank — one map-side-combinable groupBy collapses the fact
-    to SCORE-LEVEL (cnt, pos) rows, and the single window (negatives
-    below each score) runs over distinct scores, not events. Doubling
-    the rank sum keeps the tie half-credit integral: auc_ppm =
-    Σ pos_s·(2·cum_neg_below + neg_s) · 1e6 DIV (2·P·N) — every term
-    int64, bit-equal across engines. The same two-pass bucketed
-    prefix-sum that backs `agg_equidepth_price_deciles` replaces the
-    window when even distinct-score cardinality is too large for one
-    task."""
+    to SCORE-LEVEL (cnt, pos) rows, and the negatives-below-each-score
+    prefix runs through :func:`..operators.packing.
+    global_running_total`'s two-pass bucketed prefix sum (the
+    `agg_equidepth_price_deciles` machinery): per-bucket windows in
+    parallel plus one bounded per-bucket-totals collect — no
+    single-task global WindowExec anywhere in the plan (locked by
+    `tests/test_plan_audit.py`). Doubling the rank sum keeps the tie
+    half-credit integral: auc_ppm = Σ pos_s·(2·cum_neg_below + neg_s)
+    · 1e6 DIV (2·P·N), accumulated in DECIMAL(38,0) (Spark) / HUGEINT
+    (DuckDB) — numer2·1e6 ≈ n²/2·1e6 exceeds int64 past ~4M events
+    and non-ANSI Spark would wrap silently where DuckDB raises; the
+    widened types keep the division integral and bit-equal across
+    engines to ~10^15 events."""
+    from ..operators.packing import global_running_total
+
     ev = _ev(spark, sf_dir)
     scored = ev.select(
         F.floor("value").cast("long").alias("score"),
@@ -2083,30 +2091,29 @@ def events_model_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("cnt"),
         F.sum("label").cast("long").alias("pos"),
     )
-    w = W.orderBy("score").rowsBetween(W.unboundedPreceding, -1)
-    pref = by_score.select(
+    pref = global_running_total(
+        by_score.withColumn(
+            "neg", (F.col("cnt") - F.col("pos")).cast("long")
+        ),
         "score",
-        "pos",
-        (F.col("cnt") - F.col("pos")).alias("neg"),
-        F.coalesce(
-            F.sum(F.col("cnt") - F.col("pos")).over(w), F.lit(0)
-        )
-        .cast("long")
-        .alias("cum_neg_below"),
+        "neg",
+        out_col="cum_neg_below",
     )
     tot = pref.agg(
         F.sum("pos").cast("long").alias("p"),
         F.sum("neg").cast("long").alias("n"),
         F.sum(
-            F.col("pos") * (F.lit(2) * F.col("cum_neg_below") + F.col("neg"))
+            F.col("pos").cast("decimal(38,0)")
+            * (F.lit(2) * F.col("cum_neg_below") + F.col("neg"))
         )
-        .cast("long")
+        .cast("decimal(38,0)")
         .alias("numer2"),
     )
     return tot.selectExpr(
         "p AS n_pos",
         "n AS n_neg",
-        "CAST(numer2 * 1000000 DIV (2 * p * n) AS BIGINT) AS auc_ppm",
+        "CAST(numer2 * 1000000 DIV (2 * CAST(p AS DECIMAL(38,0)) * n)"
+        " AS BIGINT) AS auc_ppm",
     )
 
 

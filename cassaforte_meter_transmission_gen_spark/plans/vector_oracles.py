@@ -94,7 +94,7 @@ def _bucket(v: str, planes: list[list[float]]) -> str:
     return "(" + " + ".join(bits) + ")"
 
 
-def _bucket_keys_cte(n_tables: int, n_planes: int) -> str:
+def _bucket_keys_cte(n_tables: int, n_planes: int, where: str = "") -> str:
     """(vec_id, t, bucket) — one SELECT per hash table, same seeds as
     the Spark operators (20130101 + 7919·t)."""
     tables = [
@@ -103,28 +103,47 @@ def _bucket_keys_cte(n_tables: int, n_planes: int) -> str:
     ]
     return "\nUNION ALL\n".join(
         f"SELECT vec_id, {t} AS t, {_bucket('embedding', planes)} AS bucket"
-        " FROM embeddings"
+        f" FROM embeddings{where}"
         for t, planes in enumerate(tables)
     )
 
 
+#: explicit row bound on the 0.4-threshold LSH VERIFICATION twin
+#: (dedup_embedding_cosine_lsh): at cosine ≥ 0.4 the per-plane
+#: agreement (0.63 vs 0.5 random) makes LSH pruning mathematically
+#: impossible, so the candidate join is inherently near-quadratic —
+#: measured exponent 1.90 at 10× (SCALING_r11.json). The query stays
+#: in the catalog as a bounded ground-truth fixture (every parity
+#: corpus has ≤ 2 000 vectors, far under the bound, so parity values
+#: are unchanged); the UNBOUNDED scale paths for the same semantics
+#: are dedup_semantic_clusters (adaptive cells, measured exp 0.84 at
+#: the identical 0.4 threshold) and vector_dedup_cosine_lsh_hi
+#: (threshold 0.8, measured exp 0.89).
+EMB_LSH_VERIFY_BOUND = 20_000
+
+
 @_materialized
 def dedup_embedding_cosine_lsh_sql(
-    threshold: float = 0.4, n_tables: int = 12, n_planes: int = 3
+    threshold: float = 0.4,
+    n_tables: int = 12,
+    n_planes: int = 3,
+    bound: int = EMB_LSH_VERIFY_BOUND,
 ) -> str:
-    """Oracle for operators.dedup.embedding_cosine_duplicates_lsh."""
+    """Oracle for operators.dedup.embedding_cosine_duplicates_lsh over
+    the bounded ``vec_id < bound`` slice (see EMB_LSH_VERIFY_BOUND)."""
     cos = _cosine("va", "vb")
+    where = f" WHERE vec_id < {bound}"
     return f"""
 WITH bk AS (
-{_bucket_keys_cte(n_tables, n_planes)}
+{_bucket_keys_cte(n_tables, n_planes, where)}
 ),
 cand AS (
   SELECT DISTINCT a.vec_id AS dup_a, b.vec_id AS dup_b
   FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket
                      AND a.vec_id < b.vec_id
 ),
-ea AS (SELECT vec_id, embedding AS va FROM embeddings),
-eb AS (SELECT vec_id, embedding AS vb FROM embeddings)
+ea AS (SELECT vec_id, embedding AS va FROM embeddings{where}),
+eb AS (SELECT vec_id, embedding AS vb FROM embeddings{where})
 SELECT dup_a, dup_b, {cos} AS cosine
 FROM cand
 JOIN ea ON ea.vec_id = dup_a

@@ -171,15 +171,28 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via hyperplane-LSH candidate buckets + exact
     cosine verification (operators.dedup.embedding_cosine_duplicates_
-    lsh) — the 100 TB path: the quadratic join is confined to LSH
-    buckets. Fully hash-gated: the hyperplanes are fixed-seed literals,
-    so the oracle (plans.vector_oracles) re-derives the identical
-    bucket structure in serial SQL — the scale path, not the O(n²)
-    baseline, is the externally verified form. Precision 1.0 / recall
+    lsh), as a BOUNDED ground-truth fixture: restricted to the
+    deterministic ``vec_id < EMB_LSH_VERIFY_BOUND`` slice (the
+    ``dedup_embedding_cosine_pairs`` pattern). At threshold 0.4 the
+    per-plane agreement (0.63 vs 0.5 random) makes LSH pruning
+    mathematically impossible — measured exponent 1.90 at 10×
+    (SCALING_r11.json) — so this configuration is demoted off the
+    scale path (VERDICT r11 #1); the unbounded 0.4-threshold scale
+    form is ``dedup_semantic_clusters`` (adaptive cells, measured exp
+    0.84) and the high-threshold LSH regime that DOES prune is
+    ``vector_dedup_cosine_lsh_hi`` (exp 0.89). Fully hash-gated: the
+    hyperplanes are fixed-seed literals, so the oracle
+    (plans.vector_oracles) re-derives the identical bucket structure
+    in serial SQL over the same bounded slice. Precision 1.0 / recall
     vs the exact form additionally asserted in tests."""
     from ..operators.dedup import embedding_cosine_duplicates_lsh
 
-    return embedding_cosine_duplicates_lsh(_emb(spark, sf_dir), threshold=0.4)
+    return embedding_cosine_duplicates_lsh(
+        _emb(spark, sf_dir).filter(
+            F.col("vec_id") < vector_oracles.EMB_LSH_VERIFY_BOUND
+        ),
+        threshold=0.4,
+    )
 
 
 @register(
@@ -358,8 +371,9 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     SIZE held ≈ constant), so the within-cell pairwise verify grows
     linearly with the corpus instead of quadratically. Every parity
     corpus resolves to the legacy fixed 16 cells (the oracle-gated
-    branch); beyond ~20k vectors the adaptive branch trains its own
-    k = ceil(n/1250) quantizer on the deterministic hash sample."""
+    branch; ≤ 2 000 vectors at SEMDEDUP_TARGET_CELL = 125); beyond
+    2 000 vectors the adaptive branch trains its own k = ceil(n/125)
+    quantizer on the deterministic hash sample."""
     from ..operators.dedup import (
         semantic_duplicates_clustered,
         semantic_n_clusters,

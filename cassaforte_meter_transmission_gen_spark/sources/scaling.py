@@ -53,6 +53,10 @@ ALL_TABLES = DIM_TABLES + (
 #: per-replica key shift — far above any base-table key at sf ≤ 1
 KEY_SHIFT = 1_000_000_000
 
+#: bump to invalidate previously-staged corpora when generation SQL
+#: changes (v2: n_chars recomputed from the salted replica text)
+GEN_VERSION = 2
+
 #: embedding dimensionality (matches operators.pca.DIM)
 EMB_DIM = 64
 
@@ -76,7 +80,11 @@ def stage_scaled_corpus(base_dir: str, out_dir: str, k: int) -> dict:
     a matching manifest."""
     import duckdb
 
-    want = {"base_dir": os.path.abspath(base_dir), "k": int(k)}
+    want = {
+        "base_dir": os.path.abspath(base_dir),
+        "k": int(k),
+        "gen_version": GEN_VERSION,
+    }
     mpath = _manifest_path(out_dir)
     if os.path.exists(mpath):
         try:
@@ -132,17 +140,23 @@ def stage_scaled_corpus(base_dir: str, out_dir: str, k: int) -> dict:
     )
 
     # documents: replica-0 text verbatim; replicas > 0 token-salted so
-    # shingle spaces are disjoint across replicas, identical within
+    # shingle spaces are disjoint across replicas, identical within.
+    # n_chars is recomputed from the salted text (base data holds
+    # n_chars = length(text); salting adds ~4 chars per token, so the
+    # base value would understate replica lengths and skew any family
+    # that correlates n_chars with actual text length).
     copy(
-        f"""SELECT doc_id + r.range * {KEY_SHIFT} AS doc_id,
-                   CASE WHEN r.range = 0 THEN text
-                        ELSE array_to_string(
-                            list_transform(string_split(text, ' '),
-                                           t -> t || '·r' || r.range),
-                            ' ')
-                   END AS text,
-                   lang, source, n_chars
-            FROM {src('documents')} CROSS JOIN range({k}) r""",
+        f"""SELECT doc_id, text, lang, source,
+                   CAST(length(text) AS BIGINT) AS n_chars
+            FROM (SELECT doc_id + r.range * {KEY_SHIFT} AS doc_id,
+                         CASE WHEN r.range = 0 THEN text
+                              ELSE array_to_string(
+                                  list_transform(string_split(text, ' '),
+                                                 t -> t || '·r' || r.range),
+                                  ' ')
+                         END AS text,
+                         lang, source
+                  FROM {src('documents')} CROSS JOIN range({k}) r)""",
         "documents",
     )
 

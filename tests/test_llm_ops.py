@@ -1649,3 +1649,16 @@ def test_gif_animation_roundtrip_and_rejects():
         gif_decode_frames(enc[:-2])  # trailer chopped
     with pytest.raises(ValueError):
         gif_encode_animation(w, h, [], pal)
+
+
+def test_unigram_lm_train_rejects_zero_rounds(spark, sf_small):
+    """em_rounds=0 would leave counts unassigned and crash deep in the
+    trainer with an AttributeError — the contract is a loud up-front
+    ValueError instead (ADVICE r11)."""
+    from cassaforte_meter_transmission_gen_spark.operators.tokenizer import (
+        unigram_lm_train,
+    )
+
+    docs = spark.createDataFrame([("a b",)], "text string")
+    with pytest.raises(ValueError, match="em_rounds"):
+        unigram_lm_train(docs, em_rounds=0)

@@ -118,3 +118,16 @@ def test_replica_permutation_deterministic_identity_for_zero():
     p1 = replica_permutation(1)
     assert sorted(p1) == list(range(1, 65)) and p1 != replica_permutation(2)
     assert p1 == replica_permutation(1)  # stable across calls
+
+
+def test_staging_documents_n_chars_matches_text(staged):
+    """n_chars must equal length(text) on EVERY replica (ADVICE r11:
+    salted replicas used to keep the base row's n_chars, understating
+    replica lengths by ~4 chars per token and skewing any family that
+    correlates n_chars with actual text length)."""
+    out, _ = staged
+    con = duckdb.connect()
+    bad = con.execute(f"""
+        SELECT count(*) FROM read_parquet('{out}/documents.parquet')
+        WHERE n_chars <> length(text)""").fetchone()[0]
+    assert bad == 0
