@@ -2118,6 +2118,119 @@ def events_model_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_model_pr_auc_exact",
+    oracle="""
+WITH scored AS (
+  SELECT CAST(floor(value) AS BIGINT) AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+  FROM events
+),
+by_score AS (
+  SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(label) AS BIGINT) AS pos
+  FROM scored GROUP BY score
+),
+ge AS (
+  SELECT score, pos,
+         CAST(SUM(pos) OVER (ORDER BY score DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_pos_ge,
+         CAST(SUM(cnt) OVER (ORDER BY score DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_cnt_ge
+  FROM by_score
+),
+tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS p,
+               CAST(SUM(cnt) AS BIGINT) AS t FROM by_score),
+u AS (SELECT CAST(SUM(CAST(pos AS HUGEINT) *
+               ((CAST(cum_pos_ge AS HUGEINT) * 1000000000) // cum_cnt_ge))
+             AS HUGEINT) AS numer FROM ge)
+SELECT p AS n_pos, t - p AS n_neg,
+       CAST(p * 1000000 // t AS BIGINT) AS base_rate_ppm,
+       CAST(numer // (CAST(p AS HUGEINT) * 1000) AS BIGINT) AS ap_ppm
+FROM tot, u
+""",
+    tags=("events", "ml-eval", "pr-auc", "integer-exact"),
+)
+def events_model_pr_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT area under the precision-recall curve (average precision,
+    the step-interpolated estimator: AP = Σ_s ΔRecall(s)·Precision(s)
+    over DESCENDING score thresholds) — the companion the exact
+    ROC-AUC needs on imbalanced labels, where ROC flatters the
+    majority class; this fixture's ~20% base rate keeps it
+    non-degenerate (a random scorer's AP ≈ base rate, so ap_ppm ≈
+    base_rate_ppm here — the gate pins the estimator arithmetic).
+
+    Scale shape mirrors `events_model_auc_exact`: one map-side
+    combinable groupBy collapses the fact to score-level (cnt, pos)
+    rows; the descending cumulatives come from the SAME ascending
+    bucketed two-pass prefix sum (:func:`..operators.packing.
+    global_running_total`) via cum_ge = total − cum_below, with the
+    one-row totals broadcast — no single-task window (locked by
+    `tests/test_plan_audit.py`). Integer-exact across engines: each
+    threshold's precision is quantized once to integer nano units
+    ((cum_pos_ge·1e9) DIV cum_cnt_ge), the recall weight pos_s stays
+    integral, and the sum accumulates in DECIMAL(38,0) (Spark) /
+    HUGEINT (DuckDB) — both engines evaluate the identical
+    floor-division sequence, so the result is bit-equal, not merely
+    close, to ~10^15 events."""
+    from ..operators.packing import global_running_total
+
+    ev = _ev(spark, sf_dir)
+    scored = ev.select(
+        F.floor("value").cast("long").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("label"),
+    )
+    by_score = scored.groupBy("score").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("label").cast("long").alias("pos"),
+    )
+    pref = global_running_total(
+        global_running_total(by_score, "score", "pos", out_col="__pos_blw"),
+        "score",
+        "cnt",
+        out_col="__cnt_blw",
+    )
+    tot = by_score.agg(
+        F.sum("pos").cast("long").alias("p"),
+        F.sum("cnt").cast("long").alias("t"),
+    )
+    # cum_ge(X) = total_X − cum_below(X) + current row's X… except the
+    # prefix sums here are EXCLUSIVE (strictly below), so the current
+    # row is already outside __pos_blw/__cnt_blw: ge = total − below
+    # includes the row itself — exactly the DESC-inclusive cumulative.
+    ge = pref.crossJoin(F.broadcast(tot)).select(
+        "pos",
+        (F.col("p") - F.col("__pos_blw")).alias("cum_pos_ge"),
+        (F.col("t") - F.col("__cnt_blw")).alias("cum_cnt_ge"),
+        "p",
+        "t",
+    )
+    u = ge.agg(
+        F.sum(
+            F.col("pos").cast("decimal(38,0)")
+            * F.expr(
+                "CAST(cum_pos_ge AS DECIMAL(38,0)) * 1000000000"
+                " DIV cum_cnt_ge"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("numer"),
+        F.max("p").alias("p"),
+        F.max("t").alias("t"),
+    )
+    return u.selectExpr(
+        "p AS n_pos",
+        "t - p AS n_neg",
+        "CAST(p * 1000000 DIV t AS BIGINT) AS base_rate_ppm",
+        "CAST(numer DIV (CAST(p AS DECIMAL(38,0)) * 1000) AS BIGINT)"
+        " AS ap_ppm",
+    )
+
+
+@register(
     "events_model_calibration_buckets",
     oracle="""
 WITH scored AS (

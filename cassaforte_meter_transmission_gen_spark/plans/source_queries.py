@@ -507,3 +507,106 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("p_size").cast("long")).alias("total_size"),
         dec_sum(F.col("p_retailprice")).alias("total_retail"),
     )
+
+
+@register(
+    "source_avro_roundtrip",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       o_orderdate, o_orderpriority
+FROM orders WHERE o_orderkey < 4000
+""",
+    tags=("source", "avro"),
+)
+def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders slice → Avro Object Container Files → decode → rows,
+    value-hash-gated against the original parquet: proves longs,
+    strings, binary64 doubles, and timestamp-micros round-trip the
+    container bit-exactly, including raw-deflate block compression.
+
+    The `spark-avro` DataSource is an external jar this no-network
+    environment cannot fetch (documented in README), so the engine
+    ships its own OCF codec (sources.avro_codec — real bytes per the
+    public Avro 1.11 spec: magic/metadata-map/sync-marker framing,
+    zigzag varints, deflate codec) behind the same Arrow seam as the
+    BMP/WAV/PNG/GIF codecs: both directions run as distributed
+    ``mapInPandas`` stages (one container per Arrow batch, the 100 TB
+    landing-zone shape — files ride executor-side, only the bounded
+    blob schema crosses stages), never a driver-side loop. With the
+    JVM package installed the two mapInPandas stages collapse to
+    ``.write.format("avro")`` / ``.read.format("avro")`` unchanged."""
+    from ..sources.avro_codec import ocf_decode, ocf_encode, record_schema
+
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    schema_json = record_schema(
+        "order",
+        [
+            ("o_orderkey", "long"),
+            ("o_custkey", "long"),
+            ("o_orderstatus", "string"),
+            ("o_totalprice", "double"),
+            ("o_orderdate", "timestamp-micros"),
+            ("o_orderpriority", "string"),
+        ],
+    )
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 4000)
+        .select(*cols)
+        .repartition(8, "o_orderkey")
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = list(
+                zip(
+                    pdf["o_orderkey"].astype("int64"),
+                    pdf["o_custkey"].astype("int64"),
+                    pdf["o_orderstatus"],
+                    pdf["o_totalprice"].astype("float64"),
+                    pdf["o_orderdate"]
+                    .astype("datetime64[us]")
+                    .astype("int64"),
+                    pdf["o_orderpriority"],
+                )
+            )
+            yield pd.DataFrame(
+                {
+                    "n_rows": [len(rows)],
+                    "payload": [ocf_encode(schema_json, rows)],
+                }
+            )
+
+    blobs = src.mapInPandas(encode, schema="n_rows long, payload binary")
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for blob in pdf["payload"]:
+                _, rows = ocf_decode(bytes(blob))
+                out = pd.DataFrame(rows, columns=cols)
+                out["o_orderdate"] = pd.to_datetime(
+                    out["o_orderdate"], unit="us"
+                )
+                yield out
+
+    return blobs.mapInPandas(
+        decode,
+        schema=(
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, "
+            "o_orderpriority string"
+        ),
+    )

@@ -1056,3 +1056,14 @@ def test_kcore_survivor_broadcast_is_size_gated(spark, sf_small):
         assert "BroadcastHashJoin" not in gated, gated
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_pr_auc_windows_bucketed_not_single_partition(spark, sf_small):
+    """events_model_pr_auc_exact rides the same bucketed prefix-sum
+    machinery as the exact AUC — every Window partitions by __pid."""
+    df = REGISTRY["events_model_pr_auc_exact"].fn(spark, sf_small)
+    plan = _plan(df)
+    window_lines = [l for l in plan.splitlines() if "Window [" in l]
+    assert window_lines, plan
+    for line in window_lines:
+        assert "__pid#" in line, line

@@ -207,3 +207,38 @@ def test_quantile_sample_estimates_within_sampling_error(spark):
     sk = quantile_sample_sketch(df, "k", "val", k=512)
     est = sk.agg(F.expr("percentile(v, 0.5)").alias("m")).collect()[0].m
     assert abs(est - 10000) < 0.1 * 20000  # ±4.5 se
+
+
+def test_pr_auc_matches_serial_integer_model(spark, sf_small):
+    """events_model_pr_auc_exact lands on the identical ap_ppm as a
+    serial pure-Python average-precision stepping the same integer
+    quantization (nano-unit precision per threshold, floor divisions
+    in the same order) over the same (score, label) pairs."""
+    row = REGISTRY["events_model_pr_auc_exact"].fn(spark, sf_small).head()
+
+    import duckdb
+
+    pairs = duckdb.sql(
+        f"""SELECT CAST(floor(value) AS BIGINT) AS s,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS l
+            FROM read_parquet('{sf_small}/events.parquet')"""
+    ).fetchall()
+    from collections import defaultdict
+
+    cnt, pos = defaultdict(int), defaultdict(int)
+    for s, l in pairs:
+        cnt[s] += 1
+        pos[s] += l
+    p_tot = sum(pos.values())
+    t_tot = sum(cnt.values())
+    numer = cum_p = cum_t = 0
+    for s in sorted(cnt, reverse=True):
+        cum_p += pos[s]
+        cum_t += cnt[s]
+        numer += pos[s] * ((cum_p * 1_000_000_000) // cum_t)
+    assert row["n_pos"] == p_tot
+    assert row["n_neg"] == t_tot - p_tot
+    assert row["base_rate_ppm"] == p_tot * 1_000_000 // t_tot
+    assert row["ap_ppm"] == numer // (p_tot * 1000)
+    # sanity: a noise scorer's AP sits near the base rate
+    assert abs(row["ap_ppm"] - row["base_rate_ppm"]) < 120_000
