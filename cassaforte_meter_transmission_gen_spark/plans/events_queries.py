@@ -2231,6 +2231,130 @@ def events_model_pr_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_model_lift_deciles",
+    oracle="""
+WITH scored AS (
+  SELECT CAST(floor(value) AS BIGINT) AS score, event_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+  FROM events
+),
+r AS (
+  SELECT label,
+         ntile(10) OVER (ORDER BY score DESC, event_id) AS decile
+  FROM scored
+),
+d AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(SUM(label) AS BIGINT) AS n_pos
+  FROM r GROUP BY decile
+),
+tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS t,
+               CAST(SUM(n_pos) AS BIGINT) AS p FROM d),
+c AS (
+  SELECT decile, n_events, n_pos,
+         CAST(SUM(n_pos) OVER (ORDER BY decile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_pos
+  FROM d
+)
+SELECT CAST(decile AS INT) AS decile, n_events, n_pos,
+       CAST(n_pos * 1000000 // n_events AS BIGINT) AS pos_rate_ppm,
+       CAST((CAST(n_pos AS HUGEINT) * t * 1000000)
+            // (CAST(n_events AS HUGEINT) * p) AS BIGINT) AS lift_ppm,
+       CAST(cum_pos * 1000000 // p AS BIGINT) AS cum_capture_ppm
+FROM c, tot
+""",
+    tags=("events", "ml-eval", "lift", "rank", "integer-exact"),
+)
+def events_model_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lift / cumulative-gains table by score decile — the third leg of
+    the offline model-eval family (exact AUC: ranking, calibration:
+    probability quality, lift: the campaign-targeting read "how much
+    better than random is the top 10/20/…% of scores"). Decile 1 is
+    the highest-score tenth; a noise scorer shows lift_ppm ≈ 1 000 000
+    flat, which is what this fixture pins.
+
+    Scale shape: the global DESC-score decile assignment rides the
+    same bucketed two-pass prefix-sum rank as
+    `agg_equidepth_price_deciles` (true ntile semantics via
+    compat.sql_ntile_from_rank over a collision-free derived monotone
+    key — descending score via max_score − score, tie-broken by
+    event_id), so no global sort and no single-task window touches
+    the FACT table; the one unpartitioned window that remains runs
+    over the ten decile rows — fixed-size at any corpus. Ratios are
+    integer ppm with DECIMAL(38,0)/HUGEINT products (lift's n_pos·t
+    crosses int64 past ~4M events), floor-divided identically in both
+    engines."""
+    from ..operators.packing import global_running_total
+    from .compat import sql_ntile_from_rank
+
+    ev = _ev(spark, sf_dir)
+    scored = ev.select(
+        F.floor("value").cast("long").alias("score"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("label"),
+    )
+    stats = scored.agg(
+        F.count("*").alias("n"),
+        F.min("event_id").alias("lo"),
+        F.max("event_id").alias("hi"),
+        F.min("score").alias("smin"),
+        F.max("score").alias("smax"),
+    ).head()
+    n = int(stats["n"] or 0)
+    if n == 0:
+        return spark.createDataFrame(
+            [],
+            "decile int, n_events long, n_pos long, pos_rate_ppm long,"
+            " lift_ppm long, cum_capture_ppm long",
+        )
+    if stats["lo"] < 0:
+        raise ValueError("events_model_lift_deciles: negative event_id")
+    mult = int(stats["hi"]) + 1
+    span = int(stats["smax"]) - int(stats["smin"]) + 1
+    if span * mult > (1 << 63) - 1:
+        raise ValueError(
+            "events_model_lift_deciles: (score span, event_id) key would"
+            " overflow int64"
+        )
+    # monotone int64 key in (score DESC, event_id ASC)
+    keyed = scored.withColumn(
+        "__k",
+        (F.lit(int(stats["smax"])) - F.col("score")) * F.lit(mult)
+        + F.col("event_id"),
+    ).withColumn("__one", F.lit(1).cast("long"))
+    ranked = global_running_total(keyed, "__k", "__one", out_col="__rank0")
+    decile = F.expr(sql_ntile_from_rank("__rank0", n, 10))
+    d = (
+        ranked.select("label", decile.alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("label").cast("long").alias("n_pos"),
+        )
+    )
+    tot = d.agg(
+        F.sum("n_events").cast("long").alias("t"),
+        F.sum("n_pos").cast("long").alias("p"),
+    )
+    w = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    c = d.withColumn("cum_pos", F.sum("n_pos").over(w).cast("long"))
+    return c.crossJoin(F.broadcast(tot)).selectExpr(
+        "CAST(decile AS INT) AS decile",
+        "n_events",
+        "n_pos",
+        "CAST(n_pos * 1000000 DIV n_events AS BIGINT) AS pos_rate_ppm",
+        "CAST(CAST(n_pos AS DECIMAL(38,0)) * t * 1000000"
+        " DIV (CAST(n_events AS DECIMAL(38,0)) * p) AS BIGINT)"
+        " AS lift_ppm",
+        "CAST(cum_pos * 1000000 DIV p AS BIGINT) AS cum_capture_ppm",
+    )
+
+
+@register(
     "events_model_calibration_buckets",
     oracle="""
 WITH scored AS (
