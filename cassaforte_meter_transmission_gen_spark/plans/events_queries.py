@@ -2355,6 +2355,125 @@ def events_model_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_model_ks_statistic",
+    oracle="""
+WITH scored AS (
+  SELECT CAST(floor(value) AS BIGINT) AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+  FROM events
+),
+by_score AS (
+  SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(label) AS BIGINT) AS pos
+  FROM scored GROUP BY score
+),
+pref AS (
+  SELECT score,
+         CAST(SUM(pos) OVER (ORDER BY score) AS BIGINT) AS cum_pos_le,
+         CAST(SUM(cnt - pos) OVER (ORDER BY score) AS BIGINT)
+           AS cum_neg_le
+  FROM by_score
+),
+tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS p,
+               CAST(SUM(cnt - pos) AS BIGINT) AS n FROM by_score),
+diffs AS (
+  SELECT score,
+         abs(CAST(cum_pos_le AS HUGEINT) * n
+             - CAST(cum_neg_le AS HUGEINT) * p) AS diff
+  FROM pref, tot
+),
+m AS (SELECT MAX(diff) AS maxd FROM diffs)
+SELECT p AS n_pos, n AS n_neg,
+       CAST(maxd * 1000000 // (CAST(p AS HUGEINT) * n) AS BIGINT)
+         AS ks_ppm,
+       (SELECT MIN(score) FROM diffs, m WHERE diff = maxd) AS ks_at_score
+FROM tot, m
+""",
+    tags=("events", "ml-eval", "ks", "integer-exact"),
+)
+def events_model_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov separation between the
+    positive and negative score distributions — KS = max_s |F_pos(s) −
+    F_neg(s)| over the distinct-score thresholds, the classic
+    scorecard-separation readout beside AUC (for a binary scorer,
+    KS = max vertical distance of the ROC curve from the diagonal);
+    ``ks_at_score`` is the smallest threshold attaining the max (the
+    cutoff a deployment would pick). A noise scorer pins KS near 0 —
+    the gate, as with the rest of the family, pins the estimator
+    arithmetic.
+
+    Scale shape: the inclusive per-score CDFs come from the same
+    bucketed two-pass prefix sums as the exact AUC/PR-AUC
+    (:func:`..operators.packing.global_running_total` + current row),
+    the totals are a one-row broadcast, and the max/argmax are two
+    map-side-combinable aggregates over the distinct-score table — no
+    single-task window (plan-audited). Exactness: the CDF difference
+    is kept as the integer |cum_pos_le·N − cum_neg_le·P| in
+    DECIMAL(38,0)/HUGEINT (one product per side, no division until
+    the final ppm floor-divide), so max and argmax compare exact
+    integers and both engines agree bit-for-bit."""
+    from ..operators.packing import global_running_total
+
+    ev = _ev(spark, sf_dir)
+    scored = ev.select(
+        F.floor("value").cast("long").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("label"),
+    )
+    by_score = scored.groupBy("score").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("label").cast("long").alias("pos"),
+    )
+    pref = global_running_total(
+        global_running_total(
+            by_score.withColumn(
+                "neg", (F.col("cnt") - F.col("pos")).cast("long")
+            ),
+            "score",
+            "pos",
+            out_col="__pos_blw",
+        ),
+        "score",
+        "neg",
+        out_col="__neg_blw",
+    )
+    tot = by_score.agg(
+        F.sum("pos").cast("long").alias("p"),
+        (F.sum("cnt") - F.sum("pos")).cast("long").alias("n"),
+    )
+    diffs = pref.crossJoin(F.broadcast(tot)).select(
+        "score",
+        "p",
+        "n",
+        F.abs(
+            (F.col("__pos_blw") + F.col("pos")).cast("decimal(38,0)")
+            * F.col("n")
+            - (F.col("__neg_blw") + F.col("neg")).cast("decimal(38,0)")
+            * F.col("p")
+        ).alias("diff"),
+    )
+    m = diffs.agg(F.max("diff").alias("maxd"))
+    return (
+        diffs.crossJoin(F.broadcast(m))
+        .filter(F.col("diff") == F.col("maxd"))
+        .agg(
+            F.max("p").alias("p"),
+            F.max("n").alias("n"),
+            F.max("maxd").alias("maxd"),
+            F.min("score").alias("ks_at_score"),
+        )
+        .selectExpr(
+            "p AS n_pos",
+            "n AS n_neg",
+            "CAST(maxd * 1000000 DIV (CAST(p AS DECIMAL(38,0)) * n)"
+            " AS BIGINT) AS ks_ppm",
+            "ks_at_score",
+        )
+    )
+
+
+@register(
     "events_model_calibration_buckets",
     oracle="""
 WITH scored AS (

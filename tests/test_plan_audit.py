@@ -1067,3 +1067,14 @@ def test_pr_auc_windows_bucketed_not_single_partition(spark, sf_small):
     assert window_lines, plan
     for line in window_lines:
         assert "__pid#" in line, line
+
+
+def test_ks_statistic_windows_bucketed_not_single_partition(spark, sf_small):
+    """events_model_ks_statistic rides the bucketed prefix sums — every
+    Window partitions by __pid; max/argmax are plain aggregates."""
+    df = REGISTRY["events_model_ks_statistic"].fn(spark, sf_small)
+    plan = _plan(df)
+    window_lines = [l for l in plan.splitlines() if "Window [" in l]
+    assert window_lines, plan
+    for line in window_lines:
+        assert "__pid#" in line, line

@@ -242,3 +242,39 @@ def test_pr_auc_matches_serial_integer_model(spark, sf_small):
     assert row["ap_ppm"] == numer // (p_tot * 1000)
     # sanity: a noise scorer's AP sits near the base rate
     assert abs(row["ap_ppm"] - row["base_rate_ppm"]) < 120_000
+
+
+def test_ks_statistic_matches_serial_integer_model(spark, sf_small):
+    """events_model_ks_statistic equals a serial pure-Python KS over
+    the same integer CDF-difference arithmetic, including the
+    smallest-argmax threshold tie-break."""
+    row = REGISTRY["events_model_ks_statistic"].fn(spark, sf_small).head()
+
+    import duckdb
+
+    pairs = duckdb.sql(
+        f"""SELECT CAST(floor(value) AS BIGINT) AS s,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS l
+            FROM read_parquet('{sf_small}/events.parquet')"""
+    ).fetchall()
+    from collections import defaultdict
+
+    cnt, pos = defaultdict(int), defaultdict(int)
+    for s, l in pairs:
+        cnt[s] += 1
+        pos[s] += l
+    p = sum(pos.values())
+    n = sum(cnt.values()) - p
+    cum_p = cum_n = 0
+    maxd, arg = -1, None
+    for s in sorted(cnt):
+        cum_p += pos[s]
+        cum_n += cnt[s] - pos[s]
+        diff = abs(cum_p * n - cum_n * p)
+        if diff > maxd:
+            maxd, arg = diff, s
+    assert row["n_pos"] == p and row["n_neg"] == n
+    assert row["ks_ppm"] == maxd * 1_000_000 // (p * n)
+    assert row["ks_at_score"] == arg
+    # noise fixture: KS stays small
+    assert row["ks_ppm"] < 120_000
