@@ -2026,9 +2026,65 @@ def events_cohort_weekly_retention(
     )
 
 
-@register(
-    "events_model_auc_exact",
-    oracle="""
+def model_scores_by_score(ev: DataFrame) -> DataFrame:
+    """The model-eval family's shared collapse: events → score-level
+    ``(score, cnt, pos)`` rows (one map-side-combinable groupBy). Both
+    the batch AUC/PR-AUC/KS queries and the streaming-maintained score
+    table (streaming.pipeline.auc_scores_batch_fn) run THIS stage, so
+    the streaming state is additive in exactly the columns the batch
+    query aggregates."""
+    scored = ev.select(
+        F.floor("value").cast("long").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("label"),
+    )
+    return scored.groupBy("score").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("label").cast("long").alias("pos"),
+    )
+
+
+def auc_from_by_score(by_score: DataFrame) -> DataFrame:
+    """The exact-AUC tail over a ``(score, cnt, pos)`` table: bucketed
+    two-pass prefix sum for negatives-below, DECIMAL(38,0) rank-sum
+    accumulation, integral ppm division (see
+    :func:`events_model_auc_exact` for the full design notes). Shared
+    verbatim by the batch query and the streaming-maintained form so
+    both are gated by the identical oracle."""
+    from ..operators.packing import global_running_total
+
+    pref = global_running_total(
+        by_score.withColumn(
+            "neg", (F.col("cnt") - F.col("pos")).cast("long")
+        ),
+        "score",
+        "neg",
+        out_col="cum_neg_below",
+    )
+    tot = pref.agg(
+        F.sum("pos").cast("long").alias("p"),
+        F.sum("neg").cast("long").alias("n"),
+        F.sum(
+            F.col("pos").cast("decimal(38,0)")
+            * (F.lit(2) * F.col("cum_neg_below") + F.col("neg"))
+        )
+        .cast("decimal(38,0)")
+        .alias("numer2"),
+    )
+    return tot.selectExpr(
+        "p AS n_pos",
+        "n AS n_neg",
+        "CAST(numer2 * 1000000 DIV (2 * CAST(p AS DECIMAL(38,0)) * n)"
+        " AS BIGINT) AS auc_ppm",
+    )
+
+
+#: shared by the batch query and its streaming-maintained dual — the
+#: streaming score table is additive in (cnt, pos), so after the
+#: bounded stream drains it EQUALS the batch collapse and one oracle
+#: gates both
+_AUC_ORACLE = """
 WITH scored AS (
   SELECT CAST(floor(value) AS BIGINT) AS score,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
@@ -2054,7 +2110,12 @@ SELECT p AS n_pos, n AS n_neg,
        CAST(numer2 * 1000000 // (2 * CAST(p AS HUGEINT) * n) AS BIGINT)
          AS auc_ppm
 FROM tot, u
-""",
+"""
+
+
+@register(
+    "events_model_auc_exact",
+    oracle=_AUC_ORACLE,
     tags=("events", "ml-eval", "auc", "integer-exact"),
 )
 def events_model_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2078,43 +2139,30 @@ def events_model_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     and non-ANSI Spark would wrap silently where DuckDB raises; the
     widened types keep the division integral and bit-equal across
     engines to ~10^15 events."""
-    from ..operators.packing import global_running_total
+    return auc_from_by_score(model_scores_by_score(_ev(spark, sf_dir)))
 
-    ev = _ev(spark, sf_dir)
-    scored = ev.select(
-        F.floor("value").cast("long").alias("score"),
-        F.when(F.col("event_type") == "purchase", 1)
-        .otherwise(0)
-        .alias("label"),
-    )
-    by_score = scored.groupBy("score").agg(
-        F.count("*").cast("long").alias("cnt"),
-        F.sum("label").cast("long").alias("pos"),
-    )
-    pref = global_running_total(
-        by_score.withColumn(
-            "neg", (F.col("cnt") - F.col("pos")).cast("long")
-        ),
-        "score",
-        "neg",
-        out_col="cum_neg_below",
-    )
-    tot = pref.agg(
-        F.sum("pos").cast("long").alias("p"),
-        F.sum("neg").cast("long").alias("n"),
-        F.sum(
-            F.col("pos").cast("decimal(38,0)")
-            * (F.lit(2) * F.col("cum_neg_below") + F.col("neg"))
-        )
-        .cast("decimal(38,0)")
-        .alias("numer2"),
-    )
-    return tot.selectExpr(
-        "p AS n_pos",
-        "n AS n_neg",
-        "CAST(numer2 * 1000000 DIV (2 * CAST(p AS DECIMAL(38,0)) * n)"
-        " AS BIGINT) AS auc_ppm",
-    )
+
+@register(
+    "streaming_model_auc_exact",
+    oracle=_AUC_ORACLE,
+    tags=("events", "ml-eval", "auc", "streaming", "integer-exact"),
+)
+def streaming_model_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact ROC-AUC maintained STREAMING-SIDE: each micro-batch's
+    score-level (cnt, pos) collapse (the identical
+    :func:`model_scores_by_score` stage the batch query runs) merges
+    ADDITIVELY into a committed score table under the exactly-once
+    commit-log protocol (streaming.pipeline.auc_scores_batch_fn —
+    high-watermark replay guard, versioned parquet state, same
+    machinery as the PSI/CMS/KMV/MG streaming families); after the
+    bounded stream drains, the final committed table EQUALS the batch
+    collapse, so the :func:`auc_from_by_score` tail is gated by the
+    IDENTICAL oracle as `events_model_auc_exact` — live model
+    monitoring with a bit-exact correctness story. State is
+    distinct-score-sized (value-range bounded), never event-sized."""
+    from ..streaming.pipeline import run_bounded_model_auc
+
+    return run_bounded_model_auc(spark, sf_dir)
 
 
 @register(
@@ -2176,17 +2224,7 @@ def events_model_pr_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     close, to ~10^15 events."""
     from ..operators.packing import global_running_total
 
-    ev = _ev(spark, sf_dir)
-    scored = ev.select(
-        F.floor("value").cast("long").alias("score"),
-        F.when(F.col("event_type") == "purchase", 1)
-        .otherwise(0)
-        .alias("label"),
-    )
-    by_score = scored.groupBy("score").agg(
-        F.count("*").cast("long").alias("cnt"),
-        F.sum("label").cast("long").alias("pos"),
-    )
+    by_score = model_scores_by_score(_ev(spark, sf_dir))
     pref = global_running_total(
         global_running_total(by_score, "score", "pos", out_col="__pos_blw"),
         "score",
@@ -2414,17 +2452,7 @@ def events_model_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers and both engines agree bit-for-bit."""
     from ..operators.packing import global_running_total
 
-    ev = _ev(spark, sf_dir)
-    scored = ev.select(
-        F.floor("value").cast("long").alias("score"),
-        F.when(F.col("event_type") == "purchase", 1)
-        .otherwise(0)
-        .alias("label"),
-    )
-    by_score = scored.groupBy("score").agg(
-        F.count("*").cast("long").alias("cnt"),
-        F.sum("label").cast("long").alias("pos"),
-    )
+    by_score = model_scores_by_score(_ev(spark, sf_dir))
     pref = global_running_total(
         global_running_total(
             by_score.withColumn(

@@ -710,18 +710,20 @@ def session_rollup(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
 
 
 def bounded_events_stream(
-    spark: SparkSession, sf_dir: str, stage_dir: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    stage_dir: str | None = None,
+    columns: tuple[str, ...] = ("user_id", "ts", "event_id", "value"),
 ) -> DataFrame:
     """Deterministic bounded event stream: stage the corpus ``events``
-    table and re-read it as a schema-pinned file stream."""
+    table (projected to ``columns``) and re-read it as a schema-pinned
+    file stream."""
     from ..schemas import load_table
 
     stage = stage_dir or tempfile.mkdtemp(prefix="events_stream_")
     if stage_dir is None:  # only reclaim dirs this function created
         atexit.register(shutil.rmtree, stage, ignore_errors=True)
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", "value"
-    )
+    ev = load_table(spark, sf_dir, "events").select(*columns)
     ev.write.mode("overwrite").parquet(stage)
     return (
         spark.readStream.schema(ev.schema)
@@ -1798,6 +1800,82 @@ def psi_counts_batch_fn(table_dir: str, commits_dir: str):
         os.replace(tmp, os.path.join(commits_dir, str(batch_id)))
 
     return fn
+
+
+def auc_scores_batch_fn(table_dir: str, commits_dir: str):
+    """foreachBatch body maintaining the exact-AUC score table: per
+    micro-batch the batch's score-level (cnt, pos) collapse
+    (plans.events_queries.model_scores_by_score — the SAME stage the
+    batch AUC/PR-AUC/KS queries run) merges ADDITIVELY with the last
+    committed table. Exactly-once by the commit-log protocol — counts
+    are additive int64s, so the high-watermark replay guard IS the
+    correctness. State: distinct-score-sized (value-range bounded),
+    never event-sized."""
+    import os
+
+    os.makedirs(commits_dir, exist_ok=True)
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        from ..plans.events_queries import model_scores_by_score
+
+        hw = _high_watermark(commits_dir)
+        if hw is not None and batch_id <= hw:
+            return  # replayed, fully applied
+        bs = model_scores_by_score(batch)
+        if hw is not None:
+            prev = batch.sparkSession.read.schema(
+                "score bigint, cnt bigint, pos bigint"
+            ).parquet(f"{table_dir}/v={hw}")
+            bs = (
+                prev.unionByName(bs)
+                .groupBy("score")
+                .agg(
+                    F.sum("cnt").cast("long").alias("cnt"),
+                    F.sum("pos").cast("long").alias("pos"),
+                )
+            )
+        bs.write.mode("overwrite").parquet(f"{table_dir}/v={batch_id}")
+        tmp = os.path.join(commits_dir, f"{batch_id}.tmp")
+        open(tmp, "w").close()
+        os.replace(tmp, os.path.join(commits_dir, str(batch_id)))
+
+    return fn
+
+
+def run_bounded_model_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive :func:`auc_scores_batch_fn` over the bounded event stream
+    to completion, then compute the exact AUC from the FINAL committed
+    score table via the identical tail the batch query uses
+    (plans.events_queries.auc_from_by_score). The score table is
+    additive and applied exactly-once, so the committed state EQUALS
+    the batch collapse and the report is gated by the IDENTICAL
+    oracle."""
+    import os
+
+    from ..plans.events_queries import auc_from_by_score
+
+    out = tempfile.mkdtemp(prefix="auc_stream_out_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    table_dir = os.path.join(out, "score_counts")
+    commits = os.path.join(out, "_commits")
+    stream = bounded_events_stream(
+        spark, sf_dir, columns=("user_id", "ts", "event_type", "value")
+    )
+    with tempfile.TemporaryDirectory(prefix="auc_ckpt_") as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(
+                auc_scores_batch_fn(table_dir, commits)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    hw = _high_watermark(commits)
+    by_score = spark.read.schema(
+        "score bigint, cnt bigint, pos bigint"
+    ).parquet(f"{table_dir}/v={hw}")
+    return auc_from_by_score(by_score)
 
 
 def run_bounded_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1059,3 +1059,37 @@ def test_mg_rollup_replay_is_exactly_once_and_capped(spark, tmp_path):
     # subtracted but never added — and at 60/100 support it MUST survive
     assert 0 < stored[7] <= 60
     assert 60 > 100 // (5 + 1)  # sanity: above the guarantee line
+
+
+def test_auc_scores_replay_is_exactly_once(spark, tmp_path):
+    """The streaming AUC score table is ADDITIVE (cnt, pos per score),
+    so the replay guard carries the whole correctness: re-delivering a
+    committed batch id with different rows must change nothing, and
+    the committed table must equal the serial sum of the distinct
+    batches — which is exactly the batch collapse the shared oracle
+    gates."""
+    from cassaforte_meter_transmission_gen_spark.streaming.pipeline import (
+        auc_scores_batch_fn,
+    )
+
+    table = str(tmp_path / "score_counts")
+    commits = str(tmp_path / "_commits")
+    fn = auc_scores_batch_fn(table, commits)
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "value double, event_type string"
+        )
+
+    fn(batch([(10.5, "purchase"), (10.9, "view"), (42.0, "view")]), 0)
+    fn(batch([(10.1, "purchase"), (42.7, "purchase")]), 1)
+    # replay id 1 with DIFFERENT rows — must be ignored entirely
+    fn(batch([(10.1, "purchase")] * 40), 1)
+
+    got = {
+        r["score"]: (r["cnt"], r["pos"])
+        for r in spark.read.schema("score bigint, cnt bigint, pos bigint")
+        .parquet(f"{table}/v=1")
+        .collect()
+    }
+    assert got == {10: (3, 2), 42: (2, 1)}
