@@ -111,6 +111,15 @@ SCALE_PATHS = [
     # iterative families, both measured sublinear at 10x
     "text_unigram_lm_train_vocab",
     "graph_kcore_trade",
+    # round-12 additions: the chunkers (token-stream flatMap + the
+    # per-doc cumulative-sum window), the supervised NB classifier
+    # (vocab×class det-ln + token-keyed serve join), and the χ²
+    # feature selector (presence-distinct + stacked aggs) — the new
+    # token-stream-heavy families, all linear by construction
+    "text_chunk_sliding_tokens",
+    "text_chunk_content_defined",
+    "text_naive_bayes_langid_confusion",
+    "text_chi2_token_lang",
 ]
 
 #: scale-path names re-timed a second time with the min reported:

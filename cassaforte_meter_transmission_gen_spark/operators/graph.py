@@ -23,7 +23,7 @@ ZERO wedges because all its edges point INTO it."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 PPB = 1_000_000_000
@@ -313,3 +313,52 @@ def kcore_decomposition(
         f"k-core peel did not converge within {max_iters} rounds "
         f"(k={k}) — raise max_iters (and the oracle's unroll depth)"
     )
+
+
+def label_propagation(und_edges: DataFrame, n_iters: int = 3) -> DataFrame:
+    """Synchronous weighted label propagation (LPA) — the lightweight
+    community-detection pass beside the structural k-core: every vertex
+    starts labelled with itself and each round SIMULTANEOUSLY adopts
+    the label carrying the largest summed edge weight among its
+    neighbors (tie-break: smallest label). Synchronous update with a
+    deterministic tie-break makes the whole trajectory replayable, so
+    the unrolled SQL oracle pins every round bit-for-bit — the same
+    move as integer PageRank/HITS (asynchronous or randomized LPA, the
+    common formulation, could never cross-engine match).
+
+    ``und_edges`` is the UNDIRECTED (src, dst, w) list with both
+    directions present (self-loops allowed — a self-loop is a vote for
+    the vertex's own label, the standard self-preference variant).
+
+    Scale shape: per round one edges⋈labels equi-join on the neighbor
+    id + one (vertex, label) partial-agg groupBy + one per-vertex
+    argmax window whose partition is a vertex's candidate labels
+    (bounded by its degree) — label state is vertex-sharded, nothing
+    collects to the driver; ``localCheckpoint`` pins each round's
+    labels so round k+1 reads materialized state (the PageRank/k-core
+    economics). Fixed iteration count keeps the plan statically
+    analyzable and the oracle unrollable.
+
+    Returns ``(v, lab)`` — each vertex with its community label after
+    ``n_iters`` rounds."""
+    lbl = (
+        und_edges.select(F.col("src").alias("v"))
+        .distinct()
+        .withColumn("lab", F.col("v"))
+    )
+    w = Window.partitionBy("v").orderBy(F.desc("s"), "lab")
+    for _ in range(n_iters):
+        lbl = lbl.localCheckpoint(eager=True)
+        votes = (
+            und_edges.join(
+                lbl.select(F.col("v").alias("dst"), "lab"), "dst"
+            )
+            .groupBy(F.col("src").alias("v"), "lab")
+            .agg(F.sum("w").cast("long").alias("s"))
+        )
+        lbl = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("v", "lab")
+        )
+    return lbl

@@ -391,3 +391,46 @@ def unigram_lm_train(
     return spark.createDataFrame(
         rows, schema="piece string, cnt long, nll_ppm long"
     )
+
+
+def bpe_encode_doc_lengths(
+    docs: DataFrame,
+    n_merges: int = BPE_N_MERGES,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The ENCODE step a pipeline runs after training: token counts per
+    document under the learned merges — the number a token-budget
+    planner (sequence packing, context-window chunking, cost
+    estimation) actually consumes. Tokenizing a word depends only on
+    the word, so encoding never touches the token stream twice: the
+    corpus-collapsed symbol table after the final merge gives each
+    DISTINCT word its piece count, and one equi-join back to the
+    per-document word stream + one doc-keyed aggregation yields exact
+    per-document encoded lengths. Scale: the join's build side is
+    vocab-sized (distinct words — broadcastable when the vocabulary
+    is; AQE decides), the probe side is one pass over the corpus.
+    Float-free throughout except the final pieces-per-word ratio
+    (one IEEE division of two exact integers — deterministic)."""
+    _, final, _ = _train(docs, n_merges, text_col, cache=False)
+    wlen = final.groupBy("word").agg(
+        F.count("*").cast("long").alias("n_pieces")
+    )
+    words = docs.select(
+        id_col, F.explode(F.split(F.col(text_col), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        words.join(wlen, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_bpe_pieces"),
+        )
+        .selectExpr(
+            id_col,
+            "n_words",
+            "n_bpe_pieces",
+            "CAST(n_bpe_pieces AS DOUBLE) / CAST(n_words AS DOUBLE)"
+            " AS pieces_per_word",
+        )
+    )

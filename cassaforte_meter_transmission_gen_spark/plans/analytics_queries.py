@@ -2950,3 +2950,54 @@ def profile_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" DIV {spark_case} AS dev_micro",
         )
     )
+
+
+#: k-anonymity disclosure threshold: an equivalence class under the
+#: quasi-identifier set is "at risk" when fewer than K individuals
+#: share it (HIPAA-style small-cell suppression rule).
+K_ANONYMITY_K = 5
+
+
+@register(
+    "profile_k_anonymity_customer",
+    oracle=f"""
+WITH cls AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 2000) AS BIGINT) AS acctbal_band,
+         CAST(COUNT(*) AS BIGINT) AS class_size
+  FROM customer
+  GROUP BY 1, 2, 3
+)
+SELECT c_nationkey, c_mktsegment, acctbal_band, class_size,
+       class_size < {K_ANONYMITY_K} AS at_risk
+FROM cls
+""",
+    tags=("profile", "privacy", "k-anonymity"),
+)
+def profile_k_anonymity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier set (nation, market
+    segment, coarse account-balance band): every equivalence class with
+    fewer than K_ANONYMITY_K members is a re-identification risk — the
+    privacy gate a training-data pipeline runs BEFORE exporting any
+    user-derived table (release requires suppressing or generalizing
+    the at-risk classes). Returns one row per class with its size and
+    risk flag, so the caller can both count leakage and join back to
+    suppress.
+
+    Scale shape: one groupBy over the quasi-identifier tuple with
+    map-side partials — identical cost to any distinct-count profile;
+    output is bounded by the quasi-identifier cross-product, not row
+    count."""
+    c = _t(spark, sf_dir, "customer")
+    cls = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("acctbal_band"),
+    ).agg(F.count("*").cast("long").alias("class_size"))
+    return cls.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "acctbal_band",
+        "class_size",
+        (F.col("class_size") < K_ANONYMITY_K).alias("at_risk"),
+    )

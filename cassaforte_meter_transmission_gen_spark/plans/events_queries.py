@@ -2546,3 +2546,184 @@ def events_model_calibration_buckets(
             ).alias("observed_rate_ppm"),
         )
     )
+
+
+def _woe_oracle_sql() -> str:
+    """Oracle twin of events_woe_value_buckets: identical bucket rule,
+    identical 2x+1 Laplace smoothing, and the per-VALUE det-ln→ppm
+    quantization (each logarithm floored to integer micro-nats BEFORE
+    the signed combination, so WOE is an exact int64 on both engines)."""
+    from ..functions.detmath import det_ln_stage_exprs
+
+    st = det_ln_stage_exprs()
+
+    def chain(src: str, xexpr: str, out: str, keep: str) -> str:
+        return f"""
+{out}_x AS (SELECT {keep}, CAST({xexpr} AS DOUBLE) AS x FROM {src}),
+{out}_r AS (SELECT {keep}, x, {st['e']} AS e, {st['m']} AS m FROM {out}_x),
+{out}_t AS (SELECT {keep}, e, {st['tt']} AS tt FROM {out}_r),
+{out} AS (SELECT {keep},
+          CAST(FLOOR(({st['ln']}) * 1000000) AS BIGINT) AS lnv
+          FROM {out}_t)"""
+
+    return f"""
+WITH b AS (
+  SELECT CAST(floor(value / 10) AS BIGINT) AS bucket,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS pos,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END)
+              AS BIGINT) AS neg
+  FROM events GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS p, CAST(SUM(neg) AS BIGINT) AS n
+        FROM b),
+{chain('b', '2 * pos + 1', 'lp', 'bucket, pos, neg')},
+{chain('b', '2 * neg + 1', 'ln_', 'bucket')},
+{chain('tot', '2 * p + 1', 'ltp', 'p, n')},
+{chain('tot', '2 * n + 1', 'ltn', 'p')}
+SELECT b.bucket, b.pos, b.neg,
+       lp.lnv - ltp.lnv - ln_.lnv + ltn.lnv AS woe_ppm,
+       CAST((CAST(b.pos AS HUGEINT) * tot.n - CAST(b.neg AS HUGEINT) * tot.p)
+            * (lp.lnv - ltp.lnv - ln_.lnv + ltn.lnv)
+            // (CAST(tot.p AS HUGEINT) * tot.n) AS BIGINT) AS iv_ppm
+FROM b
+JOIN lp USING (bucket) JOIN ln_ USING (bucket)
+CROSS JOIN tot CROSS JOIN ltp CROSS JOIN ltn
+"""
+
+
+@register(
+    "events_woe_value_buckets",
+    oracle=_woe_oracle_sql(),
+    tags=("events", "feature-eng", "woe", "integer-exact"),
+)
+def events_woe_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence encoding + information value — the scorecard
+    feature-engineering step: each value bucket (width 10) gets
+    WOE = ln(P(bucket|pos)/P(bucket|neg)) against the purchase label,
+    and its IV contribution (pos_frac − neg_frac)·WOE says how much
+    predictive power the bucketing carries (sum ≥ 0.3 ⇒ strong
+    feature). Laplace-smoothed as (2·count+1)/(2·total+1) so empty
+    cells stay finite, expressed as the DIFFERENCE of four logarithms
+    (never ln of a product — each argument stays far below detmath's
+    2^64 domain at any scale).
+
+    Exactness: every ln runs the fixed-order det-ln pipeline and is
+    floored to integer micro-nats BEFORE the signed combination, so
+    woe_ppm is exact int64 arithmetic on both engines; iv_ppm is the
+    DECIMAL(38,0)/HUGEINT product (pos·N − neg·P)·woe_ppm floor-divided
+    by P·N (both engines truncate toward zero — verified) — integer to
+    the last bit, no float epsilon anywhere.
+
+    Scale shape: one conditional-aggregation scan to the ~10-row bucket
+    table (map-side partials), det-ln chains over buckets only, one-row
+    totals broadcast — output bounded by bucket count, not row count."""
+    import math
+
+    from ..functions.detmath import det_ln, det_ln_stage_exprs
+
+    st = det_ln_stage_exprs()
+    ev = _ev(spark, sf_dir)
+    b = ev.groupBy(
+        F.floor(F.col("value") / 10).cast("long").alias("bucket")
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("long").alias("pos"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 0).otherwise(1)
+        ).cast("long").alias("neg"),
+    )
+    p, n = b.agg(F.sum("pos"), F.sum("neg")).collect()[0]
+    p, n = int(p), int(n)
+    ltp = int(math.floor(det_ln(float(2 * p + 1)) * 1_000_000))
+    ltn = int(math.floor(det_ln(float(2 * n + 1)) * 1_000_000))
+
+    def chain(df: DataFrame, xexpr: str, out: str, keep: list[str]) -> DataFrame:
+        ks = ", ".join(keep)
+        d1 = df.selectExpr(*keep, f"CAST({xexpr} AS DOUBLE) AS x")
+        d2 = d1.selectExpr(*keep, "x", f"{st['e']} AS e", f"{st['m']} AS m")
+        d3 = d2.selectExpr(*keep, "e", f"{st['tt']} AS tt")
+        return d3.selectExpr(
+            *keep, f"CAST(FLOOR(({st['ln']}) * 1000000) AS BIGINT) AS {out}"
+        )
+
+    lp = chain(b, "2 * pos + 1", "ln_pos", ["bucket", "pos", "neg"])
+    both = chain(lp, "2 * neg + 1", "ln_neg", ["bucket", "pos", "neg", "ln_pos"])
+    return both.selectExpr(
+        "bucket",
+        "pos",
+        "neg",
+        f"ln_pos - {ltp} - ln_neg + {ltn} AS woe_ppm",
+        f"CAST((CAST(pos AS DECIMAL(38,0)) * {n} - CAST(neg AS DECIMAL(38,0)) * {p})"
+        f"     * (ln_pos - {ltp} - ln_neg + {ltn})"
+        f"     DIV (CAST({p} AS DECIMAL(38,0)) * {n}) AS BIGINT) AS iv_ppm",
+    )
+
+
+@register(
+    "events_asof_nearest_click",
+    oracle="""
+WITH clicks AS (
+  SELECT user_id, ts, MAX(value) AS value
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+),
+purch AS (
+  SELECT event_id, user_id, ts, value
+  FROM events WHERE event_type = 'purchase'
+),
+b AS (
+  SELECT p.event_id, p.user_id, p.ts, p.value,
+         c.ts AS p_ts, c.value AS p_val
+  FROM purch p ASOF LEFT JOIN clicks c
+    ON p.user_id = c.user_id AND p.ts >= c.ts
+),
+f AS (
+  SELECT p.event_id, c.ts AS n_ts, c.value AS n_val
+  FROM purch p ASOF LEFT JOIN clicks c
+    ON p.user_id = c.user_id AND p.ts <= c.ts
+),
+m AS (
+  SELECT b.*, f.n_ts, f.n_val,
+         p_ts IS NOT NULL AND (n_ts IS NULL OR
+           epoch_us(b.ts) - epoch_us(p_ts) <= epoch_us(n_ts) - epoch_us(b.ts))
+           AS take_prev
+  FROM b JOIN f USING (event_id)
+)
+SELECT user_id, ts, event_id, value,
+       CASE WHEN take_prev THEN p_ts ELSE n_ts END AS matched_ts,
+       CASE WHEN p_ts IS NULL AND n_ts IS NULL THEN NULL
+            WHEN take_prev THEN 'prev' ELSE 'next' END AS match_dir,
+       CASE WHEN take_prev THEN p_val ELSE n_val END AS value_asof
+FROM m
+""",
+    tags=("events", "asof-join", "nearest"),
+)
+def events_asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join (pandas ``merge_asof(direction=
+    'nearest')``) — completes the as-of family (backward, backward+
+    tolerance, nearest): each purchase takes its user's click closest
+    in time, before OR after, equidistant ties to the earlier click.
+    The sensor-alignment/feature-join semantic where a measurement
+    just after the probe instant is as informative as one just before.
+
+    Plan (operators.asof.asof_join_nearest): the same union-merge as
+    the backward as-of — ONE shuffle of |L|+|R| rows on user_id, then
+    two window passes over the same partitioning (backward carry +
+    forward carry; the second sort reuses the first's exchange) — no
+    range join, no candidate blowup; distance compare in exact
+    microseconds. The oracle composes DuckDB's two ASOF directions."""
+    from ..operators.asof import asof_join_nearest
+
+    e = _ev(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    m = asof_join_nearest(purch, clicks, on=["user_id"], value_cols=["value"])
+    return m.select(
+        "user_id", "ts", "event_id", "value",
+        "matched_ts", "match_dir", "value_asof",
+    )

@@ -32,7 +32,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..schemas import load_table
@@ -719,4 +719,92 @@ def graph_kcore_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").cast("int").alias("nationkey"),
         "n_name",
         F.col("degree").alias("core_degree"),
+    )
+
+
+def _lpa_round_sql(prev: str, this: str) -> str:
+    """One unrolled synchronous-LPA round for the DuckDB oracle: the
+    (vertex, label) weighted vote aggregation and the deterministic
+    argmax (weight DESC, label ASC) — materialized because each level
+    is referenced by the next (DuckDB re-inlines plain CTEs)."""
+    return f"""
+{this} AS MATERIALIZED (
+  SELECT v, lab FROM (
+    SELECT v, lab,
+           row_number() OVER (PARTITION BY v ORDER BY s DESC, lab) AS rn
+    FROM (SELECT u.src AS v, l.lab, CAST(SUM(u.w) AS BIGINT) AS s
+          FROM und u JOIN {prev} l ON u.dst = l.v
+          GROUP BY u.src, l.lab) g
+  ) q WHERE rn = 1
+)"""
+
+
+_LPA_ORACLE = f"""
+WITH tedges AS MATERIALIZED (
+{_TRADE_EDGES_SQL.format(where="")}
+),
+und AS MATERIALIZED (
+  SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w
+  FROM (SELECT src, dst, w FROM tedges
+        UNION ALL
+        SELECT dst AS src, src AS dst, w FROM tedges) b
+  GROUP BY src, dst
+),
+l0 AS (SELECT DISTINCT src AS v, src AS lab FROM und),
+{_lpa_round_sql("l0", "l1").strip()},
+{_lpa_round_sql("l1", "l2").strip()},
+{_lpa_round_sql("l2", "l3").strip()}
+SELECT nt.n_nationkey AS nationkey, nt.n_name, l3.lab AS community,
+       CAST(COUNT(*) OVER (PARTITION BY l3.lab) AS INT) AS community_size
+FROM l3 JOIN nation nt ON l3.v = nt.n_nationkey
+"""
+
+
+@register(
+    "graph_lpa_trade_communities",
+    oracle=_LPA_ORACLE,
+    tags=("graph", "community", "lpa", "iterative", "integer-exact"),
+)
+def graph_lpa_trade_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous weighted label propagation
+    (operators.graph.label_propagation, 3 rounds) over the UNDIRECTED
+    nation trade network (directed trade edges merged by summed
+    lineitem count, self-loops kept as self-preference votes) — the
+    attraction-based community view beside the structural k-core:
+    vertices gravitate to the label their heaviest trading partners
+    carry. Deterministic by construction (integer vote weights, ties
+    to the smallest label, synchronous rounds), so the unrolled oracle
+    pins every round's full label state.
+
+    Scale: one fact scan into the dimension-bounded edge agg
+    (localCheckpoint-pinned); per round one neighbor-keyed equi-join +
+    partial-agg groupBy + degree-bounded argmax window — vertex-sharded
+    state, driver sees nothing."""
+    from ..operators.graph import label_propagation
+
+    e = _trade_edges(spark, sf_dir, src_where=None)
+    und = (
+        e.select("src", "dst", "w")
+        .unionAll(
+            e.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").cast("long").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    lbl = label_propagation(und, n_iters=3)
+    nt = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    wsz = Window.partitionBy("community")
+    return (
+        lbl.join(nt, lbl.v == nt.n_nationkey)
+        .select(
+            F.col("n_nationkey").alias("nationkey"),
+            "n_name",
+            F.col("lab").alias("community"),
+        )
+        .withColumn(
+            "community_size", F.count("*").over(wsz).cast("int")
+        )
     )

@@ -3785,3 +3785,549 @@ def multimodal_gif_frame_sample(
         "height",
         F.lower(F.hex("pixels")).alias("pixel_hex"),
     )
+
+
+#: RAG/training-prep chunking geometry: 32-token windows, stride 24
+#: (25% overlap) — the standard context-window packing shape. Both
+#: constants are shared with the generated oracle SQL.
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+@register(
+    "text_chunk_sliding_tokens",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(s // {CHUNK_STRIDE} AS INT) AS chunk_idx,
+       CAST(s AS INT) AS start_tok,
+       CAST(least(len(toks) - s, {CHUNK_TOKENS}) AS INT) AS n_chunk_tokens,
+       md5(array_to_string(
+             list_slice(toks, s + 1, s + {CHUNK_TOKENS}), ' '))
+         AS chunk_hash
+FROM d, unnest(generate_series(0, len(toks) - 1, {CHUNK_STRIDE})) AS g(s)
+""",
+    tags=("text", "chunking", "rag"),
+)
+def text_chunk_sliding_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking — the RAG / context-window packing
+    primitive: every document becomes overlapping 32-token
+    chunks at stride 24 (25% overlap so no boundary
+    sentence is lost to a cut). Emitted as (doc, chunk_idx, start,
+    length, md5-of-chunk-text) — the hash both keeps the gated result
+    small and IS the downstream chunk-level dedup key.
+
+    Scale shape: one tokenize + one ``explode(sequence(...))`` per row
+    — a pure per-document flatMap, no shuffle, no window; output rows ≈
+    tokens/stride. At 100 TB this is a single WholeStageCodegen scan
+    stage whose cost is the regexp split it already shares with every
+    token-level query."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    s = d.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.expr(f"sequence(0, size(toks) - 1, {CHUNK_STRIDE})")
+        ).alias("s"),
+    )
+    return s.select(
+        "doc_id",
+        (F.col("s") / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+        F.col("s").cast("int").alias("start_tok"),
+        F.least(
+            F.size("toks") - F.col("s"), F.lit(CHUNK_TOKENS)
+        ).cast("int").alias("n_chunk_tokens"),
+        F.md5(
+            F.array_join(
+                F.slice(F.col("toks"), F.col("s") + 1, CHUNK_TOKENS), " "
+            )
+        ).alias("chunk_hash"),
+    )
+
+
+#: Content-defined chunking cut rule: a chunk boundary falls AFTER any
+#: token whose portable 60-bit hash ≡ 0 (mod 8) — expected chunk length
+#: 8 tokens. Content-defined (FastCDC/rsync-style) boundaries survive
+#: insertions: editing one sentence only re-chunks its neighborhood,
+#: so chunk-hash dedup still matches everything downstream of the edit.
+CDC_BOUNDARY_MOD = 8
+
+
+@register(
+    "text_chunk_content_defined",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(text, '\\s+')) AS tok,
+         CAST(unnest(generate_series(
+             1, len(regexp_split_to_array(text, '\\s+')))) - 1 AS INT) AS pos
+  FROM documents
+),
+b AS (
+  SELECT doc_id, tok, pos,
+         CASE WHEN CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)
+                   % {CDC_BOUNDARY_MOD} = 0
+              THEN 1 ELSE 0 END AS cut_after
+  FROM t
+),
+c AS (
+  SELECT doc_id, tok, pos,
+         CAST(COALESCE(SUM(cut_after) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS INT) AS chunk_idx
+  FROM b
+)
+SELECT doc_id, chunk_idx,
+       CAST(MIN(pos) AS INT) AS start_tok,
+       CAST(COUNT(*) AS INT) AS n_chunk_tokens,
+       md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+FROM c
+GROUP BY doc_id, chunk_idx
+""",
+    tags=("text", "chunking", "cdc"),
+)
+def text_chunk_content_defined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking: boundaries fall where token content
+    says so (portable hash ≡ 0 mod 8, expected chunk
+    ≈ 8 tokens), not at fixed offsets — the dedup-stable chunker
+    (FastCDC / rsync lineage): inserting a sentence shifts every
+    fixed-window chunk after it, but content-defined cut points
+    re-align immediately, so chunk-hash dedup still matches the
+    untouched tail. Chunk identity = md5 of the joined chunk text.
+
+    Scale shape: posexplode → hash flag (WholeStageCodegen) → one
+    cumulative sum windowed PER DOCUMENT (bounded state: a document's
+    tokens, never the corpus) → one (doc, chunk) aggregation with
+    map-side partials. The only shuffle is doc-keyed; skew is bounded
+    by max document length."""
+    from ..functions.text import tok_hash_portable
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    t = d.select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    )
+    b = t.withColumn(
+        "cut_after",
+        F.when(
+            tok_hash_portable(F.col("tok")) % CDC_BOUNDARY_MOD == 0, 1
+        ).otherwise(0),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = b.withColumn(
+        "chunk_idx", F.coalesce(F.sum("cut_after").over(w), F.lit(0)).cast("int")
+    )
+    return (
+        c.groupBy("doc_id", "chunk_idx")
+        .agg(
+            F.min("pos").cast("int").alias("start_tok"),
+            F.count("*").cast("int").alias("n_chunk_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct("pos", "tok"))
+                        ),
+                        lambda s: s["tok"],
+                    ),
+                    " ",
+                )
+            ).alias("chunk_hash"),
+        )
+        .select(
+            "doc_id", "chunk_idx", "start_tok", "n_chunk_tokens", "chunk_hash"
+        )
+    )
+
+
+#: chi-squared feature selection: minimum document frequency for a
+#: token to be considered (kills singleton noise), and the per-class
+#: report size.
+CHI2_MIN_DF = 5
+CHI2_TOP_K = 10
+
+
+def _chi2_oracle_sql() -> str:
+    """Oracle twin of text_chi2_token_lang — identical contingency
+    counts and the identical two-step integer floor-divide (HUGEINT on
+    the DuckDB side, DECIMAL(38,0) on Spark's), so the ranking statistic
+    is bit-equal by construction."""
+    return f"""
+WITH pres AS (
+  SELECT DISTINCT doc_id, lang,
+         unnest(regexp_split_to_array(text, '\\s+')) AS tok
+  FROM documents
+),
+a AS (
+  SELECT tok, lang, CAST(COUNT(*) AS BIGINT) AS a
+  FROM pres GROUP BY tok, lang
+),
+dfreq AS (SELECT tok, CAST(SUM(a) AS BIGINT) AS df FROM a GROUP BY tok),
+lt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS dl
+       FROM documents GROUP BY lang),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS d_all FROM documents),
+cells AS (
+  SELECT a.tok, a.lang, a.a, dfreq.df - a.a AS b,
+         lt.dl - a.a AS c, tot.d_all - lt.dl - (dfreq.df - a.a) AS d,
+         dfreq.df, lt.dl, tot.d_all
+  FROM a JOIN dfreq USING (tok) JOIN lt USING (lang) CROSS JOIN tot
+  WHERE dfreq.df >= {CHI2_MIN_DF} AND dfreq.df < tot.d_all
+),
+scored AS (
+  SELECT tok, lang,
+         a, b, c, d,
+         CAST(((CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+               * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+               // (CAST(df AS HUGEINT) * (d_all - df)))
+              * d_all * 1000000
+              // (CAST(dl AS HUGEINT) * (d_all - dl)) AS BIGINT)
+           AS chi2_ppm
+  FROM cells
+  WHERE CAST(a AS HUGEINT) * d > CAST(b AS HUGEINT) * c
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY lang
+               ORDER BY chi2_ppm DESC, tok) AS INT) AS rank
+  FROM scored
+)
+SELECT lang, tok, a AS n_docs_in_class, b AS n_docs_other,
+       chi2_ppm, rank
+FROM ranked WHERE rank <= {CHI2_TOP_K}
+"""
+
+
+@register(
+    "text_chi2_token_lang",
+    oracle=_chi2_oracle_sql(),
+    tags=("text", "feature-selection", "chi2", "integer-exact"),
+)
+def text_chi2_token_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared feature selection: the top tokens most indicative of
+    each language label by the 2×2 document-presence contingency test —
+    the classic supervised vocabulary-pruning step before training a
+    quality/topic classifier (keep the K strongest features per class,
+    drop the rest of the embedding table). Restricted to POSITIVE
+    association (ad > bc) so "indicative of" means over-represented,
+    not merely non-independent; tokens present in every document carry
+    zero signal and are excluded with the df < N guard (their 2×2 row
+    margin is degenerate — χ² would divide by zero).
+
+    Exactness: χ²·1e6 = N·(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) is evaluated
+    as the two-step integer floor-divide ((ad−bc)² // (df·(N−df))) ·
+    N · 1e6 // (D_l·(N−D_l)) in DECIMAL(38,0)/HUGEINT — both engines
+    run the identical step order, so the statistic is bit-equal (the
+    intermediate stays < 10^38 for any corpus below ~10^9 documents
+    per analysis; beyond that the first divide must move inboard,
+    documented like detmath's domain bound).
+
+    Scale shape: one DISTINCT over (doc, lang, token) presence
+    (map-side partial dedup), two stacked aggregations (token×class,
+    then token margins), one 5-row broadcast of class totals, and a
+    per-class WindowGroupLimit for the top-K — no all-pairs stage,
+    output bounded by classes × K."""
+    d = _docs(spark, sf_dir)
+    pres = d.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    ).distinct()
+    a = pres.groupBy("tok", "lang").agg(F.count("*").cast("long").alias("a"))
+    dfreq = a.groupBy("tok").agg(F.sum("a").cast("long").alias("df"))
+    lt = d.groupBy("lang").agg(F.count("*").cast("long").alias("dl"))
+    tot = d.agg(F.count("*").cast("long").alias("d_all"))
+    cells = (
+        a.join(dfreq, "tok")
+        .join(F.broadcast(lt), "lang")
+        .crossJoin(F.broadcast(tot))
+        .where(
+            (F.col("df") >= CHI2_MIN_DF) & (F.col("df") < F.col("d_all"))
+        )
+        .selectExpr(
+            "tok",
+            "lang",
+            "a",
+            "df - a AS b",
+            "dl - a AS c",
+            "d_all - dl - (df - a) AS d",
+            "df",
+            "dl",
+            "d_all",
+        )
+    )
+    scored = cells.selectExpr(
+        "tok",
+        "lang",
+        "a",
+        "b",
+        "c",
+        "d",
+        "CAST(((CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c)"
+        "      * (CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c)"
+        "      DIV (CAST(df AS DECIMAL(38,0)) * (d_all - df)))"
+        "     * d_all * 1000000"
+        "     DIV (CAST(dl AS DECIMAL(38,0)) * (d_all - dl)) AS BIGINT)"
+        " AS chi2_ppm",
+    ).where(
+        F.expr("CAST(a AS DECIMAL(38,0)) * d > CAST(b AS DECIMAL(38,0)) * c")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("chi2_ppm"), "tok")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= CHI2_TOP_K)
+        .select(
+            "lang",
+            "tok",
+            F.col("a").alias("n_docs_in_class"),
+            F.col("b").alias("n_docs_other"),
+            "chi2_ppm",
+            "rank",
+        )
+    )
+
+
+#: Naive-Bayes train/serve split: the portable doc_id hash mod 5 — the
+#: same deterministic splitter family as pipeline_train_val_test_split
+#: (bucket 0 = held-out test fold, 1-4 = train).
+NB_SPLIT_MOD = 5
+
+
+def _nb_oracle_sql() -> str:
+    """Oracle twin of text_naive_bayes_langid_confusion — the same
+    hash split, add-one-smoothed multinomial model, and per-value
+    det-ln→micro-nat quantization, so every class score is an exact
+    int64 and the argmax (score desc, lang asc) is deterministic."""
+    from ..functions.detmath import det_ln_stage_exprs
+
+    st = det_ln_stage_exprs()
+
+    def chain(src: str, xexpr: str, out: str, keep: str) -> str:
+        return f"""
+{out}_x AS (SELECT {keep}, CAST({xexpr} AS DOUBLE) AS x FROM {src}),
+{out}_r AS (SELECT {keep}, x, {st['e']} AS e, {st['m']} AS m FROM {out}_x),
+{out}_t AS (SELECT {keep}, e, {st['tt']} AS tt FROM {out}_r),
+{out} AS (SELECT {keep},
+          CAST(FLOOR(({st['ln']}) * 1000000) AS BIGINT) AS lnv
+          FROM {out}_t)"""
+
+    return f"""
+WITH split AS (
+  SELECT *,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+           % {NB_SPLIT_MOD} = 0 AS is_test
+  FROM documents
+),
+ttoks AS (
+  SELECT doc_id, lang,
+         unnest(regexp_split_to_array(text, '\\s+')) AS tok
+  FROM split WHERE NOT is_test
+),
+wl AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM ttoks GROUP BY lang, tok),
+v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab FROM ttoks),
+lstat AS (
+  SELECT lang, CAST(SUM(cnt) AS BIGINT) AS t_l
+  FROM wl GROUP BY lang
+),
+dstat AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS d_l
+  FROM split WHERE NOT is_test GROUP BY lang
+),
+{chain('wl', 'cnt + 1', 'wln', 'lang, tok')},
+{chain('lstat, v', 't_l + vocab', 'ltv', 'lang')},
+{chain('dstat', 'd_l', 'ldl', 'lang')},
+etoks AS (
+  SELECT doc_id, lang AS actual_lang,
+         unnest(regexp_split_to_array(text, '\\s+')) AS tok
+  FROM split WHERE is_test
+),
+edocs AS (
+  SELECT doc_id, actual_lang, CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM etoks GROUP BY doc_id, actual_lang
+),
+s1 AS (
+  SELECT e.doc_id, w.lang, CAST(SUM(w.lnv) AS BIGINT) AS sum_ln
+  FROM etoks e JOIN wln w USING (tok)
+  GROUP BY e.doc_id, w.lang
+),
+scores AS (
+  SELECT d.doc_id, d.actual_lang, ltv.lang,
+         COALESCE(s1.sum_ln, 0)
+           - d.n_tokens * ltv.lnv + ldl.lnv AS score_ppm
+  FROM edocs d
+  CROSS JOIN ltv
+  JOIN ldl ON ldl.lang = ltv.lang
+  LEFT JOIN s1 ON s1.doc_id = d.doc_id AND s1.lang = ltv.lang
+),
+pred AS (
+  SELECT doc_id, actual_lang, lang AS pred_lang,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_ppm DESC, lang) AS rk
+  FROM scores
+)
+SELECT actual_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred WHERE rk = 1
+GROUP BY actual_lang, pred_lang
+"""
+
+
+@register(
+    "text_naive_bayes_langid_confusion",
+    oracle=_nb_oracle_sql(),
+    tags=("text", "classifier", "naive-bayes", "integer-exact"),
+)
+def text_naive_bayes_langid_confusion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TRAINED text classifier, fastText-shape: a multinomial Naive
+    Bayes language identifier fit on the 80% train fold (portable
+    doc_id hash mod 5 ≠ 0) and evaluated on the held-out 20%, reported
+    as the (actual, predicted) confusion matrix. This is the
+    quality/domain-classifier training stage of an LLM data pipeline
+    (CCNet/Dolma-style) reduced to its counting core: fit = one
+    (class, token) aggregation, serve = one token-keyed join — next to
+    text_langid_confusion's zero-training heuristic, this is the
+    supervised path.
+
+    Model: add-one smoothing, score(doc, l) = Σ_tok L(cnt[tok,l]+1)
+    − n_tokens·L(T_l + V) + L(D_l), every L a det-ln floored to integer
+    micro-nats so scores are exact int64 and argmax (score desc, lang
+    asc) is bit-deterministic; the shared −n·ln-denominator form means
+    tokens unseen in a class contribute exactly their smoothed mass
+    without materializing the dense (vocab × class) table. Domain:
+    every class must appear in the train fold (L(D_l) needs D_l ≥ 1) —
+    guaranteed by any stratified corpus.
+
+    Scale shape: train is one groupBy over (class, token) with
+    map-side partials; det-ln runs over the VOCAB×class table only,
+    never the token stream; serve is one equi-join on token (the
+    model side is vocab-sized — broadcastable when the vocabulary is;
+    here AQE decides) followed by a (doc, class) aggregation and a
+    5-row-per-doc argmax window. Output is classes², not rows."""
+    from ..functions.detmath import det_ln_stage_exprs
+    from ..functions.text import tok_hash_portable
+
+    st = det_ln_stage_exprs()
+
+    def chain(df: DataFrame, xexpr: str, keep: list[str]) -> DataFrame:
+        d1 = df.selectExpr(*keep, f"CAST({xexpr} AS DOUBLE) AS x")
+        d2 = d1.selectExpr(*keep, "x", f"{st['e']} AS e", f"{st['m']} AS m")
+        d3 = d2.selectExpr(*keep, "e", f"{st['tt']} AS tt")
+        return d3.selectExpr(
+            *keep, f"CAST(FLOOR(({st['ln']}) * 1000000) AS BIGINT) AS lnv"
+        )
+
+    d = _docs(spark, sf_dir).withColumn(
+        "is_test",
+        tok_hash_portable(F.col("doc_id").cast("string")) % NB_SPLIT_MOD == 0,
+    )
+    train = d.where(~F.col("is_test"))
+    test = d.where(F.col("is_test"))
+
+    ttoks = train.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    wl = ttoks.groupBy("lang", "tok").agg(F.count("*").cast("long").alias("cnt"))
+    vocab = int(ttoks.select("tok").distinct().count())
+    lstat = wl.groupBy("lang").agg(F.sum("cnt").cast("long").alias("t_l"))
+    dstat = train.groupBy("lang").agg(F.count("*").cast("long").alias("d_l"))
+
+    wln = chain(wl, "cnt + 1", ["lang", "tok"])
+    ltv = chain(lstat, f"t_l + {vocab}", ["lang"]).withColumnRenamed(
+        "lnv", "ln_tv"
+    )
+    ldl = chain(dstat, "d_l", ["lang"]).withColumnRenamed("lnv", "ln_dl")
+    langs = ltv.join(ldl, "lang")
+
+    etoks = test.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        F.explode(tokens(F.col("text"))).alias("tok"),
+    )
+    edocs = etoks.groupBy("doc_id", "actual_lang").agg(
+        F.count("*").cast("long").alias("n_tokens")
+    )
+    s1 = (
+        etoks.join(wln, "tok")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("lnv").cast("long").alias("sum_ln"))
+    )
+    scores = (
+        edocs.crossJoin(F.broadcast(langs))
+        .join(s1, ["doc_id", "lang"], "left")
+        .select(
+            "doc_id",
+            "actual_lang",
+            "lang",
+            (
+                F.coalesce(F.col("sum_ln"), F.lit(0))
+                - F.col("n_tokens") * F.col("ln_tv")
+                + F.col("ln_dl")
+            ).alias("score_ppm"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_ppm"), "lang")
+    return (
+        scores.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .groupBy("actual_lang", F.col("lang").alias("pred_lang"))
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+def text_bpe_encode_sql(n_merges: int | None = None) -> str:
+    """Oracle for operators.tokenizer.bpe_encode_doc_lengths: the
+    shared unrolled training chain's final symbol table s{n} collapsed
+    to per-word piece counts, joined back to the per-document word
+    stream — the encode step carried by the identical generated SQL
+    that already gates training and vocab."""
+    from ..operators.tokenizer import BPE_N_MERGES
+
+    n = BPE_N_MERGES if n_merges is None else n_merges
+    return f"""{_bpe_ctes(n)},
+wlen AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n_pieces
+  FROM s{n} GROUP BY word
+),
+dwords AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS word
+  FROM documents
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_pieces) AS BIGINT) AS n_bpe_pieces,
+       CAST(SUM(n_pieces) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS pieces_per_word
+FROM dwords JOIN wlen USING (word)
+GROUP BY doc_id"""
+
+
+@register(
+    "text_bpe_encode_lengths",
+    oracle=text_bpe_encode_sql(),
+    tags=("text", "tokens", "bpe", "encode"),
+)
+def text_bpe_encode_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE — the serve half the train/vocab queries were
+    missing: per-document token counts under the learned merge table,
+    the number sequence packing and context-window budgeting actually
+    consume (text_bpe_token_count's regex is the zero-training
+    ESTIMATE; this is the real tokenizer's answer). Encoding a word
+    depends only on the word, so the plan encodes the DISTINCT-word
+    table once (the same corpus-collapsed symbol chain the trainer
+    runs) and joins piece counts back to the word stream — the token
+    stream is scanned once, never segmented row-by-row
+    (operators.tokenizer.bpe_encode_doc_lengths)."""
+    from ..operators.tokenizer import bpe_encode_doc_lengths
+
+    return bpe_encode_doc_lengths(_docs(spark, sf_dir))

@@ -10,7 +10,7 @@ the Spark plan)."""
 from __future__ import annotations
 
 import pandas as pd  # module-level: pandas_udf type hints must resolve
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.similarity import brute_force_topk, l2_norm, lsh_topk
@@ -923,3 +923,103 @@ def vector_pca_second_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pca import second_moments_upper_arrow
 
     return second_moments_upper_arrow(_emb(spark, sf_dir))
+
+
+#: k-NN classifier probes: the held-out ids (vec_id % 5 = 0) capped at
+#: a FIXED id bound so the exact all-pairs score stays a constant-size
+#: query set against a growing corpus (the bounded-exact-twin
+#: convention; the unbounded serve path is the IVF/PQ index family).
+KNN_PROBE_BOUND = 200
+KNN_K = 5
+
+
+@register(
+    "vector_knn_label_confusion",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS actual_label, embedding AS qv
+  FROM embeddings WHERE vec_id % 5 = 0 AND vec_id < {KNN_PROBE_BOUND}
+),
+c AS (
+  SELECT vec_id AS neighbor_id, label, embedding AS cv
+  FROM embeddings WHERE vec_id % 5 <> 0
+),
+scored AS (
+  SELECT query_id, actual_label, neighbor_id, label,
+         {_DOT.format(a='qv', b='cv')}
+           / ({_NORM.format(v='qv')} * {_NORM.format(v='cv')}) AS cosine
+  FROM c CROSS JOIN q
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+),
+votes AS (
+  SELECT query_id, actual_label, label,
+         CAST(COUNT(*) AS BIGINT) AS n_votes
+  FROM ranked WHERE rank <= {KNN_K}
+  GROUP BY query_id, actual_label, label
+),
+pred AS (
+  SELECT query_id, actual_label, label AS pred_label,
+         row_number() OVER (PARTITION BY query_id
+             ORDER BY n_votes DESC, label) AS rk
+  FROM votes
+)
+SELECT actual_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n_queries
+FROM pred WHERE rk = 1
+GROUP BY actual_label, pred_label
+""",
+    tags=("vector", "knn", "classifier"),
+)
+def vector_knn_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label classifier evaluation — the embedding-space dual of
+    the Naive Bayes text classifier: each held-out probe (vec_id % 5,
+    fixed id bound) is classified by majority label among its 5 exact
+    cosine-nearest TRAIN vectors (ties: smallest label), reported as
+    the (actual, predicted) confusion matrix. This is the standard
+    embedding-quality probe a pipeline runs after training an encoder:
+    if labels aren't recoverable from neighborhoods, the embedding —
+    not the classifier — is the problem.
+
+    Plan: the exact scorer is operators.similarity.brute_force_topk
+    (broadcast probe set, one scoring pass over the train fold,
+    per-probe WindowGroupLimit), then an integer vote count and a
+    5-row argmax window. The probe set is FIXED-SIZE by construction,
+    so the exact pass stays linear in the corpus; the unbounded serve
+    path is the trained IVF/PQ index family."""
+    from ..operators.similarity import brute_force_topk
+
+    e = _emb(spark, sf_dir)
+    probes = e.filter(
+        (F.col("vec_id") % 5 == 0) & (F.col("vec_id") < KNN_PROBE_BOUND)
+    )
+    train = e.filter(F.col("vec_id") % 5 != 0)
+    topk = brute_force_topk(train, probes, k=KNN_K)
+    labels = e.select("vec_id", "label")
+    votes = (
+        topk.join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"), "label"
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "label")
+        .agg(F.count("*").cast("long").alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("n_votes"), "label")
+    pred = (
+        votes.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("query_id", F.col("label").alias("pred_label"))
+    )
+    actual = probes.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("actual_label"),
+    )
+    return (
+        actual.join(pred, "query_id")
+        .groupBy("actual_label", "pred_label")
+        .agg(F.count("*").cast("long").alias("n_queries"))
+    )

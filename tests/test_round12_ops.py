@@ -1,0 +1,212 @@
+"""Round-12 operator units: algorithmic properties of the chunkers,
+the supervised NB classifier, chi-squared feature selection, WOE/IV,
+BPE encode, and weighted label propagation — adversarial fixtures the
+corpus-level parity gate can't construct (parity pins cross-engine
+equality; these pin the MATH on inputs chosen to break it)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cassaforte_meter_transmission_gen_spark.operators.graph import (
+    label_propagation,
+)
+from cassaforte_meter_transmission_gen_spark.operators.tokenizer import (
+    bpe_encode_doc_lengths,
+)
+from cassaforte_meter_transmission_gen_spark.plans.catalog import REGISTRY
+
+
+def test_lpa_barbell_two_communities(spark):
+    """Two triangles joined by ONE weak bridge edge: 3 LPA rounds must
+    resolve two communities labelled by each triangle's min vertex —
+    the bridge (weight 1 vs in-triangle 10) can never outvote."""
+    tri1 = [(1, 2), (1, 3), (2, 3)]
+    tri2 = [(4, 5), (4, 6), (5, 6)]
+    rows = [(a, b, 10) for a, b in tri1 + tri2] + [(3, 4, 1)]
+    und = spark.createDataFrame(
+        rows + [(b, a, w) for a, b, w in rows], "src long, dst long, w long"
+    )
+    got = {
+        r["v"]: r["lab"] for r in label_propagation(und, n_iters=3).collect()
+    }
+    assert {v for v in got if got[v] == got[1]} == {1, 2, 3}
+    assert {v for v in got if got[v] == got[4]} == {4, 5, 6}
+    assert got[1] != got[4]
+
+
+def test_lpa_star_round1_and_bipartite_oscillation(spark):
+    """A star is bipartite, synchronous LPA's known pathological case:
+    after round 1 every leaf holds the hub's label (its only neighbor)
+    and the hub holds the smallest leaf label (4-way tie at weight 5 →
+    deterministic min tie-break); round 2 swaps them back — the
+    2-cycle oscillation the deterministic unrolled oracle must (and
+    does) reproduce exactly rather than hide."""
+    rows = [(0, i, 5) for i in range(1, 5)]
+    und = spark.createDataFrame(
+        rows + [(b, a, w) for a, b, w in rows], "src long, dst long, w long"
+    )
+    r1 = {
+        r["v"]: r["lab"] for r in label_propagation(und, n_iters=1).collect()
+    }
+    assert all(r1[i] == 0 for i in range(1, 5)) and r1[0] == 1
+    r2 = {
+        r["v"]: r["lab"] for r in label_propagation(und, n_iters=2).collect()
+    }
+    assert all(r2[i] == 1 for i in range(1, 5)) and r2[0] == 0
+
+
+def test_bpe_encode_counts_pieces(spark):
+    """Corpus of one repeated word: with enough merges the word becomes
+    ONE piece; with zero merges the count is its character length."""
+    docs = spark.createDataFrame(
+        [(1, "abab abab abab"), (2, "abab")], "doc_id long, text string"
+    )
+    one = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_pieces"])
+        for r in bpe_encode_doc_lengths(docs, n_merges=2).collect()
+    }
+    # merge1: a+b -> ab (freq 8); merge2: ab+ab -> abab => 1 piece/word
+    assert one == {1: (3, 3), 2: (1, 1)}
+    zero = {
+        r["doc_id"]: r["n_bpe_pieces"]
+        for r in bpe_encode_doc_lengths(docs, n_merges=0).collect()
+    }
+    assert zero == {1: 12, 2: 4}
+
+
+def test_cdc_chunking_local_reshuffle(spark, sf_small, tmp_path):
+    """The content-defined property: flipping ONE token near the end of
+    a document leaves every chunk hash before the edited token's chunk
+    identical — fixed-window chunking cannot make this guarantee (an
+    insertion shifts all later windows); here even the EDIT keeps all
+    earlier cut points."""
+    q = REGISTRY["text_chunk_content_defined"]
+    base = q.fn(spark, sf_small).filter(F.col("doc_id") == 3).collect()
+    assert len(base) > 2, "fixture doc must span several chunks"
+
+    import duckdb
+
+    con = duckdb.connect()
+    txt = con.execute(
+        f"SELECT text FROM read_parquet('{sf_small}/documents.parquet')"
+        " WHERE doc_id = 3"
+    ).fetchone()[0]
+    toks = txt.split(" ")
+    toks[-1] = toks[-1] + "X"  # append-edit inside the LAST token
+    edited = " ".join(toks)
+    ed_dir = tmp_path / "sf_edit"
+    ed_dir.mkdir()
+    con.execute(
+        f"""COPY (
+          SELECT doc_id, CASE WHEN doc_id = 3 THEN ? ELSE text END AS text,
+                 lang, source, n_chars
+          FROM read_parquet('{sf_small}/documents.parquet')
+        ) TO '{ed_dir}/documents.parquet' (FORMAT PARQUET)""",
+        [edited],
+    )
+    after = q.fn(spark, str(ed_dir)).filter(F.col("doc_id") == 3).collect()
+    b = {r["chunk_idx"]: r["chunk_hash"] for r in base}
+    a = {r["chunk_idx"]: r["chunk_hash"] for r in after}
+    last = max(b)
+    assert all(b[i] == a[i] for i in range(last)), (
+        "an edit in the final chunk must not disturb earlier chunk hashes"
+    )
+    assert b[last] != a[last]
+
+
+def test_chi2_planted_class_token(spark, tmp_path):
+    """A token planted ONLY in one class's documents must rank #1 for
+    that class (and be absent from other classes' positive lists)."""
+    import duckdb
+
+    rows = []
+    for i in range(40):
+        lang = "aa" if i < 20 else "bb"
+        extra = " zzmarker" if lang == "aa" else ""
+        rows.append((i, f"common words here{extra}", lang, "s", 1))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
+        " source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany("INSERT INTO t VALUES (?,?,?,?,?)", rows)
+    d = tmp_path / "sf_chi2"
+    d.mkdir()
+    con.execute(f"COPY t TO '{d}/documents.parquet' (FORMAT PARQUET)")
+    got = REGISTRY["text_chi2_token_lang"].fn(spark, str(d)).collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r["lang"], []).append((r["rank"], r["tok"]))
+    assert ("aa" in by_lang) and min(by_lang["aa"])[1] == "zzmarker"
+    assert all(t != "zzmarker" for _, t in by_lang.get("bb", []))
+
+
+def test_woe_uninformative_bucket_near_zero(spark, tmp_path):
+    """A feature bucket whose pos/neg split equals the global split
+    carries |WOE| within quantization noise of 0 and IV contribution
+    ~0; a pure-positive bucket has strongly positive WOE."""
+    import duckdb
+
+    rows = []
+    eid = 0
+    # bucket 0 (value 0-9): 10 pos, 10 neg == global 50/50 balance part
+    for i in range(10):
+        rows.append((eid := eid + 1, 5.0, "purchase"))
+        rows.append((eid := eid + 1, 5.0, "view"))
+    # bucket 1 (value 10-19): pure positive
+    for i in range(10):
+        rows.append((eid := eid + 1, 15.0, "purchase"))
+    # bucket 2: pure negative (rebalances the global split)
+    for i in range(10):
+        rows.append((eid := eid + 1, 25.0, "view"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE e (event_id BIGINT, value DOUBLE, event_type VARCHAR)"
+    )
+    con.executemany("INSERT INTO e VALUES (?,?,?)", rows)
+    d = tmp_path / "sf_woe"
+    d.mkdir()
+    con.execute(
+        f"""COPY (SELECT event_id, TIMESTAMP '2024-01-01' AS ts,
+                  event_id % 7 AS user_id, event_type, value,
+                  '{{}}' AS props FROM e)
+            TO '{d}/events.parquet' (FORMAT PARQUET)"""
+    )
+    got = {
+        r["bucket"]: r
+        for r in REGISTRY["events_woe_value_buckets"].fn(spark, str(d)).collect()
+    }
+    assert abs(got[0]["woe_ppm"]) < 5_000  # ~0 (smoothing-scale noise)
+    assert got[1]["woe_ppm"] > 1_000_000  # pure-pos: woe >> 1 nat
+    assert got[2]["woe_ppm"] < -1_000_000
+    assert got[1]["iv_ppm"] > 0 and got[2]["iv_ppm"] > 0
+
+
+def test_nb_separable_corpus_perfect_diag(spark, tmp_path):
+    """A fully separable two-class corpus (disjoint vocabularies) must
+    classify every held-out document correctly — the confusion matrix
+    is diagonal."""
+    import duckdb
+
+    rows = []
+    for i in range(60):
+        lang = "aa" if i % 2 == 0 else "bb"
+        text = ("alpha beta gamma" if lang == "aa" else "uno dos tres")
+        rows.append((i, text, lang, "s", len(text)))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
+        " source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany("INSERT INTO t VALUES (?,?,?,?,?)", rows)
+    d = tmp_path / "sf_nb"
+    d.mkdir()
+    con.execute(f"COPY t TO '{d}/documents.parquet' (FORMAT PARQUET)")
+    got = (
+        REGISTRY["text_naive_bayes_langid_confusion"]
+        .fn(spark, str(d))
+        .collect()
+    )
+    assert got, "held-out fold must be non-empty"
+    assert all(r["actual_lang"] == r["pred_lang"] for r in got)
