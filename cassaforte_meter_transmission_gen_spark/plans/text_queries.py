@@ -4212,33 +4212,72 @@ def text_naive_bayes_langid_confusion(
     model side is vocab-sized — broadcastable when the vocabulary is;
     here AQE decides) followed by a (doc, class) aggregation and a
     5-row-per-doc argmax window. Output is classes², not rows."""
-    from ..functions.detmath import det_ln_stage_exprs
+    d = nb_split_docs(_docs(spark, sf_dir))
+    train = d.where(~F.col("is_test"))
+    test = d.where(F.col("is_test"))
+    return nb_confusion_from_counts(
+        nb_train_counts(train), nb_doc_counts(train), test
+    )
+
+
+def nb_split_docs(docs: DataFrame) -> DataFrame:
+    """The NB train/test splitter: portable doc_id hash mod
+    NB_SPLIT_MOD, bucket 0 held out (adds ``is_test``)."""
     from ..functions.text import tok_hash_portable
 
-    st = det_ln_stage_exprs()
-
-    def chain(df: DataFrame, xexpr: str, keep: list[str]) -> DataFrame:
-        d1 = df.selectExpr(*keep, f"CAST({xexpr} AS DOUBLE) AS x")
-        d2 = d1.selectExpr(*keep, "x", f"{st['e']} AS e", f"{st['m']} AS m")
-        d3 = d2.selectExpr(*keep, "e", f"{st['tt']} AS tt")
-        return d3.selectExpr(
-            *keep, f"CAST(FLOOR(({st['ln']}) * 1000000) AS BIGINT) AS lnv"
-        )
-
-    d = _docs(spark, sf_dir).withColumn(
+    return docs.withColumn(
         "is_test",
         tok_hash_portable(F.col("doc_id").cast("string")) % NB_SPLIT_MOD == 0,
     )
-    train = d.where(~F.col("is_test"))
-    test = d.where(F.col("is_test"))
 
+
+def nb_train_counts(train: DataFrame) -> DataFrame:
+    """The NB model's ADDITIVE state: (lang, tok, cnt) multinomial
+    counts over the train fold — one map-side-combinable groupBy.
+    Additivity is what lets the streaming twin maintain this table per
+    micro-batch under the exactly-once commit-log protocol."""
     ttoks = train.select(
-        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok")
+        "lang", F.explode(tokens(F.col("text"))).alias("tok")
     )
-    wl = ttoks.groupBy("lang", "tok").agg(F.count("*").cast("long").alias("cnt"))
-    vocab = int(ttoks.select("tok").distinct().count())
+    return ttoks.groupBy("lang", "tok").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+
+
+def nb_doc_counts(train: DataFrame) -> DataFrame:
+    """The prior's additive state: per-class train document counts."""
+    return train.groupBy("lang").agg(
+        F.count("*").cast("long").alias("d_l")
+    )
+
+
+def _detln_chain(df: DataFrame, xexpr: str, keep: list[str]) -> DataFrame:
+    """Four narrow det-ln projections over ``df`` (column ``lnv`` out,
+    floored integer micro-nats) — the per-row form shared by the NB
+    batch query, its streaming twin, and the WOE encoder."""
+    from ..functions.detmath import det_ln_stage_exprs
+
+    st = det_ln_stage_exprs()
+    d1 = df.selectExpr(*keep, f"CAST({xexpr} AS DOUBLE) AS x")
+    d2 = d1.selectExpr(*keep, "x", f"{st['e']} AS e", f"{st['m']} AS m")
+    d3 = d2.selectExpr(*keep, "e", f"{st['tt']} AS tt")
+    return d3.selectExpr(
+        *keep, f"CAST(FLOOR(({st['ln']}) * 1000000) AS BIGINT) AS lnv"
+    )
+
+
+def nb_confusion_from_counts(
+    wl: DataFrame, dstat: DataFrame, test: DataFrame
+) -> DataFrame:
+    """The NB serve tail shared by the batch query and the streaming
+    twin: given the committed model state — (lang, tok, cnt) counts and
+    per-class doc counts — score the test fold and report the
+    (actual, predicted) confusion matrix. Because the state tables are
+    additive, a streaming-maintained final state EQUALS the batch
+    aggregation and this tail is gated by the identical oracle."""
+    chain = _detln_chain
+    vocab = int(wl.select("tok").distinct().count())
     lstat = wl.groupBy("lang").agg(F.sum("cnt").cast("long").alias("t_l"))
-    dstat = train.groupBy("lang").agg(F.count("*").cast("long").alias("d_l"))
 
     wln = chain(wl, "cnt + 1", ["lang", "tok"])
     ltv = chain(lstat, f"t_l + {vocab}", ["lang"]).withColumnRenamed(
@@ -4331,3 +4370,26 @@ def text_bpe_encode_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.tokenizer import bpe_encode_doc_lengths
 
     return bpe_encode_doc_lengths(_docs(spark, sf_dir))
+
+
+@register(
+    "streaming_naive_bayes_langid",
+    oracle=_nb_oracle_sql(),
+    tags=("text", "classifier", "naive-bayes", "streaming", "integer-exact"),
+)
+def streaming_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Naive-Bayes language classifier TRAINED ON THE STREAM: each
+    micro-batch's train-fold (class, token) and (class, doc) counts
+    merge additively into a committed model table under the
+    exactly-once commit-log protocol (streaming.pipeline.
+    nb_counts_batch_fn — high-watermark replay guard, versioned
+    parquet state, the same machinery as the PSI/CMS/KMV/MG/AUC
+    streaming families); after the bounded corpus drains, the
+    committed model EQUALS the batch aggregation, so serving the
+    held-out fold through the shared tail is gated by the IDENTICAL
+    oracle as `text_naive_bayes_langid_confusion` — online classifier
+    training with a bit-exact correctness story. Model state is
+    vocab×class-sized, never corpus-sized."""
+    from ..streaming.pipeline import run_bounded_nb_training
+
+    return run_bounded_nb_training(spark, sf_dir)

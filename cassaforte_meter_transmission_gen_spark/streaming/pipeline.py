@@ -2106,3 +2106,122 @@ def run_bounded_python_source_stream(
             F.count("*").alias("n_seconds"),
         )
     )
+
+
+def bounded_documents_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    columns: tuple[str, ...] = ("doc_id", "text", "lang"),
+) -> DataFrame:
+    """Deterministic bounded DOCUMENT stream: stage the corpus
+    ``documents`` table (projected, repartitioned so the file stream
+    yields several micro-batches) and re-read it schema-pinned — the
+    text-corpus ingress dual of :func:`bounded_events_stream`."""
+    from ..schemas import load_table
+
+    stage = tempfile.mkdtemp(prefix="docs_stream_")
+    atexit.register(shutil.rmtree, stage, ignore_errors=True)
+    d = load_table(spark, sf_dir, "documents").select(*columns)
+    d.repartition(8).write.mode("overwrite").parquet(stage)
+    return (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(stage)
+    )
+
+
+def nb_counts_batch_fn(table_dir: str, commits_dir: str):
+    """foreachBatch body maintaining the Naive-Bayes MODEL STATE on the
+    stream: per micro-batch the batch's train-fold (lang, tok, cnt)
+    multinomial counts and (lang, d_l) prior counts
+    (plans.text_queries.nb_train_counts / nb_doc_counts — the SAME
+    stages the batch classifier runs) merge ADDITIVELY with the last
+    committed state. Exactly-once by the commit-log protocol — counts
+    are additive int64s, so the high-watermark replay guard IS the
+    correctness (a replayed batch must not double-count a word).
+    State: vocab×class-sized plus one row per class, never
+    corpus-sized."""
+    import os
+
+    os.makedirs(commits_dir, exist_ok=True)
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        from ..plans.text_queries import (
+            nb_doc_counts,
+            nb_split_docs,
+            nb_train_counts,
+        )
+
+        hw = _high_watermark(commits_dir)
+        if hw is not None and batch_id <= hw:
+            return  # replayed, fully applied
+        train = nb_split_docs(batch).where(~F.col("is_test"))
+        wl = nb_train_counts(train)
+        dl = nb_doc_counts(train)
+        if hw is not None:
+            spark = batch.sparkSession
+            prev_wl = spark.read.schema(
+                "lang string, tok string, cnt bigint"
+            ).parquet(f"{table_dir}/wl/v={hw}")
+            wl = (
+                prev_wl.unionByName(wl)
+                .groupBy("lang", "tok")
+                .agg(F.sum("cnt").cast("long").alias("cnt"))
+            )
+            prev_dl = spark.read.schema(
+                "lang string, d_l bigint"
+            ).parquet(f"{table_dir}/dl/v={hw}")
+            dl = (
+                prev_dl.unionByName(dl)
+                .groupBy("lang")
+                .agg(F.sum("d_l").cast("long").alias("d_l"))
+            )
+        wl.write.mode("overwrite").parquet(f"{table_dir}/wl/v={batch_id}")
+        dl.write.mode("overwrite").parquet(f"{table_dir}/dl/v={batch_id}")
+        tmp = os.path.join(commits_dir, f"{batch_id}.tmp")
+        open(tmp, "w").close()
+        os.replace(tmp, os.path.join(commits_dir, str(batch_id)))
+
+    return fn
+
+
+def run_bounded_nb_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive :func:`nb_counts_batch_fn` over the bounded document
+    stream to completion — the classifier TRAINS ON THE STREAM — then
+    serve the held-out batch test fold from the FINAL committed model
+    state via the identical tail the batch query uses
+    (plans.text_queries.nb_confusion_from_counts). The state tables
+    are additive and applied exactly-once, so the committed model
+    EQUALS the batch aggregation and the confusion matrix is gated by
+    the IDENTICAL oracle."""
+    import os
+
+    from ..plans.text_queries import nb_confusion_from_counts, nb_split_docs
+    from ..schemas import load_table
+
+    out = tempfile.mkdtemp(prefix="nb_stream_out_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    table_dir = os.path.join(out, "model")
+    commits = os.path.join(out, "_commits")
+    stream = bounded_documents_stream(spark, sf_dir)
+    with tempfile.TemporaryDirectory(prefix="nb_ckpt_") as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(
+                nb_counts_batch_fn(table_dir, commits)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    hw = _high_watermark(commits)
+    wl = spark.read.schema("lang string, tok string, cnt bigint").parquet(
+        f"{table_dir}/wl/v={hw}"
+    )
+    dl = spark.read.schema("lang string, d_l bigint").parquet(
+        f"{table_dir}/dl/v={hw}"
+    )
+    test = nb_split_docs(load_table(spark, sf_dir, "documents")).where(
+        F.col("is_test")
+    )
+    return nb_confusion_from_counts(wl, dl, test)

@@ -210,3 +210,54 @@ def test_nb_separable_corpus_perfect_diag(spark, tmp_path):
     )
     assert got, "held-out fold must be non-empty"
     assert all(r["actual_lang"] == r["pred_lang"] for r in got)
+
+
+def test_nb_stream_training_replay_is_exactly_once(spark, tmp_path):
+    """The streaming NB model merge must be idempotent under batch
+    replay: multinomial counts are additive, so a double-applied batch
+    would EXACTLY double a word's count. Replaying batch 1 under the
+    same id with DIFFERENT documents must change nothing — the
+    committed model after the poisoned replay equals the model after
+    the two genuine batches."""
+    from cassaforte_meter_transmission_gen_spark.streaming.pipeline import (
+        nb_counts_batch_fn,
+    )
+
+    table = str(tmp_path / "model")
+    commits = str(tmp_path / "_commits")
+    fn = nb_counts_batch_fn(table, commits)
+
+    def batch(rows):
+        # doc_ids chosen in the TRAIN fold (portable hash mod 5 != 0)
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string"
+        )
+
+    # hash(doc_id) mod 5: pick train-fold ids by probing the splitter
+    from cassaforte_meter_transmission_gen_spark.plans.text_queries import (
+        nb_split_docs,
+    )
+
+    probe = spark.createDataFrame(
+        [(i, "x", "aa") for i in range(40)], "doc_id long, text string, lang string"
+    )
+    train_ids = [
+        r["doc_id"]
+        for r in nb_split_docs(probe).where("NOT is_test").collect()
+    ]
+    i0, i1, i2 = train_ids[0], train_ids[1], train_ids[2]
+
+    fn(batch([(i0, "alpha alpha beta", "aa")]), 0)
+    fn(batch([(i1, "alpha gamma", "aa")]), 1)
+    # poisoned replay: same id, different content — must be a no-op
+    fn(batch([(i2, "alpha alpha alpha poison", "aa")]), 1)
+
+    wl = spark.read.schema("lang string, tok string, cnt bigint").parquet(
+        f"{table}/wl/v=1"
+    )
+    got = {r["tok"]: r["cnt"] for r in wl.collect()}
+    assert got == {"alpha": 3, "beta": 1, "gamma": 1}
+    dl = spark.read.schema("lang string, d_l bigint").parquet(
+        f"{table}/dl/v=1"
+    )
+    assert {r["lang"]: r["d_l"] for r in dl.collect()} == {"aa": 2}
