@@ -1246,3 +1246,102 @@ def sample_gif_frames(df: DataFrame, stride: int = 2) -> DataFrame:
             " pixels binary"
         ),
     )
+
+
+def gif_motion_profile(df: DataFrame) -> DataFrame:
+    """(item_id, payload) → one row per CONSECUTIVE frame pair:
+    (item_id, frame_from, frame_to, sad, n_bytes) where ``sad`` is the
+    exact integer sum of absolute RGB differences — the shot-boundary /
+    motion-estimation read of a video pipeline (a cut is a SAD spike;
+    static footage is a SAD floor). Decodes through the same
+    variable-width-LZW animated-GIF path as the frame sampler, diffs
+    vectorized in the Arrow batch; output is n_frames−1 rows per clip
+    regardless of resolution."""
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, ffrom, fto, sads, nb = [], [], [], [], []
+            for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
+                w, h, frames = gif_decode_frames(bytes(payload))
+                arrs = [
+                    np.frombuffer(f, dtype=np.uint8).astype(np.int64)
+                    for f in frames
+                ]
+                for f in range(len(frames) - 1):
+                    ids.append(int(item_id))
+                    ffrom.append(f)
+                    fto.append(f + 1)
+                    sads.append(int(np.abs(arrs[f] - arrs[f + 1]).sum()))
+                    nb.append(w * h * 3)
+            yield pd.DataFrame(
+                {
+                    "item_id": pd.Series(ids, dtype="int64"),
+                    "frame_from": pd.Series(ffrom, dtype="int32"),
+                    "frame_to": pd.Series(fto, dtype="int32"),
+                    "sad": pd.Series(sads, dtype="int64"),
+                    "n_bytes": pd.Series(nb, dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(
+        run,
+        schema=(
+            "item_id long, frame_from int, frame_to int,"
+            " sad long, n_bytes int"
+        ),
+    )
+
+
+#: autocorrelation lags reported by the pitch/periodicity profile
+WAV_AUTOCORR_LAGS = (1, 2, 4)
+
+
+def wav_autocorrelation(
+    df: DataFrame, lags: tuple[int, ...] = WAV_AUTOCORR_LAGS
+) -> DataFrame:
+    """(item_id, payload) → per-clip integer autocorrelation profile:
+    R(0) = Σ s², R(ℓ) = Σ_{i≥ℓ} s(i)·s(i−ℓ) for each lag, plus the
+    normalized r(ℓ) in integer ppm (R(ℓ)·1e6 DIV R(0)) — the classic
+    pitch / periodicity estimator (a pure tone peaks at its period's
+    lag; noise decays immediately), and the spectral-shaped audio
+    feature that stays EXACT integer arithmetic where a DFT's
+    transcendental twiddle factors could never cross-engine match.
+    int16 samples → products ≤ 2^30, sums safe in int64 to ~10^9
+    samples per clip. Decodes through the same stdlib-wave container
+    path as the loudness/ZCR features; Arrow-batched, payload never
+    shuffles."""
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, ls, r0s, rls, ppm = [], [], [], [], []
+            for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
+                _rate, _n, samples = wav_decode(bytes(payload))
+                s = np.asarray(samples, dtype=np.int64)
+                r0 = int((s * s).sum())
+                for lag in lags:
+                    rl = int((s[lag:] * s[:-lag]).sum()) if len(s) > lag else 0
+                    ids.append(int(item_id))
+                    ls.append(lag)
+                    r0s.append(r0)
+                    rls.append(rl)
+                    # int(a // b) in Python floors; Spark/DuckDB DIV
+                    # truncates toward zero — match by trunc division
+                    q = abs(rl) * 1_000_000 // r0 if r0 else 0
+                    ppm.append(q if rl >= 0 else -q)
+            yield pd.DataFrame(
+                {
+                    "item_id": pd.Series(ids, dtype="int64"),
+                    "lag": pd.Series(ls, dtype="int32"),
+                    "r0": pd.Series(r0s, dtype="int64"),
+                    "r_lag": pd.Series(rls, dtype="int64"),
+                    "r_ppm": pd.Series(ppm, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(
+        run, schema="item_id long, lag int, r0 long, r_lag long, r_ppm long"
+    )

@@ -3001,3 +3001,158 @@ def profile_k_anonymity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "class_size",
         (F.col("class_size") < K_ANONYMITY_K).alias("at_risk"),
     )
+
+
+@register(
+    "agg_weighted_quartiles_price",
+    oracle="""
+WITH bv AS (
+  SELECT l_extendedprice AS price,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM bv),
+cum AS (
+  SELECT price, w,
+         CAST(SUM(w) OVER (ORDER BY price) AS BIGINT) AS cw
+  FROM bv
+)
+SELECT q.q AS quartile,
+       (SELECT MIN(price) FROM cum, tot WHERE 4 * cw >= q.q * tw)
+         AS price,
+       tot.tw AS total_weight
+FROM (VALUES (CAST(1 AS INT)), (CAST(2 AS INT)), (CAST(3 AS INT))) q(q)
+CROSS JOIN tot
+""",
+    tags=("agg", "weighted-median", "integer-exact"),
+)
+def agg_weighted_quartiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT quantity-WEIGHTED price quartiles (lower weighted
+    quantile rule: the smallest price whose cumulative weight reaches
+    q/4 of the total) — the per-unit price distribution, where the
+    unweighted percentile family answers per-LINE questions; a
+    10 000-unit line should move the median 10 000× more than a
+    single-unit line. Every comparison is integer (4·cum ≥ q·W — no
+    fractional thresholds, no interpolation), so the result is
+    bit-equal across engines by construction.
+
+    Scale shape: one map-side-combinable collapse to the distinct-price
+    table, then the cumulative weight rides the same bucketed two-pass
+    prefix sum as the equi-depth deciles and the exact AUC family
+    (:func:`..operators.packing.global_running_total` — NO single-task
+    window, plan-audit-checked machinery), a one-row total broadcast,
+    and one min-aggregation per quartile over the (tiny) threshold
+    crossings."""
+    from ..operators.packing import global_running_total
+
+    li = _t(spark, sf_dir, "lineitem")
+    bv = li.groupBy(F.col("l_extendedprice").alias("price")).agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("w")
+    )
+    pref = global_running_total(bv, "price", "w", out_col="__w_blw")
+    cum = pref.select(
+        "price", (F.col("__w_blw") + F.col("w")).alias("cw")
+    )
+    tot = bv.agg(F.sum("w").cast("long").alias("tw"))
+    qs = spark.createDataFrame([(1,), (2,), (3,)], "q int")
+    crossings = cum.crossJoin(F.broadcast(tot)).crossJoin(
+        F.broadcast(qs)
+    ).where(4 * F.col("cw") >= F.col("q") * F.col("tw"))
+    return (
+        crossings.groupBy("q")
+        .agg(F.min("price").alias("price"), F.max("tw").alias("total_weight"))
+        .select(F.col("q").alias("quartile"), "price", "total_weight")
+    )
+
+
+#: modulus for the additive content checksum: 2^61 − 1 (Mersenne) —
+#: the DECIMAL(38,0)/HUGEINT sum of 60-bit row hashes is reduced once,
+#: so the per-table checksum fits int64 at any row count.
+CHECKSUM_MOD = (1 << 61) - 1
+
+#: canonical row serializations (engine-neutral): integers as-is,
+#: money as floor(x·100 + 0.5) — one IEEE multiply/add/floor, same
+#: bits in both engines since 2-decimal money is exactly re-scalable —
+#: timestamps as epoch seconds (the session pins UTC on both sides).
+_CHECKSUM_CANON = {
+    "orders": (
+        "concat_ws('|', o_orderkey, o_custkey, o_orderstatus,"
+        " CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT),"
+        " {ts}, o_orderpriority)",
+        "CAST(o_orderdate AS LONG)",
+        "CAST(epoch(o_orderdate) AS BIGINT)",
+    ),
+    "customer": (
+        "concat_ws('|', c_custkey, c_name, c_nationkey,"
+        " CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT), c_mktsegment)",
+        "",
+        "",
+    ),
+    "lineitem": (
+        "concat_ws('|', l_orderkey, l_partkey, l_suppkey, l_linenumber,"
+        " CAST(l_quantity AS BIGINT),"
+        " CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT),"
+        " l_returnflag, l_linestatus, {ts})",
+        "CAST(l_shipdate AS LONG)",
+        "CAST(epoch(l_shipdate) AS BIGINT)",
+    ),
+}
+
+
+def _checksum_oracle_sql() -> str:
+    parts = []
+    for t, (canon, _spark_ts, duck_ts) in _CHECKSUM_CANON.items():
+        c = canon.format(ts=duck_ts)
+        parts.append(f"""
+SELECT '{t}' AS table_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(CAST(SUM(CAST(CAST('0x' || substr(md5({c}), 1, 15) AS BIGINT) AS HUGEINT))
+                 AS HUGEINT) % {CHECKSUM_MOD} AS BIGINT) AS checksum
+FROM {t}""")
+        parts.append("UNION ALL")
+    return "\n".join(parts[:-1])
+
+
+@register(
+    "pipeline_table_checksums",
+    oracle=_checksum_oracle_sql(),
+    tags=("pipeline", "checksum", "migration", "integer-exact"),
+)
+def pipeline_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive per-table CONTENT checksums — the migration /
+    replication validation primitive: two copies of a table agree iff
+    (n_rows, checksum) agree, regardless of row order, partitioning, or
+    file layout. Checksum = Σ hash60(canonical row) mod 2^61−1, with
+    the sum carried in DECIMAL(38,0)/HUGEINT so no row count overflows
+    it; addition is commutative, so Spark's parallel aggregation equals
+    DuckDB's serial scan bit-for-bit. Canonical serialization avoids
+    every engine-variant surface: integers verbatim, 2-decimal money
+    re-scaled by one fixed-order IEEE multiply-add-floor, timestamps as
+    UTC epoch seconds.
+
+    Scale shape: one map-side-combinable aggregation per table — a
+    single scan each, no shuffle beyond the 1-row partials; the
+    cheapest possible full-content audit at 100 TB (the move Iceberg
+    calls a manifest-level content check, done engine-side)."""
+    outs = []
+    for t, (canon, spark_ts, _duck_ts) in _CHECKSUM_CANON.items():
+        c = canon.format(ts=spark_ts)
+        df = _t(spark, sf_dir, t).selectExpr(
+            f"CAST(conv(substring(md5({c}), 1, 15), 16, 10) AS DECIMAL(38,0))"
+            " AS h"
+        )
+        outs.append(
+            df.agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.expr(
+                    f"CAST(CAST(SUM(h) AS DECIMAL(38,0)) % {CHECKSUM_MOD}"
+                    " AS BIGINT)"
+                ).alias("checksum"),
+            ).select(
+                F.lit(t).alias("table_name"), "n_rows", "checksum"
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -4393,3 +4393,113 @@ def streaming_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipeline import run_bounded_nb_training
 
     return run_bounded_nb_training(spark, sf_dir)
+
+
+def _gif_pix_sql(fexpr: str) -> str:
+    """The synthetic animation's exact per-byte RGB value at frame
+    ``fexpr``, byte index ``i`` (the same integer pattern formula the
+    GIF frame-sample oracle re-derives) — shared by the motion-profile
+    oracle below so SAD is computed from first principles."""
+    c = (
+        f"((doc_id * 7919 + ({fexpr}) * 101 + (i // (w * 3)) * 31"
+        " + (((i % (w * 3)) // 3) // 2) * 3) % 16)"
+    )
+    return (
+        f"CASE (i % 3)"
+        f" WHEN 0 THEN (doc_id * 37 + {c} * 11) % 256"
+        f" WHEN 1 THEN (doc_id * 59 + {c} * 23) % 256"
+        f" ELSE (doc_id * 83 + {c} * 29) % 256 END"
+    )
+
+
+@register(
+    "multimodal_gif_motion_profile",
+    oracle=f"""
+WITH d AS (SELECT doc_id, doc_id % 4 + 5 AS w, 6 AS h,
+                  doc_id % 3 + 4 AS n_frames
+           FROM documents WHERE doc_id < 50),
+pr AS (SELECT doc_id, w, h,
+              CAST(unnest(range(0, n_frames - 1)) AS BIGINT) AS f
+       FROM d)
+SELECT doc_id AS item_id,
+       CAST(f AS INT) AS frame_from,
+       CAST(f + 1 AS INT) AS frame_to,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(range(0, w * h * 3),
+           i -> CAST(abs(({_gif_pix_sql('f')}) - ({_gif_pix_sql('f + 1')}))
+                AS BIGINT))),
+         (acc, x) -> acc + x) AS BIGINT) AS sad,
+       CAST(w * h * 3 AS INT) AS n_bytes
+FROM pr
+""",
+    tags=("multimodal", "codec", "gif", "video", "motion"),
+)
+def multimodal_gif_motion_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shot-boundary / motion estimation over REAL decoded animation:
+    every consecutive frame pair's exact integer sum-of-absolute-RGB-
+    differences (operators.multimodal.gif_motion_profile) — the
+    video-pipeline read behind cut detection and static-clip pruning (a
+    scene cut is a SAD spike, frozen footage a SAD floor). Decodes the
+    full animated-GIF LZW stream; diffs are vectorized in the Arrow
+    batch and the payload never shuffles — output is n_frames−1 narrow
+    rows per clip at any resolution. The oracle re-derives both frames'
+    pixels from the integer pattern formula and replays the identical
+    |a−b| fold, so a green row pins decode AND the motion arithmetic."""
+    from ..operators.multimodal import (
+        encode_synthetic_gif_animations,
+        gif_motion_profile,
+    )
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 50).select("doc_id")
+    clips = encode_synthetic_gif_animations(d, "doc_id")
+    return gif_motion_profile(clips.select("item_id", "payload"))
+
+
+@register(
+    "multimodal_wav_autocorrelation",
+    oracle="""
+WITH d AS (SELECT doc_id AS did, doc_id % 50 + 20 AS n
+           FROM documents WHERE doc_id < 100),
+sm AS (
+  SELECT did, n, i, ((did * 31 + i * 7) % 2048) - 1024 AS s
+  FROM d, LATERAL (SELECT unnest(range(0, n)) AS i) u
+),
+r0 AS (SELECT did, CAST(SUM(s * s) AS BIGINT) AS r0 FROM sm GROUP BY did),
+lagged AS (
+  SELECT a.did, l.lag,
+         CAST(SUM(a.s * b.s) AS BIGINT) AS r_lag
+  FROM sm a
+  CROSS JOIN (VALUES (CAST(1 AS INT)), (CAST(2 AS INT)), (CAST(4 AS INT)))
+    l(lag)
+  JOIN sm b ON b.did = a.did AND b.i = a.i - l.lag
+  GROUP BY a.did, l.lag
+)
+SELECT lagged.did AS item_id, lagged.lag, r0.r0, lagged.r_lag,
+       CAST(lagged.r_lag * 1000000 // r0.r0 AS BIGINT) AS r_ppm
+FROM lagged JOIN r0 ON r0.did = lagged.did
+""",
+    tags=("multimodal", "codec", "wav", "audio", "integer-exact"),
+)
+def multimodal_wav_autocorrelation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Audio periodicity/pitch profile over REAL decoded WAV: integer
+    autocorrelation at lags 1/2/4 beside the total energy R(0)
+    (operators.multimodal.wav_autocorrelation) — the spectral-shaped
+    feature that stays EXACTLY representable (a DFT's transcendental
+    twiddle factors can never cross-engine match; autocorrelation is
+    pure int64 products). The oracle re-derives every sample from the
+    synthetic waveform formula and replays the identical lag products,
+    so a green row pins the container decode AND the estimator. r_ppm
+    divides the same two integers on both engines (truncation toward
+    zero verified for the engines' DIV//)."""
+    from ..operators.multimodal import (
+        encode_synthetic_wavs,
+        wav_autocorrelation,
+    )
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 100).select("doc_id")
+    wavs = encode_synthetic_wavs(d, "doc_id")
+    return wav_autocorrelation(wavs.select("item_id", "payload"))
