@@ -1078,3 +1078,95 @@ def test_ks_statistic_windows_bucketed_not_single_partition(spark, sf_small):
     assert window_lines, plan
     for line in window_lines:
         assert "__pid#" in line, line
+
+
+def test_chunk_sliding_no_shuffle(spark, sf_small):
+    """text_chunk_sliding_tokens is a pure per-document flatMap — the
+    plan must contain NO Exchange at all: tokenize, explode(sequence),
+    project, done."""
+    plan = _plan(REGISTRY["text_chunk_sliding_tokens"].fn(spark, sf_small))
+    assert "Exchange" not in plan, plan
+
+
+def test_chunk_cdc_window_per_document(spark, sf_small):
+    """text_chunk_content_defined's cumulative boundary count must
+    window PER DOCUMENT (state bounded by doc length), never an
+    unpartitioned global sort."""
+    plan = _plan(REGISTRY["text_chunk_content_defined"].fn(spark, sf_small))
+    window_lines = [l for l in plan.splitlines() if "Window [" in l]
+    assert window_lines, plan
+    for line in window_lines:
+        assert "doc_id#" in line.split("windowspecdefinition")[-1], line
+
+
+def test_weighted_quartiles_window_bucketed_not_single_partition(
+    spark, sf_small
+):
+    """agg_weighted_quartiles_price's cumulative weight must ride the
+    bucketed two-pass prefix sum (__pid-partitioned windows), never a
+    single-task global-sort window — the equi-depth/AUC machinery."""
+    df = REGISTRY["agg_weighted_quartiles_price"].fn(spark, sf_small)
+    plan = _plan(df)
+    window_lines = [l for l in plan.splitlines() if "Window [" in l]
+    assert window_lines, plan
+    for line in window_lines:
+        assert "__pid#" in line, line
+
+
+def test_chi2_broadcasts_class_totals(spark, sf_small):
+    """text_chi2_token_lang's 5-row class-totals and 1-row corpus-total
+    joins must broadcast — the token-keyed aggregates stay the only
+    shuffles."""
+    plan = _plan(REGISTRY["text_chi2_token_lang"].fn(spark, sf_small))
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 2, plan
+
+
+def test_nb_detln_on_vocab_not_token_stream(spark, sf_small):
+    """The NB classifier's det-ln projections must run over the
+    vocab×class aggregate, never the exploded token stream: every
+    det-ln stage (the FLOOR(...*1000000) projection) sits ABOVE an
+    aggregate in the plan. Proxy check: the plan contains the det-ln
+    marker and at least two HashAggregates below the serve join."""
+    df = REGISTRY["text_naive_bayes_langid_confusion"].fn(spark, sf_small)
+    plan = _plan(df)
+    assert "1000000" in plan  # the micro-nat quantization projection
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_knn_probes_broadcast(spark, sf_small):
+    """vector_knn_label_confusion's fixed-size probe set must broadcast
+    against the train fold (the brute-force scorer's shape) — the scan
+    over the corpus is the only wide stage."""
+    plan = _plan(REGISTRY["vector_knn_label_confusion"].fn(spark, sf_small))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
+        plan
+    )
+
+
+def test_asof_nearest_single_union_merge_exchange(spark, sf_small):
+    """events_asof_nearest_click must keep the union-merge economics:
+    exactly ONE user-keyed Exchange feeds both window passes (the
+    forward sort reuses the backward pass's partitioning), and no
+    range join appears."""
+    import re
+
+    df = REGISTRY["events_asof_nearest_click"].fn(spark, sf_small)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan or "range" not in plan.lower()
+    # exchanges keyed on user_id ALONE (the union-merge shuffle); the
+    # (user_id, __ts) exchange belongs to the right-side tie dedup
+    ex = re.findall(r"Exchange hashpartitioning\(user_id#\d+L, \d+\)", plan)
+    assert len(set(ex)) == 1, plan
+    # both carry passes sort inside that one partitioning
+    assert plan.count("Window [") == 2, plan
+
+
+def test_table_checksums_no_shuffle_per_table(spark, sf_small):
+    """pipeline_table_checksums is one map-side-combinable aggregation
+    per table: the only Exchanges are the 1-row partial→final
+    SinglePartition gathers — no hashpartitioning shuffle of row
+    data."""
+    plan = _plan(REGISTRY["pipeline_table_checksums"].fn(spark, sf_small))
+    assert "Exchange hashpartitioning" not in plan, plan

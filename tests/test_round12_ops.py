@@ -261,3 +261,28 @@ def test_nb_stream_training_replay_is_exactly_once(spark, tmp_path):
         f"{table}/dl/v=1"
     )
     assert {r["lang"]: r["d_l"] for r in dl.collect()} == {"aa": 2}
+
+
+def test_wav_autocorrelation_negative_lag_truncates_toward_zero(spark):
+    """An alternating ±A square wave has R(1) = −R(0)·(n−2)/n < 0: the
+    normalized ppm must use TRUNC division toward zero (matching Spark
+    DIV / DuckDB //), not Python floor — floor on a negative quotient
+    would be off by one ppm whenever R(0) ∤ |R(1)|·1e6."""
+    from cassaforte_meter_transmission_gen_spark.operators.multimodal import (
+        wav_autocorrelation,
+        wav_encode,
+    )
+
+    n = 21  # odd length → R(0) never divides |R(1)|·1e6 evenly here
+    samples = [300 if i % 2 == 0 else -300 for i in range(n)]
+    payload = wav_encode(8000, samples)
+    df = spark.createDataFrame([(1, payload)], "item_id long, payload binary")
+    got = {r["lag"]: r for r in wav_autocorrelation(df).collect()}
+    r0 = n * 300 * 300
+    r1 = -(n - 1) * 300 * 300
+    assert got[1]["r0"] == r0 and got[1]["r_lag"] == r1
+    # trunc toward zero: -(|r1|*1e6 // r0), NOT floor((r1*1e6)/r0)
+    expect = -(abs(r1) * 1_000_000 // r0)
+    assert got[1]["r_ppm"] == expect
+    # lag 2 realigns the square wave: perfectly positive correlation
+    assert got[2]["r_lag"] == (n - 2) * 300 * 300
