@@ -3906,11 +3906,18 @@ def text_chunk_content_defined(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens, never the corpus) → one (doc, chunk) aggregation with
     map-side partials. The only shuffle is doc-keyed; skew is bounded
     by max document length."""
+    return content_defined_chunks(_docs(spark, sf_dir))
+
+
+def content_defined_chunks(docs: DataFrame) -> DataFrame:
+    """The CDC chunker core over any (doc_id, text) frame — shared by
+    the registered batch query, the chunk-overlap near-dup join, and
+    the streaming incremental-dedup ledger (which chunks each
+    micro-batch with this exact plan, so the streamed ledger is
+    definitionally the batch derivation)."""
     from ..functions.text import tok_hash_portable
 
-    d = _docs(spark, sf_dir).select(
-        "doc_id", tokens(F.col("text")).alias("toks")
-    )
+    d = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
     t = d.select(
         "doc_id", F.posexplode("toks").alias("pos", "tok")
     )
@@ -4503,3 +4510,194 @@ def multimodal_wav_autocorrelation(
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 100).select("doc_id")
     wavs = encode_synthetic_wavs(d, "doc_id")
     return wav_autocorrelation(wavs.select("item_id", "payload"))
+
+
+#: chunk-overlap near-dup thresholds: chunks present in more than
+#: CHUNK_DF_CAP documents are boilerplate (headers, license blocks) and
+#: excluded from pairing — the stopword move, applied at chunk
+#: granularity; pairs sharing at least half the smaller document's
+#: distinct chunks are flagged.
+CHUNK_DF_CAP = 20
+CHUNK_OVERLAP_MIN_PPM = 500_000
+
+
+def _chunk_overlap_oracle_sql() -> str:
+    """Oracle twin of dedup_chunk_overlap_pairs: the identical
+    content-defined chunk derivation (shared cut rule), boilerplate
+    cap, pair join, and integer overlap threshold."""
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(text, '\\s+')) AS tok,
+         CAST(unnest(generate_series(
+             1, len(regexp_split_to_array(text, '\\s+')))) - 1 AS INT) AS pos
+  FROM documents
+),
+b AS (
+  SELECT doc_id, tok, pos,
+         CASE WHEN CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)
+                   % {CDC_BOUNDARY_MOD} = 0
+              THEN 1 ELSE 0 END AS cut_after
+  FROM t
+),
+c AS (
+  SELECT doc_id, tok, pos,
+         CAST(COALESCE(SUM(cut_after) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS INT) AS chunk_idx
+  FROM b
+),
+ch AS (
+  SELECT DISTINCT doc_id,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+  FROM c GROUP BY doc_id, chunk_idx
+),
+keep AS (
+  SELECT chunk_hash FROM ch GROUP BY chunk_hash
+  HAVING COUNT(*) <= {CHUNK_DF_CAP}
+),
+chk AS (SELECT ch.* FROM ch JOIN keep USING (chunk_hash)),
+nsz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks
+        FROM chk GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS shared_chunks
+  FROM chk a JOIN chk b
+    ON a.chunk_hash = b.chunk_hash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b, p.shared_chunks,
+       na.n_chunks AS n_a, nb.n_chunks AS n_b,
+       CAST(p.shared_chunks * 1000000
+            // least(na.n_chunks, nb.n_chunks) AS BIGINT) AS overlap_ppm
+FROM pairs p
+JOIN nsz na ON na.doc_id = p.doc_a
+JOIN nsz nb ON nb.doc_id = p.doc_b
+WHERE p.shared_chunks * 1000000
+      >= {CHUNK_OVERLAP_MIN_PPM} * least(na.n_chunks, nb.n_chunks)
+"""
+
+
+@register(
+    "dedup_chunk_overlap_pairs",
+    oracle=_chunk_overlap_oracle_sql(),
+    tags=("dedup", "chunking", "cdc", "near-dup", "integer-exact"),
+)
+def dedup_chunk_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PAYOFF of content-defined chunking: chunk-granularity
+    near-duplicate detection — documents sharing ≥ 50% of the smaller
+    side's distinct chunks are flagged, with the overlap fraction in
+    integer ppm (shared·1e6 ≥ threshold·min — the comparison itself is
+    the integer cross-multiplication, no float ratio). Because CDC cut
+    points survive edits (unit-proven locality), a document that copies
+    half of another still shares its untouched chunks verbatim — the
+    rsync/FastCDC dedup economics applied to corpus curation, catching
+    partial copies that whole-document hashing misses and that
+    shingle-Jaccard underweights when the copy is embedded in a larger
+    document. Chunks present in more than CHUNK_DF_CAP documents are
+    boilerplate and excluded BEFORE pairing (the stopword/prefix-filter
+    move at chunk granularity), so no chunk bucket can exceed
+    CHUNK_DF_CAP² pairs — the join is hot-key-bounded by construction.
+
+    Scale shape: the chunker's per-document window + one (chunk, doc)
+    distinct, one chunk-frequency filter, one capped equi-join on
+    chunk_hash, one pair aggregation — all shuffles carry hashes,
+    never text."""
+    ch = (
+        text_chunk_content_defined(spark, sf_dir)
+        .select("doc_id", "chunk_hash")
+        .distinct()
+    )
+    keep = (
+        ch.groupBy("chunk_hash")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= CHUNK_DF_CAP)
+        .select("chunk_hash")
+    )
+    chk = ch.join(keep, "chunk_hash")
+    nsz = chk.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_chunks")
+    )
+    a = chk.select(F.col("doc_id").alias("doc_a"), "chunk_hash")
+    b = chk.select(F.col("doc_id").alias("doc_b"), "chunk_hash")
+    pairs = (
+        a.join(b, "chunk_hash")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("shared_chunks"))
+    )
+    na = nsz.select(F.col("doc_id").alias("doc_a"), F.col("n_chunks").alias("n_a"))
+    nb = nsz.select(F.col("doc_id").alias("doc_b"), F.col("n_chunks").alias("n_b"))
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .where(
+            F.col("shared_chunks") * 1_000_000
+            >= CHUNK_OVERLAP_MIN_PPM * F.least("n_a", "n_b")
+        )
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "shared_chunks",
+            "n_a",
+            "n_b",
+            "CAST(shared_chunks * 1000000"
+            " DIV least(n_a, n_b) AS BIGINT) AS overlap_ppm",
+        )
+    )
+
+
+@register(
+    "streaming_chunk_incremental_dedup",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(text, '\\s+')) AS tok,
+         CAST(unnest(generate_series(
+             1, len(regexp_split_to_array(text, '\\s+')))) - 1 AS INT) AS pos
+  FROM documents
+),
+b AS (
+  SELECT doc_id, tok, pos,
+         CASE WHEN CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)
+                   % {CDC_BOUNDARY_MOD} = 0
+              THEN 1 ELSE 0 END AS cut_after
+  FROM t
+),
+c AS (
+  SELECT doc_id, tok, pos,
+         CAST(COALESCE(SUM(cut_after) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS INT) AS chunk_idx
+  FROM b
+),
+ch AS (
+  SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+  FROM c GROUP BY doc_id, chunk_idx
+)
+SELECT chunk_hash,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM ch GROUP BY chunk_hash
+""",
+    tags=("dedup", "chunking", "streaming", "cdc", "integer-exact"),
+)
+def streaming_chunk_incremental_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental corpus dedup ON THE STREAM — the production "ingest
+    only what's new" shape: every arriving document is content-defined
+    chunked with the exact batch chunker plan, and the chunk ledger
+    (chunk_hash → first owner, occurrence count) merges per micro-batch
+    under the exactly-once commit-log protocol
+    (streaming.pipeline.chunk_ledger_batch_fn). MIN and SUM are
+    order-free and batch-split-free, so the drained ledger EQUALS the
+    whole-corpus derivation and is gated by the batch oracle — a chunk
+    already in the ledger is a known duplicate the moment it arrives,
+    which is what lets a 100 TB crawler skip re-storing boilerplate in
+    flight. State is distinct-chunk-sized, never corpus-sized."""
+    from ..streaming.pipeline import run_bounded_chunk_ledger
+
+    return run_bounded_chunk_ledger(spark, sf_dir)

@@ -2225,3 +2225,81 @@ def run_bounded_nb_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("is_test")
     )
     return nb_confusion_from_counts(wl, dl, test)
+
+
+def chunk_ledger_batch_fn(table_dir: str, commits_dir: str):
+    """foreachBatch body maintaining the incremental CHUNK-DEDUP
+    LEDGER: per micro-batch every arriving document is content-defined
+    chunked (plans.text_queries.content_defined_chunks — the SAME plan
+    the batch chunker runs) and the ledger row per chunk hash —
+    (first_doc_id = MIN, n_occurrences = SUM) — merges with the last
+    committed ledger. MIN and SUM are both order-free and batch-split-
+    free, so the drained ledger EQUALS the batch derivation no matter
+    how the corpus was micro-batched; exactly-once by the commit-log
+    protocol (a replayed batch must not double-count a chunk). This is
+    the production "ingest only what's new" shape: a chunk already in
+    the ledger is a known duplicate the moment it arrives."""
+    import os
+
+    os.makedirs(commits_dir, exist_ok=True)
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        from ..plans.text_queries import content_defined_chunks
+
+        hw = _high_watermark(commits_dir)
+        if hw is not None and batch_id <= hw:
+            return  # replayed, fully applied
+        led = (
+            content_defined_chunks(batch)
+            .groupBy("chunk_hash")
+            .agg(
+                F.min("doc_id").cast("long").alias("first_doc_id"),
+                F.count("*").cast("long").alias("n_occurrences"),
+            )
+        )
+        if hw is not None:
+            prev = batch.sparkSession.read.schema(
+                "chunk_hash string, first_doc_id bigint, n_occurrences bigint"
+            ).parquet(f"{table_dir}/v={hw}")
+            led = (
+                prev.unionByName(led)
+                .groupBy("chunk_hash")
+                .agg(
+                    F.min("first_doc_id").cast("long").alias("first_doc_id"),
+                    F.sum("n_occurrences").cast("long").alias("n_occurrences"),
+                )
+            )
+        led.write.mode("overwrite").parquet(f"{table_dir}/v={batch_id}")
+        tmp = os.path.join(commits_dir, f"{batch_id}.tmp")
+        open(tmp, "w").close()
+        os.replace(tmp, os.path.join(commits_dir, str(batch_id)))
+
+    return fn
+
+
+def run_bounded_chunk_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive :func:`chunk_ledger_batch_fn` over the bounded document
+    stream to completion and return the FINAL committed chunk ledger —
+    gated against the oracle that derives the same (chunk_hash,
+    first_doc_id, n_occurrences) table from the whole corpus at once."""
+    out = tempfile.mkdtemp(prefix="chunk_ledger_out_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    table_dir = os.path.join(out, "ledger")
+    commits = os.path.join(out, "_commits")
+    stream = bounded_documents_stream(
+        spark, sf_dir, columns=("doc_id", "text")
+    )
+    with tempfile.TemporaryDirectory(prefix="ledger_ckpt_") as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(
+                chunk_ledger_batch_fn(table_dir, commits)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    hw = _high_watermark(commits)
+    return spark.read.schema(
+        "chunk_hash string, first_doc_id bigint, n_occurrences bigint"
+    ).parquet(f"{table_dir}/v={hw}")

@@ -286,3 +286,39 @@ def test_wav_autocorrelation_negative_lag_truncates_toward_zero(spark):
     assert got[1]["r_ppm"] == expect
     # lag 2 realigns the square wave: perfectly positive correlation
     assert got[2]["r_lag"] == (n - 2) * 300 * 300
+
+
+def test_chunk_ledger_replay_is_exactly_once(spark, tmp_path):
+    """The streaming chunk ledger's MIN/SUM merge must be idempotent
+    under batch replay: a re-delivered batch id with DIFFERENT
+    documents must change nothing — occurrence counts are additive, so
+    a leaked replay would double-count, and a smaller doc_id in the
+    poisoned batch would corrupt first_doc_id."""
+    from cassaforte_meter_transmission_gen_spark.streaming.pipeline import (
+        chunk_ledger_batch_fn,
+    )
+
+    table = str(tmp_path / "ledger")
+    commits = str(tmp_path / "_commits")
+    fn = chunk_ledger_batch_fn(table, commits)
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    # single-token docs: every token hashes to SOME chunk; the ledger
+    # keys on chunk content, so identical text => identical chunk_hash
+    fn(batch([(10, "alpha"), (11, "alpha")]), 0)
+    fn(batch([(12, "alpha"), (13, "beta")]), 1)
+    # poisoned replay: same id, smaller doc_id, new content
+    fn(batch([(1, "alpha"), (2, "gamma")]), 1)
+
+    led = spark.read.schema(
+        "chunk_hash string, first_doc_id bigint, n_occurrences bigint"
+    ).parquet(f"{table}/v=1")
+    got = {
+        r["chunk_hash"]: (r["first_doc_id"], r["n_occurrences"])
+        for r in led.collect()
+    }
+    assert len(got) == 2, got  # alpha-chunk + beta-chunk, no gamma
+    assert (10, 3) in got.values()  # alpha: first owner 10, 3 copies
+    assert (13, 1) in got.values()  # beta
