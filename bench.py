@@ -120,6 +120,9 @@ SCALE_PATHS = [
     "text_chunk_content_defined",
     "text_naive_bayes_langid_confusion",
     "text_chi2_token_lang",
+    # the chunk-granularity near-dup join (df-capped chunk buckets —
+    # hot-key-bounded by construction; the CDC chunking payoff)
+    "dedup_chunk_overlap_pairs",
 ]
 
 #: scale-path names re-timed a second time with the min reported:
