@@ -3128,7 +3128,11 @@ def pipeline_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's serial scan bit-for-bit. Canonical serialization avoids
     every engine-variant surface: integers verbatim, 2-decimal money
     re-scaled by one fixed-order IEEE multiply-add-floor, timestamps as
-    UTC epoch seconds.
+    UTC epoch seconds. Caveat (by design, engine-consistent): both
+    engines' concat_ws SKIPS null fields, so two rows differing only in
+    WHICH column holds the null could collide — fine for the NOT-NULL
+    corpus tables; a null-bearing table should coalesce each field to a
+    sentinel before adopting this canon.
 
     Scale shape: one map-side-combinable aggregation per table — a
     single scan each, no shuffle beyond the 1-row partials; the
