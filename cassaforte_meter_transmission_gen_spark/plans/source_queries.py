@@ -610,3 +610,67 @@ def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority string"
         ),
     )
+
+
+#: the day the backfill corrects (present in every SF's events table)
+BACKFILL_DAY = "2024-01-02"
+
+
+@register(
+    "source_backfill_dynamic_overwrite",
+    oracle=f"""
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(
+         CASE WHEN CAST(ts AS DATE) = DATE '{BACKFILL_DAY}'
+              THEN value * 2 ELSE value END
+         AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1
+""",
+    tags=("source", "backfill", "partition-overwrite"),
+)
+def source_backfill_dynamic_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Idempotent single-day BACKFILL — the daily-orchestrator
+    operation every 100 TB landing zone lives by: the events table is
+    written day-partitioned, then one day's rows are re-derived
+    (here: the {BACKFILL_DAY} values doubled, standing in for a
+    correction) and INSERT-OVERWRITTEN under
+    ``partitionOverwriteMode=dynamic`` — ONLY that day's partition is
+    replaced; every other day's files are physically untouched (the
+    static default would truncate the whole table first — the classic
+    production foot-gun; the untouched-files property is pinned by a
+    filesystem-level unit in tests/test_layout.py). The read-back
+    per-day aggregate is gated against the oracle that derives the
+    corrected state from the source directly — so the gate covers the
+    layout round-trip AND the overwrite scoping: had the backfill
+    clobbered or duplicated any other day, counts or sums would
+    mismatch. Re-running the backfill converges (overwrite, not
+    append) — the at-least-once scheduler contract.
+
+    Scale shape: both writes are one narrow projection + partitioned
+    write; the corrected frame's shuffle is one day's rows, not the
+    table."""
+    from ..sources.layout import (
+        backfill_day_dynamic_overwrite,
+        write_events_day_partitioned,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    out = os.path.join(_scratch("src_backfill_"), "events_by_day")
+    write_events_day_partitioned(ev, out)
+    corrected = ev.where(
+        F.col("ts").cast("date") == F.lit(BACKFILL_DAY).cast("date")
+    ).withColumn("value", F.col("value") * 2)
+    backfill_day_dynamic_overwrite(corrected, out)
+    back = spark.read.option("basePath", out).parquet(out)
+    return back.groupBy(
+        F.col("day").cast("string").alias("day")
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.expr(
+            "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)"
+        ).alias("sum_value"),
+    )

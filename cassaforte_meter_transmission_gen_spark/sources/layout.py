@@ -338,3 +338,41 @@ def append_ivf_partitioned(
         .partitionBy("cluster_id")
         .parquet(path)
     )
+
+
+def write_events_day_partitioned(df: DataFrame, path: str) -> None:
+    """Write an events frame day-partitioned (``day=YYYY-MM-DD``
+    directories) — the landing-zone layout every daily pipeline reads
+    and backfills. One range-free shuffle-less write: the partition
+    column is derived per row, files land under their day directory."""
+    (
+        df.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(path)
+    )
+
+
+def backfill_day_dynamic_overwrite(
+    corrected: DataFrame, path: str
+) -> None:
+    """Idempotent single-day backfill: with
+    ``spark.sql.sources.partitionOverwriteMode=dynamic``, an INSERT
+    OVERWRITE replaces ONLY the partitions present in the incoming
+    frame — every other day's files are physically untouched (the
+    static default would TRUNCATE the whole table first: the classic
+    production data-loss foot-gun this operator exists to avoid).
+    Re-running the same backfill converges to the same state — the
+    at-least-once daily-orchestrator contract."""
+    spark = corrected.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            corrected.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

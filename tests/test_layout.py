@@ -455,3 +455,80 @@ def test_bucketed_table_reregisters_from_files(spark, sf_small, monkeypatch, tmp
     )
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_dynamic_overwrite_touches_only_the_backfilled_day(
+    spark, sf_small, tmp_path
+):
+    """The physical property behind source_backfill_dynamic_overwrite:
+    after the single-day backfill, every OTHER day's parquet files are
+    byte-identical and un-rewritten (same names, same mtimes), the
+    target day's files are replaced, and re-running the backfill is
+    idempotent. Under the static default the same write would TRUNCATE
+    the whole table — this unit is the regression guard on the mode."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cassaforte_meter_transmission_gen_spark.schemas import load_table
+    from cassaforte_meter_transmission_gen_spark.sources.layout import (
+        backfill_day_dynamic_overwrite,
+        write_events_day_partitioned,
+    )
+
+    day = "2024-01-02"
+    ev = load_table(spark, sf_small, "events").select(
+        "event_id", "ts", "value"
+    )
+    out = str(tmp_path / "events_by_day")
+    write_events_day_partitioned(ev, out)
+
+    def snapshot(exclude_day):
+        files = {}
+        for root, _dirs, names in os.walk(out):
+            if f"day={exclude_day}" in root:
+                continue
+            for n in names:
+                if n.endswith(".parquet"):
+                    p = os.path.join(root, n)
+                    files[p] = os.stat(p).st_mtime_ns
+        return files
+
+    before = snapshot(day)
+    assert before, "expected other-day partitions on disk"
+    target_before = {
+        os.path.join(r, n)
+        for r, _d, ns in os.walk(os.path.join(out, f"day={day}"))
+        for n in ns
+        if n.endswith(".parquet")
+    }
+    assert target_before, "expected the backfill day on disk"
+
+    corrected = ev.where(F.col("ts").cast("date") == F.lit(day)).withColumn(
+        "value", F.col("value") * 2
+    )
+    backfill_day_dynamic_overwrite(corrected, out)
+
+    after = snapshot(day)
+    assert after == before, "non-target partitions must be untouched"
+    target_after = {
+        os.path.join(r, n)
+        for r, _d, ns in os.walk(os.path.join(out, f"day={day}"))
+        for n in ns
+        if n.endswith(".parquet")
+    }
+    assert target_after and target_after.isdisjoint(target_before)
+
+    # idempotence: re-running the same backfill converges
+    agg1 = (
+        spark.read.option("basePath", out).parquet(out)
+        .agg(F.count("*"), F.expr("CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)"))
+        .collect()[0]
+    )
+    backfill_day_dynamic_overwrite(corrected, out)
+    agg2 = (
+        spark.read.option("basePath", out).parquet(out)
+        .agg(F.count("*"), F.expr("CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)"))
+        .collect()[0]
+    )
+    assert tuple(agg1) == tuple(agg2)
