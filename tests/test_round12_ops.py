@@ -322,3 +322,46 @@ def test_chunk_ledger_replay_is_exactly_once(spark, tmp_path):
     assert len(got) == 2, got  # alpha-chunk + beta-chunk, no gamma
     assert (10, 3) in got.values()  # alpha: first owner 10, 3 copies
     assert (13, 1) in got.values()  # beta
+
+
+def test_asof_nearest_directions_and_ties(spark):
+    """Operator-level pin of asof_join_nearest's decision table: prev
+    closer → prev; next closer → next; exactly equidistant → prev (the
+    documented backward preference); right row AT the left timestamp →
+    distance-0 prev; no prior → forward match; empty key group →
+    nulls."""
+    from cassaforte_meter_transmission_gen_spark.operators.asof import (
+        asof_join_nearest,
+    )
+
+    L = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:10:00", 100),  # prev @5 (300s) vs next @12 (120s) -> next
+            (1, "2024-01-01 00:03:00", 101),  # prev @0 (180s) vs next @5 (120s) -> next
+            (1, "2024-01-01 00:08:30", 102),  # prev @5 (210s) = next @12 (210s) -> prev (tie)
+            (1, "2024-01-01 00:05:00", 103),  # right row AT ts -> prev, distance 0
+            (2, "2024-01-01 00:00:00", 104),  # key 2: only a later right -> next
+            (3, "2024-01-01 00:00:00", 105),  # key 3: no right rows at all
+        ],
+        "k long, ts string, lid long",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts", "lid")
+    R = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 10),
+            (1, "2024-01-01 00:05:00", 11),
+            (1, "2024-01-01 00:12:00", 12),
+            (2, "2024-01-01 00:30:00", 20),
+        ],
+        "k long, ts string, v long",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts", "v")
+
+    got = {
+        r["lid"]: (r["match_dir"], r["v_asof"])
+        for r in asof_join_nearest(L, R, on=["k"], value_cols=["v"]).collect()
+    }
+    assert got[100] == ("next", 12)
+    assert got[101] == ("next", 11)
+    assert got[102] == ("prev", 11)  # equidistant tie -> backward
+    assert got[103] == ("prev", 11)  # exact-timestamp match, distance 0
+    assert got[104] == ("next", 20)  # forward-only
+    assert got[105] == (None, None)  # no right rows in the group
