@@ -70,7 +70,14 @@ HEADLINE = [
 #: 0.4-threshold scale semantics ride dedup_semantic_clusters
 #: (measured exp 0.84) below.
 SCALE_PATHS = [
-    "vector_dedup_cosine_lsh_hi",
+    # round 12: the 0.8-threshold LSH form left the scale path — its
+    # banded join admits a constant FRACTION of all pairs (≈6%, its own
+    # sizing math), i.e. quadratic; the 10x exponent 0.89 was fixed-cost
+    # masking and the staged-100x probe (200k vectors) exhausted 78 GB
+    # of shuffle spill. Scale semantics at 0.8 ride the adaptive-cell
+    # path below (the VERDICT r11 resolution applied to this threshold);
+    # the LSH form stays registered as the oracle-gated parity twin.
+    "vector_dedup_cosine_cells_hi",
     "ann_lsh_bucketed_topk",
     "ann_ivf_topk",
     "ann_int8_quantized_topk",

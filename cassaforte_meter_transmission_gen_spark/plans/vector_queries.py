@@ -179,8 +179,10 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SCALING_r11.json) — so this configuration is demoted off the
     scale path (VERDICT r11 #1); the unbounded 0.4-threshold scale
     form is ``dedup_semantic_clusters`` (adaptive cells, measured exp
-    0.84) and the high-threshold LSH regime that DOES prune is
-    ``vector_dedup_cosine_lsh_hi`` (exp 0.89). Fully hash-gated: the
+    0.84); round 12 measured the SAME constant-candidate-fraction
+    quadratic in the 0.8-threshold LSH form at staged 100× (spill
+    blow-up), so high-threshold scale semantics ride
+    ``vector_dedup_cosine_cells_hi`` (adaptive cells) too. Fully hash-gated: the
     hyperplanes are fixed-seed literals, so the oracle
     (plans.vector_oracles) re-derives the identical bucket structure
     in serial SQL over the same bounded slice. Precision 1.0 / recall
@@ -1022,4 +1024,43 @@ def vector_knn_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         actual.join(pred, "query_id")
         .groupBy("actual_label", "pred_label")
         .agg(F.count("*").cast("long").alias("n_queries"))
+    )
+
+
+@register(
+    "vector_dedup_cosine_cells_hi",
+    oracle=vector_oracles.dedup_semantic_clusters_sql(threshold=0.8),
+    tags=("dedup", "vector", "semantic", "kmeans", "scale"),
+)
+def vector_dedup_cosine_cells_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HIGH-threshold (0.8) embedding near-dup SCALE PATH —
+    adaptive k-means cells confining the exact verify, replacing the
+    banded hyperplane-LSH form on the scale path (round 12): the LSH
+    configuration prunes candidates to a constant FRACTION of all
+    pairs (16·0.5⁸ ≈ 6% — its own docstring's math), which is still
+    quadratic; the 1×→10× exponent read 0.89 only because fixed costs
+    dominate at small n, and the staged 100× probe (200k vectors)
+    exposed the knee by exhausting 78 GB of shuffle spill. Hyperplane
+    LSH cannot beat n^(1+ρ) with ρ = ln 0.795/ln 0.5 ≈ 0.33 at this
+    threshold even with corpus-adaptive plane counts, so the scale
+    semantics re-route through the measured-linear adaptive-cell path
+    (the identical resolution VERDICT r11 prescribed for the 0.4
+    threshold); `vector_dedup_cosine_lsh_hi` stays registered as the
+    oracle-gated LSH twin on parity corpora, where it is exact and
+    cheap. Same parity economics as `dedup_semantic_clusters`: every
+    parity corpus resolves to the shared persisted 16-cell quantizer
+    (oracle-gated), the adaptive branch engages beyond 2 000 vectors."""
+    from ..operators.dedup import (
+        semantic_duplicates_clustered,
+        semantic_n_clusters,
+    )
+    from ..sources.ann_store import trained_ivf_centroids
+
+    e = _emb(spark, sf_dir)
+    k = semantic_n_clusters(e.count())
+    if k == 16:  # parity configuration — shared persisted quantizer
+        cents = trained_ivf_centroids(spark, sf_dir)
+        return semantic_duplicates_clustered(e, threshold=0.8, centroids=cents)
+    return semantic_duplicates_clustered(
+        e, threshold=0.8, n_clusters=k, train_sample_denom="auto"
     )
