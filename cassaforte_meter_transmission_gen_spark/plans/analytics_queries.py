@@ -1310,7 +1310,7 @@ SELECT CAST(decile AS INT) AS decile,
        {sql_dec_sum('o_totalprice')} AS sum_value
 FROM r GROUP BY decile
 """,
-    tags=("agg", "histogram", "rank"),
+    tags=("agg", "histogram", "rank", "scale"),
 )
 def agg_equidepth_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth (equal-count) deciles of order value — the boundary
@@ -1519,7 +1519,7 @@ FROM days d
 JOIN du u ON u.day <= d.day AND u.day >= d.day - INTERVAL 6 DAY
 GROUP BY d.day
 """,
-    tags=("events", "window", "distinct", "sketch", "approx", "scale"),
+    tags=("events", "window", "distinct", "sketch", "approx"),
 )
 def events_trailing_7d_active_users_hll(
     spark: SparkSession, sf_dir: str
@@ -2658,7 +2658,7 @@ WITH c AS (
 SELECT c.l_partkey, c.exact_count
 FROM c, t WHERE c.exact_count * 1500 > t.total
 """,
-    tags=("agg", "sketch", "scale-path"),
+    tags=("agg", "sketch", "scale-path", "scale"),
 )
 def agg_heavy_hitters_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parts appearing in more than 1/1500 of all lineitems — EXACT, via

@@ -714,7 +714,7 @@ SELECT event_type AS channel,
 FROM credited
 GROUP BY 1
 """,
-    tags=("events", "attribution", "interval-join"),
+    tags=("events", "attribution", "interval-join", "scale"),
 )
 def events_attribution_linear_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear multi-touch attribution: each purchase's value is split

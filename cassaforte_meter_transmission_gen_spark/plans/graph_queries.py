@@ -109,7 +109,7 @@ _PAGERANK_DANGLING_ORACLE = _pagerank_oracle(
 @register(
     "graph_pagerank_nation_trade",
     oracle=_PAGERANK_ORACLE,
-    tags=("graph", "pagerank", "iterative", "integer-exact"),
+    tags=("graph", "pagerank", "iterative", "integer-exact", "scale"),
 )
 def graph_pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank (damping 0.85, 3 power iterations) over the
@@ -535,7 +535,7 @@ JOIN nation nt ON nodes.n = nt.n_nationkey
 @register(
     "graph_hits_nation_trade",
     oracle=_hits_oracle(),
-    tags=("graph", "hits", "iterative", "integer-exact"),
+    tags=("graph", "hits", "iterative", "integer-exact", "scale"),
 )
 def graph_hits_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs-and-authorities (Kleinberg) on the nation trade
@@ -676,7 +676,7 @@ FROM dfin d JOIN nation n ON n.n_nationkey = d.v""")
 @register(
     "graph_kcore_trade",
     oracle=_kcore_oracle(),
-    tags=("graph", "kcore", "iterative", "integer-exact"),
+    tags=("graph", "kcore", "iterative", "integer-exact", "scale"),
 )
 def graph_kcore_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-core decomposition of the heavy-trade nation graph: keep an

@@ -340,7 +340,7 @@ SELECT c.c_custkey, c.c_mktsegment,
 FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
 GROUP BY c.c_custkey, c.c_mktsegment
 """,
-    tags=("join", "layout", "scale-path"),
+    tags=("join", "layout", "scale-path", "scale"),
 )
 def join_bucketed_sortmerge_revenue(
     spark: SparkSession, sf_dir: str
@@ -673,4 +673,83 @@ def source_backfill_dynamic_overwrite(
         F.expr(
             "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)"
         ).alias("sum_value"),
+    )
+
+
+@register(
+    "source_snapshot_table_roundtrip",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(o_totalprice AS DOUBLE) AS o_totalprice
+  FROM orders WHERE o_orderkey < 4000
+)
+SELECT CAST(0 AS INT) AS snapshot_id,
+       o_orderkey, o_orderstatus, o_totalprice
+FROM base
+UNION ALL
+SELECT CAST(1 AS INT) AS snapshot_id,
+       o_orderkey, o_orderstatus,
+       CASE WHEN o_orderkey % 10 = 7
+            THEN o_totalprice + 50 ELSE o_totalprice END AS o_totalprice
+FROM base
+""",
+    tags=("source", "lakehouse", "cdc", "time-travel"),
+)
+def source_snapshot_table_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lakehouse-format slice built from scratch
+    (sources.snapshot.SnapshotTable — Delta/Iceberg jars are
+    unfetchable here, same disposition as spark-avro → own codec):
+    seed an orders slice as snapshot 0, apply an upsert tranche
+    (+50 on %10=7 keys) as snapshot 1 REWRITING ONLY THE TOUCHED
+    KEY-BUCKETS (untouched buckets carry forward by manifest
+    reference, files byte-identical), then TIME-TRAVEL: read AS OF
+    snapshot 0 after snapshot 1 is committed, plus the current state.
+    The value-hash gate covers atomic commit, manifest-planned reads,
+    partial-rewrite scoping (a clobbered untouched bucket would
+    corrupt snapshot 0's rows), and as-of resolution.
+
+    Scale: readers plan from the manifest alone (no data-tree
+    listing); an upsert's cost is O(touched buckets), the economics
+    that make dimension maintenance viable at 100 TB."""
+    from ..sources.snapshot import SnapshotTable, bucket_of
+
+    n_buckets = 8
+    root = os.path.join(_scratch("src_snaptbl_"), "orders_snap")
+    table = SnapshotTable(
+        root,
+        "bucket int, o_orderkey bigint, o_orderstatus string,"
+        " o_totalprice double",
+        n_buckets,
+    )
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 4000)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+    )
+    withb = base.withColumn("bucket", bucket_of("o_orderkey", n_buckets))
+    table.commit(withb, 0)
+    upd = withb.filter(F.col("o_orderkey") % 10 == 7).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 50
+    ).localCheckpoint()  # consumed twice: touched buckets + merge
+    touched = [r[0] for r in upd.select("bucket").distinct().collect()]
+    prev = table.read(spark, buckets=touched)
+    merged = prev.join(
+        F.broadcast(upd.select("o_orderkey")), "o_orderkey", "left_anti"
+    ).unionByName(upd.select(*prev.columns))
+    table.commit(merged, 1)
+    as_of_0 = table.read(spark, as_of=0).drop("bucket").withColumn(
+        "snapshot_id", F.lit(0)
+    )
+    current = table.read(spark).drop("bucket").withColumn(
+        "snapshot_id", F.lit(1)
+    )
+    return as_of_0.unionByName(current).select(
+        "snapshot_id", "o_orderkey", "o_orderstatus", "o_totalprice"
     )

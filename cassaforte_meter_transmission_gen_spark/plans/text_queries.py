@@ -1483,7 +1483,7 @@ SELECT w.doc_id,
 FROM w LEFT JOIN flagged USING (fp)
 GROUP BY w.doc_id
 """,
-    tags=("text", "dedup", "substring", "quality"),
+    tags=("text", "dedup", "substring", "quality", "scale"),
 )
 def text_duplicated_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplicated-text fraction: of a document's 8-token
@@ -1615,7 +1615,7 @@ def text_bm25_topk_sql(
 @register(
     "text_bm25_topk",
     oracle=text_bm25_topk_sql(),
-    tags=("text", "retrieval", "bm25", "ranking"),
+    tags=("text", "retrieval", "bm25", "ranking", "scale"),
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-20 for a fixed bag-of-terms query — the lexical
@@ -1701,7 +1701,7 @@ FROM final WHERE rank <= {k}"""
 @register(
     "text_hybrid_rrf_topk",
     oracle=text_hybrid_rrf_topk_sql(),
-    tags=("text", "retrieval", "hybrid", "rrf", "vector"),
+    tags=("text", "retrieval", "hybrid", "rrf", "vector", "scale"),
 )
 def text_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: Reciprocal Rank Fusion of the BM25 lexical
@@ -2049,7 +2049,7 @@ FROM d
 @register(
     "text_unigram_logprob_filter",
     oracle=_unigram_nll_oracle_sql(),
-    tags=("text", "quality", "perplexity"),
+    tags=("text", "quality", "perplexity", "scale"),
 )
 def text_unigram_logprob_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM quality filtering (the CCNet/perplexity-filter shape
@@ -2481,7 +2481,7 @@ JOIN sh y ON cand.doc_b = y.doc_id
 WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
       / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.5
 """,
-    tags=("dedup", "ngram", "prefix-filter", "exact"),
+    tags=("dedup", "ngram", "prefix-filter", "exact", "scale"),
 )
 def dedup_prefix_filter_jaccard_pairs(
     spark: SparkSession, sf_dir: str
@@ -2747,7 +2747,7 @@ JOIN sh x ON cand.doc_a = x.doc_id
 JOIN sh y ON cand.doc_b = y.doc_id
 WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(x.s) >= 0.8
 """,
-    tags=("dedup", "ngram", "containment", "exact"),
+    tags=("dedup", "ngram", "containment", "exact", "scale"),
 )
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle-containment ≥ 0.8 pairs over the FULL corpus
@@ -2825,7 +2825,7 @@ LIMIT 20
 @register(
     "text_pmi_collocations",
     oracle=_pmi_oracle_sql(),
-    tags=("text", "collocations", "pmi", "det-ln"),
+    tags=("text", "collocations", "pmi", "det-ln", "scale"),
 )
 def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 collocations by pointwise mutual information — the
@@ -3652,7 +3652,7 @@ JOIN n{last} USING (piece)
 @register(
     "text_unigram_lm_train_vocab",
     oracle=_unigram_lm_oracle_sql(),
-    tags=("text", "tokenizer", "unigram", "em"),
+    tags=("text", "tokenizer", "unigram", "em", "scale"),
 )
 def text_unigram_lm_train_vocab(
     spark: SparkSession, sf_dir: str
@@ -3810,7 +3810,7 @@ SELECT doc_id,
          AS chunk_hash
 FROM d, unnest(generate_series(0, len(toks) - 1, {CHUNK_STRIDE})) AS g(s)
 """,
-    tags=("text", "chunking", "rag"),
+    tags=("text", "chunking", "rag", "scale"),
 )
 def text_chunk_sliding_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window token chunking — the RAG / context-window packing
@@ -3890,7 +3890,7 @@ SELECT doc_id, chunk_idx,
 FROM c
 GROUP BY doc_id, chunk_idx
 """,
-    tags=("text", "chunking", "cdc"),
+    tags=("text", "chunking", "cdc", "scale"),
 )
 def text_chunk_content_defined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking: boundaries fall where token content
@@ -4017,7 +4017,7 @@ FROM ranked WHERE rank <= {CHI2_TOP_K}
 @register(
     "text_chi2_token_lang",
     oracle=_chi2_oracle_sql(),
-    tags=("text", "feature-selection", "chi2", "integer-exact"),
+    tags=("text", "feature-selection", "chi2", "integer-exact", "scale"),
 )
 def text_chi2_token_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-squared feature selection: the top tokens most indicative of
@@ -4189,7 +4189,7 @@ GROUP BY actual_lang, pred_lang
 @register(
     "text_naive_bayes_langid_confusion",
     oracle=_nb_oracle_sql(),
-    tags=("text", "classifier", "naive-bayes", "integer-exact"),
+    tags=("text", "classifier", "naive-bayes", "integer-exact", "scale"),
 )
 def text_naive_bayes_langid_confusion(
     spark: SparkSession, sf_dir: str
@@ -4582,7 +4582,7 @@ WHERE p.shared_chunks * 1000000
 @register(
     "dedup_chunk_overlap_pairs",
     oracle=_chunk_overlap_oracle_sql(),
-    tags=("dedup", "chunking", "cdc", "near-dup", "integer-exact"),
+    tags=("dedup", "chunking", "cdc", "near-dup", "integer-exact", "scale"),
 )
 def dedup_chunk_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PAYOFF of content-defined chunking: chunk-granularity
@@ -4648,9 +4648,10 @@ def dedup_chunk_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "streaming_chunk_incremental_dedup",
-    oracle=f"""
+#: batch derivation of the chunk ledger — shared verbatim by the
+#: full-rewrite and bucket-partitioned streaming maintenances: the
+#: partial-rewrite economics must change NOTHING about the answer.
+_CHUNK_LEDGER_ORACLE = f"""
 WITH t AS (
   SELECT doc_id,
          unnest(regexp_split_to_array(text, '\\s+')) AS tok,
@@ -4681,7 +4682,12 @@ SELECT chunk_hash,
        CAST(MIN(doc_id) AS BIGINT) AS first_doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_occurrences
 FROM ch GROUP BY chunk_hash
-""",
+"""
+
+
+@register(
+    "streaming_chunk_incremental_dedup",
+    oracle=_CHUNK_LEDGER_ORACLE,
     tags=("dedup", "chunking", "streaming", "cdc", "integer-exact"),
 )
 def streaming_chunk_incremental_dedup(
@@ -4697,7 +4703,46 @@ def streaming_chunk_incremental_dedup(
     whole-corpus derivation and is gated by the batch oracle — a chunk
     already in the ledger is a known duplicate the moment it arrives,
     which is what lets a 100 TB crawler skip re-storing boilerplate in
-    flight. State is distinct-chunk-sized, never corpus-sized."""
+    flight. State is distinct-chunk-sized, never corpus-sized.
+
+    Scale caveat (the production twin fixes it): this fixture rewrites
+    the FULL committed ledger every micro-batch — O(total distinct
+    chunks) per batch. See streaming_chunk_incremental_dedup_bucketed
+    for the bucket-partitioned partial-rewrite shape."""
     from ..streaming.pipeline import run_bounded_chunk_ledger
 
     return run_bounded_chunk_ledger(spark, sf_dir)
+
+
+@register(
+    "streaming_chunk_incremental_dedup_bucketed",
+    oracle=_CHUNK_LEDGER_ORACLE,
+    tags=(
+        "dedup",
+        "chunking",
+        "streaming",
+        "cdc",
+        "integer-exact",
+        "lakehouse",
+    ),
+)
+def streaming_chunk_incremental_dedup_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The incremental chunk-dedup ledger on a BUCKET-PARTITIONED
+    snapshot-manifest table
+    (streaming.pipeline.chunk_ledger_bucketed_batch_fn over
+    sources.snapshot.SnapshotTable) — the 100 TB shape for the one
+    streaming family whose state grows with corpus content: per
+    micro-batch only the chunk-hash buckets the batch touches are read,
+    merged, and rewritten; untouched buckets carry forward BY MANIFEST
+    REFERENCE with their data files byte-identical (filesystem-pinned
+    unit). Per-batch cost drops from O(total distinct chunks) — a
+    multi-TB rewrite per batch at 100 TB — to O(touched-bucket
+    ledger). The atomic manifest rename is the exactly-once commit
+    point (batch id = snapshot id; poisoned-replay unit). Gated by the
+    IDENTICAL batch oracle as the full-rewrite twin: the economics
+    change nothing about the answer."""
+    from ..streaming.pipeline import run_bounded_chunk_ledger_bucketed
+
+    return run_bounded_chunk_ledger_bucketed(spark, sf_dir)

@@ -463,7 +463,7 @@ WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                      WHERE o_orderpriority = '1-URGENT')
 GROUP BY l_returnflag, l_linestatus
 """,
-    tags=("join", "semi", "bloom"),
+    tags=("join", "semi", "bloom", "scale"),
 )
 def join_bloom_pruned_semi_revenue(
     spark: SparkSession, sf_dir: str
@@ -1400,10 +1400,44 @@ def streaming_scd2_orders_history(spark: SparkSession, sf_dir: str) -> DataFrame
     maintenance must converge to exactly the one-shot batch history,
     the module's streaming≡batch argument applied to dimension
     versioning. Per batch only affected keys enter the chaining
-    window; closed history rows are never edited."""
+    window; closed history rows are never edited.
+
+    Scale caveat (the production twin fixes it): this fixture rewrites
+    the FULL history per micro-batch. See
+    streaming_scd2_orders_history_bucketed for the bucket-partitioned
+    partial-rewrite shape."""
     from ..streaming.pipeline import run_bounded_scd2
 
     return run_bounded_scd2(spark, sf_dir)
+
+
+@register(
+    "streaming_scd2_orders_history_bucketed",
+    oracle=_SCD2_ORACLE,
+    tags=("cdc", "scd2", "streaming", "exactly-once", "lakehouse"),
+)
+def streaming_scd2_orders_history_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming SCD2 maintenance on a BUCKET-PARTITIONED
+    snapshot-manifest table
+    (streaming.pipeline.scd2_bucketed_batch_fn over
+    sources.snapshot.SnapshotTable) — the production shape the
+    full-rewrite fixture's docstring prescribes: the history
+    partitions by key hash bucket; each micro-batch reads, chains, and
+    rewrites ONLY the buckets its keys hash into; untouched buckets
+    carry forward BY MANIFEST REFERENCE with their files
+    byte-identical (filesystem-pinned unit). Per-batch cost is
+    O(touched-bucket history), never O(total history) — at 100 TB the
+    difference between a bounded partial rewrite and re-materializing
+    a multi-TB dimension per batch. The chaining core and the
+    at-least-once seq guard are the SAME code as the full-rewrite
+    twin (streaming.pipeline.scd2_merge), and all three builds —
+    batch, full-rewrite streaming, bucketed streaming — gate against
+    the IDENTICAL oracle."""
+    from ..streaming.pipeline import run_bounded_scd2_bucketed
+
+    return run_bounded_scd2_bucketed(spark, sf_dir)
 
 
 # --- blocked fuzzy join (entity resolution / record linkage) ---

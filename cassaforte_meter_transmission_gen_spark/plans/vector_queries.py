@@ -200,7 +200,7 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "vector_dedup_cosine_lsh_hi",
     oracle=vector_oracles.dedup_embedding_cosine_lsh_stats_sql(),
-    tags=("dedup", "vector", "cosine", "lsh", "scale"),
+    tags=("dedup", "vector", "cosine", "lsh", "parity-twin"),
 )
 def vector_dedup_cosine_lsh_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB LSH-dedup configuration (threshold 0.8, 16 tables ×
@@ -223,7 +223,7 @@ def vector_dedup_cosine_lsh_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_lsh_bucketed_topk",
     oracle=vector_oracles.ann_lsh_topk_sql(),
-    tags=("vector", "ann", "lsh"),
+    tags=("vector", "ann", "lsh", "scale"),
 )
 def ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via random-hyperplane LSH buckets (operators.
@@ -322,7 +322,7 @@ def vector_centroid_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFram
 @register(
     "ann_ivf_topk",
     oracle=vector_oracles.ann_ivf_topk_sql(),
-    tags=("vector", "ann", "ivf"),
+    tags=("vector", "ann", "ivf", "scale"),
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (operators.similarity.ivf_topk): deterministic mini
@@ -414,7 +414,7 @@ def ann_int8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_ivf_sampled_topk",
     oracle=vector_oracles.ann_ivf_topk_sql(train_sample_denom=4),
-    tags=("vector", "ann", "ivf", "sampled", "scale"),
+    tags=("vector", "ann", "ivf", "sampled"),
 )
 def ann_ivf_sampled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with a PINNED 1/4 training sample — the explicit proof
@@ -481,7 +481,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_pq_sampled_topk",
     oracle=vector_oracles.ann_pq_topk_sql(train_sample_denom=4),
-    tags=("vector", "ann", "pq", "sampled", "scale"),
+    tags=("vector", "ann", "pq", "sampled"),
 )
 def ann_pq_sampled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ANN with a PINNED 1/4 training sample — the explicit proof
@@ -905,7 +905,7 @@ SELECT CAST(pk // 64 AS BIGINT) AS i,
        CAST(SUM(v) AS DECIMAL(38,0)) AS m2_p12
 FROM prods GROUP BY pk
 """,
-    tags=("vector", "pca", "scale-path"),
+    tags=("vector", "pca", "scale-path", "scale"),
 )
 def vector_pca_second_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upper-triangle second-moment (Gram) matrix of the embedding

@@ -1035,6 +1035,58 @@ def sketch_rollup_batch_fn(table_dir: str, commits_dir: str):
     return fn
 
 
+def scd2_merge(
+    prev: DataFrame,
+    batch: DataFrame,
+    key_col: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """The SCD2 micro-batch merge core, shared by the full-rewrite
+    fixture (:func:`scd2_batch_fn`) and the bucket-partitioned
+    maintenance (:func:`scd2_bucketed_batch_fn`): given the committed
+    history IN SCOPE (the whole table, or just the touched buckets) and
+    the batch's events, return the complete NEW content of that scope.
+    Each affected key's committed OPEN version is carried into the
+    version-chaining window together with the batch's events
+    (operators.cdc.versions_from_stream), so updates close the open
+    version and open a new one, deletes close without opening, and
+    closed history rows are never edited.
+
+    At-least-once guard: batch rows whose seq is <= the carried open
+    version's valid_from_seq are dropped before chaining — under
+    at-least-once redelivery a NEW batch_id can replay an
+    already-applied seq, which would tie with the carried row in the
+    chaining window and make lead() over the tie nondeterministic
+    (zero-width or duplicate versions). The drop makes redelivered
+    events idempotent no-ops."""
+    from ..operators.cdc import versions_from_stream
+
+    keys = batch.select(key_col).distinct()
+    untouched = prev.join(F.broadcast(keys), key_col, "left_anti")
+    affected = prev.join(F.broadcast(keys), key_col, "left_semi")
+    closed = affected.filter(~F.col("is_current"))
+    carried = affected.filter(F.col("is_current")).select(
+        *payload_cols,
+        F.col("valid_from_seq").alias("seq"),
+        F.lit("u").alias("op"),
+    )
+    carried_from = affected.filter(F.col("is_current")).select(
+        key_col, F.col("valid_from_seq").alias("_carried_from")
+    )
+    fresh = (
+        batch.select(*payload_cols, "seq", "op")
+        .join(F.broadcast(carried_from), key_col, "left")
+        .filter(
+            F.col("_carried_from").isNull()
+            | (F.col("seq") > F.col("_carried_from"))
+        )
+        .drop("_carried_from")
+    )
+    stream = carried.unionByName(fresh)
+    new_versions = versions_from_stream(stream, payload_cols, [key_col])
+    return untouched.unionByName(closed).unionByName(new_versions)
+
+
 def scd2_batch_fn(
     table_dir: str,
     commits_dir: str,
@@ -1066,15 +1118,14 @@ def scd2_batch_fn(
     versions). The drop makes redelivered events idempotent no-ops.
 
     Scale: this fixture rewrites the full history per version (like
-    the grain tables); at 100 TB the history partitions by key bucket
-    and only affected partitions rewrite — untouched buckets carry
-    forward by reference, the same economics as the IVF layout."""
+    the grain tables); the production shape is
+    :func:`scd2_bucketed_batch_fn`, where the history partitions by
+    key bucket on a snapshot-manifest table and only affected buckets
+    rewrite — untouched buckets carry forward by manifest reference,
+    the same economics as the IVF layout."""
     import os
 
-    from ..operators.cdc import versions_from_stream
-
     os.makedirs(commits_dir, exist_ok=True)
-    version_cols = ["valid_from_seq", "valid_to_seq", "is_current"]
 
     def fn(batch: DataFrame, batch_id: int) -> None:
         hw = _high_watermark(commits_dir)
@@ -1087,36 +1138,7 @@ def scd2_batch_fn(
             )
         else:
             prev = spark.createDataFrame([], history_schema)
-        keys = batch.select(key_col).distinct()
-        untouched = prev.join(F.broadcast(keys), key_col, "left_anti")
-        affected = prev.join(F.broadcast(keys), key_col, "left_semi")
-        closed = affected.filter(~F.col("is_current"))
-        carried = affected.filter(F.col("is_current")).select(
-            *payload_cols,
-            F.col("valid_from_seq").alias("seq"),
-            F.lit("u").alias("op"),
-        )
-        # At-least-once guard: drop redelivered events (seq <= the
-        # carried open version's valid_from_seq) — a tie with the
-        # carried row would make the chaining window's lead()
-        # nondeterministic. See the docstring's precondition note.
-        carried_from = affected.filter(F.col("is_current")).select(
-            key_col, F.col("valid_from_seq").alias("_carried_from")
-        )
-        fresh = (
-            batch.select(*payload_cols, "seq", "op")
-            .join(F.broadcast(carried_from), key_col, "left")
-            .filter(
-                F.col("_carried_from").isNull()
-                | (F.col("seq") > F.col("_carried_from"))
-            )
-            .drop("_carried_from")
-        )
-        stream = carried.unionByName(fresh)
-        new_versions = versions_from_stream(
-            stream, payload_cols, [key_col]
-        )
-        hist = untouched.unionByName(closed).unionByName(new_versions)
+        hist = scd2_merge(prev, batch, key_col, payload_cols)
         hist.write.mode("overwrite").parquet(f"{table_dir}/v={batch_id}")
         tmp = os.path.join(commits_dir, f"{batch_id}.tmp")
         open(tmp, "w").close()
@@ -1135,16 +1157,12 @@ _SCD2_HISTORY_SCHEMA = (
 )
 
 
-def run_bounded_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Drive :func:`scd2_batch_fn` over the orders changelog staged as
-    THREE strictly-ordered micro-batches (snapshot seeds at seq 0, then
-    the seq-1 tranche — updates and tombstones — then seq-2), and
-    return the final committed history. Gated against the SAME oracle
-    as the batch cdc_scd2_orders_history: the streaming maintenance
-    must converge to exactly the history a one-shot batch build
-    produces, which is the streaming≡batch argument used for every
-    rollup in this module. File order is pinned by name AND mtime so
-    the file source replays the feed in seq order."""
+def _stage_scd2_feed(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the orders changelog as THREE strictly-ordered micro-batch
+    files (snapshot seeds at seq 0, then the seq-1 tranche — updates
+    and tombstones — then seq-2); file order is pinned by name AND
+    mtime so the file source replays the feed in seq order. Shared by
+    the full-rewrite and bucket-partitioned SCD2 runners."""
     import os
 
     from ..plans.tpch_queries import _orders_snapshot_and_changelog
@@ -1164,8 +1182,6 @@ def run_bounded_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     stage = tempfile.mkdtemp(prefix="scd2_stream_in_")
     atexit.register(shutil.rmtree, stage, ignore_errors=True)
-    out = tempfile.mkdtemp(prefix="scd2_stream_out_")
-    atexit.register(shutil.rmtree, out, ignore_errors=True)
     in_dir = os.path.join(stage, "in")
     os.makedirs(in_dir)
     for i, df in enumerate(tranches):
@@ -1179,7 +1195,21 @@ def run_bounded_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.replace(os.path.join(tmp, part), dst)
         os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
         shutil.rmtree(tmp, ignore_errors=True)
+    return in_dir
 
+
+def run_bounded_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive :func:`scd2_batch_fn` over the staged orders changelog
+    (:func:`_stage_scd2_feed`) and return the final committed history.
+    Gated against the SAME oracle as the batch cdc_scd2_orders_history:
+    the streaming maintenance must converge to exactly the history a
+    one-shot batch build produces, which is the streaming≡batch
+    argument used for every rollup in this module."""
+    import os
+
+    in_dir = _stage_scd2_feed(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="scd2_stream_out_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
     table_dir = os.path.join(out, "orders_history")
     commits = os.path.join(out, "_commits")
     stream = (
@@ -1207,6 +1237,107 @@ def run_bounded_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(_SCD2_HISTORY_SCHEMA).parquet(
         f"{table_dir}/v={hw}"
     )
+
+
+#: key-bucket count for the bucketed SCD2 fixture. At 100 TB this is
+#: sized so one bucket's history fits an executor (e.g. 4096 buckets →
+#: ~25 GB each); at test scale a small count still exercises the
+#: touched/untouched split (the 3-tranche feed touches all buckets at
+#: seq 0, then only %10∈{3,7} keys' buckets afterwards).
+SCD2_N_BUCKETS = 8
+
+_SCD2_BUCKETED_SCHEMA = "bucket int, " + _SCD2_HISTORY_SCHEMA
+
+
+def scd2_bucketed_batch_fn(
+    table,
+    key_col: str,
+    payload_cols: list[str],
+):
+    """foreachBatch body maintaining the SCD2 history on a BUCKETED
+    snapshot-manifest table (sources.snapshot.SnapshotTable) — the
+    production shape :func:`scd2_batch_fn`'s docstring prescribes: the
+    history partitions by key hash bucket, each micro-batch reads and
+    rewrites ONLY the buckets its keys hash into, and untouched buckets
+    carry forward BY MANIFEST REFERENCE — their files are never opened,
+    never rewritten (pinned byte-identical by
+    tests/test_snapshot.py). Per-batch cost is O(touched-bucket
+    history), not O(total history): the difference between rewriting a
+    few hundred MB and a multi-TB table per micro-batch at 100 TB.
+
+    Exactly-once composes with the snapshot chain: the micro-batch id
+    IS the snapshot id, the atomic manifest rename is the commit
+    point, and a replayed/crashed batch re-reads the same parent
+    manifest and overwrites its own orphaned data directory
+    (SnapshotTable.commit's idempotence contract). The chaining core
+    and the at-least-once seq guard are byte-for-byte
+    :func:`scd2_merge` — shared with the full-rewrite fixture, so both
+    gate against the identical batch oracle."""
+    from ..sources.snapshot import bucket_of
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        hw = table.latest()
+        if hw is not None and batch_id <= hw:
+            return  # replayed, fully applied
+        spark = batch.sparkSession
+        batch = batch.localCheckpoint()  # consumed twice: buckets + merge
+        # touched bucket ids: bounded driver state (≤ n_buckets rows)
+        touched = [
+            r[0]
+            for r in batch.select(
+                bucket_of(key_col, table.n_buckets).alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        prev = table.read(spark, buckets=touched).drop("bucket")
+        merged = scd2_merge(prev, batch, key_col, payload_cols)
+        table.commit(
+            merged.withColumn("bucket", bucket_of(key_col, table.n_buckets)),
+            batch_id,
+        )
+
+    return fn
+
+
+def run_bounded_scd2_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive :func:`scd2_bucketed_batch_fn` over the IDENTICAL staged
+    changelog as :func:`run_bounded_scd2` and return the final
+    committed history read from the snapshot manifest — gated by the
+    same batch oracle, so full-rewrite, bucketed-partial-rewrite, and
+    one-shot batch builds are all pinned to one truth."""
+    import os
+
+    from ..sources.snapshot import SnapshotTable
+
+    in_dir = _stage_scd2_feed(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="scd2_bucketed_out_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    table = SnapshotTable(
+        os.path.join(out, "orders_history"),
+        _SCD2_BUCKETED_SCHEMA,
+        SCD2_N_BUCKETS,
+    )
+    stream = (
+        spark.readStream.schema(_SCD2_FEED_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    with tempfile.TemporaryDirectory(prefix="scd2b_ckpt_") as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(
+                scd2_bucketed_batch_fn(
+                    table,
+                    "o_orderkey",
+                    ["o_orderkey", "o_orderstatus", "o_totalprice"],
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return table.read(spark).drop("bucket")
 
 
 def run_bounded_sketch_rollup(
@@ -2303,3 +2434,102 @@ def run_bounded_chunk_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(
         "chunk_hash string, first_doc_id bigint, n_occurrences bigint"
     ).parquet(f"{table_dir}/v={hw}")
+
+
+#: chunk-hash bucket count for the bucketed ledger. The ledger is the
+#: one streaming family whose state grows with CORPUS CONTENT (~1
+#: content-defined chunk per 8 tokens), so at 100 TB the bucket count
+#: is sized so one bucket's ledger fits an executor (e.g. 4096 buckets
+#: → tens of GB each) and a micro-batch's per-batch cost is
+#: O(buckets its chunks hash into), never O(total distinct chunks).
+CHUNK_LEDGER_N_BUCKETS = 16
+
+_CHUNK_LEDGER_BUCKETED_SCHEMA = (
+    "bucket int, chunk_hash string,"
+    " first_doc_id bigint, n_occurrences bigint"
+)
+
+
+def chunk_ledger_bucketed_batch_fn(table):
+    """foreachBatch body maintaining the incremental chunk-dedup ledger
+    on a BUCKETED snapshot-manifest table — the scale fix for
+    :func:`chunk_ledger_batch_fn`'s full-ledger rewrite: the ledger
+    partitions by chunk-hash bucket, each micro-batch merges its delta
+    into ONLY the buckets it touches, and untouched buckets carry
+    forward by manifest reference with their files byte-identical
+    (tests/test_snapshot.py pins this on the filesystem). The merge per
+    bucket is the same order-free MIN/SUM as the full-rewrite fixture,
+    so the drained ledger EQUALS the batch derivation — both gate
+    against the identical oracle. Exactly-once: batch id = snapshot id,
+    atomic manifest rename = commit point (see
+    sources.snapshot.SnapshotTable.commit)."""
+    from ..sources.snapshot import bucket_of
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        from ..plans.text_queries import content_defined_chunks
+
+        hw = table.latest()
+        if hw is not None and batch_id <= hw:
+            return  # replayed, fully applied
+        spark = batch.sparkSession
+        delta = (
+            content_defined_chunks(batch)
+            .groupBy("chunk_hash")
+            .agg(
+                F.min("doc_id").cast("long").alias("first_doc_id"),
+                F.count("*").cast("long").alias("n_occurrences"),
+            )
+            .withColumn("bucket", bucket_of("chunk_hash", table.n_buckets))
+            .localCheckpoint()  # consumed twice: touched buckets + merge
+        )
+        # touched bucket ids: bounded driver state (≤ n_buckets rows)
+        touched = [
+            r[0] for r in delta.select("bucket").distinct().collect()
+        ]
+        prev = table.read(spark, buckets=touched)
+        merged = (
+            prev.unionByName(delta.select(*prev.columns))
+            .groupBy("bucket", "chunk_hash")
+            .agg(
+                F.min("first_doc_id").cast("long").alias("first_doc_id"),
+                F.sum("n_occurrences").cast("long").alias("n_occurrences"),
+            )
+        )
+        table.commit(merged, batch_id)
+
+    return fn
+
+
+def run_bounded_chunk_ledger_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Drive :func:`chunk_ledger_bucketed_batch_fn` over the IDENTICAL
+    bounded document stream as :func:`run_bounded_chunk_ledger` and
+    return the final committed ledger read from the snapshot manifest
+    — same oracle as the full-rewrite twin, so the partial-rewrite
+    economics change nothing about the answer."""
+    import os
+
+    from ..sources.snapshot import SnapshotTable
+
+    out = tempfile.mkdtemp(prefix="chunk_ledger_bucketed_out_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    table = SnapshotTable(
+        os.path.join(out, "ledger"),
+        _CHUNK_LEDGER_BUCKETED_SCHEMA,
+        CHUNK_LEDGER_N_BUCKETS,
+    )
+    stream = bounded_documents_stream(
+        spark, sf_dir, columns=("doc_id", "text")
+    )
+    with tempfile.TemporaryDirectory(prefix="ledgerb_ckpt_") as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(
+                chunk_ledger_bucketed_batch_fn(table)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return table.read(spark).drop("bucket")

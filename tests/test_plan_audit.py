@@ -1170,3 +1170,17 @@ def test_table_checksums_no_shuffle_per_table(spark, sf_small):
     data."""
     plan = _plan(REGISTRY["pipeline_table_checksums"].fn(spark, sf_small))
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_scale_tag_matches_scale_paths():
+    """The 'scale' tag and bench.SCALE_PATHS must be the SAME set, both
+    directions — when a query is retired from the scaling harness (the
+    LSH-quadratic protocol) its tag must flip to 'parity-twin' in the
+    same commit, and a new scale-path family must be tagged. A silent
+    drift here is a lie to any future consumer that keys off tags."""
+    import bench
+    from cassaforte_meter_transmission_gen_spark.plans import REGISTRY
+
+    tagged = {n for n, q in REGISTRY.items() if "scale" in q.tags}
+    paths = set(bench.SCALE_PATHS)
+    assert tagged == paths, sorted(tagged ^ paths)
