@@ -753,3 +753,86 @@ def source_snapshot_table_roundtrip(
     return as_of_0.unionByName(current).select(
         "snapshot_id", "o_orderkey", "o_orderstatus", "o_totalprice"
     )
+
+
+@register(
+    "source_snapshot_compaction_roundtrip",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(o_totalprice AS DOUBLE) AS o_totalprice
+  FROM orders WHERE o_orderkey < 4000
+)
+SELECT o_orderkey, o_orderstatus,
+       CASE WHEN o_orderkey % 10 = 7 THEN o_totalprice + 50
+            WHEN o_orderkey % 10 = 3 THEN o_totalprice + 25
+            ELSE o_totalprice END AS o_totalprice
+FROM base
+""",
+    tags=("source", "lakehouse", "compaction"),
+)
+def source_snapshot_compaction_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Snapshot-table MAINTENANCE lifecycle, value-hash gated end to
+    end: seed an orders slice (snapshot 0), apply two partial-rewrite
+    upsert tranches (+50 on %10=7 at snapshot 1, +25 on %10=3 at
+    snapshot 2 — each rewriting only touched buckets), then COMPACT
+    the accumulated small files to one file per bucket (snapshot 3),
+    EXPIRE the pre-compaction manifests (trim the time-travel window)
+    and VACUUM the now-orphaned data files. The returned frame reads
+    the table AFTER all three maintenance steps, so a compaction that
+    corrupted content, an expiry that broke the retained manifest, or
+    a vacuum that deleted a still-referenced file all fail the hash
+    (or the read itself). File-count and fs-level claims are pinned by
+    tests/test_snapshot.py; this query gates the content contract.
+
+    Scale: compaction reads each bucket once and writes it once (one
+    shuffle on the bucket key); expire/vacuum are manifest-driven
+    metadata ops — no data scan. This is the bounded-hygiene story the
+    streaming commit-log tables document, realized on the lakehouse
+    format."""
+    from ..sources.snapshot import SnapshotTable, bucket_of
+
+    n_buckets = 8
+    root = os.path.join(_scratch("src_snapcompact_"), "orders_snap")
+    table = SnapshotTable(
+        root,
+        "bucket int, o_orderkey bigint, o_orderstatus string,"
+        " o_totalprice double",
+        n_buckets,
+    )
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 4000)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+        .withColumn("bucket", bucket_of("o_orderkey", n_buckets))
+    )
+    table.commit(base, 0)
+    for sid, (mod, delta) in enumerate([(7, 50.0), (3, 25.0)], start=1):
+        upd = base.filter(F.col("o_orderkey") % 10 == mod).withColumn(
+            "o_totalprice", F.col("o_totalprice") + delta
+        )
+        if sid == 2:  # second tranche applies over snapshot-1 state
+            upd = table.read(spark).filter(
+                F.col("o_orderkey") % 10 == mod
+            ).withColumn("o_totalprice", F.col("o_totalprice") + delta)
+        upd = upd.localCheckpoint()  # consumed twice: buckets + merge
+        touched = [r[0] for r in upd.select("bucket").distinct().collect()]
+        prev = table.read(spark, buckets=touched)
+        merged = prev.join(
+            F.broadcast(upd.select("o_orderkey")),
+            "o_orderkey",
+            "left_anti",
+        ).unionByName(upd.select(*prev.columns))
+        table.commit(merged, sid)
+    table.compact(spark, 3)
+    table.expire(keep_from=3)
+    table.vacuum()
+    return table.read(spark).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )

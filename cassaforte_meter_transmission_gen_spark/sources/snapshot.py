@@ -167,6 +167,59 @@ class SnapshotTable:
         os.replace(tmp, self._manifest_path(sid))
 
 
+    # --- maintenance: compaction, expiry, vacuum ---
+
+    def compact(self, spark: SparkSession, sid: int) -> None:
+        """Fold the accumulated per-snapshot small files into ONE file
+        per bucket at a new snapshot ``sid`` — the answer to the
+        streaming commit-log's file-count growth (README's compaction
+        contract): the table's content is unchanged (the compaction
+        query value-hash gates this), only the file layout collapses.
+        Crash-safe like any commit: the manifest rename publishes the
+        compacted layout atomically; until then readers plan from the
+        parent manifest over the old files."""
+        state = self.read(spark).repartition("bucket")
+        self.commit(state, sid)
+
+    def expire(self, keep_from: int) -> list[int]:
+        """Drop manifests below ``keep_from`` (trimming the time-travel
+        window — the reader-consistency retention contract). Manifests
+        are self-contained (each lists the COMPLETE table state), so
+        expiring old ones cannot affect newer reads. The latest
+        manifest is never expired. Returns the expired ids."""
+        latest = self.latest()
+        expired = []
+        for sid in self.snapshots():
+            if sid < keep_from and sid != latest:
+                os.remove(self._manifest_path(sid))
+                expired.append(sid)
+        return expired
+
+    def vacuum(self) -> list[str]:
+        """Delete data files referenced by NO retained manifest (the
+        orphan GC that makes expire reclaim space — also sweeps debris
+        from crashed commits). Walks the data tree, keeps exactly the
+        union of retained manifests' file lists, removes the rest and
+        any emptied directories. Returns deleted paths."""
+        referenced: set[str] = set()
+        for sid in self.snapshots():
+            for paths in self.manifest(sid)["buckets"].values():
+                referenced.update(
+                    os.path.join(self.root, p) for p in paths
+                )
+        deleted = []
+        data_root = os.path.join(self.root, "data")
+        for dirpath, _dirs, files in os.walk(data_root, topdown=False):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                if p not in referenced:
+                    os.remove(p)
+                    deleted.append(p)
+            if not os.listdir(dirpath):
+                os.rmdir(dirpath)
+        return deleted
+
+
 def bucket_of(col: str, n_buckets: int):
     """The table's bucketing function: non-negative hash bucket of a
     key column (``pmod`` mirrors floor-mod, same nuance as the host-id

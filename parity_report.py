@@ -42,24 +42,59 @@ def _infer_round() -> int:
     return (max(rounds) + 1) if rounds else 1
 
 
+def rotate_slice(names: list[str], rnd: int, width: int = 50) -> list[str]:
+    """Deterministic per-round verification slice, DISJOINT from the
+    grading driver's window (the alphabetically-first ``width`` names,
+    which the driver re-checks externally every round): the remaining
+    names are ranked by md5(round:name) and the first ``width`` taken,
+    so successive rounds walk different external-style samples and
+    coverage accumulates across rounds (VERDICT r12 next-round #7)."""
+    import hashlib
+
+    ordered = sorted(names)
+    rest = ordered[width:]
+    keyed = sorted(
+        rest,
+        key=lambda n: hashlib.md5(f"{rnd}:{n}".encode()).hexdigest(),
+    )
+    return sorted(keyed[:width])
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--round", type=int, default=None)
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--rotate",
+        action="store_true",
+        help="run only the round-seeded 50-query rotating slice "
+        "(disjoint from the driver's alphabetical first-50 window) "
+        "and write PARITY_ROTATE_r{N}.json",
+    )
     args = ap.parse_args()
     rnd = args.round if args.round is not None else _infer_round()
-    out_path = args.out or os.path.join(REPO, f"PARITY_r{rnd:02d}.json")
+    default_name = (
+        f"PARITY_ROTATE_r{rnd:02d}.json"
+        if args.rotate
+        else f"PARITY_r{rnd:02d}.json"
+    )
+    out_path = args.out or os.path.join(REPO, default_name)
 
     from cassaforte_meter_transmission_gen_spark.plans import REGISTRY
     from cassaforte_meter_transmission_gen_spark.session import get_spark
     from tests.parity import compare, duck_connection
 
+    names = (
+        rotate_slice(list(REGISTRY), rnd)
+        if args.rotate
+        else sorted(REGISTRY)
+    )
     spark = get_spark("parity-report")
     con = duck_connection(args.sf_dir)
     results: dict[str, dict] = {}
     n_fail = 0
-    for name in sorted(REGISTRY):
+    for name in names:
         q = REGISTRY[name]
         t0 = time.time()
         try:
@@ -102,6 +137,7 @@ def main() -> int:
 
     summary = {
         "round": rnd,
+        "window": "rotating-50-disjoint-from-driver" if args.rotate else "full-registry",
         "sf_dir": args.sf_dir,
         "git_head": git_head,
         "registry_total": len(REGISTRY),

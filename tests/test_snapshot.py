@@ -204,3 +204,45 @@ def test_bucketed_scd2_matches_full_rewrite(spark, tmp_path, sf_small):
         .collect()
     }
     assert full == bucketed and len(full) > 0
+
+
+def test_compact_expire_vacuum_lifecycle(spark, tmp_path):
+    """Maintenance triad: compaction folds to ONE file per non-empty
+    bucket with content unchanged; expiry trims time travel but never
+    the latest manifest; vacuum deletes exactly the unreferenced data
+    files (crashed-commit debris included) and the table still reads
+    identically afterwards."""
+    t = _mk(spark, tmp_path)
+    t.commit(_df(spark, [(k, k) for k in range(20)]), 0)
+    t.commit(_df(spark, [(1, 100)]), 1)
+    t.commit(_df(spark, [(2, 200)]), 2)
+    # crashed-commit debris: data without a manifest
+    (
+        _df(spark, [(3, 999)])
+        .withColumn("_pb", F.col("bucket"))
+        .write.mode("overwrite")
+        .partitionBy("_pb")
+        .parquet(os.path.join(t.root, "data/snap=9"))
+    )
+    before = {(r["k"], r["v"]) for r in t.read(spark).collect()}
+    t.compact(spark, 3)
+    after = {(r["k"], r["v"]) for r in t.read(spark).collect()}
+    assert after == before
+    files3 = t.bucket_files(3)
+    assert all(len(ps) == 1 for ps in files3.values())  # one file/bucket
+    expired = t.expire(keep_from=3)
+    assert expired == [0, 1, 2]
+    assert t.snapshots() == [3]
+    deleted = t.vacuum()
+    assert deleted  # old snapshots' files + the debris are gone
+    # everything still referenced exists; table reads identically
+    on_disk = {
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(os.path.join(t.root, "data"))
+        for f in fs
+    }
+    referenced = {p for ps in files3.values() for p in ps}
+    assert on_disk == referenced
+    assert {(r["k"], r["v"]) for r in t.read(spark).collect()} == before
+    # latest manifest survives an over-eager expire
+    assert t.expire(keep_from=99) == []
