@@ -836,3 +836,267 @@ def source_snapshot_compaction_roundtrip(
     return table.read(spark).select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
+
+
+@register(
+    "source_snapshot_schema_evolution",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(o_totalprice AS DOUBLE) AS o_totalprice
+  FROM orders WHERE o_orderkey < 4000
+)
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+       CASE WHEN o_orderkey % 10 = 7
+            THEN (CASE WHEN o_totalprice >= 150000
+                       THEN 'high' ELSE 'std' END)
+            ELSE 'unknown' END AS price_tier
+FROM base
+""",
+    tags=("source", "lakehouse", "schema-evolution"),
+)
+def source_snapshot_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ADD-COLUMN schema evolution on the snapshot table — the only
+    lakehouse-safe kind: snapshot 1 evolves the schema with a
+    ``price_tier`` column computed for the %10=7 rows it rewrites;
+    every other row lives in files written BEFORE the column existed
+    and is NEVER rewritten — the schema-pinned parquet read fills the
+    missing column with null and the reader applies the declared
+    default ('unknown'). The hash gate covers the whole contract: an
+    old file wrongly rewritten, a null leaking past the default, or a
+    tier computed for an untouched row all fail.
+
+    Scale: evolving a 100 TB table costs one manifest write — zero
+    data-file rewrites; the default is applied at read."""
+    from ..sources.snapshot import SnapshotTable, bucket_of
+
+    n_buckets = 8
+    root = os.path.join(_scratch("src_snapevolve_"), "orders_snap")
+    table = SnapshotTable(
+        root,
+        "bucket int, o_orderkey bigint, o_orderstatus string,"
+        " o_totalprice double",
+        n_buckets,
+    )
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 4000)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+        .withColumn("bucket", bucket_of("o_orderkey", n_buckets))
+    )
+    table.commit(base, 0)
+    upd = base.filter(F.col("o_orderkey") % 10 == 7).localCheckpoint()
+    touched = [r[0] for r in upd.select("bucket").distinct().collect()]
+    prev = table.read(spark, buckets=touched)
+    merged = prev.withColumn(
+        "price_tier",
+        F.when(
+            F.col("o_orderkey") % 10 == 7,
+            F.when(F.col("o_totalprice") >= 150000, F.lit("high"))
+            .otherwise(F.lit("std")),
+        ),
+    )
+    table.commit(
+        merged,
+        1,
+        schema="bucket int, o_orderkey bigint, o_orderstatus string,"
+        " o_totalprice double, price_tier string",
+    )
+    return table.read(spark).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.coalesce("price_tier", F.lit("unknown")).alias("price_tier"),
+    )
+
+
+@register(
+    "source_snapshot_delete_compliance",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(o_totalprice AS DOUBLE) AS o_totalprice
+  FROM orders WHERE o_orderkey < 4000
+)
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM base WHERE o_orderkey % 10 <> 3
+""",
+    tags=("source", "lakehouse", "compliance", "delete"),
+)
+def source_snapshot_delete_compliance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Compliance (right-to-be-forgotten) delete on the snapshot
+    table: snapshot 1 rewrites the touched buckets WITHOUT the %10=3
+    keys (a bucket left with zero survivors is emptied explicitly via
+    ``emptied_buckets``), then expire + vacuum PHYSICALLY remove every
+    file that still contains the deleted rows — after this query no
+    parquet file under the table root holds them, which is the actual
+    legal requirement (a logical delete that leaves old files
+    time-travelable is non-compliant). The hash gate pins the survivor
+    content; the physical-erasure claim is pinned by the
+    test_snapshot.py unit that greps the surviving files.
+
+    Scale: cost is O(buckets containing deleted keys) + metadata —
+    the same partial-rewrite economics as any upsert."""
+    from ..sources.snapshot import SnapshotTable, bucket_of
+
+    n_buckets = 8
+    root = os.path.join(_scratch("src_snapdelete_"), "orders_snap")
+    table = SnapshotTable(
+        root,
+        "bucket int, o_orderkey bigint, o_orderstatus string,"
+        " o_totalprice double",
+        n_buckets,
+    )
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 4000)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+        .withColumn("bucket", bucket_of("o_orderkey", n_buckets))
+    )
+    table.commit(base, 0)
+    doomed = base.filter(F.col("o_orderkey") % 10 == 3).localCheckpoint()
+    touched = [r[0] for r in doomed.select("bucket").distinct().collect()]
+    prev = table.read(spark, buckets=touched)
+    survivors = prev.join(
+        F.broadcast(doomed.select("o_orderkey")),
+        "o_orderkey",
+        "left_anti",
+    ).localCheckpoint()
+    kept = {
+        r[0] for r in survivors.select("bucket").distinct().collect()
+    }
+    table.commit(
+        survivors, 1, emptied_buckets=sorted(set(touched) - kept)
+    )
+    table.expire(keep_from=1)
+    table.vacuum()
+    return table.read(spark).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+@register(
+    "source_snapshot_incremental_diff",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(o_totalprice AS DOUBLE) AS o_totalprice
+  FROM orders WHERE o_orderkey < 4000
+)
+SELECT 'update' AS change_type, o_orderkey,
+       o_totalprice AS old_totalprice,
+       o_totalprice + 50 AS new_totalprice
+FROM base WHERE o_orderkey % 10 = 7
+UNION ALL
+SELECT 'delete' AS change_type, o_orderkey,
+       o_totalprice AS old_totalprice,
+       CAST(NULL AS DOUBLE) AS new_totalprice
+FROM base WHERE o_orderkey % 10 = 3
+UNION ALL
+SELECT 'insert' AS change_type, o_orderkey + 100000 AS o_orderkey,
+       CAST(NULL AS DOUBLE) AS old_totalprice,
+       o_totalprice AS new_totalprice
+FROM base WHERE o_orderkey % 10 = 1
+""",
+    tags=("source", "lakehouse", "cdc", "incremental"),
+)
+def source_snapshot_incremental_diff(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CDC READ from the snapshot table — the manifest-level change
+    feed: apply one mixed tranche (update %10=7 +50, delete %10=3,
+    insert %10=1 copies at key+100000) as snapshot 1, then derive the
+    row-level diff reading ONLY the buckets whose file lists differ
+    between the two manifests (``SnapshotTable.changed_buckets`` —
+    pure metadata). Old/new versions of just those buckets full-outer
+    join on the key; unchanged rows inside changed buckets fall out of
+    the value comparison. The hash gate covers all three change types
+    and the pruning (a missed changed bucket loses diff rows; a
+    clobbered untouched bucket invents them).
+
+    Scale: a downstream sync of a 100 TB table reads O(changed
+    buckets), never the table — the manifest diff is the plan."""
+    from ..sources.snapshot import SnapshotTable, bucket_of
+
+    n_buckets = 8
+    root = os.path.join(_scratch("src_snapdiff_"), "orders_snap")
+    table = SnapshotTable(
+        root,
+        "bucket int, o_orderkey bigint, o_orderstatus string,"
+        " o_totalprice double",
+        n_buckets,
+    )
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 4000)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+        .withColumn("bucket", bucket_of("o_orderkey", n_buckets))
+    )
+    table.commit(base, 0)
+    upd = base.filter(F.col("o_orderkey") % 10 == 7).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 50
+    )
+    dele = base.filter(F.col("o_orderkey") % 10 == 3).select("o_orderkey")
+    ins = (
+        base.filter(F.col("o_orderkey") % 10 == 1)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 100000)
+        .withColumn("bucket", bucket_of("o_orderkey", n_buckets))
+    )
+    changes = upd.unionByName(ins).localCheckpoint()
+    keys_out = changes.select("o_orderkey").unionByName(dele)
+    touched = [
+        r[0]
+        for r in changes.select("bucket")
+        .unionByName(
+            base.join(F.broadcast(dele), "o_orderkey", "left_semi")
+            .select("bucket")
+        )
+        .distinct()
+        .collect()
+    ]
+    prev = table.read(spark, buckets=touched)
+    merged = (
+        prev.join(F.broadcast(keys_out), "o_orderkey", "left_anti")
+        .unionByName(changes.select(*prev.columns))
+        .localCheckpoint()
+    )
+    kept = {r[0] for r in merged.select("bucket").distinct().collect()}
+    table.commit(merged, 1, emptied_buckets=sorted(set(touched) - kept))
+    # --- the CDC read: manifest diff -> bucket-pruned row diff ---
+    cb = table.changed_buckets(0, 1)
+    old = table.read(spark, as_of=0, buckets=cb).select(
+        "o_orderkey", F.col("o_totalprice").alias("old_totalprice")
+    )
+    new = table.read(spark, as_of=1, buckets=cb).select(
+        "o_orderkey", F.col("o_totalprice").alias("new_totalprice")
+    )
+    j = old.join(new, "o_orderkey", "full_outer")
+    return j.where(
+        F.col("old_totalprice").isNull()
+        | F.col("new_totalprice").isNull()
+        | (F.col("old_totalprice") != F.col("new_totalprice"))
+    ).select(
+        F.when(F.col("old_totalprice").isNull(), F.lit("insert"))
+        .when(F.col("new_totalprice").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("change_type"),
+        "o_orderkey",
+        "old_totalprice",
+        "new_totalprice",
+    )

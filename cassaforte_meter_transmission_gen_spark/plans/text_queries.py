@@ -4742,7 +4742,48 @@ def streaming_chunk_incremental_dedup_bucketed(
     ledger). The atomic manifest rename is the exactly-once commit
     point (batch id = snapshot id; poisoned-replay unit). Gated by the
     IDENTICAL batch oracle as the full-rewrite twin: the economics
-    change nothing about the answer."""
+    change nothing about the answer.
+
+    Honest caveat: under UNIFORM chunk hashing a corpus-sized
+    micro-batch touches every bucket, degrading partial rewrite back
+    to full rewrite — the LSM twin
+    (streaming_chunk_incremental_dedup_lsm) is the shape that stays
+    O(batch) regardless."""
     from ..streaming.pipeline import run_bounded_chunk_ledger_bucketed
 
     return run_bounded_chunk_ledger_bucketed(spark, sf_dir)
+
+
+@register(
+    "streaming_chunk_incremental_dedup_lsm",
+    oracle=_CHUNK_LEDGER_ORACLE,
+    tags=(
+        "dedup",
+        "chunking",
+        "streaming",
+        "cdc",
+        "integer-exact",
+        "lakehouse",
+        "lsm",
+    ),
+)
+def streaming_chunk_incremental_dedup_lsm(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The chunk ledger as an LSM (append-delta) snapshot table
+    (streaming.pipeline.chunk_ledger_lsm_batch_fn +
+    SnapshotTable.commit_append): each micro-batch appends ONLY its own
+    per-chunk partials — O(batch) write, no read of committed state —
+    because MIN/SUM are associative the read-side fold of base+deltas
+    equals the whole-corpus derivation. This is the write-optimized
+    dual of the partial-rewrite twin and the honest 100 TB shape for
+    UNIFORMLY-hashed arrivals, where any corpus-sized batch touches
+    every bucket and rewrite economics degrade; read amplification is
+    bounded by merge-compaction cadence (the runner compacts at drain:
+    fold → commit as new base → expire → vacuum). Exactly-once by the
+    manifest-rename commit point — a replayed batch must not append
+    its delta twice. Gated by the IDENTICAL batch oracle as both other
+    maintenances."""
+    from ..streaming.pipeline import run_bounded_chunk_ledger_lsm
+
+    return run_bounded_chunk_ledger_lsm(spark, sf_dir)

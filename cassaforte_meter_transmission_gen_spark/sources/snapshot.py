@@ -92,6 +92,20 @@ class SnapshotTable:
         with open(self._manifest_path(sid)) as fh:
             return json.load(fh)
 
+    def schema_at(self, sid: int | None = None) -> str:
+        """Read schema in force at a snapshot: the manifest's recorded
+        schema if the table ever evolved, else the table default.
+        Schema evolution is ADD-COLUMN-only (the lakehouse-safe kind):
+        older data files simply lack the new column and Spark's
+        schema-pinned parquet read fills it with null — the reader
+        applies the declared default. Renames/drops would need file
+        rewrites and are deliberately unsupported."""
+        if sid is None:
+            sid = self.latest()
+        if sid is None:
+            return self.schema
+        return self.manifest(sid).get("schema") or self.schema
+
     def bucket_files(self, sid: int | None) -> dict[int, list[str]]:
         """Bucket → absolute data-file paths at snapshot ``sid`` (the
         latest when ``None``). Empty dict for an empty/unborn table."""
@@ -121,28 +135,30 @@ class SnapshotTable:
         if buckets is not None:
             files = {b: files[b] for b in buckets if b in files}
         paths = [p for ps in files.values() for p in ps]
+        schema = self.schema_at(as_of)
         if not paths:
-            return spark.createDataFrame([], self.schema)
-        return spark.read.schema(self.schema).parquet(*paths)
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*paths)
 
     # --- commits ---
 
-    def commit(self, touched: DataFrame, sid: int) -> None:
-        """Commit snapshot ``sid``: ``touched`` holds the COMPLETE new
-        content of every bucket it contains (and nothing from other
-        buckets); untouched buckets carry forward by manifest
-        reference. Idempotent: an existing manifest for ``sid`` makes
-        this a no-op (the streaming replay guard); a crash mid-write
-        leaves the parent manifest authoritative and the orphan data
-        directory is overwritten on the retried commit."""
+    def _replayed(self, sid: int) -> bool:
         if os.path.exists(self._manifest_path(sid)):
-            return  # replayed commit — already the committed truth
+            return True  # replayed commit — already the committed truth
         parent = self.latest()
-        if parent is not None and sid <= parent:
-            return  # replay of a pruned/old id under a newer snapshot
+        # replay of a pruned/old id under a newer snapshot
+        return parent is not None and sid <= parent
+
+    def _write_snap_files(
+        self, df: DataFrame, sid: int
+    ) -> dict[str, list[str]]:
+        """Land ``df`` under ``data/snap=<sid>`` (one Spark write,
+        bucket-partitioned directories) and return bucket → new
+        relative file paths. Mode=overwrite so a crashed attempt's
+        orphan directory is simply replaced on retry."""
         snap_dir = os.path.join(self.root, f"data/snap={sid}")
         (
-            touched.withColumn(_PB, F.col("bucket"))
+            df.withColumn(_PB, F.col("bucket"))
             .write.mode("overwrite")
             .partitionBy(_PB)
             .parquet(snap_dir)
@@ -158,14 +174,104 @@ class SnapshotTable:
                 for f in os.listdir(os.path.join(snap_dir, entry))
                 if f.endswith(".parquet") and not f.startswith("_")
             )
-        buckets = dict(self.manifest(parent)["buckets"]) if parent is not None else {}
-        buckets.update(new_files)
-        man = {"snapshot_id": sid, "parent": parent, "buckets": buckets}
+        return new_files
+
+    def _publish(
+        self,
+        sid: int,
+        buckets: dict[str, list[str]],
+        schema: str | None = None,
+    ) -> None:
+        man = {
+            "snapshot_id": sid,
+            "parent": self.latest(),
+            # schema carries forward once evolved (add-column-only)
+            "schema": schema or self.schema_at(),
+            "buckets": buckets,
+        }
         tmp = self._manifest_path(sid) + ".tmp.json"
         with open(tmp, "w") as fh:
             json.dump(man, fh, sort_keys=True)
         os.replace(tmp, self._manifest_path(sid))
 
+    def commit(
+        self,
+        touched: DataFrame,
+        sid: int,
+        schema: str | None = None,
+        emptied_buckets: list[int] | None = None,
+    ) -> None:
+        """Commit snapshot ``sid``: ``touched`` holds the COMPLETE new
+        content of every bucket it contains (and nothing from other
+        buckets); untouched buckets carry forward by manifest
+        reference. Idempotent: an existing manifest for ``sid`` makes
+        this a no-op (the streaming replay guard); a crash mid-write
+        leaves the parent manifest authoritative and the orphan data
+        directory is overwritten on the retried commit.
+
+        ``schema``: evolve the read schema from this snapshot on
+        (ADD-COLUMN-only; see :meth:`schema_at`). ``emptied_buckets``:
+        buckets whose new content is ZERO rows — an empty bucket
+        writes no partition directory, so without this list it would
+        silently carry forward instead of emptying (the compliance-
+        delete case)."""
+        if self._replayed(sid):
+            return
+        new_files = self._write_snap_files(touched, sid)
+        parent = self.latest()
+        buckets = (
+            dict(self.manifest(parent)["buckets"])
+            if parent is not None
+            else {}
+        )
+        buckets.update(new_files)
+        for b in emptied_buckets or ():
+            buckets.setdefault(str(b), [])
+            if str(b) not in new_files:
+                buckets[str(b)] = []
+        self._publish(sid, buckets, schema=schema)
+
+    def commit_append(self, delta: DataFrame, sid: int) -> None:
+        """LSM-style DELTA commit: ``delta``'s files are APPENDED to
+        their buckets' file lists instead of replacing them — per-batch
+        cost is O(batch) regardless of how many buckets the batch's
+        keys hash into, with NO read of committed state at all. This is
+        the write-optimized dual of :meth:`commit` for MERGEABLE tables
+        (the reader folds base+deltas with an associative aggregate,
+        e.g. the chunk ledger's MIN/SUM): under uniform key hashing a
+        large micro-batch touches every bucket, so the partial-REWRITE
+        shape degrades to a full rewrite — the append shape does not.
+        Read amplification grows with delta count until
+        :meth:`compact` folds them; same crash/replay idempotence as
+        commit (manifest rename is the commit point; a retried crashed
+        append overwrites its own orphan snap directory)."""
+        if self._replayed(sid):
+            return
+        new_files = self._write_snap_files(delta, sid)
+        parent = self.latest()
+        buckets = (
+            dict(self.manifest(parent)["buckets"])
+            if parent is not None
+            else {}
+        )
+        for b, fs in new_files.items():
+            buckets[b] = list(buckets.get(b, [])) + fs
+        self._publish(sid, buckets)
+
+
+    def changed_buckets(self, sid_a: int, sid_b: int) -> list[int]:
+        """Buckets whose file lists DIFFER between two snapshots — the
+        manifest-level change feed: an incremental consumer (diff,
+        downstream sync, CDC read) plans from this list and scans ONLY
+        changed buckets at both versions, never the whole table. Pure
+        metadata — no data files are opened."""
+        ba = self.manifest(sid_a)["buckets"]
+        bb = self.manifest(sid_b)["buckets"]
+        return sorted(
+            int(b)
+            for b in set(ba) | set(bb)
+            if ba.get(b, []) != bb.get(b, [])
+        )
 
     # --- maintenance: compaction, expiry, vacuum ---
 

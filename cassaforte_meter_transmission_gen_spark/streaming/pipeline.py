@@ -2487,17 +2487,101 @@ def chunk_ledger_bucketed_batch_fn(table):
             r[0] for r in delta.select("bucket").distinct().collect()
         ]
         prev = table.read(spark, buckets=touched)
-        merged = (
-            prev.unionByName(delta.select(*prev.columns))
-            .groupBy("bucket", "chunk_hash")
-            .agg(
-                F.min("first_doc_id").cast("long").alias("first_doc_id"),
-                F.sum("n_occurrences").cast("long").alias("n_occurrences"),
-            )
-        )
+        merged = ledger_merge(prev.unionByName(delta.select(*prev.columns)))
         table.commit(merged, batch_id)
 
     return fn
+
+
+def chunk_ledger_lsm_batch_fn(table):
+    """foreachBatch body maintaining the chunk ledger as an LSM
+    (append-delta) snapshot table — the write-optimized dual of
+    :func:`chunk_ledger_bucketed_batch_fn`: each micro-batch writes
+    ONLY its own per-chunk partial rows (MIN doc_id, COUNT within the
+    batch) as delta files appended to the bucket file lists
+    (SnapshotTable.commit_append) — O(batch) per batch with NO read of
+    committed state, which is the honest answer when uniform chunk
+    hashing makes a large batch touch every bucket and partial
+    REWRITE degrades to full rewrite. MIN/SUM are associative, so the
+    read-side fold of base+deltas equals the whole-corpus derivation;
+    read amplification is bounded by merge-compaction cadence (the
+    runner compacts once at drain; production compacts periodically).
+    Exactly-once: batch id = snapshot id, manifest rename = commit
+    point — a replayed batch must not append its delta twice, which
+    the manifest-existence guard prevents."""
+    from ..sources.snapshot import bucket_of
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        from ..plans.text_queries import content_defined_chunks
+
+        hw = table.latest()
+        if hw is not None and batch_id <= hw:
+            return  # replayed, fully applied
+        delta = (
+            content_defined_chunks(batch)
+            .groupBy("chunk_hash")
+            .agg(
+                F.min("doc_id").cast("long").alias("first_doc_id"),
+                F.count("*").cast("long").alias("n_occurrences"),
+            )
+            .withColumn("bucket", bucket_of("chunk_hash", table.n_buckets))
+        )
+        table.commit_append(delta, batch_id)
+
+    return fn
+
+
+def ledger_merge(raw: DataFrame) -> DataFrame:
+    """The ledger's read-side fold: MIN/SUM over base+delta partials —
+    associative and order-free, so any delta split yields the same
+    merged ledger. Used by the LSM reader and by its merge-compaction
+    (which commits this fold back as the new base)."""
+    return raw.groupBy("bucket", "chunk_hash").agg(
+        F.min("first_doc_id").cast("long").alias("first_doc_id"),
+        F.sum("n_occurrences").cast("long").alias("n_occurrences"),
+    )
+
+
+def run_bounded_chunk_ledger_lsm(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Drive :func:`chunk_ledger_lsm_batch_fn` over the IDENTICAL
+    bounded document stream as the other two ledger maintenances,
+    MERGE-COMPACT the accumulated deltas into a new base snapshot
+    (fold committed back via SnapshotTable.commit — all buckets
+    rewritten once, the periodic compaction a production deployment
+    schedules), vacuum the folded delta files, and return the final
+    ledger — gated by the same batch oracle as both twins."""
+    import os
+
+    from ..sources.snapshot import SnapshotTable
+
+    out = tempfile.mkdtemp(prefix="chunk_ledger_lsm_out_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    table = SnapshotTable(
+        os.path.join(out, "ledger"),
+        _CHUNK_LEDGER_BUCKETED_SCHEMA,
+        CHUNK_LEDGER_N_BUCKETS,
+    )
+    stream = bounded_documents_stream(
+        spark, sf_dir, columns=("doc_id", "text")
+    )
+    with tempfile.TemporaryDirectory(prefix="ledgerlsm_ckpt_") as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(
+                chunk_ledger_lsm_batch_fn(table)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    hw = table.latest()
+    # merge-compaction: fold deltas to one base, expire + GC the rest
+    table.commit(ledger_merge(table.read(spark)), hw + 1)
+    table.expire(keep_from=hw + 1)
+    table.vacuum()
+    return table.read(spark).drop("bucket")
 
 
 def run_bounded_chunk_ledger_bucketed(

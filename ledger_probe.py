@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""Ledger-maintenance economics probe (VERDICT r12 next-round #1's
+"Done" evidence, beyond the oracle gates): seed a LARGE committed chunk
+ledger, then apply ONE SMALL micro-batch through each of the three
+maintenance shapes and time just that apply:
+
+- full-rewrite  (chunk_ledger_batch_fn): reads + rewrites the WHOLE
+  committed ledger — O(total distinct chunks) per batch.
+- bucketed overwrite (chunk_ledger_bucketed_batch_fn): reads + rewrites
+  only TOUCHED buckets — honest caveat measured here: uniform chunk
+  hashing spreads even a small batch across most buckets, so at small
+  n_buckets this approaches the full rewrite; the win is the
+  bucket-granular bound, not a guarantee.
+- LSM append (chunk_ledger_lsm_batch_fn): appends O(batch) delta files,
+  reads NOTHING — the shape whose per-batch cost is independent of
+  ledger size; read amplification deferred to merge-compaction.
+
+Output: one JSON blob (merged into SCALING_r{N}.json by the round
+assembly) with seed sizes, per-shape small-batch apply seconds, and
+bytes written per apply (the scale-honest metric: at 100 TB the apply
+cost IS the bytes rewritten).
+
+Usage: python ledger_probe.py [--seed-sf-dir /tmp/..../x10] [--batch-docs 200]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _tree_bytes(root: str) -> int:
+    total = 0
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            total += os.path.getsize(os.path.join(dirpath, f))
+    return total
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--seed-sf-dir", default="/tmp/spark_graft_scale_corpus/x10"
+    )
+    ap.add_argument("--batch-docs", type=int, default=200)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from cassaforte_meter_transmission_gen_spark.schemas import load_table
+    from cassaforte_meter_transmission_gen_spark.session import get_spark
+    from cassaforte_meter_transmission_gen_spark.sources.snapshot import (
+        SnapshotTable,
+    )
+    from cassaforte_meter_transmission_gen_spark.streaming.pipeline import (
+        CHUNK_LEDGER_N_BUCKETS,
+        _CHUNK_LEDGER_BUCKETED_SCHEMA,
+        chunk_ledger_batch_fn,
+        chunk_ledger_bucketed_batch_fn,
+        chunk_ledger_lsm_batch_fn,
+    )
+
+    spark = get_spark("ledger-probe")
+    docs = load_table(spark, args.seed_sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    n_docs = docs.count()
+    seed = docs.localCheckpoint()
+    # the small batch: fresh doc_ids so it genuinely adds new chunks
+    small = (
+        docs.orderBy("doc_id")
+        .limit(args.batch_docs)
+        .withColumn("doc_id", F.col("doc_id") + 10_000_000)
+        .localCheckpoint()
+    )
+
+    out: dict = {
+        "seed_docs": n_docs,
+        "batch_docs": args.batch_docs,
+        "n_buckets": CHUNK_LEDGER_N_BUCKETS,
+        "shapes": {},
+    }
+
+    root = tempfile.mkdtemp(prefix="ledger_probe_")
+
+    # --- full rewrite ---
+    table_dir = os.path.join(root, "full")
+    commits = os.path.join(root, "full_commits")
+    fn = chunk_ledger_batch_fn(table_dir, commits)
+    fn(seed, 0)
+    b0 = _tree_bytes(table_dir)
+    t0 = time.perf_counter()
+    fn(small, 1)
+    dt = time.perf_counter() - t0
+    out["shapes"]["full_rewrite"] = {
+        "apply_sec": round(dt, 3),
+        "bytes_written": _tree_bytes(table_dir) - b0,
+    }
+
+    # --- bucketed overwrite ---
+    tb = SnapshotTable(
+        os.path.join(root, "bucketed"),
+        _CHUNK_LEDGER_BUCKETED_SCHEMA,
+        CHUNK_LEDGER_N_BUCKETS,
+    )
+    fnb = chunk_ledger_bucketed_batch_fn(tb)
+    fnb(seed, 0)
+    b0 = _tree_bytes(tb.root)
+    t0 = time.perf_counter()
+    fnb(small, 1)
+    dt = time.perf_counter() - t0
+    touched = len(
+        {
+            b
+            for b, fs in tb.manifest(1)["buckets"].items()
+            if any("snap=1" in f for f in fs)
+        }
+    )
+    out["shapes"]["bucketed_overwrite"] = {
+        "apply_sec": round(dt, 3),
+        "bytes_written": _tree_bytes(tb.root) - b0,
+        "buckets_touched": touched,
+    }
+
+    # --- LSM append ---
+    tl = SnapshotTable(
+        os.path.join(root, "lsm"),
+        _CHUNK_LEDGER_BUCKETED_SCHEMA,
+        CHUNK_LEDGER_N_BUCKETS,
+    )
+    fnl = chunk_ledger_lsm_batch_fn(tl)
+    fnl(seed, 0)
+    b0 = _tree_bytes(tl.root)
+    t0 = time.perf_counter()
+    fnl(small, 1)
+    dt = time.perf_counter() - t0
+    out["shapes"]["lsm_append"] = {
+        "apply_sec": round(dt, 3),
+        "bytes_written": _tree_bytes(tl.root) - b0,
+    }
+
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    out_path = args.out
+    blob = json.dumps(out, indent=1, sort_keys=True)
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(blob + "\n")
+    print(blob)
+
+
+if __name__ == "__main__":
+    main()

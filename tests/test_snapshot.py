@@ -246,3 +246,150 @@ def test_compact_expire_vacuum_lifecycle(spark, tmp_path):
     assert {(r["k"], r["v"]) for r in t.read(spark).collect()} == before
     # latest manifest survives an over-eager expire
     assert t.expire(keep_from=99) == []
+
+
+def test_commit_append_lsm_semantics(spark, tmp_path):
+    """Append commits: delta files ADD to bucket lists (no replace, no
+    read of committed state), a poisoned replayed append is a no-op,
+    and the read-side MIN/SUM fold over base+deltas equals the direct
+    derivation. Merge-compaction then folds to one base with content
+    unchanged and vacuum reclaims the delta files."""
+    t = _mk(spark, tmp_path)
+    t.commit_append(_df(spark, [(1, 10), (2, 20)]), 0)
+    files0 = t.bucket_files(0)
+    t.commit_append(_df(spark, [(1, 5), (3, 30)]), 1)
+    files1 = t.bucket_files(1)
+    # bucket of k=1: base file list is a strict prefix (append, not replace)
+    b1 = _df(spark, [(1, 0)]).first()["bucket"]
+    assert files1[b1][: len(files0[b1])] == files0[b1]
+    assert len(files1[b1]) > len(files0[b1])
+    # poisoned replay: same id, different rows — no-op
+    t.commit_append(_df(spark, [(1, 999)]), 1)
+    raw = {(r["k"], r["v"]) for r in t.read(spark).collect()}
+    assert raw == {(1, 10), (2, 20), (1, 5), (3, 30)}  # partials, unmerged
+    # read-side fold (MIN per key here) equals direct derivation
+    folded = {
+        (r["k"], r["mv"])
+        for r in t.read(spark).groupBy("bucket", "k").agg(
+            F.min("v").alias("mv")
+        ).collect()
+    }
+    assert folded == {(1, 5), (2, 20), (3, 30)}
+    # merge-compaction: fold -> new base -> expire -> vacuum
+    merged = (
+        t.read(spark)
+        .groupBy("bucket", "k")
+        .agg(F.min("v").cast("long").alias("v"))
+        .select("bucket", "k", "v")
+    )
+    t.commit(merged, 2)
+    t.expire(keep_from=2)
+    deleted = t.vacuum()
+    assert deleted
+    after = {(r["k"], r["v"]) for r in t.read(spark).collect()}
+    assert after == {(1, 5), (2, 20), (3, 30)}
+
+
+def test_lsm_ledger_replay_and_oracle_equivalence(spark, tmp_path):
+    """The LSM ledger batch fn mirrors the poisoned-replay unit of the
+    other two maintenances: a replayed batch id must not append its
+    delta twice, and the folded ledger equals the known answer."""
+    from cassaforte_meter_transmission_gen_spark.streaming.pipeline import (
+        CHUNK_LEDGER_N_BUCKETS,
+        _CHUNK_LEDGER_BUCKETED_SCHEMA,
+        chunk_ledger_lsm_batch_fn,
+        ledger_merge,
+    )
+
+    t = SnapshotTable(
+        str(tmp_path / "ledger"),
+        _CHUNK_LEDGER_BUCKETED_SCHEMA,
+        CHUNK_LEDGER_N_BUCKETS,
+    )
+    fn = chunk_ledger_lsm_batch_fn(t)
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    fn(batch([(10, "alpha"), (11, "alpha")]), 0)
+    fn(batch([(12, "alpha"), (13, "beta")]), 1)
+    fn(batch([(1, "alpha"), (2, "gamma")]), 1)  # poisoned replay
+    got = {
+        r["chunk_hash"]: (r["first_doc_id"], r["n_occurrences"])
+        for r in ledger_merge(t.read(spark)).collect()
+    }
+    assert len(got) == 2, got
+    assert (10, 3) in got.values()
+    assert (13, 1) in got.values()
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Add-column evolution: the evolving commit rewrites ONLY its
+    touched buckets; untouched buckets' pre-evolution files read back
+    with the new column as null; as-of reads below the evolution
+    snapshot keep the OLD schema."""
+    t = _mk(spark, tmp_path)
+    t.commit(_df(spark, [(k, k) for k in range(8)]), 0)
+    b1 = _df(spark, [(1, 0)]).first()["bucket"]
+    evolved = (
+        _df(spark, [(1, 100)]).withColumn("w", F.lit(7).cast("long"))
+    )
+    t.commit(evolved, 1, schema="bucket int, k bigint, v bigint, w bigint")
+    cur = t.read(spark)
+    assert "w" in cur.columns
+    got = {r["k"]: (r["v"], r["w"]) for r in cur.collect()}
+    assert got[1] == (100, 7)
+    assert all(w is None for k, (v, w) in got.items() if k != 1)
+    # time travel below the evolution point: old schema
+    assert "w" not in t.read(spark, as_of=0).columns
+    # later commits carry the evolved schema forward
+    t.commit(
+        _df(spark, [(2, 200)]).withColumn("w", F.lit(9).cast("long")), 2
+    )
+    assert "w" in t.read(spark).columns
+    # untouched bucket's files never rewritten across the evolution
+    f0 = t.bucket_files(0)
+    f2 = t.bucket_files(2)
+    untouched = [
+        b for b in f0
+        if b != b1
+        and b != _df(spark, [(2, 0)]).first()["bucket"]
+    ]
+    for b in untouched:
+        assert f2[b] == f0[b]
+
+
+def test_emptied_bucket_and_physical_erasure(spark, tmp_path):
+    """Deleting EVERY row of a bucket must empty it (zero rows write no
+    partition dir — only the explicit emptied_buckets list prevents a
+    silent carry-forward), and after expire+vacuum NO surviving parquet
+    file contains the deleted key — the compliance contract."""
+    t = _mk(spark, tmp_path, n_buckets=4)
+    rows = [(k, k * 10) for k in range(12)]
+    t.commit(_df(spark, rows), 0)
+    # doom every key in one bucket
+    base = _df(spark, rows)
+    bdoom = base.first()["bucket"]
+    doomed = {r["k"] for r in base.collect() if r["bucket"] == bdoom}
+    survivors = base.filter(F.col("bucket") == bdoom).filter(
+        F.lit(False)
+    )
+    t.commit(survivors, 1, emptied_buckets=[bdoom])
+    got = {r["k"] for r in t.read(spark).collect()}
+    assert got == {k for k, _ in rows} - doomed
+    t.expire(keep_from=1)
+    t.vacuum()
+    # physically: no surviving file holds a doomed key
+    remaining = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(os.path.join(t.root, "data"))
+        for f in fs
+    ]
+    assert remaining  # other buckets still there
+    back = {r["k"] for r in t.read(spark).collect()}
+    assert back.isdisjoint(doomed)
+    import pyarrow.parquet as pq
+
+    for p in remaining:
+        ks = set(pq.read_table(p, columns=["k"]).column("k").to_pylist())
+        assert ks.isdisjoint(doomed), p
