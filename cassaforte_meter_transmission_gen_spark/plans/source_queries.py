@@ -1100,3 +1100,131 @@ def source_snapshot_incremental_diff(
         "old_totalprice",
         "new_totalprice",
     )
+
+
+@register(
+    "source_snapshot_incremental_agg",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(o_totalprice AS DOUBLE) AS o_totalprice
+  FROM orders WHERE o_orderkey < 4000
+),
+v1 AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 10 = 7
+              THEN o_totalprice + 50 ELSE o_totalprice END AS o_totalprice
+  FROM base WHERE o_orderkey % 10 <> 3
+  UNION ALL
+  SELECT o_orderkey + 100000, o_orderstatus, o_totalprice
+  FROM base WHERE o_orderkey % 10 = 1
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+         AS sum_totalprice
+FROM v1 GROUP BY o_orderstatus
+""",
+    tags=("source", "lakehouse", "cdc", "incremental", "materialized-view"),
+)
+def source_snapshot_incremental_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL MATERIALIZED-VIEW MAINTENANCE from the snapshot
+    table's change feed: a downstream per-status (count, sum) aggregate
+    is seeded from snapshot 0, then UPDATED USING ONLY THE CHANGED
+    BUCKETS of snapshot 1 — new-version partials added, old-version
+    partials subtracted (count and decimal-sum are Abelian-group
+    aggregates, so delta maintenance is exact) — and the maintained
+    view is returned, gated against the oracle that aggregates the
+    snapshot-1 state directly. A missed changed bucket, a double-
+    counted delta, or a subtraction in the wrong numeric space all
+    fail the hash (sums ride DECIMAL(18,4) end to end and only cast to
+    double at the boundary, so add-then-subtract cancels exactly).
+
+    Scale: the downstream view of a 100 TB table refreshes by reading
+    O(changed buckets) — the manifest diff is the refresh plan; the
+    full-table aggregation never re-runs after the seed."""
+    from ..sources.snapshot import SnapshotTable, bucket_of
+
+    n_buckets = 8
+    root = os.path.join(_scratch("src_snapivm_"), "orders_snap")
+    table = SnapshotTable(
+        root,
+        "bucket int, o_orderkey bigint, o_orderstatus string,"
+        " o_totalprice double",
+        n_buckets,
+    )
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 4000)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+        .withColumn("bucket", bucket_of("o_orderkey", n_buckets))
+    )
+    table.commit(base, 0)
+
+    def partials(df: DataFrame, sign: int) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            (F.count("*") * sign).cast("long").alias("n_orders"),
+            F.sum(
+                F.col("o_totalprice").cast("decimal(18,4)") * sign
+            ).alias("sum_dec"),
+        )
+
+    # seed the downstream view from snapshot 0 (the one full pass)
+    view0 = partials(table.read(spark), 1).localCheckpoint()
+
+    # the mixed tranche: update %10=7 (+50), delete %10=3, insert %10=1
+    upd = base.filter(F.col("o_orderkey") % 10 == 7).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 50
+    )
+    dele = base.filter(F.col("o_orderkey") % 10 == 3).select("o_orderkey")
+    ins = (
+        base.filter(F.col("o_orderkey") % 10 == 1)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 100000)
+        .withColumn("bucket", bucket_of("o_orderkey", n_buckets))
+    )
+    changes = upd.unionByName(ins).localCheckpoint()
+    keys_out = changes.select("o_orderkey").unionByName(dele)
+    touched = [
+        r[0]
+        for r in changes.select("bucket")
+        .unionByName(
+            base.join(F.broadcast(dele), "o_orderkey", "left_semi")
+            .select("bucket")
+        )
+        .distinct()
+        .collect()
+    ]
+    prev = table.read(spark, buckets=touched)
+    merged = (
+        prev.join(F.broadcast(keys_out), "o_orderkey", "left_anti")
+        .unionByName(changes.select(*prev.columns))
+        .localCheckpoint()
+    )
+    kept = {r[0] for r in merged.select("bucket").distinct().collect()}
+    table.commit(merged, 1, emptied_buckets=sorted(set(touched) - kept))
+
+    # --- the incremental refresh: changed buckets only ---
+    cb = table.changed_buckets(0, 1)
+    minus = partials(table.read(spark, as_of=0, buckets=cb), -1)
+    plus = partials(table.read(spark, as_of=1, buckets=cb), 1)
+    refreshed = (
+        view0.unionByName(minus)
+        .unionByName(plus)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("sum_dec").alias("sum_dec"),
+        )
+        .where(F.col("n_orders") > 0)
+    )
+    return refreshed.select(
+        "o_orderstatus",
+        "n_orders",
+        F.col("sum_dec").cast("double").alias("sum_totalprice"),
+    )

@@ -146,6 +146,96 @@ def main() -> None:
         "bytes_written": _tree_bytes(tl.root) - b0,
     }
 
+    # --- SCD2: the KEY-CONCENTRATED case where bucketed overwrite wins ---
+    # a dimension-update micro-batch touches FEW keys; with enough
+    # buckets those keys land in few buckets and the partial rewrite is
+    # a small fraction of the history — unlike the uniform-hash ledger.
+    from cassaforte_meter_transmission_gen_spark.sources.snapshot import (
+        bucket_of,
+    )
+    from cassaforte_meter_transmission_gen_spark.streaming.pipeline import (
+        scd2_bucketed_batch_fn,
+        scd2_batch_fn,
+    )
+
+    orders = (
+        load_table(spark, args.seed_sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+        .localCheckpoint()
+    )
+    n_orders = orders.count()
+    seed_feed = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit(0).alias("seq"),
+        F.lit("u").alias("op"),
+    ).localCheckpoint()
+    upd_feed = (
+        orders.orderBy("o_orderkey")
+        .limit(20)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_totalprice") + 50).alias("o_totalprice"),
+            F.lit(1).alias("seq"),
+            F.lit("u").alias("op"),
+        )
+        .localCheckpoint()
+    )
+    scd2_schema = (
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double,"
+        " valid_from_seq int, valid_to_seq int, is_current boolean"
+    )
+    payload = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    scd2_out: dict = {
+        "history_keys": n_orders,
+        "batch_keys": 20,
+        "shapes": {},
+    }
+    # full rewrite
+    fdir = os.path.join(root, "scd2_full")
+    fcom = os.path.join(root, "scd2_full_commits")
+    ffn = scd2_batch_fn(fdir, fcom, scd2_schema, "o_orderkey", payload)
+    ffn(seed_feed, 0)
+    b0 = _tree_bytes(fdir)
+    t0 = time.perf_counter()
+    ffn(upd_feed, 1)
+    scd2_out["shapes"]["full_rewrite"] = {
+        "apply_sec": round(time.perf_counter() - t0, 3),
+        "bytes_written": _tree_bytes(fdir) - b0,
+    }
+    # bucketed, production bucket count
+    n_scd2_buckets = 256
+    ts = SnapshotTable(
+        os.path.join(root, "scd2_bucketed"),
+        "bucket int, " + scd2_schema,
+        n_scd2_buckets,
+    )
+    bfn = scd2_bucketed_batch_fn(ts, "o_orderkey", payload)
+    bfn(seed_feed, 0)
+    b0 = _tree_bytes(ts.root)
+    t0 = time.perf_counter()
+    bfn(upd_feed, 1)
+    touched = len(
+        {
+            b
+            for b, fs in ts.manifest(1)["buckets"].items()
+            if any("snap=1" in f for f in fs)
+        }
+    )
+    scd2_out["shapes"]["bucketed_overwrite"] = {
+        "apply_sec": round(time.perf_counter() - t0, 3),
+        "bytes_written": _tree_bytes(ts.root) - b0,
+        "buckets_touched": touched,
+        "n_buckets": n_scd2_buckets,
+    }
+    out["scd2"] = scd2_out
+
     import shutil
 
     shutil.rmtree(root, ignore_errors=True)
