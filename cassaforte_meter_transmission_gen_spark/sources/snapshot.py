@@ -40,6 +40,14 @@ only the buckets its keys hash into, and the manifest (one JSON row per
 bucket) stays driver-trivial. Readers plan from the manifest alone — no
 directory listing of the data tree, which is the same economics that
 make real lakehouse formats listable at millions of files.
+
+Concurrency contract: SINGLE WRITER (the Structured Streaming
+foreachBatch driver), many readers — the same contract as the repo's
+commit-log protocol. Same-snapshot-id re-commits are no-ops (replay
+idempotence); racing INDEPENDENT writers would need a compare-and-swap
+on the manifest chain (real lakehouse formats use a catalog/log-store
+CAS for this), deliberately out of scope for a streaming state table
+whose writes are serialized by the micro-batch engine.
 """
 
 from __future__ import annotations

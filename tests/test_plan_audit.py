@@ -1184,3 +1184,20 @@ def test_scale_tag_matches_scale_paths():
     tagged = {n for n, q in REGISTRY.items() if "scale" in q.tags}
     paths = set(bench.SCALE_PATHS)
     assert tagged == paths, sorted(tagged ^ paths)
+
+
+def test_rotating_parity_slice_contract():
+    """The rotating verification slice must be deterministic for a
+    round, exactly 50 names, DISJOINT from the driver's alphabetical
+    first-50 window, and must vary across rounds — so external-style
+    verification accumulates over the registry instead of re-checking
+    the same prefix."""
+    from parity_report import rotate_slice
+    from cassaforte_meter_transmission_gen_spark.plans import REGISTRY
+
+    names = sorted(REGISTRY)
+    s13 = rotate_slice(names, 13)
+    assert s13 == rotate_slice(names, 13)  # deterministic
+    assert len(s13) == 50
+    assert not set(s13) & set(names[:50])  # disjoint from driver window
+    assert set(s13) != set(rotate_slice(names, 14))  # rotates
