@@ -1228,3 +1228,75 @@ def source_snapshot_incremental_agg(
         "n_orders",
         F.col("sum_dec").cast("double").alias("sum_totalprice"),
     )
+
+
+@register(
+    "source_snapshot_stats_pruned_scan",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(o_totalprice AS DOUBLE) AS o_totalprice
+  FROM orders WHERE o_orderkey < 4000
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+         AS sum_totalprice
+FROM base
+WHERE o_orderkey BETWEEN 1000 AND 1499
+GROUP BY o_orderstatus
+""",
+    tags=("source", "lakehouse", "stats-pruning"),
+)
+def source_snapshot_stats_pruned_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MANIFEST FILE-STATS data skipping (Iceberg-style): the orders
+    slice is committed RANGE-bucketed (bucket = o_orderkey DIV 500 —
+    the bucketing function is the caller's; range buckets cluster the
+    key so per-file [min, max] footers are tight), each file's min/max
+    lands in the manifest at commit time, and the reader with
+    ``between=(o_orderkey, 1000, 1499)`` skips every file whose range
+    is provably disjoint BEFORE any data I/O — at this layout 7 of 8
+    files never open (the unit pins the count). The hash gate proves
+    pruning loses no rows: the aggregate over the pruned read must
+    equal the oracle over the full table with the same predicate.
+
+    Scale: a 100 TB table with range-clustered keys answers a range
+    query by opening O(files overlapping the range) — the manifest is
+    the index; under HASH bucketing stats prune nothing and the unit
+    keeps that honest."""
+    from ..sources.snapshot import SnapshotTable
+
+    n_buckets = 8
+    root = os.path.join(_scratch("src_snapstats_"), "orders_snap")
+    table = SnapshotTable(
+        root,
+        "bucket int, o_orderkey bigint, o_orderstatus string,"
+        " o_totalprice double",
+        n_buckets,
+        stats_cols=("o_orderkey",),
+    )
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 4000)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+        .withColumn(
+            "bucket", (F.col("o_orderkey") / 500).cast("int")
+        )
+        .repartition("bucket")  # one file per range bucket: tight stats
+    )
+    table.commit(base, 0)
+    pruned = table.read(
+        spark, between=("o_orderkey", 1000, 1499)
+    ).where(F.col("o_orderkey").between(1000, 1499))
+    return pruned.groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_totalprice"),
+    )

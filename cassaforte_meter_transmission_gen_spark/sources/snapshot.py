@@ -73,10 +73,24 @@ class SnapshotTable:
     re-key every row — same contract as a bucketed Hive table).
     """
 
-    def __init__(self, root: str, schema: str, n_buckets: int) -> None:
+    def __init__(
+        self,
+        root: str,
+        schema: str,
+        n_buckets: int,
+        stats_cols: tuple[str, ...] = (),
+    ) -> None:
         self.root = root
         self.schema = schema
         self.n_buckets = n_buckets
+        #: columns whose per-file min/max land in the manifest at commit
+        #: time (Iceberg-style file stats) — readers with a range
+        #: predicate skip files whose range is disjoint, BEFORE any
+        #: data I/O. Works when the bucketing function CLUSTERS the
+        #: column (range buckets); under hash bucketing every file
+        #: spans the domain and stats prune nothing (kept honest by
+        #: the unit test).
+        self.stats_cols = tuple(stats_cols)
         os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
 
     # --- manifest chain ---
@@ -134,19 +148,49 @@ class SnapshotTable:
         spark: SparkSession,
         as_of: int | None = None,
         buckets: list[int] | None = None,
+        between: tuple[str, object, object] | None = None,
     ) -> DataFrame:
         """Schema-pinned read of the table AS OF a snapshot (time
         travel), optionally pruned to a bucket subset — the partial
         read that makes per-bucket merges O(touched), planned from the
-        manifest alone (no data-tree listing)."""
+        manifest alone (no data-tree listing).
+
+        ``between=(col, lo, hi)``: additionally SKIP files whose
+        manifest-recorded [min, max] for ``col`` is disjoint from
+        [lo, hi] — plan-time data skipping with zero data I/O
+        (files without recorded stats are kept; the predicate itself
+        must still be applied by the caller — stats only prune)."""
         files = self.bucket_files(as_of)
         if buckets is not None:
             files = {b: files[b] for b in buckets if b in files}
         paths = [p for ps in files.values() for p in ps]
+        if between is not None:
+            paths = self.prune_paths(paths, as_of, between)
         schema = self.schema_at(as_of)
         if not paths:
             return spark.createDataFrame([], schema)
         return spark.read.schema(schema).parquet(*paths)
+
+    def prune_paths(
+        self,
+        paths: list[str],
+        as_of: int | None,
+        between: tuple[str, object, object],
+    ) -> list[str]:
+        """The stats-skip decision, exposed so tests and callers can
+        count survivors: keep a file unless its recorded [min, max]
+        for the column is provably disjoint from [lo, hi]."""
+        sid = self.latest() if as_of is None else as_of
+        stats = self.manifest(sid).get("stats") or {}
+        col, lo, hi = between
+        keep = []
+        for p in paths:
+            rel = os.path.relpath(p, self.root)
+            mm = stats.get(rel, {}).get(col)
+            if mm is not None and (mm[0] > hi or mm[1] < lo):
+                continue  # provably disjoint — skip without opening
+            keep.append(p)
+        return keep
 
     # --- commits ---
 
@@ -184,18 +228,64 @@ class SnapshotTable:
             )
         return new_files
 
+    def _file_stats(
+        self, new_files: dict[str, list[str]]
+    ) -> dict[str, dict[str, list]]:
+        """Per-file min/max for ``stats_cols``, read from the parquet
+        FOOTERS of the just-written files (the stats already exist
+        there; recording them in the manifest moves the skip decision
+        to plan time with zero data I/O — Iceberg's manifest stats).
+        Bounded work: one footer per file per commit."""
+        if not self.stats_cols:
+            return {}
+        import pyarrow.parquet as pq
+
+        stats: dict[str, dict[str, list]] = {}
+        for paths in new_files.values():
+            for rel in paths:
+                md = pq.ParquetFile(os.path.join(self.root, rel)).metadata
+                per_col: dict[str, list] = {}
+                for col in self.stats_cols:
+                    idx = md.schema.names.index(col)
+                    los, his = [], []
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx).statistics
+                        if st is None or not st.has_min_max:
+                            break
+                        los.append(st.min)
+                        his.append(st.max)
+                    else:
+                        if los:
+                            per_col[col] = [min(los), max(his)]
+                if per_col:
+                    stats[rel] = per_col
+        return stats
+
     def _publish(
         self,
         sid: int,
         buckets: dict[str, list[str]],
         schema: str | None = None,
+        new_stats: dict[str, dict[str, list]] | None = None,
     ) -> None:
+        parent = self.latest()
+        # file stats carry forward for files still referenced; new
+        # files bring their own footers' min/max
+        stats = (
+            dict(self.manifest(parent).get("stats") or {})
+            if parent is not None
+            else {}
+        )
+        stats.update(new_stats or {})
+        live = {p for ps in buckets.values() for p in ps}
+        stats = {p: s for p, s in stats.items() if p in live}
         man = {
             "snapshot_id": sid,
-            "parent": self.latest(),
+            "parent": parent,
             # schema carries forward once evolved (add-column-only)
             "schema": schema or self.schema_at(),
             "buckets": buckets,
+            "stats": stats,
         }
         tmp = self._manifest_path(sid) + ".tmp.json"
         with open(tmp, "w") as fh:
@@ -237,7 +327,10 @@ class SnapshotTable:
             buckets.setdefault(str(b), [])
             if str(b) not in new_files:
                 buckets[str(b)] = []
-        self._publish(sid, buckets, schema=schema)
+        self._publish(
+            sid, buckets, schema=schema,
+            new_stats=self._file_stats(new_files),
+        )
 
     def commit_append(self, delta: DataFrame, sid: int) -> None:
         """LSM-style DELTA commit: ``delta``'s files are APPENDED to
@@ -264,7 +357,9 @@ class SnapshotTable:
         )
         for b, fs in new_files.items():
             buckets[b] = list(buckets.get(b, [])) + fs
-        self._publish(sid, buckets)
+        self._publish(
+            sid, buckets, new_stats=self._file_stats(new_files)
+        )
 
 
     def changed_buckets(self, sid_a: int, sid_b: int) -> list[int]:

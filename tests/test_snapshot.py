@@ -393,3 +393,65 @@ def test_emptied_bucket_and_physical_erasure(spark, tmp_path):
     for p in remaining:
         ks = set(pq.read_table(p, columns=["k"]).column("k").to_pylist())
         assert ks.isdisjoint(doomed), p
+
+
+def test_manifest_file_stats_prune_and_carry(spark, tmp_path):
+    """File stats: recorded at commit from the parquet footers;
+    range-clustered buckets prune disjoint files (and ONLY disjoint
+    files); stats carry forward for untouched files across commits and
+    are dropped for dead files; hash-bucketed layouts honestly prune
+    nothing."""
+    t = SnapshotTable(
+        str(tmp_path / "t"),
+        "bucket int, k bigint, v bigint",
+        4,
+        stats_cols=("k",),
+    )
+    rows = [(k, k) for k in range(40)]
+    ranged = (
+        spark.createDataFrame(rows, "k long, v long")
+        .withColumn("bucket", (F.col("k") / 10).cast("int"))
+        .repartition("bucket")  # one file per bucket: tight stats
+    )
+    t.commit(ranged, 0)
+    paths = [p for ps in t.bucket_files(0).values() for p in ps]
+    keep = t.prune_paths(paths, 0, ("k", 25, 27))
+    assert len(keep) == 1 and len(paths) == 4
+    got = {
+        r["k"]
+        for r in t.read(spark, between=("k", 25, 27))
+        .where(F.col("k").between(25, 27))
+        .collect()
+    }
+    assert got == {25, 26, 27}
+    # carry-forward: touch one bucket; others keep their stats rows
+    t.commit(
+        spark.createDataFrame([(5, 99)], "k long, v long").withColumn(
+            "bucket", (F.col("k") / 10).cast("int")
+        ),
+        1,
+    )
+    man1 = t.manifest(1)
+    live = {p for ps in man1["buckets"].values() for p in ps}
+    assert set(man1["stats"]) == live  # stats exactly for live files
+    keep1 = t.prune_paths(
+        [p for ps in t.bucket_files(1).values() for p in ps],
+        1,
+        ("k", 25, 27),
+    )
+    assert len(keep1) == 1
+    # hash bucketing: every file spans the key domain -> nothing prunes
+    th = SnapshotTable(
+        str(tmp_path / "h"),
+        "bucket int, k bigint, v bigint",
+        4,
+        stats_cols=("k",),
+    )
+    th.commit(
+        spark.createDataFrame(rows, "k long, v long")
+        .withColumn("bucket", bucket_of("k", 4))
+        .repartition("bucket"),
+        0,
+    )
+    hp = [p for ps in th.bucket_files(0).values() for p in ps]
+    assert len(th.prune_paths(hp, 0, ("k", 25, 27))) == len(hp)
