@@ -4,7 +4,8 @@ Delta/Iceberg jars are unfetchable in this environment (documented in
 README, same disposition as ``spark-avro`` → ``sources/avro_codec.py``),
 so this module implements the smallest useful slice of a lakehouse
 table format from scratch, the way the Avro gap was closed: an ATOMIC
-commit file, a DATA-FILE MANIFEST, and AS-OF (time-travel) reads.
+commit file, a TWO-LEVEL DATA-FILE MANIFEST, and AS-OF (time-travel)
+reads.
 
 Reference parity note: the reference engine (``core.clj``) has no table
 format at all — its sink is fire-and-forget CQL inserts. This module is
@@ -15,39 +16,56 @@ micro-batch for corpus-proportional state.
 
 Layout under ``root/``::
 
+    properties.json                               (table identity, immutable)
     data/snap=<sid>/_pb=<bucket>/part-*.parquet   (one Spark write/commit)
-    manifests/<sid, zero-padded 20>.json          (atomic os.replace)
+    manifests/<sid, zero-padded 20>.json          (root manifest, atomic)
+    manifests/b/<bucket>-<sid>.json               (per-bucket manifest)
 
-A manifest is the COMPLETE table state at one snapshot::
+The manifest is TWO-LEVEL (Iceberg's manifest-list/manifest split): a
+commit writes one per-bucket manifest file per TOUCHED bucket — holding
+that bucket's data-file list, its merge-on-read delete files, and its
+per-file column stats — plus a small root manifest that references
+every bucket's manifest BY NAME::
 
-    {"snapshot_id": 3, "parent": 2,
-     "buckets": {"0": ["data/snap=1/_pb=0/part-...parquet"],
-                 "1": ["data/snap=3/_pb=1/part-...parquet"]}}
+    {"snapshot_id": 3, "parent": 2, "batch_hw": 1,
+     "bucket_manifests": {"0": "b/0-1.json", "1": "b/1-3.json"}}
 
-Buckets a commit does not touch are carried forward BY REFERENCE — the
-new manifest points at the old snapshot's files, which are never
-rewritten (the untouched-bucket filesystem unit in
-``tests/test_snapshot.py`` pins them byte-identical). The manifest
-rename is the commit point: data files land first, so a crash before
-the rename leaves the previous manifest authoritative and the orphaned
-``data/snap=<sid>`` directory is simply overwritten on replay —
-exactly-once composes with the streaming commit-log protocol by using
-the micro-batch id as the snapshot id.
+Buckets a commit does not touch keep their previous bucket-manifest
+NAME — per-commit metadata is O(touched buckets), not O(live files),
+which is what keeps an LSM append workload's commit cost flat while
+deltas accumulate (the one-level design grew the root by the full file
+list every batch). Bucket-manifest files are immutable once referenced,
+so "same name" ⇒ "same content" and the change feed
+(:meth:`changed_buckets`) only opens bucket manifests whose names
+differ between two snapshots.
+
+The root-manifest creation is the commit point and is EXCLUSIVE
+(tmp-write + hard-link, which fails if the name exists): data files and
+bucket manifests land first, so a crash before the link leaves the
+previous root authoritative and the orphaned files are overwritten on
+replay / swept by :meth:`vacuum`. Exactly-once composes with the
+streaming commit-log protocol via the ``batch_hw`` field: the APPLIED
+MICRO-BATCH high-watermark travels in the root manifest separately from
+the snapshot id, so maintenance commits (compaction, delete folding)
+can claim snapshot ids mid-stream without the replay guard mistaking
+the next live batch for a replay.
 
 Scale: at 100 TB the bucket count is sized so one bucket's files fit an
 executor (e.g. 4096 buckets → ~25 GB/bucket); a micro-batch rewrites
-only the buckets its keys hash into, and the manifest (one JSON row per
-bucket) stays driver-trivial. Readers plan from the manifest alone — no
-directory listing of the data tree, which is the same economics that
+only the buckets its keys hash into, appends are O(batch), and
+:meth:`compact_buckets` folds ONLY buckets whose file count crossed the
+size tier — never the whole table. Readers plan from the manifests
+alone — no directory listing of the data tree, the same economics that
 make real lakehouse formats listable at millions of files.
 
-Concurrency contract: SINGLE WRITER (the Structured Streaming
-foreachBatch driver), many readers — the same contract as the repo's
-commit-log protocol. Same-snapshot-id re-commits are no-ops (replay
-idempotence); racing INDEPENDENT writers would need a compare-and-swap
-on the manifest chain (real lakehouse formats use a catalog/log-store
-CAS for this), deliberately out of scope for a streaming state table
-whose writes are serialized by the micro-batch engine.
+Concurrency contract: optimistic single-winner. The parent snapshot is
+captured ONCE at commit entry and re-checked at publish; a racing
+writer whose parent moved (or who loses the exclusive root-manifest
+create) raises :class:`SnapshotConflictError` instead of silently
+dropping the winner's buckets — the caller re-reads, re-merges, and
+retries, which is the compare-and-swap protocol real lakehouse formats
+run through their catalog. Same-snapshot-id re-commits remain no-ops
+(streaming replay idempotence).
 """
 
 from __future__ import annotations
@@ -64,13 +82,26 @@ from pyspark.sql import functions as F
 #: partition-discovery (which needs a basePath and directory layout).
 _PB = "_pb"
 
+#: sentinel: "carry the parent's value forward" for _publish fields
+_CARRY = object()
+
+
+class SnapshotConflictError(RuntimeError):
+    """A concurrent writer published first: the table's latest snapshot
+    moved past the parent this commit merged against (or the exclusive
+    root-manifest create lost a same-id race). The loser must re-read
+    the new state, re-merge, and retry — proceeding would silently drop
+    the winner's buckets."""
+
 
 class SnapshotTable:
     """A bucketed table whose state is a chain of immutable snapshots.
 
     ``schema`` is the full read schema INCLUDING the ``bucket int``
-    column; ``n_buckets`` is fixed at table creation (changing it would
-    re-key every row — same contract as a bucketed Hive table).
+    column. ``n_buckets`` is fixed at table creation and persisted in
+    ``properties.json``; reopening an existing root with a different
+    value raises (silently mis-bucketing partial rewrites would corrupt
+    the table) — changing it is an explicit :meth:`rebucket` migration.
     """
 
     def __init__(
@@ -91,7 +122,58 @@ class SnapshotTable:
         #: spans the domain and stats prune nothing (kept honest by
         #: the unit test).
         self.stats_cols = tuple(stats_cols)
-        os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
+        #: bucket-manifest cache: files are immutable once referenced,
+        #: so caching by relative name is always safe.
+        self._bm_cache: dict[str, dict] = {}
+        os.makedirs(os.path.join(root, "manifests", "b"), exist_ok=True)
+        self._init_properties()
+
+    # --- table identity ---
+
+    def _props_path(self) -> str:
+        return os.path.join(self.root, "properties.json")
+
+    def _init_properties(self) -> None:
+        """Persist table identity at creation; validate it on reopen.
+        ``n_buckets`` is the corruption-critical field: a reopen with a
+        different value would make touched-bucket reads miss rows
+        written under the old bucketing — fail loudly instead."""
+        path = self._props_path()
+        if os.path.exists(path):
+            with open(path) as fh:
+                props = json.load(fh)
+            if props["n_buckets"] != self.n_buckets:
+                raise ValueError(
+                    f"table at {self.root!r} has n_buckets="
+                    f"{props['n_buckets']}, reopened with "
+                    f"{self.n_buckets} — re-keying requires an explicit "
+                    f"rebucket() migration"
+                )
+            return
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "n_buckets": self.n_buckets,
+                    "schema": self.schema,
+                    "stats_cols": list(self.stats_cols),
+                },
+                fh,
+            )
+        os.replace(tmp, path)
+
+    @classmethod
+    def open(cls, root: str) -> "SnapshotTable":
+        """Reopen an existing table from its persisted properties alone
+        — no caller-remembered schema/bucketing needed."""
+        with open(os.path.join(root, "properties.json")) as fh:
+            props = json.load(fh)
+        return cls(
+            root,
+            props["schema"],
+            props["n_buckets"],
+            stats_cols=tuple(props.get("stats_cols") or ()),
+        )
 
     # --- manifest chain ---
 
@@ -110,9 +192,51 @@ class SnapshotTable:
         snaps = self.snapshots()
         return snaps[-1] if snaps else None
 
-    def manifest(self, sid: int) -> dict:
+    def root_manifest(self, sid: int) -> dict:
+        """The raw ROOT manifest: snapshot chain fields plus the
+        bucket → bucket-manifest-name map. O(n_buckets) names, never
+        file lists — the level whose size stays flat per commit."""
         with open(self._manifest_path(sid)) as fh:
             return json.load(fh)
+
+    def _bm(self, rel: str) -> dict:
+        """Load (cached) one immutable per-bucket manifest."""
+        bm = self._bm_cache.get(rel)
+        if bm is None:
+            with open(os.path.join(self.root, "manifests", rel)) as fh:
+                bm = json.load(fh)
+            self._bm_cache[rel] = bm
+        return bm
+
+    def manifest(self, sid: int) -> dict:
+        """The RESOLVED manifest view — root fields plus the flattened
+        ``buckets`` (bucket → file list), ``deletes`` (bucket → delete
+        file list), and ``stats`` (file → per-column [min, max]) maps
+        assembled from the per-bucket manifests. This is the one-level
+        view every reader and test consumes; only commit internals see
+        the two-level split."""
+        root = self.root_manifest(sid)
+        buckets: dict[str, list[str]] = {}
+        deletes: dict[str, list[str]] = {}
+        stats: dict[str, dict[str, list]] = {}
+        for b, rel in root["bucket_manifests"].items():
+            bm = self._bm(rel)
+            buckets[b] = bm["files"]
+            if bm.get("deletes"):
+                deletes[b] = bm["deletes"]
+            stats.update(bm.get("stats") or {})
+        return {**root, "buckets": buckets, "deletes": deletes, "stats": stats}
+
+    def batch_high_watermark(self) -> int | None:
+        """The applied MICRO-BATCH high-watermark — the streaming
+        replay guard. Tracked separately from the snapshot id so
+        maintenance commits (compaction, delete folding) can take
+        snapshot ids mid-stream without a replayed live batch being
+        mistaken for new (or vice versa)."""
+        sid = self.latest()
+        if sid is None:
+            return None
+        return self.root_manifest(sid).get("batch_hw")
 
     def schema_at(self, sid: int | None = None) -> str:
         """Read schema in force at a snapshot: the manifest's recorded
@@ -126,7 +250,7 @@ class SnapshotTable:
             sid = self.latest()
         if sid is None:
             return self.schema
-        return self.manifest(sid).get("schema") or self.schema
+        return self.root_manifest(sid).get("schema") or self.schema
 
     def bucket_files(self, sid: int | None) -> dict[int, list[str]]:
         """Bucket → absolute data-file paths at snapshot ``sid`` (the
@@ -141,6 +265,18 @@ class SnapshotTable:
             for b, paths in man["buckets"].items()
         }
 
+    def bucket_deletes(self, sid: int | None) -> dict[int, list[str]]:
+        """Bucket → absolute merge-on-read delete-file paths."""
+        if sid is None:
+            sid = self.latest()
+        if sid is None:
+            return {}
+        man = self.manifest(sid)
+        return {
+            int(b): [os.path.join(self.root, p) for p in paths]
+            for b, paths in man["deletes"].items()
+        }
+
     # --- reads ---
 
     def read(
@@ -149,6 +285,7 @@ class SnapshotTable:
         as_of: int | None = None,
         buckets: list[int] | None = None,
         between: tuple[str, object, object] | None = None,
+        apply_deletes: bool = True,
     ) -> DataFrame:
         """Schema-pinned read of the table AS OF a snapshot (time
         travel), optionally pruned to a bucket subset — the partial
@@ -159,17 +296,54 @@ class SnapshotTable:
         manifest-recorded [min, max] for ``col`` is disjoint from
         [lo, hi] — plan-time data skipping with zero data I/O
         (files without recorded stats are kept; the predicate itself
-        must still be applied by the caller — stats only prune)."""
-        files = self.bucket_files(as_of)
+        must still be applied by the caller — stats only prune).
+
+        Merge-on-read: tombstone delete files recorded for the selected
+        buckets are ANTI-JOINED on the table's delete key — the read
+        returns logical content; base files holding deleted rows stay
+        on disk until the next compaction of their bucket physically
+        folds them away. ``apply_deletes=False`` exposes the raw base
+        rows (compaction internals)."""
+        sid = self.latest() if as_of is None else as_of
+        files = self.bucket_files(sid)
         if buckets is not None:
             files = {b: files[b] for b in buckets if b in files}
         paths = [p for ps in files.values() for p in ps]
         if between is not None:
-            paths = self.prune_paths(paths, as_of, between)
-        schema = self.schema_at(as_of)
+            paths = self.prune_paths(paths, sid, between)
+        schema = self.schema_at(sid)
         if not paths:
             return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).parquet(*paths)
+        df = spark.read.schema(schema).parquet(*paths)
+        if apply_deletes:
+            df = self._anti_join_deletes(spark, df, sid, buckets)
+        return df
+
+    def _anti_join_deletes(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        sid: int | None,
+        buckets: list[int] | None,
+    ) -> DataFrame:
+        dels = self.bucket_deletes(sid)
+        if buckets is not None:
+            dels = {b: dels[b] for b in buckets if b in dels}
+        paths = [p for ps in dels.values() for p in ps]
+        if not paths:
+            return df
+        root = self.root_manifest(
+            self.latest() if sid is None else sid
+        )
+        key = root["delete_key"]
+        tomb = spark.read.schema(root["delete_schema"]).parquet(*paths)
+        # per-bucket scoping rides the join key: tombstones carry the
+        # bucket column, so the anti-join never crosses buckets
+        return df.join(
+            tomb.select("bucket", *key).dropDuplicates(),
+            on=["bucket", *key],
+            how="left_anti",
+        )
 
     def prune_paths(
         self,
@@ -202,13 +376,14 @@ class SnapshotTable:
         return parent is not None and sid <= parent
 
     def _write_snap_files(
-        self, df: DataFrame, sid: int
+        self, df: DataFrame, sid: int, subdir: str = ""
     ) -> dict[str, list[str]]:
         """Land ``df`` under ``data/snap=<sid>`` (one Spark write,
         bucket-partitioned directories) and return bucket → new
         relative file paths. Mode=overwrite so a crashed attempt's
         orphan directory is simply replaced on retry."""
-        snap_dir = os.path.join(self.root, f"data/snap={sid}")
+        rel_root = f"data/snap={sid}" + (f"/{subdir}" if subdir else "")
+        snap_dir = os.path.join(self.root, rel_root)
         (
             df.withColumn(_PB, F.col("bucket"))
             .write.mode("overwrite")
@@ -220,7 +395,7 @@ class SnapshotTable:
             if not entry.startswith(f"{_PB}="):
                 continue
             b = entry.split("=", 1)[1]
-            rel = f"data/snap={sid}/{entry}"
+            rel = f"{rel_root}/{entry}"
             new_files[b] = sorted(
                 f"{rel}/{f}"
                 for f in os.listdir(os.path.join(snap_dir, entry))
@@ -235,7 +410,11 @@ class SnapshotTable:
         FOOTERS of the just-written files (the stats already exist
         there; recording them in the manifest moves the skip decision
         to plan time with zero data I/O — Iceberg's manifest stats).
-        Bounded work: one footer per file per commit."""
+        Bounded work: one footer per file per commit. Stats columns
+        absent from a file's schema are skipped (a caller may commit a
+        projection), and only JSON-safe scalar min/max are recorded —
+        types the manifest can't round-trip (bytes, timestamps) simply
+        don't prune rather than failing the commit."""
         if not self.stats_cols:
             return {}
         import pyarrow.parquet as pq
@@ -246,6 +425,8 @@ class SnapshotTable:
                 md = pq.ParquetFile(os.path.join(self.root, rel)).metadata
                 per_col: dict[str, list] = {}
                 for col in self.stats_cols:
+                    if col not in md.schema.names:
+                        continue  # committed frame lacks the column
                     idx = md.schema.names.index(col)
                     los, his = [], []
                     for rg in range(md.num_row_groups):
@@ -255,42 +436,110 @@ class SnapshotTable:
                         los.append(st.min)
                         his.append(st.max)
                     else:
-                        if los:
+                        if los and all(
+                            isinstance(v, (int, float, str))
+                            and not isinstance(v, bool)
+                            for v in (min(los), max(his))
+                        ):
                             per_col[col] = [min(los), max(his)]
                 if per_col:
                     stats[rel] = per_col
         return stats
 
+    def _write_bucket_manifest(
+        self,
+        b: str,
+        sid: int,
+        files: list[str],
+        deletes: list[str],
+        stats: dict[str, dict[str, list]],
+    ) -> str:
+        """Write one immutable per-bucket manifest; return its name
+        relative to ``manifests/``. ``stats`` is pre-filtered to this
+        bucket's live files."""
+        rel = f"b/{b}-{sid}.json"
+        path = os.path.join(self.root, "manifests", rel)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"files": files, "deletes": deletes, "stats": stats},
+                fh,
+                sort_keys=True,
+            )
+        os.replace(tmp, path)
+        self._bm_cache.pop(rel, None)  # retried crash may rewrite it
+        return rel
+
     def _publish(
         self,
         sid: int,
-        buckets: dict[str, list[str]],
-        schema: str | None = None,
-        new_stats: dict[str, dict[str, list]] | None = None,
+        parent: int | None,
+        bucket_manifests: dict[str, str],
+        schema=_CARRY,
+        batch_hw=_CARRY,
+        delete_key=_CARRY,
+        delete_schema=_CARRY,
     ) -> None:
-        parent = self.latest()
-        # file stats carry forward for files still referenced; new
-        # files bring their own footers' min/max
-        stats = (
-            dict(self.manifest(parent).get("stats") or {})
-            if parent is not None
-            else {}
-        )
-        stats.update(new_stats or {})
-        live = {p for ps in buckets.values() for p in ps}
-        stats = {p: s for p, s in stats.items() if p in live}
+        """Atomically publish the root manifest for ``sid`` — the
+        commit point. CAS semantics: ``parent`` is the snapshot this
+        commit's state was derived from, captured at commit ENTRY; if
+        the chain moved past it, or another writer already published
+        this sid, raise :class:`SnapshotConflictError` instead of
+        silently dropping the winner's buckets. ``_CARRY`` fields
+        inherit the parent's value (schema evolution, streaming batch
+        high-watermark, delete-key metadata)."""
+        if self.latest() != parent:
+            raise SnapshotConflictError(
+                f"commit of snapshot {sid} merged against parent "
+                f"{parent}, but the table advanced to {self.latest()} "
+                f"— re-read, re-merge, retry"
+            )
+        pman = self.root_manifest(parent) if parent is not None else {}
         man = {
             "snapshot_id": sid,
             "parent": parent,
-            # schema carries forward once evolved (add-column-only)
-            "schema": schema or self.schema_at(),
-            "buckets": buckets,
-            "stats": stats,
+            "schema": (
+                pman.get("schema") or self.schema
+                if schema is _CARRY
+                else schema or pman.get("schema") or self.schema
+            ),
+            "batch_hw": (
+                pman.get("batch_hw") if batch_hw is _CARRY else batch_hw
+            ),
+            "delete_key": (
+                pman.get("delete_key")
+                if delete_key is _CARRY
+                else delete_key
+            ),
+            "delete_schema": (
+                pman.get("delete_schema")
+                if delete_schema is _CARRY
+                else delete_schema
+            ),
+            "bucket_manifests": bucket_manifests,
         }
         tmp = self._manifest_path(sid) + ".tmp.json"
         with open(tmp, "w") as fh:
             json.dump(man, fh, sort_keys=True)
-        os.replace(tmp, self._manifest_path(sid))
+        try:
+            # hard-link = atomic EXCLUSIVE create: a same-sid race has
+            # exactly one winner (os.replace would let the last writer
+            # silently clobber the first)
+            os.link(tmp, self._manifest_path(sid))
+        except FileExistsError:
+            raise SnapshotConflictError(
+                f"snapshot {sid} was concurrently published by another "
+                f"writer"
+            )
+        finally:
+            os.remove(tmp)
+
+    def _parent_bucket_manifests(
+        self, parent: int | None
+    ) -> dict[str, str]:
+        if parent is None:
+            return {}
+        return dict(self.root_manifest(parent)["bucket_manifests"])
 
     def commit(
         self,
@@ -298,41 +547,63 @@ class SnapshotTable:
         sid: int,
         schema: str | None = None,
         emptied_buckets: list[int] | None = None,
+        batch_hw=_CARRY,
+        expected_parent=_CARRY,
     ) -> None:
         """Commit snapshot ``sid``: ``touched`` holds the COMPLETE new
         content of every bucket it contains (and nothing from other
-        buckets); untouched buckets carry forward by manifest
-        reference. Idempotent: an existing manifest for ``sid`` makes
-        this a no-op (the streaming replay guard); a crash mid-write
-        leaves the parent manifest authoritative and the orphan data
-        directory is overwritten on the retried commit.
+        buckets); untouched buckets carry forward by root-manifest
+        reference — their bucket-manifest files are not rewritten, so
+        per-commit metadata is O(touched buckets). Idempotent: an
+        existing manifest for ``sid`` makes this a no-op (the streaming
+        replay guard); a crash mid-write leaves the parent manifest
+        authoritative and the orphan files are overwritten on the
+        retried commit.
+
+        A bucket rewrite REPLACES the bucket wholesale: its delete
+        files are cleared (the new content is already net of them).
 
         ``schema``: evolve the read schema from this snapshot on
         (ADD-COLUMN-only; see :meth:`schema_at`). ``emptied_buckets``:
         buckets whose new content is ZERO rows — an empty bucket
         writes no partition directory, so without this list it would
         silently carry forward instead of emptying (the compliance-
-        delete case)."""
+        delete case). ``batch_hw``: the applied micro-batch
+        high-watermark to record (carried forward when omitted).
+        ``expected_parent``: CAS guard for read-merge-write callers —
+        the snapshot the merge was computed against; the commit aborts
+        with :class:`SnapshotConflictError` if the chain moved."""
         if self._replayed(sid):
             return
-        new_files = self._write_snap_files(touched, sid)
         parent = self.latest()
-        buckets = (
-            dict(self.manifest(parent)["buckets"])
-            if parent is not None
-            else {}
-        )
-        buckets.update(new_files)
+        if expected_parent is not _CARRY and parent != expected_parent:
+            raise SnapshotConflictError(
+                f"commit of snapshot {sid} merged against parent "
+                f"{expected_parent}, but the table advanced to "
+                f"{parent} — re-read, re-merge, retry"
+            )
+        new_files = self._write_snap_files(touched, sid)
+        new_stats = self._file_stats(new_files)
+        bms = self._parent_bucket_manifests(parent)
+        for b, fs in new_files.items():
+            bms[b] = self._write_bucket_manifest(
+                b, sid, fs, [],
+                {p: s for p, s in new_stats.items() if p in set(fs)},
+            )
         for b in emptied_buckets or ():
-            buckets.setdefault(str(b), [])
             if str(b) not in new_files:
-                buckets[str(b)] = []
+                bms[str(b)] = self._write_bucket_manifest(
+                    str(b), sid, [], [], {}
+                )
         self._publish(
-            sid, buckets, schema=schema,
-            new_stats=self._file_stats(new_files),
+            sid, parent, bms,
+            schema=schema if schema is not None else _CARRY,
+            batch_hw=batch_hw,
         )
 
-    def commit_append(self, delta: DataFrame, sid: int) -> None:
+    def commit_append(
+        self, delta: DataFrame, sid: int, batch_hw=_CARRY
+    ) -> None:
         """LSM-style DELTA commit: ``delta``'s files are APPENDED to
         their buckets' file lists instead of replacing them — per-batch
         cost is O(batch) regardless of how many buckets the batch's
@@ -343,59 +614,237 @@ class SnapshotTable:
         large micro-batch touches every bucket, so the partial-REWRITE
         shape degrades to a full rewrite — the append shape does not.
         Read amplification grows with delta count until
-        :meth:`compact` folds them; same crash/replay idempotence as
-        commit (manifest rename is the commit point; a retried crashed
-        append overwrites its own orphan snap directory)."""
+        :meth:`compact_buckets` folds them (size-tiered, mid-stream);
+        same crash/replay idempotence as commit. Existing delete files
+        carry forward (an append adds rows; it cancels nothing)."""
         if self._replayed(sid):
             return
-        new_files = self._write_snap_files(delta, sid)
         parent = self.latest()
-        buckets = (
-            dict(self.manifest(parent)["buckets"])
-            if parent is not None
-            else {}
-        )
+        new_files = self._write_snap_files(delta, sid)
+        new_stats = self._file_stats(new_files)
+        bms = self._parent_bucket_manifests(parent)
         for b, fs in new_files.items():
-            buckets[b] = list(buckets.get(b, [])) + fs
-        self._publish(
-            sid, buckets, new_stats=self._file_stats(new_files)
-        )
+            if b in bms:
+                bm = self._bm(bms[b])
+                files = list(bm["files"]) + fs
+                deletes = list(bm.get("deletes") or [])
+                stats = dict(bm.get("stats") or {})
+            else:
+                files, deletes, stats = list(fs), [], {}
+            stats.update(
+                {p: s for p, s in new_stats.items() if p in set(fs)}
+            )
+            bms[b] = self._write_bucket_manifest(
+                b, sid, files, deletes, stats
+            )
+        self._publish(sid, parent, bms, batch_hw=batch_hw)
 
+    def commit_delete(
+        self,
+        tombstones: DataFrame,
+        sid: int,
+        key_cols: tuple[str, ...],
+        batch_hw=_CARRY,
+    ) -> None:
+        """MERGE-ON-READ delete: append ``tombstones`` (``bucket`` +
+        the key columns) as DELETE FILES on the buckets they hash into
+        — O(deleted rows) bytes written, no base file is opened or
+        rewritten. This is the scattered-delete dual of the
+        copy-on-write path (rewriting every bucket containing one of k
+        deleted keys degrades to a near-full rewrite at 100 TB; the
+        tombstone append stays O(k)). Readers anti-join the tombstones
+        at plan time (:meth:`read`); the next :meth:`compact_buckets`
+        of a bucket folds its deletes into a physical rewrite and
+        clears them — after compaction + :meth:`vacuum` no surviving
+        file holds the deleted rows (the compliance erasure point,
+        deferred but real). The delete key is table-level metadata:
+        first use records it, later deletes must match."""
+        if self._replayed(sid):
+            return
+        parent = self.latest()
+        key = list(key_cols)
+        if parent is not None:
+            prev_key = self.root_manifest(parent).get("delete_key")
+            if prev_key is not None and prev_key != key:
+                raise ValueError(
+                    f"table delete key is {prev_key}, got {key}"
+                )
+        tomb = tombstones.select("bucket", *key)
+        delete_schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in tomb.schema.fields
+        )
+        new_files = self._write_snap_files(tomb, sid, subdir="deletes")
+        bms = self._parent_bucket_manifests(parent)
+        for b, fs in new_files.items():
+            if b in bms:
+                bm = self._bm(bms[b])
+                files = list(bm["files"])
+                deletes = list(bm.get("deletes") or []) + fs
+                stats = dict(bm.get("stats") or {})
+            else:
+                # tombstones for rows the table never held: keep them
+                # (idempotent wrt future appends of those keys? no —
+                # MOR deletes apply to CURRENT content only, matching
+                # lakehouse semantics; an empty bucket's tombstones
+                # are folded away at its next compaction)
+                files, deletes, stats = [], list(fs), {}
+            bms[b] = self._write_bucket_manifest(
+                b, sid, files, deletes, stats
+            )
+        self._publish(
+            sid, parent, bms,
+            batch_hw=batch_hw,
+            delete_key=key,
+            delete_schema=delete_schema,
+        )
 
     def changed_buckets(self, sid_a: int, sid_b: int) -> list[int]:
-        """Buckets whose file lists DIFFER between two snapshots — the
-        manifest-level change feed: an incremental consumer (diff,
-        downstream sync, CDC read) plans from this list and scans ONLY
-        changed buckets at both versions, never the whole table. Pure
-        metadata — no data files are opened."""
-        ba = self.manifest(sid_a)["buckets"]
-        bb = self.manifest(sid_b)["buckets"]
-        return sorted(
-            int(b)
-            for b in set(ba) | set(bb)
-            if ba.get(b, []) != bb.get(b, [])
+        """Buckets whose content-bearing metadata DIFFERS between two
+        snapshots — the manifest-level change feed: an incremental
+        consumer (diff, downstream sync, CDC read) plans from this list
+        and scans ONLY changed buckets at both versions, never the
+        whole table. Pure metadata, and CHEAP metadata: bucket
+        manifests are immutable, so same NAME ⇒ unchanged without
+        opening anything; only name-differing buckets' manifests load,
+        and of those only ones whose file/delete lists really differ
+        report (a carried-forward empty bucket re-emptied is not a
+        change)."""
+        ra = self.root_manifest(sid_a)["bucket_manifests"]
+        rb = self.root_manifest(sid_b)["bucket_manifests"]
+        changed = []
+        for b in set(ra) | set(rb):
+            na, nb = ra.get(b), rb.get(b)
+            if na == nb:
+                continue  # immutable manifest: same name, same content
+            empty = {"files": [], "deletes": []}
+            bma = self._bm(na) if na else empty
+            bmb = self._bm(nb) if nb else empty
+            if bma["files"] != bmb["files"] or (
+                bma.get("deletes") or []
+            ) != (bmb.get("deletes") or []):
+                changed.append(int(b))
+        return sorted(changed)
+
+    # --- maintenance: compaction, re-bucketing, expiry, vacuum ---
+
+    def compact_buckets(
+        self,
+        spark: SparkSession,
+        sid: int,
+        max_files: int = 1,
+        buckets: list[int] | None = None,
+        fold=None,
+        batch_hw=_CARRY,
+        force: bool = False,
+    ) -> list[int]:
+        """SIZE-TIERED compaction: fold ONLY buckets whose file count
+        (data + delete files) exceeds ``max_files`` — per-bucket folds
+        are independent, so this is an ordinary bucket-subset commit;
+        every other bucket carries forward by reference, its files
+        byte-identical. This is the O(touched) maintenance shape the
+        LSM ledger runs MID-STREAM (a full-table ``compact`` at 100 TB
+        is a one-job rewrite of the whole table; the size tier bounds
+        each maintenance commit to the buckets that actually
+        accumulated deltas).
+
+        ``fold``: associative read-side fold (e.g. the ledger's
+        MIN/SUM merge) applied to the touched buckets' base+delta rows
+        before the rewrite — the merge-compaction of an LSM table.
+        Merge-on-read delete files of compacted buckets are applied
+        (the read is MOR) and cleared: compaction is the physical
+        erasure point. ``force``: publish a carry-forward snapshot even
+        when nothing crosses the tier (so callers that need a manifest
+        at ``sid`` always get one). Returns the compacted bucket ids."""
+        if self._replayed(sid):
+            return []
+        parent = self.latest()
+        man = self.manifest(parent) if parent is not None else {
+            "buckets": {}, "deletes": {},
+        }
+        if buckets is None:
+            todo = sorted(
+                int(b)
+                for b in set(man["buckets"]) | set(man["deletes"])
+                if len(man["buckets"].get(b) or [])
+                + len(man["deletes"].get(b) or [])
+                > max_files
+            )
+        else:
+            todo = sorted(buckets)
+        if not todo:
+            if force:
+                self._publish(
+                    sid, parent,
+                    self._parent_bucket_manifests(parent),
+                    batch_hw=batch_hw,
+                )
+            return []
+        state = self.read(spark, buckets=todo)
+        if fold is not None:
+            state = fold(state)
+        state = state.repartition("bucket").localCheckpoint()
+        kept = {r[0] for r in state.select("bucket").distinct().collect()}
+        self.commit(
+            state,
+            sid,
+            emptied_buckets=sorted(set(todo) - kept),
+            batch_hw=batch_hw,
+        )
+        return todo
+
+    def compact(self, spark: SparkSession, sid: int, fold=None) -> None:
+        """Full-tier compaction: every bucket with more than one file
+        (or any pending delete files) folds to ONE file at snapshot
+        ``sid`` — table content unchanged (the compaction queries
+        value-hash gate this), only the layout collapses. Implemented
+        as :meth:`compact_buckets` at the tightest tier; a snapshot is
+        always published (``force``) so ``sid`` exists for expiry
+        anchoring even when the table is already compact."""
+        self.compact_buckets(
+            spark, sid, max_files=1, fold=fold, force=True
         )
 
-    # --- maintenance: compaction, expiry, vacuum ---
-
-    def compact(self, spark: SparkSession, sid: int) -> None:
-        """Fold the accumulated per-snapshot small files into ONE file
-        per bucket at a new snapshot ``sid`` — the answer to the
-        streaming commit-log's file-count growth (README's compaction
-        contract): the table's content is unchanged (the compaction
-        query value-hash gates this), only the file layout collapses.
-        Crash-safe like any commit: the manifest rename publishes the
-        compacted layout atomically; until then readers plan from the
-        parent manifest over the old files."""
-        state = self.read(spark).repartition("bucket")
-        self.commit(state, sid)
+    def rebucket(
+        self,
+        spark: SparkSession,
+        new_root: str,
+        key_col: str,
+        new_n_buckets: int,
+        sid: int = 0,
+    ) -> "SnapshotTable":
+        """OFFLINE re-bucket migration — the performed operation behind
+        the "size n_buckets to 4096 at 100 TB" guidance: read the
+        current snapshot (merge-on-read applied), re-key every row's
+        ``bucket`` by hashing ``key_col`` into ``new_n_buckets``, and
+        commit the result as snapshot ``sid`` of a NEW table root
+        (the old table is untouched — cutover is the caller's atomic
+        pointer swap, and the content-equality gate is the registry
+        query / checksum unit). One shuffle on the new bucket key;
+        tombstones fold away in the re-keyed write."""
+        nt = SnapshotTable(
+            new_root,
+            self.schema_at(),
+            new_n_buckets,
+            stats_cols=self.stats_cols,
+        )
+        df = (
+            self.read(spark)
+            .drop("bucket")
+            .withColumn("bucket", bucket_of(key_col, new_n_buckets))
+            .repartition("bucket")
+        )
+        nt.commit(df, sid)
+        return nt
 
     def expire(self, keep_from: int) -> list[int]:
-        """Drop manifests below ``keep_from`` (trimming the time-travel
-        window — the reader-consistency retention contract). Manifests
-        are self-contained (each lists the COMPLETE table state), so
-        expiring old ones cannot affect newer reads. The latest
-        manifest is never expired. Returns the expired ids."""
+        """Drop root manifests below ``keep_from`` (trimming the
+        time-travel window — the reader-consistency retention
+        contract). Root manifests are self-contained maps over
+        immutable bucket manifests, so expiring old ones cannot affect
+        newer reads; orphaned bucket manifests are swept by
+        :meth:`vacuum`. The latest manifest is never expired. Returns
+        the expired ids."""
         latest = self.latest()
         expired = []
         for sid in self.snapshots():
@@ -405,17 +854,23 @@ class SnapshotTable:
         return expired
 
     def vacuum(self) -> list[str]:
-        """Delete data files referenced by NO retained manifest (the
-        orphan GC that makes expire reclaim space — also sweeps debris
-        from crashed commits). Walks the data tree, keeps exactly the
-        union of retained manifests' file lists, removes the rest and
-        any emptied directories. Returns deleted paths."""
+        """Delete data files, delete files, and bucket-manifest files
+        referenced by NO retained root manifest (the orphan GC that
+        makes expire reclaim space — also sweeps debris from crashed
+        commits). Walks the data tree, keeps exactly the union of
+        retained manifests' file lists, removes the rest and any
+        emptied directories. Returns deleted data paths."""
         referenced: set[str] = set()
+        live_bms: set[str] = set()
         for sid in self.snapshots():
-            for paths in self.manifest(sid)["buckets"].values():
-                referenced.update(
-                    os.path.join(self.root, p) for p in paths
-                )
+            root = self.root_manifest(sid)
+            for rel in root["bucket_manifests"].values():
+                live_bms.add(rel)
+                bm = self._bm(rel)
+                for p in bm["files"]:
+                    referenced.add(os.path.join(self.root, p))
+                for p in bm.get("deletes") or []:
+                    referenced.add(os.path.join(self.root, p))
         deleted = []
         data_root = os.path.join(self.root, "data")
         for dirpath, _dirs, files in os.walk(data_root, topdown=False):
@@ -426,6 +881,12 @@ class SnapshotTable:
                     deleted.append(p)
             if not os.listdir(dirpath):
                 os.rmdir(dirpath)
+        bdir = os.path.join(self.root, "manifests", "b")
+        for f in os.listdir(bdir):
+            rel = f"b/{f}"
+            if f.endswith(".json") and rel not in live_bms:
+                os.remove(os.path.join(bdir, f))
+                self._bm_cache.pop(rel, None)
         return deleted
 
 

@@ -1266,7 +1266,9 @@ def scd2_bucketed_batch_fn(
     few hundred MB and a multi-TB table per micro-batch at 100 TB.
 
     Exactly-once composes with the snapshot chain: the micro-batch id
-    IS the snapshot id, the atomic manifest rename is the commit
+    travels as the manifest's ``batch_hw`` (SEPARATE from the snapshot
+    id, so interleaved maintenance commits never desynchronize the
+    replay guard), the atomic exclusive manifest create is the commit
     point, and a replayed/crashed batch re-reads the same parent
     manifest and overwrites its own orphaned data directory
     (SnapshotTable.commit's idempotence contract). The chaining core
@@ -1276,7 +1278,7 @@ def scd2_bucketed_batch_fn(
     from ..sources.snapshot import bucket_of
 
     def fn(batch: DataFrame, batch_id: int) -> None:
-        hw = table.latest()
+        hw = table.batch_high_watermark()
         if hw is not None and batch_id <= hw:
             return  # replayed, fully applied
         spark = batch.sparkSession
@@ -1292,9 +1294,11 @@ def scd2_bucketed_batch_fn(
         ]
         prev = table.read(spark, buckets=touched).drop("bucket")
         merged = scd2_merge(prev, batch, key_col, payload_cols)
+        sid = 0 if table.latest() is None else table.latest() + 1
         table.commit(
             merged.withColumn("bucket", bucket_of(key_col, table.n_buckets)),
-            batch_id,
+            sid,
+            batch_hw=batch_id,
         )
 
     return fn
@@ -2449,6 +2453,14 @@ _CHUNK_LEDGER_BUCKETED_SCHEMA = (
     " first_doc_id bigint, n_occurrences bigint"
 )
 
+#: LSM ledger mid-stream compaction tier: a bucket whose file count
+#: exceeds this folds at the NEXT batch boundary. Bounds read
+#: amplification (≤ this many deltas scanned per bucket read) while
+#: keeping each maintenance commit O(buckets over the tier), never
+#: O(table) — the size-tiered answer to "compaction is the load-bearing
+#: maintenance op of the append path".
+CHUNK_LEDGER_COMPACT_MAX_FILES = 4
+
 
 def chunk_ledger_bucketed_batch_fn(table):
     """foreachBatch body maintaining the incremental chunk-dedup ledger
@@ -2468,7 +2480,7 @@ def chunk_ledger_bucketed_batch_fn(table):
     def fn(batch: DataFrame, batch_id: int) -> None:
         from ..plans.text_queries import content_defined_chunks
 
-        hw = table.latest()
+        hw = table.batch_high_watermark()
         if hw is not None and batch_id <= hw:
             return  # replayed, fully applied
         spark = batch.sparkSession
@@ -2488,7 +2500,12 @@ def chunk_ledger_bucketed_batch_fn(table):
         ]
         prev = table.read(spark, buckets=touched)
         merged = ledger_merge(prev.unionByName(delta.select(*prev.columns)))
-        table.commit(merged, batch_id)
+        # snapshot ids are allocated off the chain head while the APPLIED
+        # batch id travels separately as batch_hw — so maintenance
+        # commits can take snapshot ids without desynchronizing the
+        # replay guard (which keys on batch_hw, never on latest()).
+        sid = 0 if table.latest() is None else table.latest() + 1
+        table.commit(merged, sid, batch_hw=batch_id)
 
     return fn
 
@@ -2506,15 +2523,20 @@ def chunk_ledger_lsm_batch_fn(table):
     read-side fold of base+deltas equals the whole-corpus derivation;
     read amplification is bounded by merge-compaction cadence (the
     runner compacts once at drain; production compacts periodically).
-    Exactly-once: batch id = snapshot id, manifest rename = commit
-    point — a replayed batch must not append its delta twice, which
-    the manifest-existence guard prevents."""
+    Exactly-once: the APPLIED batch id travels in the manifest as
+    ``batch_hw`` — SEPARATE from the snapshot id, so the PERIODIC
+    MID-STREAM merge-compaction this fn runs (size-tiered:
+    SnapshotTable.compact_buckets folds only buckets whose delta-file
+    count crossed ``CHUNK_LEDGER_COMPACT_MAX_FILES``, carrying
+    batch_hw forward) can claim snapshot ids between live batches
+    without the replay guard silently dropping the next batch. A
+    replayed batch id ≤ batch_hw is a no-op."""
     from ..sources.snapshot import bucket_of
 
     def fn(batch: DataFrame, batch_id: int) -> None:
         from ..plans.text_queries import content_defined_chunks
 
-        hw = table.latest()
+        hw = table.batch_high_watermark()
         if hw is not None and batch_id <= hw:
             return  # replayed, fully applied
         delta = (
@@ -2526,7 +2548,18 @@ def chunk_ledger_lsm_batch_fn(table):
             )
             .withColumn("bucket", bucket_of("chunk_hash", table.n_buckets))
         )
-        table.commit_append(delta, batch_id)
+        sid = 0 if table.latest() is None else table.latest() + 1
+        table.commit_append(delta, sid, batch_hw=batch_id)
+        # mid-stream size-tiered merge-compaction: bounds read
+        # amplification to O(max_files) deltas per bucket while the
+        # stream runs — the production cadence the docstrings
+        # prescribe, now that batch_hw decouples it from the guard
+        table.compact_buckets(
+            batch.sparkSession,
+            table.latest() + 1,
+            max_files=CHUNK_LEDGER_COMPACT_MAX_FILES,
+            fold=ledger_merge,
+        )
 
     return fn
 
@@ -2546,12 +2579,13 @@ def run_bounded_chunk_ledger_lsm(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Drive :func:`chunk_ledger_lsm_batch_fn` over the IDENTICAL
-    bounded document stream as the other two ledger maintenances,
-    MERGE-COMPACT the accumulated deltas into a new base snapshot
-    (fold committed back via SnapshotTable.commit — all buckets
-    rewritten once, the periodic compaction a production deployment
-    schedules), vacuum the folded delta files, and return the final
-    ledger — gated by the same batch oracle as both twins."""
+    bounded document stream as the other two ledger maintenances —
+    size-tiered merge-compaction now runs MID-STREAM inside the batch
+    fn (batch_hw keeps the replay guard honest across maintenance
+    snapshots) — then finalize: fold any remaining over-tier buckets,
+    expire the pre-drain time-travel window, vacuum the folded delta
+    files, and return the final ledger — gated by the same batch
+    oracle as both twins."""
     import os
 
     from ..sources.snapshot import SnapshotTable
@@ -2576,12 +2610,27 @@ def run_bounded_chunk_ledger_lsm(
             .start()
         )
         q.awaitTermination()
+    return finalize_chunk_ledger_lsm(spark, table)
+
+
+def finalize_chunk_ledger_lsm(spark: SparkSession, table) -> DataFrame:
+    """Drain-time finalization of the LSM ledger, split out so the
+    empty-stream edge is unit-testable: an unborn table (zero batches
+    delivered) returns an empty ledger instead of raising; otherwise
+    fold the remaining over-tier buckets to one base (size-tiered, so
+    already-compacted buckets carry by reference), trim time travel,
+    GC the folded deltas, and return the logical ledger. The read-side
+    MIN/SUM fold is idempotent on folded rows, so applying it here is
+    correct whatever the compaction state."""
     hw = table.latest()
-    # merge-compaction: fold deltas to one base, expire + GC the rest
-    table.commit(ledger_merge(table.read(spark)), hw + 1)
+    if hw is None:  # zero micro-batches: empty corpus, empty ledger
+        return spark.createDataFrame(
+            [], "chunk_hash string, first_doc_id bigint, n_occurrences bigint"
+        )
+    table.compact(spark, hw + 1, fold=ledger_merge)
     table.expire(keep_from=hw + 1)
     table.vacuum()
-    return table.read(spark).drop("bucket")
+    return ledger_merge(table.read(spark)).drop("bucket")
 
 
 def run_bounded_chunk_ledger_bucketed(
