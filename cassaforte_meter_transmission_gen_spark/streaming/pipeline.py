@@ -2633,6 +2633,195 @@ def finalize_chunk_ledger_lsm(spark: SparkSession, table) -> DataFrame:
     return ledger_merge(table.read(spark)).drop("bucket")
 
 
+#: maintained-view schema for the snapshot change-feed consumer.
+#: sum_dec rides a wide exact decimal end to end so the Abelian
+#: add-then-subtract refresh cancels exactly (no float drift).
+_SNAPSHOT_VIEW_SCHEMA = (
+    "o_orderstatus string, n_orders bigint, sum_dec decimal(38,4)"
+)
+
+
+def _snapshot_view_partials(df: DataFrame, sign: int) -> DataFrame:
+    """Signed per-status (count, decimal-sum) partials — the
+    Abelian-group aggregate the incremental refresh adds/subtracts."""
+    return df.groupBy("o_orderstatus").agg(
+        (F.count("*") * sign).cast("long").alias("n_orders"),
+        (F.sum(F.col("o_totalprice").cast("decimal(18,4)")) * sign)
+        .cast("decimal(38,4)")
+        .alias("sum_dec"),
+    )
+
+
+def snapshot_view_batch_fn(table, view_dir: str, commits_dir: str):
+    """foreachBatch body of the SNAPSHOT CHANGE-FEED CONSUMER — the
+    streaming completion of the batch incremental-MV query
+    (plans.source_queries.source_snapshot_incremental_agg): the stream
+    tails the table's snapshot ids; each micro-batch advances the
+    maintained per-status aggregate from the last APPLIED source
+    snapshot to the newest delivered one by reading ONLY the buckets
+    the manifest-level change feed reports (SnapshotTable.
+    changed_buckets — old-version partials subtracted, new-version
+    partials added; merge-on-read tombstones and appended files both
+    surface through the same feed). The refresh composes over any
+    batching of snapshot ids — diffing applied→max(delivered) directly
+    is exact because the partials are Abelian — so the consumer never
+    depends on one-file-per-trigger delivery.
+
+    Exactly-once under the commit-log protocol keyed on the APPLIED
+    SOURCE SNAPSHOT id (not the micro-batch id): a redelivered or
+    poisoned replay of an already-applied snapshot id is a no-op.
+
+    Scale: the downstream view of a 100 TB table refreshes per
+    trigger by reading O(changed buckets); the full-table aggregation
+    runs exactly once, at seed."""
+    import os
+
+    os.makedirs(commits_dir, exist_ok=True)
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        # delivered snapshot ids: bounded driver state (one tiny row
+        # per source snapshot, never data rows)
+        sids = sorted({int(r["value"]) for r in batch.collect()})
+        applied = _high_watermark(commits_dir)
+        if applied is None:
+            return  # seed marker is written before the stream starts
+        targets = [s for s in sids if s > applied]
+        if not targets:
+            return  # replayed (possibly poisoned) ids: already folded
+        target = max(targets)
+        spark = batch.sparkSession
+        prev = spark.read.schema(_SNAPSHOT_VIEW_SCHEMA).parquet(
+            f"{view_dir}/v={applied}"
+        )
+        cb = table.changed_buckets(applied, target)
+        minus = _snapshot_view_partials(
+            table.read(spark, as_of=applied, buckets=cb), -1
+        )
+        plus = _snapshot_view_partials(
+            table.read(spark, as_of=target, buckets=cb), 1
+        )
+        refreshed = (
+            prev.unionByName(minus)
+            .unionByName(plus)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.sum("n_orders").cast("long").alias("n_orders"),
+                F.sum("sum_dec").cast("decimal(38,4)").alias("sum_dec"),
+            )
+            .where(F.col("n_orders") > 0)
+        )
+        refreshed.write.mode("overwrite").parquet(f"{view_dir}/v={target}")
+        tmp = os.path.join(commits_dir, f"{target}.tmp")
+        open(tmp, "w").close()
+        os.replace(tmp, os.path.join(commits_dir, str(target)))
+
+    return fn
+
+
+def run_bounded_snapshot_view(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Build an orders snapshot table whose history exercises all
+    three commit kinds — snapshot 1: partial-rewrite upsert (+50 on
+    %10=7, CAS-guarded), snapshot 2: MERGE-ON-READ tombstone delete of
+    %10=3, snapshot 3: LSM append of %10=1 inserts at key+100000 —
+    then TAIL ITS CHANGE FEED as a bounded stream (one trigger file
+    per published snapshot id) driving
+    :func:`snapshot_view_batch_fn`, and return the maintained view at
+    the final applied snapshot — gated against the oracle that
+    aggregates the final table state directly."""
+    import os
+
+    from ..schemas import load_table
+    from ..sources.snapshot import SnapshotTable, bucket_of
+
+    n_buckets = 8
+    out = tempfile.mkdtemp(prefix="snap_view_out_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    table = SnapshotTable(
+        os.path.join(out, "orders_snap"),
+        "bucket int, o_orderkey bigint, o_orderstatus string,"
+        " o_totalprice double",
+        n_buckets,
+    )
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 4000)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+        .withColumn("bucket", bucket_of("o_orderkey", n_buckets))
+    )
+    table.commit(base, 0)
+    # snapshot 1: partial-rewrite upsert, CAS-guarded
+    parent = table.latest()
+    upd = base.filter(F.col("o_orderkey") % 10 == 7).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 50
+    ).localCheckpoint()  # consumed twice: touched buckets + merge
+    touched = [r[0] for r in upd.select("bucket").distinct().collect()]
+    prev = table.read(spark, buckets=touched)
+    merged = prev.join(
+        F.broadcast(upd.select("o_orderkey")), "o_orderkey", "left_anti"
+    ).unionByName(upd.select(*prev.columns))
+    table.commit(merged, 1, expected_parent=parent)
+    # snapshot 2: merge-on-read delete
+    table.commit_delete(
+        base.filter(F.col("o_orderkey") % 10 == 3).select(
+            "bucket", "o_orderkey"
+        ),
+        2,
+        key_cols=("o_orderkey",),
+    )
+    # snapshot 3: append-only inserts
+    table.commit_append(
+        base.filter(F.col("o_orderkey") % 10 == 1)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 100000)
+        .withColumn("bucket", bucket_of("o_orderkey", n_buckets)),
+        3,
+    )
+    # seed the view from snapshot 0 (the one full pass), then tail
+    view_dir = os.path.join(out, "view")
+    commits = os.path.join(out, "_commits")
+    os.makedirs(commits, exist_ok=True)
+    _snapshot_view_partials(table.read(spark, as_of=0), 1).write.mode(
+        "overwrite"
+    ).parquet(f"{view_dir}/v=0")
+    open(os.path.join(commits, "0"), "w").close()
+    # the change feed: one trigger file per published snapshot id
+    feed = os.path.join(out, "feed")
+    os.makedirs(feed, exist_ok=True)
+    for sid in (1, 2, 3):
+        with open(os.path.join(feed, f"snap-{sid}.txt"), "w") as fh:
+            fh.write(str(sid))
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(feed)
+    )
+    with tempfile.TemporaryDirectory(prefix="snapview_ckpt_") as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(
+                snapshot_view_batch_fn(table, view_dir, commits)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    applied = _high_watermark(commits)
+    return (
+        spark.read.schema(_SNAPSHOT_VIEW_SCHEMA)
+        .parquet(f"{view_dir}/v={applied}")
+        .select(
+            "o_orderstatus",
+            "n_orders",
+            F.col("sum_dec").cast("double").alias("sum_totalprice"),
+        )
+    )
+
+
 def run_bounded_chunk_ledger_bucketed(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -433,3 +433,74 @@ def test_lsm_ledger_midstream_compaction_bounds_files(spark, tmp_path):
         for r in ledger_merge(t.read(spark)).drop("bucket").collect()
     }
     assert got == want
+
+
+def test_snapshot_view_feed_replay_is_exactly_once(spark, tmp_path):
+    """The change-feed consumer's replay guard keys on the APPLIED
+    SOURCE SNAPSHOT id: a redelivered (even poisoned) trigger for an
+    already-applied snapshot must change nothing, and out-of-order /
+    batched delivery folds to the same view because the refresh diffs
+    applied→max(delivered) directly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cassaforte_meter_transmission_gen_spark.streaming.pipeline import (
+        _SNAPSHOT_VIEW_SCHEMA,
+        _snapshot_view_partials,
+        snapshot_view_batch_fn,
+    )
+
+    t = SnapshotTable(
+        str(tmp_path / "src"),
+        "bucket int, o_orderkey bigint, o_orderstatus string,"
+        " o_totalprice double",
+        4,
+    )
+
+    def odf(rows):
+        return spark.createDataFrame(
+            rows, "o_orderkey long, o_orderstatus string, o_totalprice double"
+        ).withColumn("bucket", bucket_of("o_orderkey", 4))
+
+    t.commit(odf([(1, "O", 10.0), (2, "F", 20.0), (3, "O", 30.0)]), 0)
+    t.commit_delete(
+        odf([(3, "O", 0.0)]).select("bucket", "o_orderkey"),
+        1,
+        key_cols=("o_orderkey",),
+    )
+    t.commit_append(odf([(9, "F", 5.0)]), 2)
+
+    view_dir = str(tmp_path / "view")
+    commits = str(tmp_path / "commits")
+    os.makedirs(commits, exist_ok=True)
+    _snapshot_view_partials(t.read(spark, as_of=0), 1).write.parquet(
+        f"{view_dir}/v=0"
+    )
+    open(os.path.join(commits, "0"), "w").close()
+    fn = snapshot_view_batch_fn(t, view_dir, commits)
+
+    def feed(sids, batch_id):
+        fn(
+            spark.createDataFrame([(str(s),) for s in sids], "value string"),
+            batch_id,
+        )
+
+    feed([1, 2], 0)  # batched delivery: one refresh 0 -> 2
+    want = {
+        (r["o_orderstatus"], r["n_orders"], str(r["sum_dec"]))
+        for r in spark.read.schema(_SNAPSHOT_VIEW_SCHEMA)
+        .parquet(f"{view_dir}/v=2")
+        .collect()
+    }
+    assert want == {("O", 1, "10.0000"), ("F", 2, "25.0000")}
+    feed([1], 1)  # poisoned replay of an applied snapshot: no-op
+    feed([2], 2)
+    assert sorted(os.listdir(commits)) == ["0", "2"]  # no new version
+    got = {
+        (r["o_orderstatus"], r["n_orders"], str(r["sum_dec"]))
+        for r in spark.read.schema(_SNAPSHOT_VIEW_SCHEMA)
+        .parquet(f"{view_dir}/v=2")
+        .collect()
+    }
+    assert got == want
