@@ -2547,6 +2547,10 @@ def chunk_ledger_lsm_batch_fn(table):
                 F.count("*").cast("long").alias("n_occurrences"),
             )
             .withColumn("bucket", bucket_of("chunk_hash", table.n_buckets))
+            # one delta FILE per bucket per batch (not one per shuffle
+            # partition): keeps the size-tier honest — file count grows
+            # with BATCHES, not with parallelism
+            .repartition("bucket")
         )
         sid = 0 if table.latest() is None else table.latest() + 1
         table.commit_append(delta, sid, batch_hw=batch_id)

@@ -236,6 +236,114 @@ def main() -> None:
     }
     out["scd2"] = scd2_out
 
+    # --- round-14 lakehouse maintenance probes ---
+    # (1) scattered delete: merge-on-read tombstones vs copy-on-write.
+    # 100 keys scattered uniformly across a 256-bucket table touch
+    # ~100 buckets — CoW rewrites every one; MOR writes O(deleted).
+    n_del_buckets = 256
+    td_root = os.path.join(root, "mor_vs_cow")
+    lake: dict = {}
+    base = (
+        orders.withColumn(
+            "bucket", bucket_of("o_orderkey", n_del_buckets)
+        ).localCheckpoint()
+    )
+    doomed = (
+        base.orderBy("o_orderkey")
+        .limit(100)
+        .select("bucket", "o_orderkey")
+        .localCheckpoint()
+    )
+    del_schema = (
+        "bucket int, o_orderkey bigint, o_orderstatus string,"
+        " o_totalprice double"
+    )
+    # copy-on-write
+    tcow = SnapshotTable(os.path.join(td_root, "cow"), del_schema, n_del_buckets)
+    tcow.commit(base.repartition("bucket"), 0)
+    b0 = _tree_bytes(tcow.root)
+    t0 = time.perf_counter()
+    touched = [r[0] for r in doomed.select("bucket").distinct().collect()]
+    prev = tcow.read(spark, buckets=touched)
+    survivors = prev.join(
+        F.broadcast(doomed.select("o_orderkey")), "o_orderkey", "left_anti"
+    ).localCheckpoint()
+    kept = {r[0] for r in survivors.select("bucket").distinct().collect()}
+    tcow.commit(
+        survivors.repartition("bucket"),
+        1,
+        emptied_buckets=sorted(set(touched) - kept),
+    )
+    cow = {
+        "apply_sec": round(time.perf_counter() - t0, 3),
+        "bytes_written": _tree_bytes(tcow.root) - b0,
+        "buckets_rewritten": len(touched),
+    }
+    # merge-on-read
+    tmor = SnapshotTable(os.path.join(td_root, "mor"), del_schema, n_del_buckets)
+    tmor.commit(base.repartition("bucket"), 0)
+    b0 = _tree_bytes(tmor.root)
+    t0 = time.perf_counter()
+    tmor.commit_delete(
+        doomed.repartition("bucket"), 1, key_cols=("o_orderkey",)
+    )
+    mor = {
+        "apply_sec": round(time.perf_counter() - t0, 3),
+        "bytes_written": _tree_bytes(tmor.root) - b0,
+        "buckets_rewritten": 0,
+    }
+    lake["scattered_delete_100keys"] = {
+        "table_rows": n_orders,
+        "n_buckets": n_del_buckets,
+        "cow": cow,
+        "mor": mor,
+        "mor_bytes_advantage": round(
+            cow["bytes_written"] / max(1, mor["bytes_written"]), 1
+        ),
+    }
+
+    # (2) size-tiered compaction: a hot bucket accumulates append
+    # deltas; the tiered compaction rewrites ONLY that bucket — bytes
+    # written must be a small fraction of the table.
+    thot = SnapshotTable(
+        os.path.join(td_root, "tiered"), del_schema, n_del_buckets
+    )
+    thot.commit(base.repartition("bucket"), 0)
+    hot_bucket = doomed.first()["bucket"]
+    hot_rows = base.filter(F.col("bucket") == hot_bucket).limit(20)
+    for i in range(6):
+        thot.commit_append(
+            hot_rows.withColumn(
+                "o_orderkey", F.col("o_orderkey") + (i + 1) * 10_000_000
+            ).repartition("bucket"),
+            i + 1,
+        )
+    table_bytes = _tree_bytes(thot.root)
+    b0 = table_bytes
+    t0 = time.perf_counter()
+    compacted = thot.compact_buckets(spark, 7, max_files=4)
+    lake["size_tiered_compaction"] = {
+        "table_bytes": table_bytes,
+        "compaction_bytes": _tree_bytes(thot.root) - b0,
+        "buckets_compacted": len(compacted),
+        "n_buckets": n_del_buckets,
+        "apply_sec": round(time.perf_counter() - t0, 3),
+    }
+
+    # (3) two-level manifest: root-manifest bytes per commit must stay
+    # flat while append deltas accumulate (one-level design grew
+    # linearly with the live file list).
+    roots = [
+        os.path.getsize(tl._manifest_path(s)) for s in tl.snapshots()
+    ]
+    lake["root_manifest_bytes_per_commit"] = {
+        "series": roots,
+        "live_files": sum(
+            len(ps) for ps in tl.bucket_files(None).values()
+        ),
+    }
+    out["lakehouse_maintenance"] = lake
+
     import shutil
 
     shutil.rmtree(root, ignore_errors=True)
