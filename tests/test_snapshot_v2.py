@@ -504,3 +504,116 @@ def test_snapshot_view_feed_replay_is_exactly_once(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_snapshot_table_model_based_v2(spark, tmp_path):
+    """Model-based check over the ROUND-14 operation set: random
+    interleavings of partial-rewrite upserts, MERGE-ON-READ deletes,
+    SIZE-TIERED compactions, full compactions, expiry+vacuum, and
+    REBUCKET migrations against a plain-dict model. After every step
+    the current read equals the model and every retained snapshot
+    still time-travels to its recorded state — the operation-ORDER
+    bugs (tombstone surviving a compaction, a tier rewrite clobbering
+    an untouched bucket, a migration dropping a pending delete) live
+    exactly here."""
+    import random
+
+    for seed in (11, 29):
+        rng = random.Random(seed)
+        root = str(tmp_path / f"m{seed}")
+        t = SnapshotTable(root, "bucket int, k bigint, v bigint", 4)
+        model: dict[int, int] = {}
+        history: dict[int, dict[int, int]] = {}
+
+        _bucket_cache = {
+            r["k"]: r["bucket"]
+            for r in _df(spark, [(k, 0) for k in range(24)]).collect()
+        }
+
+        def next_sid() -> int:
+            return 0 if t.latest() is None else t.latest() + 1
+
+        def upsert(changed: dict[int, int]) -> None:
+            nonlocal model
+            model = {**model, **changed}
+            tb = {_bucket_cache[k] for k in changed}
+            rows = [
+                (k, v) for k, v in model.items() if _bucket_cache[k] in tb
+            ]
+            sid = next_sid()
+            t.commit(_df(spark, rows), sid)
+            history[sid] = dict(model)
+
+        def mor_delete(ks: set[int]) -> None:
+            nonlocal model
+            model = {k: v for k, v in model.items() if k not in ks}
+            sid = next_sid()
+            t.commit_delete(
+                _df(spark, [(k, 0) for k in ks]).select("bucket", "k"),
+                sid,
+                key_cols=("k",),
+            )
+            history[sid] = dict(model)
+
+        upsert({k: k * 10 for k in range(0, 24, 2)})
+        n_migrations = 0
+        for _ in range(7):
+            op = rng.choice(
+                [
+                    "upsert",
+                    "mor_delete",
+                    "compact_tiered",
+                    "compact_full",
+                    "expire_vacuum",
+                    "rebucket",
+                ]
+            )
+            if op == "upsert":
+                ks = rng.sample(range(24), rng.randint(1, 5))
+                upsert({k: rng.randint(0, 999) for k in ks})
+            elif op == "mor_delete":
+                live = sorted(model)
+                if live:
+                    mor_delete(
+                        set(
+                            rng.sample(
+                                live, min(len(live), rng.randint(1, 3))
+                            )
+                        )
+                    )
+            elif op == "compact_tiered":
+                sid = next_sid()
+                t.compact_buckets(spark, sid, max_files=2)
+                if t.latest() == sid:  # something crossed the tier
+                    history[sid] = dict(model)
+            elif op == "compact_full":
+                sid = next_sid()
+                t.compact(spark, sid)
+                history[sid] = dict(model)
+            elif op == "expire_vacuum":
+                keep = max(history)
+                t.expire(keep_from=keep)
+                t.vacuum()
+                for old in [s for s in history if s < keep]:
+                    del history[old]
+            else:  # rebucket migration to a fresh root, then adopt it
+                n_migrations += 1
+                t = t.rebucket(
+                    spark,
+                    str(tmp_path / f"m{seed}_rb{n_migrations}"),
+                    "k",
+                    4,
+                    sid=0,
+                )
+                history.clear()
+                history[0] = dict(model)
+            # invariant 1: current read == model
+            got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+            assert got == model, (seed, op, got, model)
+            # invariant 2: every retained snapshot time-travels
+            for s, st in history.items():
+                back = {
+                    r["k"]: r["v"]
+                    for r in t.read(spark, as_of=s).collect()
+                }
+                assert back == st, (seed, op, s)
