@@ -30,11 +30,12 @@ gate, xxhash64 for production throughput.
 
 from __future__ import annotations
 
-import os
 import random
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.spread import spread_small_scan
 
 from ..functions.text import (
     MINHASH_PRIME,
@@ -73,42 +74,10 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition to the session's default parallelism before
-    CPU-heavy per-row work. A small parquet reads as one partition
-    (file < maxPartitionBytes), which would serialize all
-    shingling/hashing onto one core — the shuffle of raw text is cheap
-    relative to the compute it parallelizes. At 100 TB inputs arrive
-    already split; this guards the small-file edge.
-
-    The gate is METADATA-only: ``df.inputFiles()`` (a catalog listing)
-    plus local file sizes — the earlier ``df.rdd.getNumPartitions()``
-    probe built the whole Python-RDD conversion plan per call, ~0.5 s
-    of pure py4j/planning overhead on the hot dedup paths (judge
-    VERDICT r8 next-#7). Many files, or enough bytes that the scan
-    splits by maxPartitionBytes on its own, means the source already
-    parallelizes — skip; few small files (or a non-file source, i.e.
-    test fixtures) get the spread."""
-    sc = df.sparkSession.sparkContext
-    par = sc.defaultParallelism
-    try:
-        files = df.inputFiles()
-    except Exception:  # non-file plan: can't tell — spread (cheap: small)
-        files = []
-    if len(files) >= par:
-        return df
-    local = [f[7:] if f.startswith("file://") else None for f in files]
-    if files and all(p is not None for p in local):
-        try:
-            total = sum(os.path.getsize(p) for p in local)
-            # ≥2 MB compressed per core: the columnar scan splits it by
-            # maxPartitionBytes / the text decompresses ~5×, so the
-            # spread shuffle would cost more than the skew it prevents
-            if total >= par * (2 << 20):
-                return df
-        except OSError:
-            pass
-    return df.repartition(par)
+#: hoisted to functions.spread in round 14 (shared with the scan-bound
+#: catalog queries); semantics unchanged — see that module's docstring
+#: for the metadata-only gate and its 100 TB no-op argument.
+_spread = spread_small_scan
 
 
 def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:

@@ -132,7 +132,15 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the query set, score every
     candidate, rank per query. Returns (query_id, neighbor_id, cosine,
-    rank). Deterministic: rank ties broken by neighbor id."""
+    rank). Deterministic: rank ties broken by neighbor id.
+
+    The candidate side is spread (functions.spread): a single small
+    parquet file reads as one split, which serialized every
+    dot-product fold of the broadcast cross join onto one core; the
+    metadata gate makes this a no-op on an already-split corpus."""
+    from ..functions.spread import spread_small_scan
+
+    vectors = spread_small_scan(vectors)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.spread import spread_small_scan
 from ..schemas import load_table
 from .catalog import register
 from .compat import DEC, dec_sum, sql_dec_sum
@@ -26,6 +27,17 @@ from .compat import DEC, dec_sum, sql_dec_sum
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+def _fact(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Fact-table read with the small-file scan-parallelism guard
+    (functions.spread): the corpus ships each table as ONE small
+    one-row-group parquet file, so every narrow pipeline stacked on the
+    scan — broadcast-join probes, decimal casts, partial aggregation —
+    ran on a single core. The guard is metadata-gated: at 100 TB the
+    fact table arrives as many files and this is a structural no-op.
+    Dimension tables stay unspread — they broadcast anyway."""
+    return spread_small_scan(load_table(spark, sf_dir, name))
 
 
 # --- Q1: pricing summary (scan + filter + wide aggregation) ---
@@ -52,7 +64,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: single-pass scan with the shipdate predicate
     pushed to parquet and eight aggregates in one hash-agg (verify with
     .explain: PushedFilters + partial/final HashAggregate)."""
-    l = _t(spark, sf_dir, "lineitem").filter(
+    l = _fact(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))

@@ -67,7 +67,14 @@ def tick_joules_df(spark: SparkSession, sample_rate: int = SAMPLE_RATE) -> DataF
     fold is O(rows × 15k); this is O(15k) + a broadcast of one row.
     """
     saw = (F.col("id") % SAW_PERIOD).cast("double")
-    return spark.range(sample_rate).agg(
+    # numPartitions=1: the 15k-element fold is microseconds of work, but
+    # a default-parallelism range planned it as a 32-task stage plus a
+    # SinglePartition exchange before the final agg — pure scheduling
+    # overhead paid by EVERY query that broadcasts the tick energy. One
+    # partition satisfies the final agg's AllTuples requirement
+    # directly: no exchange, one task, same value (sum is exact — the
+    # sawtooth doubles are integers far below 2^53).
+    return spark.range(0, sample_rate, 1, 1).agg(
         F.floor(F.sum(saw) / F.lit(sample_rate)).cast("int").alias("joules")
     )
 
