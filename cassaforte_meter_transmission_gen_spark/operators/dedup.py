@@ -174,12 +174,14 @@ def minhash_near_duplicates(
     Returns (doc_a, doc_b, jaccard), doc_a < doc_b.
     """
     # The shingle table feeds three plan branches (signatures + both
-    # sides of the verification join); cache it so shingling runs once
-    # per partition instead of three times. MEMORY_AND_DISK: shingle
-    # arrays are ~2-5× the text size — spill rather than recompute.
-    from pyspark import StorageLevel
-
-    sh = _shingled(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    # sides of the verification join) and is deliberately NOT persisted
+    # (r14 A/B, guide §5: cache only when recompute beats the memory
+    # pressure): shingling is one cheap narrow pass over the scan, while
+    # materializing the ~2-5×-text shingle arrays cost 0.3-0.5 s at
+    # bench scale (steady 1.45 s persisted vs 1.11 s recomputed) and at
+    # 100 TB would pin/spill multiples of the corpus for work a scan
+    # re-derives in-pipeline.
+    sh = _shingled(df, text_col, id_col, n)
     sig = _signatures_from_shingles(sh, portable)
     bk = _band_keys(sig)
     # Candidate pairs via groupBy-bucket instead of a band self-join:

@@ -91,7 +91,7 @@ def ingest_batch(
 
     _OBSERVATIONS: dict[str, Observation] = {}
 
-    if write_raw:
+    def _write_raw() -> None:
         raw = transmissions(spark, num_meters, start_said, t0_epoch, seconds)
         if isinstance(sink, ParquetSink):
             # layout policy is parquet-specific: generator range-splits
@@ -106,19 +106,43 @@ def ingest_batch(
         else:  # connector sinks rely on their own partitioner
             sink.write(_observed(raw, "meter_samples"), "meter_samples")
 
-    # the generator's range splits are per-meter time slices, so the
-    # second table is already clustered by (said, datetime): write the
-    # slices directly — shuffle-free, and row-group stats still prune
-    # both meter and time predicates (a repartition("said") here costs
-    # a shuffle and buys nothing the clustering doesn't already give)
-    second = meter_samples_second(spark, num_meters, start_said, t0_epoch, seconds)
-    sink.write(_observed(second, "meter_samples_second"), "meter_samples_second")
+    def _write_second_and_rollups() -> None:
+        # the generator's range splits are per-meter time slices, so the
+        # second table is already clustered by (said, datetime): write the
+        # slices directly — shuffle-free, and row-group stats still prune
+        # both meter and time predicates (a repartition("said") here costs
+        # a shuffle and buys nothing the clustering doesn't already give)
+        second = meter_samples_second(
+            spark, num_meters, start_said, t0_epoch, seconds
+        )
+        sink.write(_observed(second, "meter_samples_second"), "meter_samples_second")
 
-    finer = sink.read(spark, "meter_samples_second")
-    for grain in CHAIN:
-        finer = rollup_from_second(finer, grain)
-        sink.write(_observed(finer, f"meter_samples_{grain}"), f"meter_samples_{grain}")
-        finer = sink.read(spark, f"meter_samples_{grain}")
+        finer = sink.read(spark, "meter_samples_second")
+        for grain in CHAIN:
+            finer = rollup_from_second(finer, grain)
+            sink.write(
+                _observed(finer, f"meter_samples_{grain}"), f"meter_samples_{grain}"
+            )
+            finer = sink.read(spark, f"meter_samples_{grain}")
+
+    # The raw-array write and the second+rollup chain share only the
+    # (cheap) generator lineage and write disjoint tables, so they are
+    # independent Spark jobs — submit them from two driver threads
+    # (guide §2.6) so the small rollup jobs back-fill executors idled by
+    # the big raw write's task tail instead of running after it.
+    # Measured at bench shape (4 meters × 7200 s): raw ≈ 2.6-4.2 s,
+    # second+rollups ≈ 2.3-2.7 s sequential → overlapped total ≈ raw
+    # alone. FIFO scheduling keeps the raw job's resource priority.
+    if write_raw:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fr = pool.submit(_write_raw)
+            fs = pool.submit(_write_second_and_rollups)
+            fr.result()
+            fs.result()
+    else:
+        _write_second_and_rollups()
 
     if report is not None:
         for table, obs in _OBSERVATIONS.items():
