@@ -137,19 +137,26 @@ def _signatures_from_shingles(sh: DataFrame, portable: bool) -> DataFrame:
 
 def _band_keys(sig: DataFrame) -> DataFrame:
     """Explode the signature into (doc_id, band_idx, band_key) — the
-    LSH bucket id is the md5 of the band's minhash concatenation."""
+    LSH bucket id is ``xxhash64`` over the band's minhash values.
+
+    r14 (guide §2.3, narrower types): the key was
+    ``md5(concat_ws(',', m...))`` — a 32-char string built via a
+    per-row concat allocation. Bucketing only needs equal bands to
+    collide: xxhash64 over the raw longs is an 8-byte key with no
+    string building, shuffling a quarter of the bytes per band row at
+    any scale. A cross-band xxhash collision (~2⁻⁶⁴) merely ADDS a
+    candidate pair, which the exact-Jaccard verify filters — results
+    identical by construction, and the DuckDB oracle re-derives its
+    own (md5) candidates so parity gates the equivalence."""
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_idx"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"m{b * ROWS_PER_BAND + r}").cast("string")
-                            for r in range(ROWS_PER_BAND)
-                        ],
-                    )
+                F.xxhash64(
+                    *[
+                        F.col(f"m{b * ROWS_PER_BAND + r}")
+                        for r in range(ROWS_PER_BAND)
+                    ]
                 ).alias("band_key"),
             )
             for b in range(N_BANDS)

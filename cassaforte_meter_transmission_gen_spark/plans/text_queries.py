@@ -756,28 +756,29 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     → language filter (predicted 'en') → per-survivor token budget
     (BPE-ish count) and 32-word context-chunk count.
 
-    One pass over the corpus: the keeper is ``min(doc_id) OVER
-    (PARTITION BY fp)`` — ONE scan and ONE fingerprint-keyed exchange,
-    versus the previous groupBy + join-back shape which planned TWO
-    scans of the corpus (agg branch + probe branch) plus a join, and
-    whose quality filter Catalyst pushed into the probe-side SCAN —
-    evaluating the whole regexp battery inside the unsplittable
-    single-file scan task on one core (r14 A/B: window form cold
-    1.25 s vs 1.56–1.95 s, steady parity, byte-identical output).
-    At 100 TB the window form strictly dominates: one pass over the
-    text instead of two, one payload exchange, no join.
+    One pass over the corpus: dedup costs one fingerprint-keyed
+    shuffle + one fingerprint join (AQE broadcasts the keeper side);
+    everything downstream is narrow per-row expression work inside a
+    single codegen span, so the pipeline's scale cost is the dedup
+    exchange — exactly the minimum any content-dedup pass pays at
+    100 TB. An r14 window-form rewrite (``min(doc_id) OVER (PARTITION
+    BY fp)`` — one scan, no join) was built, verified byte-identical,
+    and REJECTED on an order-swapped paired A/B: the join form pushes
+    the quality filter into the probe-side scan so the heavy
+    regexp battery runs on pre-filtered rows, and measured faster both
+    cold (3.9 s vs 4.6 s first-position) and steady (1.0-1.3 s vs
+    1.4-1.6 s).
 
-    The scan is spread (functions.spread) before the fingerprint pass,
-    and the deduped survivors are spread again before the regexp-heavy
-    quality/langid/BPE projection: AQE coalesces the tiny post-window
-    stage to ~1 partition at fixture sizes, which would serialize the
-    battery; both guards are metadata-gated structural no-ops on
-    already-split inputs at scale."""
+    The scan is spread (functions.spread) before the regexp-heavy
+    narrow work: a single small parquet file reads as ONE split, which
+    serialized the tokenize/normalize/BPE-count pipeline onto one core
+    (measured 4.1 s cold / 1.2 s steady at sf0.1 → 0.9 s / 0.7 s
+    spread); at 100 TB the gate makes it a structural no-op."""
     d = spread_small_scan(_docs(spark, sf_dir))
     d = d.withColumn("fp", F.md5(normalize_text(F.col("text"))))
-    w = Window.partitionBy("fp")
-    kept = spread_small_scan(
-        d.withColumn("keeper", F.min("doc_id").over(w))
+    keepers = d.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    kept = (
+        d.join(keepers, "fp")
         .filter(F.col("doc_id") == F.col("keeper"))
         .select("doc_id", "text")
     )
