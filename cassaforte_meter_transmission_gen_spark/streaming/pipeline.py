@@ -456,8 +456,21 @@ def streaming_ingest_batch_fn(
             second.write.mode("overwrite").parquet(
                 f"{paths['meter_samples_second']}/batch={batch_id}"
             )
+            # Derive the grain increments from the JUST-WRITTEN second
+            # table, not from the in-memory lineage: each grain write is
+            # its own Spark action, and the lineage re-executed the raw
+            # batch scan plus the 15k-element joules fold once PER GRAIN
+            # (4× the stream's dominant CPU per micro-batch — r14,
+            # guide §1.2 "don't recompute what you already wrote").
+            # The read-back is the tiny (said, datetime, joules) table;
+            # the rows are identical by construction (lossless write),
+            # and it is durable before the commit marker either way.
             prev = hw
-            inc = second
+            # joules is INT at the second grain (joules_over_second);
+            # the rollup sum widens it to long per GRAIN_SCHEMA
+            inc = spark.read.schema(
+                "said int, datetime timestamp, joules int"
+            ).parquet(f"{paths['meter_samples_second']}/batch={batch_id}")
             for grain in CHAIN:
                 inc = rollup_from_second(inc, grain)
                 gpath = paths[f"meter_samples_{grain}"]
