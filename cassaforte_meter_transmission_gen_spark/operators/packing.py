@@ -15,8 +15,11 @@ here is a two-pass prefix sum over DETERMINISTIC range buckets:
    so bucket i's rows all precede bucket i+1's;
 3. per-bucket partial sums via a window partitioned by bucket id
    (parallel — one hash exchange);
-4. per-bucket totals (one tiny row per bucket) are collected,
-   prefix-summed on the driver, and broadcast back as a literal map.
+4. per-bucket totals (one tiny row per bucket) are prefix-summed by a
+   32-row window and broadcast-joined back IN the same plan — no
+   driver collect, so the whole prefix sum is ONE Spark action after
+   the boundary sketch (the collect-and-literal-map predecessor cost a
+   second driver-blocking job per call; changed r14).
 
 Because the bucket id is a pure function of the data — NOT
 ``spark_partition_id()`` after a ``repartitionByRange`` — every job and
@@ -76,41 +79,48 @@ def global_running_total(
     local = parted.withColumn(
         "__local", F.sum(value_col).over(w) - F.col(value_col)
     )
-    # one row per bucket reaches the driver — bounded by the bucket
-    # count, never the data
-    totals = {
-        r["__pid"]: r["__t"]
-        for r in parted.groupBy("__pid")
-        .agg(F.sum(value_col).alias("__t"))
-        .collect()
-    }
-    offsets, acc = {}, 0
-    for p in sorted(totals):
-        offsets[p] = acc
-        acc += totals[p]
-    offset_col = F.element_at(
-        F.create_map(
-            *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
-        ),
-        F.col("__pid"),
+    # cross-bucket offsets IN-PLAN (r14, guide §2.6/§5): one tiny row
+    # per bucket flows through a 32-row running-sum window and comes
+    # back as a broadcast join — the old form collected the totals to
+    # the driver and baked a literal map, which cost a SECOND
+    # driver-blocking job (plan + codegen + collect, measured ~0.5-1.1 s
+    # at sf0.1) before the output job could even be planned. The
+    # accumulation order is identical (ascending __pid, same IEEE
+    # sequence for float sums), so results are bit-equal; the offsets
+    # relation stays bounded by the bucket count, never the data.
+    totals = parted.groupBy("__pid").agg(F.sum(value_col).alias("__t"))
+    sum_type = dict(totals.dtypes)["__t"]
+    # 32-row frame: the single-partition global-order window is exactly
+    # the shape global_running_total exists to avoid on DATA — safe
+    # here because its input is one row per bucket by construction
+    woff = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    # defense-in-depth: a bucket id outside the offsets map means the
-    # output job disagreed with the totals job about the assignment —
-    # impossible for a pure function over the same rows, but if it ever
-    # happens (e.g. a nondeterministic upstream), fail LOUDLY instead
-    # of emitting NULL/wrong sums
+    offsets = totals.select(
+        "__pid",
+        F.coalesce(F.sum("__t").over(woff), F.lit(0).cast(sum_type)).alias(
+            "__off"
+        ),
+    )
+    # defense-in-depth: a bucket id outside the offsets relation means
+    # the output branch disagreed with the totals branch about the
+    # assignment — impossible for a pure function over the same rows,
+    # but if it ever happens (e.g. a nondeterministic upstream), fail
+    # LOUDLY instead of emitting NULL/wrong sums
     guarded = F.coalesce(
-        offset_col,
+        F.col("__off"),
         F.raise_error(
             F.concat(
                 F.lit("global_running_total: bucket "),
                 F.col("__pid").cast("string"),
-                F.lit(" missing from offsets map"),
+                F.lit(" missing from offsets relation"),
             )
-        ).cast("long"),
+        ).cast(sum_type),
     )
-    return local.withColumn(out_col, (F.col("__local") + guarded)).drop(
-        "__pid", "__local"
+    return (
+        local.join(F.broadcast(offsets), "__pid", "left")
+        .withColumn(out_col, F.col("__local") + guarded)
+        .drop("__pid", "__local", "__off")
     )
 
 

@@ -425,9 +425,10 @@ def streaming_ingest_batch_fn(
     arriving partitions); each grain merge shuffles only (said, bucket)
     keys of the increment plus the existing rollup table — tiny
     relative to raw, and the rewrite cost is bounded by the rollup
-    table size, not the stream history. The grain chain derives each
-    increment from the previous (finer) one, so raw rows are folded
-    exactly once."""
+    table size, not the stream history. Each grain increment derives
+    directly from the just-written second table (sum is associative,
+    so second→hour ≡ second→minute→hour), so raw rows are folded
+    exactly once and the three merges are independent jobs."""
     import os
 
     from ..functions.energy import joules_over_second
@@ -447,7 +448,7 @@ def streaming_ingest_batch_fn(
                 f"{paths['meter_samples']}/batch={batch_id}"
             )
 
-        def _write_second_and_grains() -> None:
+        def _write_second() -> DataFrame:
             second = batch.select(
                 "said",
                 "datetime",
@@ -465,44 +466,55 @@ def streaming_ingest_batch_fn(
             # The read-back is the tiny (said, datetime, joules) table;
             # the rows are identical by construction (lossless write),
             # and it is durable before the commit marker either way.
-            prev = hw
             # joules is INT at the second grain (joules_over_second);
             # the rollup sum widens it to long per GRAIN_SCHEMA
-            inc = spark.read.schema(
+            return spark.read.schema(
                 "said int, datetime timestamp, joules int"
             ).parquet(f"{paths['meter_samples_second']}/batch={batch_id}")
-            for grain in CHAIN:
-                inc = rollup_from_second(inc, grain)
-                gpath = paths[f"meter_samples_{grain}"]
-                if prev is not None:
-                    merged = counter_merge(
-                        spark.read.schema(GRAIN_SCHEMA).parquet(
-                            f"{gpath}/v={prev}"
-                        ),
-                        inc,
-                    )
-                else:
-                    merged = inc
-                (
-                    merged.sortWithinPartitions("said", "datetime")
-                    .write.mode("overwrite")
-                    .parquet(f"{gpath}/v={batch_id}")
-                )
 
-        # The raw batch-dir write and the second+grain-version chain
-        # write disjoint tables and only share the micro-batch's file
-        # slice as input — independent Spark jobs, submitted from two
-        # driver threads (guide §2.6) so the small grain merges
-        # back-fill executors idled by the raw write's task tail. The
-        # commit marker still lands only after BOTH are durable (the
-        # joins below), so the crash/replay protocol is unchanged.
+        def _merge_grain(inc_second: DataFrame, grain: str) -> None:
+            # each grain directly from the written second table — sum is
+            # associative, so second→hour equals second→minute→hour, and
+            # deriving the three grains independently makes them
+            # independent Spark jobs (guide §2.6) instead of a chained
+            # sequence of three driver-blocking actions per micro-batch
+            inc = rollup_from_second(inc_second, grain)
+            gpath = paths[f"meter_samples_{grain}"]
+            if hw is not None:
+                merged = counter_merge(
+                    spark.read.schema(GRAIN_SCHEMA).parquet(
+                        f"{gpath}/v={hw}"
+                    ),
+                    inc,
+                )
+            else:
+                merged = inc
+            (
+                merged.sortWithinPartitions("said", "datetime")
+                .write.mode("overwrite")
+                .parquet(f"{gpath}/v={batch_id}")
+            )
+
+        # The raw batch-dir write, the second write, and the three
+        # grain-version merges write disjoint tables — independent Spark
+        # jobs, submitted from driver threads (guide §2.6) so the small
+        # grain merges back-fill executors idled by the raw write's task
+        # tail instead of queueing behind each other as four sequential
+        # driver-blocking actions. Only the real data dependency is
+        # sequential: grain merges start after the second table (their
+        # input) is durable. The commit marker still lands only after
+        # ALL five tables are durable (the .result() joins below), so
+        # the crash/replay protocol is unchanged.
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=2) as pool:
+        with ThreadPoolExecutor(max_workers=4) as pool:
             fr = pool.submit(_write_raw)
-            fs = pool.submit(_write_second_and_grains)
+            inc_second = _write_second()
+            for f in [
+                pool.submit(_merge_grain, inc_second, g) for g in CHAIN
+            ]:
+                f.result()
             fr.result()
-            fs.result()
         if crash_before_commit is not None and crash_before_commit(batch_id):
             raise RuntimeError(
                 f"injected crash before commit of batch {batch_id}"

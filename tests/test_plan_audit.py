@@ -20,6 +20,29 @@ def _optimized(df) -> str:
     return df._jdf.queryExecution().optimizedPlan().toString()
 
 
+def _single_partition_children(plan: str) -> list[str]:
+    """The immediate child line of every ``Exchange SinglePartition``
+    node in a tree-string plan (the tree prints depth-first, so the
+    next line is the exchange's input)."""
+    lines = plan.splitlines()
+    return [
+        lines[i + 1]
+        for i, line in enumerate(lines)
+        if "Exchange SinglePartition" in line
+    ]
+
+
+def _is_bounded_offsets_agg(child: str) -> bool:
+    """True when a SinglePartition exchange feeds packing.
+    global_running_total's per-bucket totals aggregate — keyed by the
+    synthetic bucket id, so the exchanged relation is bounded by
+    n_partitions (32 rows), never the data. This is the ONE allowed
+    single-partition shape on the prefix-sum queries since the r14
+    in-plan offsets change (the cross-bucket offsets window runs over
+    these ≤32 rows in-plan instead of a driver collect)."""
+    return "HashAggregate(keys=[__pid#" in child
+
+
 def test_q01_pushdown_and_pruning(spark, sf_small):
     df = REGISTRY["q01_pricing_summary"].fn(spark, sf_small)
     plan = _plan(df)
@@ -406,12 +429,14 @@ def test_profile_one_scan_prunes_unprofiled_columns(spark, sf_small):
 def test_equidepth_deciles_no_global_sort(spark, sf_small):
     """The equi-depth decile report must NEVER plan the oracle's shape
     (ntile over an unpartitioned global sort = one task at 100 TB): no
-    SinglePartition exchange and no range-partitioned global sort — the
-    rank comes from the bucketed two-pass prefix sum, so every exchange
-    is a keyed hash partitioning."""
+    range-partitioned global sort, every DATA exchange a keyed hash
+    partitioning — the rank comes from the bucketed two-pass prefix
+    sum. The only SinglePartition exchange allowed is the one feeding
+    the ≤32-row per-bucket offsets window (r14 in-plan offsets)."""
     df = REGISTRY["agg_equidepth_price_deciles"].fn(spark, sf_small)
     plan = _plan(df)
-    assert "Exchange SinglePartition" not in plan, plan
+    for child in _single_partition_children(plan):
+        assert _is_bounded_offsets_agg(child), f"{child}\n{plan}"
     assert "Exchange rangepartitioning" not in plan, plan
     assert "Exchange hashpartitioning" in plan, plan
 
@@ -520,18 +545,24 @@ def test_gini_no_global_sort(spark, sf_small):
     df = REGISTRY["agg_gini_order_value"].fn(spark, sf_small)
     plan = _plan(df)
     assert "Exchange rangepartitioning" not in plan, plan
-    # the only SinglePartition allowed is the final 1-row global agg
-    assert plan.count("Exchange SinglePartition") <= 1, plan
+    # the only SinglePartition exchanges allowed: the final 1-row
+    # global agg (keyless) and the ≤32-row per-bucket offsets feed
+    for child in _single_partition_children(plan):
+        assert _is_bounded_offsets_agg(child) or "HashAggregate(keys=[]" in child, (
+            f"{child}\n{plan}"
+        )
     assert "Exchange hashpartitioning" in plan, plan
 
 
 def test_quartiles_no_single_partition_window(spark, sf_small):
     """The quartile summary must never plan the oracle's global-window
     shape: the rank comes from the bucketed prefix sum, so no
-    SinglePartition exchange and no unpartitioned Window."""
+    unpartitioned Window over DATA — the only SinglePartition exchange
+    allowed feeds the ≤32-row per-bucket offsets window."""
     df = REGISTRY["window_ntile_acctbal_quartiles"].fn(spark, sf_small)
     plan = _plan(df)
-    assert "Exchange SinglePartition" not in plan, plan
+    for child in _single_partition_children(plan):
+        assert _is_bounded_offsets_agg(child), f"{child}\n{plan}"
     assert "Exchange rangepartitioning" not in plan, plan
 
 
