@@ -1249,9 +1249,17 @@ def test_perceptual_hash_word_packing_and_63_pixel_limit(spark):
     words = perceptual_hash_words(decode_bmp_features(small)).first()
     assert words["n_pixels"] == 16 and list(words["words"]) == [ph]
 
-    # 8x8 (64 px): int64 variant refuses, words variant matches serial
+    # 8x8 (64 px): int64 variant refuses, words variant matches serial.
+    # The deliberately-failing job runs on ONE partition: a 1-row
+    # createDataFrame otherwise plans defaultParallelism (32) tasks, and
+    # when the data-holding task raises, the 31 sibling tasks are killed
+    # mid-protocol — a killed task's Python worker can be returned to
+    # the pool with the stale error frame pending and replay it into the
+    # NEXT Python-evaluating job (seen once under full-suite load: the
+    # words query below surfaced this guard's message). One task = one
+    # worker = no killed siblings to poison the pool.
     w8, h8, rgb8 = synthetic_bmp_pattern(7, width=8, height=8)
-    big = frame(7, w8, h8, rgb8)
+    big = frame(7, w8, h8, rgb8).coalesce(1)
     with _pytest.raises(Exception, match="at most 63 pixels"):
         perceptual_hash(decode_bmp_features(big)).collect()
     row = perceptual_hash_words(decode_bmp_features(big)).first()
