@@ -34,6 +34,79 @@ def tokens(text: Column) -> Column:
     return F.split(text, r"\s+")
 
 
+# --- SQL-string twins (r14, guide §1.2 via the round-4 lesson) ---
+#
+# Plan BUILD time is driver-side py4j latency: every Column method call
+# is a blocking round trip, and the expression-heavy builders below pay
+# hundreds per query (measured: dedup_minhash_lsh_pairs 2464 trips,
+# pipeline_training_prep 1745 — the trip count is deterministic, so it
+# is the honest metric on a contended box). Each ``*_sql`` twin emits
+# the SAME expression tree as its Column sibling as ONE server-parsed
+# string, so a whole projection costs one selectExpr round trip.
+# Results are bit-identical (same functions, same literals — the only
+# plan diff is struct FIELD NAMES inside arrays_zip, which never reach
+# output schemas); the DuckDB parity gate re-verifies every consumer.
+
+
+def tokens_sql(text_sql: str) -> str:
+    """SQL-string twin of :func:`tokens`."""
+    return f"split({text_sql}, '\\\\s+')"
+
+
+def normalize_text_sql(text_sql: str) -> str:
+    """SQL-string twin of :func:`normalize_text`."""
+    return f"trim(regexp_replace(lower({text_sql}), '\\\\s+', ' '))"
+
+
+def word_shingles_sql(toks_sql: str, n: int = 3) -> str:
+    """SQL-string twin of :func:`word_shingles`: same slice/arrays_zip/
+    concat_ws tree (the capture-free HOF form — see the Column twin's
+    docstring for why). arrays_zip struct fields are positional ('0',
+    '1', …) in SQL where the Column form aliases t0/t1/… — internal
+    names only, the emitted shingle strings are identical."""
+    win = f"(size({toks_sql}) - {n - 1})"
+    slices = ", ".join(
+        f"slice({toks_sql}, {i + 1}, {win})" for i in range(n)
+    )
+    fields = ", ".join(f"s['{i}']" for i in range(n))
+    grams = f"transform(arrays_zip({slices}), s -> concat_ws(' ', {fields}))"
+    return (
+        f"array_distinct(CASE WHEN size({toks_sql}) >= {n} THEN {grams} "
+        f"ELSE CAST(array() AS array<string>) END)"
+    )
+
+
+def tok_hash_portable_sql(s_sql: str) -> str:
+    """SQL-string twin of :func:`tok_hash_portable`."""
+    return f"CAST(conv(substring(md5({s_sql}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def tok_hash_fast_sql(s_sql: str) -> str:
+    """SQL-string twin of :func:`tok_hash_fast`."""
+    return f"xxhash64({s_sql})"
+
+
+def lang_hits_sql(toks_sql: str, lang: str) -> str:
+    """SQL-string twin of :func:`lang_hits`."""
+    markers = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return (
+        f"size(filter({toks_sql}, t -> array_contains(array({markers}), t)))"
+    )
+
+
+def predicted_lang_sql(hits: dict[str, str]) -> str:
+    """SQL-string twin of :func:`predicted_lang` over per-language hit
+    EXPRESSION STRINGS — same CASE chain, same tie-break order."""
+    langs = list(LANG_MARKERS)
+    expr = "'und'"
+    for lang in reversed(langs):
+        conds = [f"{hits[lang]} > 0"] + [
+            f"{hits[lang]} >= {hits[other]}" for other in langs if other != lang
+        ]
+        expr = f"CASE WHEN {' AND '.join(conds)} THEN '{lang}' ELSE {expr} END"
+    return expr
+
+
 def normalize_text(text: Column) -> Column:
     """Canonical form for exact dedup: lowercase, collapse whitespace,
     trim."""

@@ -40,9 +40,13 @@ from ..functions.spread import spread_small_scan
 from ..functions.text import (
     MINHASH_PRIME,
     tok_hash_fast,
+    tok_hash_fast_sql,
     tok_hash_portable,
+    tok_hash_portable_sql,
     tokens,
+    tokens_sql,
     word_shingles,
+    word_shingles_sql,
 )
 
 # --- MinHash permutation constants (fixed seed; also embedded into the
@@ -87,12 +91,16 @@ def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     # Project above (codegen CSE works within one collapsed Project but
     # not across Filter/Generate operators — measured 5× on sf0.1).
     # size(tokens) >= n  ⟺  size(shingles) > 0 (word_shingles contract).
+    # Built as server-parsed SQL strings (r14): the Column form paid
+    # ~100 py4j round trips of pure driver latency per build — same
+    # expression tree, two round trips (see functions.text *_sql twins).
+    toks = tokens_sql(f"`{text_col}`")
     return (
         _spread(df)
-        .filter(F.size(tokens(F.col(text_col))) >= n)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            word_shingles(tokens(F.col(text_col)), n).alias("shingles"),
+        .where(f"size({toks}) >= {n}")
+        .selectExpr(
+            f"`{id_col}` AS doc_id",
+            f"{word_shingles_sql(toks, n)} AS shingles",
         )
     )
 
@@ -118,21 +126,26 @@ def _signatures_from_shingles(sh: DataFrame, portable: bool) -> DataFrame:
     # multiset), but the whole signature is computed inside one
     # WholeStageCodegen span where the hash array is CSE-shared; at
     # scale this removes the (doc_id, h)-keyed exchange entirely.
-    hash_fn = tok_hash_portable if portable else tok_hash_fast
-    hashed = sh.withColumn(
-        "h", F.transform("shingles", lambda s: hash_fn(s) % MINHASH_PRIME)
+    hash_sql = (tok_hash_portable_sql if portable else tok_hash_fast_sql)("s")
+    # whole projection as server-parsed strings in TWO selectExpr round
+    # trips (r14; the Column/lambda form paid ~10 py4j trips per
+    # permutation plus the hash-transform lambda); long arithmetic is
+    # identical: a < 2^30, h < 2^32 ⇒ a·h + b < 2^62. The h projection
+    # stays a separate Project so the 16 array_mins share ONE hash pass
+    # (CollapseProject keeps non-cheap producers with >1 reference).
+    hashed = sh.selectExpr(
+        "doc_id",
+        f"transform(shingles, s -> {hash_sql} % {MINHASH_PRIME}L) AS h",
     )
-    # one server-parsed expression per permutation (the Column-API
-    # lambda form paid ~10 py4j round trips per permutation); long
-    # arithmetic is identical: a < 2^30, h < 2^32 ⇒ a·h + b < 2^62
-    sig_cols = [
-        F.expr(
+    return hashed.selectExpr(
+        "doc_id",
+        *[
             f"array_min(transform(h, h -> "
             f"({MINHASH_A[i]}L * h + {MINHASH_B[i]}L) % {MINHASH_PRIME}L))"
-        ).alias(f"m{i}")
-        for i in range(N_PERM)
-    ]
-    return hashed.select("doc_id", *sig_cols)
+            f" AS m{i}"
+            for i in range(N_PERM)
+        ],
+    )
 
 
 def _band_keys(sig: DataFrame) -> DataFrame:
@@ -148,23 +161,18 @@ def _band_keys(sig: DataFrame) -> DataFrame:
     candidate pair, which the exact-Jaccard verify filters — results
     identical by construction, and the DuckDB oracle re-derives its
     own (md5) candidates so parity gates the equivalence."""
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.xxhash64(
-                    *[
-                        F.col(f"m{b * ROWS_PER_BAND + r}")
-                        for r in range(ROWS_PER_BAND)
-                    ]
-                ).alias("band_key"),
-            )
-            for b in range(N_BANDS)
-        ]
+    bands = ", ".join(
+        "named_struct('band_idx', {b}, 'band_key', xxhash64({ms}))".format(
+            b=b,
+            ms=", ".join(
+                f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(N_BANDS)
     )
-    return sig.select("doc_id", F.explode(bands).alias("bk")).select(
-        "doc_id", F.col("bk.band_idx").alias("band_idx"), F.col("bk.band_key").alias("band_key")
-    )
+    return sig.selectExpr(
+        "doc_id", f"explode(array({bands})) AS bk"
+    ).selectExpr("doc_id", "bk.band_idx AS band_idx", "bk.band_key AS band_key")
 
 
 def minhash_near_duplicates(
@@ -199,26 +207,21 @@ def minhash_near_duplicates(
     # expands i<j pairs inside each bucket (buckets are small by LSH
     # construction; a pathological hot bucket is quadratic under either
     # formulation and belongs to an upstream boilerplate pre-filter).
-    ids = F.sort_array(F.collect_list("doc_id"))
-    pairs = F.flatten(
-        F.transform(
-            "ids",
-            lambda x, i: F.transform(
-                F.slice("ids", i + F.lit(2), F.size("ids")),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
+    pairs = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "y -> named_struct('doc_a', x, 'doc_b', y))))"
     )
     cand = (
         bk.groupBy("band_idx", "band_key")
-        .agg(ids.alias("ids"))
-        .filter(F.size("ids") > 1)
-        .select(F.explode(pairs).alias("p"))
-        .select("p.doc_a", "p.doc_b")
+        .agg(F.expr("sort_array(collect_list(doc_id))").alias("ids"))
+        .where("size(ids) > 1")
+        .selectExpr(f"explode({pairs}) AS p")
+        .selectExpr("p.doc_a", "p.doc_b")
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    sa = sh.selectExpr("doc_id AS doc_a", "shingles AS sh_a")
+    sb = sh.selectExpr("doc_id AS doc_b", "shingles AS sh_b")
     # two-step select so the intersection is computed ONCE per pair:
     # jaccard references it in numerator AND denominator, and inlining
     # the array_intersect into both (the single-select form) doubles
@@ -230,24 +233,18 @@ def minhash_near_duplicates(
     sized = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .select(
+        .selectExpr(
             "doc_a",
             "doc_b",
-            F.size(F.array_intersect("sh_a", "sh_b")).alias("__i"),
-            (F.size("sh_a") + F.size("sh_b")).alias("__t"),
+            "size(array_intersect(sh_a, sh_b)) AS __i",
+            "(size(sh_a) + size(sh_b)) AS __t",
         )
     )
-    return (
-        sized.select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("__i").cast("double")
-                / (F.col("__t") - F.col("__i")).cast("double")
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return sized.selectExpr(
+        "doc_a",
+        "doc_b",
+        "CAST(__i AS DOUBLE) / CAST(__t - __i AS DOUBLE) AS jaccard",
+    ).where(f"jaccard >= CAST({threshold!r} AS DOUBLE)")
 
 
 def minhash_incremental_duplicates(
@@ -288,34 +285,24 @@ def minhash_incremental_duplicates(
         .select("new_doc", "corpus_doc")
         .distinct()
     )
-    sa = sh_c.select(
-        F.col("doc_id").alias("corpus_doc"), F.col("shingles").alias("sh_a")
-    )
-    sb = sh_i.select(
-        F.col("doc_id").alias("new_doc"), F.col("shingles").alias("sh_b")
-    )
+    sa = sh_c.selectExpr("doc_id AS corpus_doc", "shingles AS sh_a")
+    sb = sh_i.selectExpr("doc_id AS new_doc", "shingles AS sh_b")
     # same one-eval intersection split as minhash_near_duplicates
     sized = (
         cand.join(sa, "corpus_doc")
         .join(F.broadcast(sb), "new_doc")
-        .select(
+        .selectExpr(
             "new_doc",
             "corpus_doc",
-            F.size(F.array_intersect("sh_a", "sh_b")).alias("__i"),
-            (F.size("sh_a") + F.size("sh_b")).alias("__t"),
+            "size(array_intersect(sh_a, sh_b)) AS __i",
+            "(size(sh_a) + size(sh_b)) AS __t",
         )
     )
-    return (
-        sized.select(
-            "new_doc",
-            "corpus_doc",
-            (
-                F.col("__i").cast("double")
-                / (F.col("__t") - F.col("__i")).cast("double")
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return sized.selectExpr(
+        "new_doc",
+        "corpus_doc",
+        "CAST(__i AS DOUBLE) / CAST(__t - __i AS DOUBLE) AS jaccard",
+    ).where(f"jaccard >= CAST({threshold!r} AS DOUBLE)")
 
 
 def simhash_signatures(
@@ -336,13 +323,14 @@ def simhash_signatures(
     array emits no rows); the filter tests token count, not the hashed
     array, to keep the expensive expression out of the Filter operator.
     """
-    hash_fn = tok_hash_portable if portable else tok_hash_fast
+    hash_sql = (tok_hash_portable_sql if portable else tok_hash_fast_sql)("t")
+    toks = tokens_sql(f"`{text_col}`")
     hashed = (
         _spread(df)
-        .filter(F.size(tokens(F.col(text_col))) > 0)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.transform(F.array_distinct(tokens(F.col(text_col))), hash_fn).alias("hs"),
+        .where(f"size({toks}) > 0")
+        .selectExpr(
+            f"`{id_col}` AS doc_id",
+            f"transform(array_distinct({toks}), t -> {hash_sql}) AS hs",
         )
     )
     # the 60-bit vote sum as ONE server-parsed SQL expression: built
@@ -377,36 +365,35 @@ def simhash_near_duplicates(
     """
     sig = simhash_signatures(df, text_col, id_col, portable)
     mask = (1 << SIMHASH_BLOCK_BITS) - 1
-    blocks = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("block_idx"),
-                F.shiftright(F.col("simhash"), b * SIMHASH_BLOCK_BITS)
-                .bitwiseAND(mask)
-                .alias("block_key"),
-            )
-            for b in range(SIMHASH_BLOCKS)
-        ]
+    blocks = ", ".join(
+        f"named_struct('block_idx', {b}, 'block_key', "
+        f"shiftright(simhash, {b * SIMHASH_BLOCK_BITS}) & {mask})"
+        for b in range(SIMHASH_BLOCKS)
     )
-    bk = sig.select("doc_id", "simhash", F.explode(blocks).alias("b")).select(
-        "doc_id", "simhash", F.col("b.block_idx").alias("block_idx"), F.col("b.block_key").alias("block_key")
+    bk = sig.selectExpr(
+        "doc_id", "simhash", f"explode(array({blocks})) AS b"
+    ).selectExpr(
+        "doc_id",
+        "simhash",
+        "b.block_idx AS block_idx",
+        "b.block_key AS block_key",
     )
-    left = bk.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "block_idx", "block_key"
+    left = bk.selectExpr(
+        "doc_id AS doc_a", "simhash AS sim_a", "block_idx", "block_key"
     )
-    right = bk.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "block_idx", "block_key"
+    right = bk.selectExpr(
+        "doc_id AS doc_b", "simhash AS sim_b", "block_idx", "block_key"
     )
     return (
         left.join(right, ["block_idx", "block_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select(
+        .where("doc_a < doc_b")
+        .selectExpr(
             "doc_a",
             "doc_b",
-            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int").alias("hamming"),
+            "CAST(bit_count(sim_a ^ sim_b) AS INT) AS hamming",
         )
         .distinct()
-        .filter(F.col("hamming") <= max_hamming)
+        .where(f"hamming <= {max_hamming}")
     )
 
 

@@ -68,9 +68,14 @@ def global_running_total(
         # land in the lower bucket), identical in every job that
         # evaluates it. The double cast is monotone, so even precision
         # loss on huge int64 ids cannot break the ordering invariant.
-        barr = F.array(*[F.lit(float(b)) for b in bounds])
-        pid = F.size(
-            F.filter(barr, lambda b: b < F.col(order_col).cast("double"))
+        # One server-parsed expression (r14): the F.lit-per-boundary
+        # array cost ~70 py4j round trips per call; the string-cast
+        # literals round-trip exactly (repr ↔ parse is lossless for
+        # finite doubles), so the plan is byte-identical.
+        arr = ", ".join(f"CAST('{float(b)!r}' AS DOUBLE)" for b in bounds)
+        pid = F.expr(
+            f"size(filter(array({arr}), "
+            f"b -> b < CAST(`{order_col}` AS DOUBLE)))"
         )
     else:
         pid = F.lit(0)

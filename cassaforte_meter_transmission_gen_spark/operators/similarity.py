@@ -111,6 +111,38 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+# SQL-string twins (r14): same expression trees as the Column helpers
+# above, emitted as one server-parsed string — the Column/lambda forms
+# pay ~15 blocking py4j round trips per fold during plan BUILD, which
+# dominates driver latency on fold-heavy projections (see
+# functions.text for the pattern rationale).
+
+
+def _as_double_sql(a: str) -> str:
+    return f"transform({a}, x -> CAST(x AS DOUBLE))"
+
+
+def dot_sql(a: str, b: str) -> str:
+    """SQL-string twin of :func:`dot` (same sequential fold)."""
+    return (
+        f"aggregate(zip_with({_as_double_sql(a)}, {_as_double_sql(b)}, "
+        f"(x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def l2_norm_sql(a: str) -> str:
+    """SQL-string twin of :func:`l2_norm`."""
+    return (
+        f"sqrt(aggregate({_as_double_sql(a)}, CAST(0.0 AS DOUBLE), "
+        f"(acc, x) -> acc + x * x))"
+    )
+
+
+def cosine_pre_sql(a: str, b: str, na: str, nb: str) -> str:
+    """SQL-string twin of :func:`cosine_pre`."""
+    return f"{dot_sql(a, b)} / ({na} * {nb})"
+
+
 def cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
     """Cosine with PRE-COMPUTED norms — bit-identical to :func:`cosine`
     (same fold produces ``na``/``nb``, same division order), but norms
@@ -141,25 +173,25 @@ def brute_force_topk(
     from ..functions.spread import spread_small_scan
 
     vectors = spread_small_scan(vectors)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        l2_norm(F.col(vec_col)).alias("q_nrm"),
+    # projections as server-parsed SQL strings (r14): the lambda-fold
+    # Column builders cost ~700 py4j round trips per build here
+    q = queries.selectExpr(
+        f"`{id_col}` AS query_id",
+        f"`{vec_col}` AS q_vec",
+        f"{l2_norm_sql(f'`{vec_col}`')} AS q_nrm",
     )
-    c = vectors.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        l2_norm(F.col(vec_col)).alias("c_nrm"),
+    c = vectors.selectExpr(
+        f"`{id_col}` AS neighbor_id",
+        f"`{vec_col}` AS c_vec",
+        f"{l2_norm_sql(f'`{vec_col}`')} AS c_nrm",
     )
     scored = (
         c.crossJoin(F.broadcast(q))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
+        .where("query_id != neighbor_id")
+        .selectExpr(
             "query_id",
             "neighbor_id",
-            cosine_pre(
-                F.col("q_vec"), F.col("c_vec"), F.col("q_nrm"), F.col("c_nrm")
-            ).alias("cosine"),
+            f"{cosine_pre_sql('q_vec', 'c_vec', 'q_nrm', 'c_nrm')} AS cosine",
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")

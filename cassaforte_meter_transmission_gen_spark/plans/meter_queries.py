@@ -124,16 +124,15 @@ FROM gen CROSS JOIN tick
 GROUP BY 1, 2"""
 
 
-def _chain(spark: SparkSession) -> dict[str, DataFrame]:
-    return rollup_chain(meter_samples_second(spark))
-
-
 @register("meter_rollup_minute", oracle=_rollup_oracle("minute"), tags=("meter", "rollup"))
 def meter_rollup_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/K3 (core.clj:122-131): minute COUNTER table as grouped sum,
     derived second→minute. Partial+final hash agg; shuffle carries one
-    row per (said, minute) per task."""
-    return _chain(spark)["minute"]
+    row per (said, minute) per task. (r14: was ``rollup_chain(...)
+    ["minute"]`` — the chain's minute IS rollup_from_second(second,
+    "minute"), but building the dict also built the unused hour and day
+    plans, ~350 py4j round trips of wasted driver latency per call.)"""
+    return rollup_from_second(meter_samples_second(spark), "minute")
 
 
 @register("meter_rollup_hour", oracle=_rollup_oracle("hour"), tags=("meter", "rollup"))

@@ -21,10 +21,14 @@ from ..functions.text import (
     ROLLING_MOD,
     ROLLING_PREFIX,
     lang_hits,
+    lang_hits_sql,
     normalize_text,
+    normalize_text_sql,
     predicted_lang,
+    predicted_lang_sql,
     rolling_fingerprint,
     tokens,
+    tokens_sql,
 )
 from ..operators.dedup import (
     MINHASH_A,
@@ -774,39 +778,44 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     serialized the tokenize/normalize/BPE-count pipeline onto one core
     (measured 4.1 s cold / 1.2 s steady at sf0.1 → 0.9 s / 0.7 s
     spread); at 100 TB the gate makes it a structural no-op."""
+    # plan built as server-parsed SQL strings (r14): the Column form
+    # paid ~1700 py4j round trips of driver latency per build (35 marker
+    # literals + 5 HOF lambdas + the CASE chain, each a blocking call);
+    # identical expression tree, a handful of round trips
     d = spread_small_scan(_docs(spark, sf_dir))
-    d = d.withColumn("fp", F.md5(normalize_text(F.col("text"))))
+    d = d.withColumn("fp", F.expr(f"md5({normalize_text_sql('text')})"))
     keepers = d.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
     kept = (
         d.join(keepers, "fp")
-        .filter(F.col("doc_id") == F.col("keeper"))
+        .where("doc_id = keeper")
         .select("doc_id", "text")
     )
-    toks = tokens(F.col("text"))
-    en = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
+    toks = tokens_sql("text")
+    en = ", ".join(f"'{w}'" for w in LANG_MARKERS["en"])
     stop_ratio = (
-        F.size(F.filter(toks, lambda w: F.array_contains(en, w))).cast("double")
-        / F.size(toks)
+        f"CAST(size(filter({toks}, w -> array_contains(array({en}), w)))"
+        f" AS DOUBLE) / size({toks})"
     )
     vowel_ratio = (
-        (F.length("text") - F.length(F.regexp_replace("text", "[aeiou]", ""))).cast("double")
-        / F.length("text")
+        "CAST(length(text) - length(regexp_replace(text, '[aeiou]', ''))"
+        " AS DOUBLE) / length(text)"
     )
-    length_score = F.least(F.size(toks), F.lit(100)).cast("double") / 100
-    quality = 0.5 * stop_ratio + 0.3 * vowel_ratio + 0.2 * length_score
-    hit_cols = {lang: lang_hits(toks, lang) for lang in LANG_MARKERS}
-    bpe = F.expr(f"regexp_extract_all(text, '{_BPE_RE}', 0)")
-    n_chunks = F.floor((F.size(toks) + (CHUNK_SIZE - 1)) / CHUNK_SIZE).cast("int")
-    return (
-        kept.select(
-            "doc_id",
-            predicted_lang(hit_cols).alias("predicted_lang"),
-            quality.alias("quality_score"),
-            F.size(bpe).cast("int").alias("n_bpe_tokens"),
-            n_chunks.alias("n_chunks"),
-        )
-        .filter((F.col("quality_score") >= 0.2) & (F.col("predicted_lang") == "en"))
+    length_score = f"CAST(least(size({toks}), 100) AS DOUBLE) / 100"
+    quality = (
+        f"CAST(0.5 AS DOUBLE) * ({stop_ratio}) "
+        f"+ CAST(0.3 AS DOUBLE) * ({vowel_ratio}) "
+        f"+ CAST(0.2 AS DOUBLE) * ({length_score})"
     )
+    hits = {lang: lang_hits_sql(toks, lang) for lang in LANG_MARKERS}
+    return kept.selectExpr(
+        "doc_id",
+        f"{predicted_lang_sql(hits)} AS predicted_lang",
+        f"{quality} AS quality_score",
+        f"CAST(size(regexp_extract_all(text, '{_BPE_RE}', 0)) AS INT)"
+        " AS n_bpe_tokens",
+        f"CAST(floor((size({toks}) + {CHUNK_SIZE - 1}) / {CHUNK_SIZE})"
+        " AS INT) AS n_chunks",
+    ).where("quality_score >= CAST(0.2 AS DOUBLE) AND predicted_lang = 'en'")
 
 
 @register(
