@@ -107,30 +107,32 @@ def events_sessionization_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on user_id serves both window passes and the final group.
     Streaming dual: ``session_window``/``applyInPandasWithState``
     (streaming.pipeline)."""
+    # window expressions as server-parsed strings (r14 build-latency
+    # pass): same trees — textually identical OVER clauses land in the
+    # same window group, exactly like the shared Column WindowSpec did
     e = _ev(spark, sf_dir)
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    flagged = e.select(
+    ow = "OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+    flagged = e.selectExpr(
         "user_id",
         "ts",
         "event_id",
         "value",
-        F.when(
-            F.lag("ts").over(w).isNull()
-            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > 1_800_000_000),
-            1,
-        )
-        .otherwise(0)
-        .alias("is_new"),
+        f"CASE WHEN lag(ts) {ow} IS NULL OR unix_micros(ts) - "
+        f"unix_micros(lag(ts) {ow}) > 1800000000 THEN 1 ELSE 0 END"
+        " AS is_new",
     )
-    sess = flagged.withColumn(
-        "session_seq",
-        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    sess = flagged.selectExpr(
+        "*",
+        "SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq",
     )
-    return sess.groupBy("user_id", F.col("session_seq").cast("long").alias("session_seq")).agg(
+    return sess.groupBy(
+        "user_id", F.expr("CAST(session_seq AS BIGINT)").alias("session_seq")
+    ).agg(
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count("*").alias("n_events"),
-        dec_sum(F.col("value")).alias("total_value"),
+        F.expr(sql_dec_sum("value")).alias("total_value"),
     )
 
 
