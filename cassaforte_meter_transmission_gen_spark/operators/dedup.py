@@ -872,12 +872,32 @@ def prefix_filter_jaccard_pairs(
     from the raw scan, because AQE does not reuse exchanges across
     branches whose column pruning differs.
 
-    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ t."""
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ t.
+
+    r15 (guide §2.3 "shuffle keys and metadata instead of payloads"):
+    the pipeline runs on ``xxhash64`` SHINGLE HASHES, not shingle
+    strings — the exploded prefix-index exchange, the frequency agg,
+    the candidate join, and the verify intersection all carry 8-byte
+    longs where a 3-word shingle string averaged ~20 bytes (plus
+    per-row UTF8 comparisons in the sort/join). Set semantics are
+    preserved exactly unless two distinct shingles of the same corpus
+    collide in 64 bits: ``array_distinct`` over the hashed array makes
+    each doc's hash set a true set, and for any hash function
+    J(h(A), h(B)) ≥ J(A, B) fails only under such a collision — a
+    ~2⁻⁶⁴-probability event (same honesty note as the r14 xxhash64
+    LSH band keys), which the value-parity oracle (brute-force over
+    strings) would catch. Below that caveat the candidate set and the
+    jaccard values are identical: prefix filtering is valid for ANY
+    global total order over ANY set family, and |h(A)∩h(B)| equals
+    |A∩B| when h is collision-free on A∪B."""
     from pyspark.sql import Window as W
 
     sh = (
         _shingled(docs, text_col, id_col, 3)
-        .select(F.col("doc_id").alias("did"), F.col("shingles").alias("s"))
+        .selectExpr(
+            "doc_id AS did",
+            "array_distinct(transform(shingles, g -> xxhash64(g))) AS s",
+        )
         .localCheckpoint(eager=True)
     )
     # size and explode both reference the NAMED column so the shingle
@@ -959,12 +979,23 @@ def containment_pairs(
     measured INTO a (numerator over |s_a|). The shingle table is
     pinned once (localCheckpoint, the PageRank-edges pattern) and
     feeds the probe prefix, the full index, and both verify sides —
-    no consumer re-derives the tokenize→shingle projection."""
+    no consumer re-derives the tokenize→shingle projection.
+
+    Like :func:`prefix_filter_jaccard_pairs` (r15), the whole pipeline
+    runs on ``xxhash64`` shingle hashes (8-byte longs) instead of
+    shingle strings — same exchanges, a fraction of the bytes; exact
+    below the ~2⁻⁶⁴ cross-shingle collision caveat documented there
+    (containment |h(A)∩h(B)|/|h(A)| likewise equals the string form
+    when h is collision-free on A∪B, gated by the brute-force
+    oracle)."""
     from pyspark.sql import Window as W
 
     sh = (
         _shingled(docs, text_col, id_col, 3)
-        .select(F.col("doc_id").alias("did"), F.col("shingles").alias("s"))
+        .selectExpr(
+            "doc_id AS did",
+            "array_distinct(transform(shingles, g -> xxhash64(g))) AS s",
+        )
         .localCheckpoint(eager=True)
     )
     # named-column size/explode — see prefix_filter_jaccard_pairs

@@ -50,18 +50,60 @@ def global_running_total(
     value_col: str,
     out_col: str = "running_total",
     n_partitions: int = 32,
+    bounds: list[float] | None = None,
 ) -> DataFrame:
     """Exact exclusive prefix sum of ``value_col`` in ascending
-    ``order_col`` order (out_col = sum of all STRICTLY EARLIER rows),
-    computed with per-bucket parallelism as described in the module
-    docstring. ``order_col`` must be unique (it is the global tiebreak)
-    and numeric (bucket boundaries come from ``approxQuantile``)."""
-    bounds: list[float] = []
-    if n_partitions > 1:
-        probs = [i / n_partitions for i in range(1, n_partitions)]
-        # relativeError 0.001: boundary placement affects only balance,
-        # so a cheap sketch is enough — exactness buys nothing here
-        bounds = sorted(set(df.stat.approxQuantile(order_col, probs, 0.001)))
+    ``order_col`` order (out_col = sum of all STRICTLY EARLIER rows) —
+    single-column wrapper over :func:`global_running_totals`."""
+    return global_running_totals(
+        df, order_col, [value_col], [out_col], n_partitions, bounds
+    )
+
+
+def global_running_totals(
+    df: DataFrame,
+    order_col: str,
+    value_cols: list[str],
+    out_cols: list[str],
+    n_partitions: int = 32,
+    bounds: list[float] | None = None,
+) -> DataFrame:
+    """Exact exclusive prefix sums of every ``value_cols[i]`` in
+    ascending ``order_col`` order (``out_cols[i]`` = sum of all
+    STRICTLY EARLIER rows), computed with per-bucket parallelism as
+    described in the module docstring. ``order_col`` must be unique
+    (it is the global tiebreak) and numeric (bucket boundaries come
+    from ``approxQuantile`` unless supplied).
+
+    Multi-column form (r15, guide §2.4): N prefix sums over the SAME
+    order share ONE bucket assignment, ONE per-bucket window (Spark
+    fuses same-window aggregates into a single Window operator), ONE
+    totals aggregate, and ONE broadcast offsets join — the nested
+    single-column composition paid the whole two-pass machinery once
+    per column. Per-column arithmetic is unchanged (same IEEE/integer
+    accumulation sequence per column), so results are bit-equal to the
+    nested form.
+
+    ``bounds`` (optional) are precomputed bucket boundaries comparable
+    to ``CAST(order_col AS DOUBLE)`` — callers that already run a
+    one-row stats aggregate can derive them there (e.g. via
+    ``approx_percentile`` in the same agg, see
+    plans.compat.monotone_money_key) instead of paying this function's
+    separate ``approxQuantile`` driver job (r15, guide §5: one fewer
+    driver-blocking job before the output job). Boundary placement
+    affects only load balance, never results (module docstring)."""
+    if bounds is None:
+        bounds = []
+        if n_partitions > 1:
+            probs = [i / n_partitions for i in range(1, n_partitions)]
+            # relativeError 0.001: boundary placement affects only
+            # balance, so a cheap sketch is enough — exactness buys
+            # nothing here
+            bounds = sorted(
+                set(df.stat.approxQuantile(order_col, probs, 0.001))
+            )
+    else:
+        bounds = sorted(set(float(b) for b in bounds))
     if bounds:
         # bucket = number of boundaries strictly below the value: a pure,
         # order-monotone function of order_col (ties at a boundary all
@@ -79,10 +121,17 @@ def global_running_total(
         )
     else:
         pid = F.lit(0)
+    idx = range(len(value_cols))
     parted = df.withColumn("__pid", pid.cast("int"))
     w = Window.partitionBy("__pid").orderBy(order_col)
-    local = parted.withColumn(
-        "__local", F.sum(value_col).over(w) - F.col(value_col)
+    local = parted.select(
+        "*",
+        *[
+            (F.sum(value_cols[i]).over(w) - F.col(value_cols[i])).alias(
+                f"__local{i}"
+            )
+            for i in idx
+        ],
     )
     # cross-bucket offsets IN-PLAN (r14, guide §2.6/§5): one tiny row
     # per bucket flows through a 32-row running-sum window and comes
@@ -93,8 +142,10 @@ def global_running_total(
     # accumulation order is identical (ascending __pid, same IEEE
     # sequence for float sums), so results are bit-equal; the offsets
     # relation stays bounded by the bucket count, never the data.
-    totals = parted.groupBy("__pid").agg(F.sum(value_col).alias("__t"))
-    sum_type = dict(totals.dtypes)["__t"]
+    totals = parted.groupBy("__pid").agg(
+        *[F.sum(value_cols[i]).alias(f"__t{i}") for i in idx]
+    )
+    sum_types = dict(totals.dtypes)
     # 32-row frame: the single-partition global-order window is exactly
     # the shape global_running_total exists to avoid on DATA — safe
     # here because its input is one row per bucket by construction
@@ -103,29 +154,42 @@ def global_running_total(
     )
     offsets = totals.select(
         "__pid",
-        F.coalesce(F.sum("__t").over(woff), F.lit(0).cast(sum_type)).alias(
-            "__off"
-        ),
+        *[
+            F.coalesce(
+                F.sum(f"__t{i}").over(woff),
+                F.lit(0).cast(sum_types[f"__t{i}"]),
+            ).alias(f"__off{i}")
+            for i in idx
+        ],
     )
     # defense-in-depth: a bucket id outside the offsets relation means
     # the output branch disagreed with the totals branch about the
     # assignment — impossible for a pure function over the same rows,
     # but if it ever happens (e.g. a nondeterministic upstream), fail
     # LOUDLY instead of emitting NULL/wrong sums
-    guarded = F.coalesce(
-        F.col("__off"),
-        F.raise_error(
-            F.concat(
-                F.lit("global_running_total: bucket "),
-                F.col("__pid").cast("string"),
-                F.lit(" missing from offsets relation"),
-            )
-        ).cast(sum_type),
+    def _guarded(i: int):
+        return F.coalesce(
+            F.col(f"__off{i}"),
+            F.raise_error(
+                F.concat(
+                    F.lit("global_running_total: bucket "),
+                    F.col("__pid").cast("string"),
+                    F.lit(" missing from offsets relation"),
+                )
+            ).cast(sum_types[f"__t{i}"]),
+        )
+
+    out = local.join(F.broadcast(offsets), "__pid", "left").select(
+        "*",
+        *[
+            (F.col(f"__local{i}") + _guarded(i)).alias(out_cols[i])
+            for i in idx
+        ],
     )
-    return (
-        local.join(F.broadcast(offsets), "__pid", "left")
-        .withColumn(out_col, F.col("__local") + guarded)
-        .drop("__pid", "__local", "__off")
+    return out.drop(
+        "__pid",
+        *[f"__local{i}" for i in idx],
+        *[f"__off{i}" for i in idx],
     )
 
 

@@ -169,9 +169,13 @@ def window_ntile_acctbal_quartiles(spark: SparkSession, sf_dir: str) -> DataFram
     from .compat import monotone_money_key, sql_ntile_from_rank
 
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
-    key, n = monotone_money_key(c, "c_acctbal", "c_custkey")
+    # bounds from the SAME one-row agg that derives the multiplier
+    # (r15): one driver-blocking job before the output job, not two
+    key, n, bounds = monotone_money_key(c, "c_acctbal", "c_custkey", 32)
     keyed = c.withColumn("__k", key).withColumn("__one", F.lit(1).cast("long"))
-    ranked = global_running_total(keyed, "__k", "__one", out_col="__rank0")
+    ranked = global_running_total(
+        keyed, "__k", "__one", out_col="__rank0", bounds=bounds
+    )
     quartile = F.expr(sql_ntile_from_rank("__rank0", n, 4))
     return (
         ranked.select("c_acctbal", quartile.alias("quartile"))
@@ -1333,9 +1337,12 @@ def agg_equidepth_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .compat import monotone_money_key
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    key, n = monotone_money_key(o, "o_totalprice", "o_orderkey")
+    # bounds from the SAME one-row agg (r15): one driver job, not two
+    key, n, bounds = monotone_money_key(o, "o_totalprice", "o_orderkey", 32)
     keyed = o.withColumn("__k", key).withColumn("__one", F.lit(1).cast("long"))
-    ranked = global_running_total(keyed, "__k", "__one", out_col="__rank0")
+    ranked = global_running_total(
+        keyed, "__k", "__one", out_col="__rank0", bounds=bounds
+    )
     decile = F.expr(sql_ntile_from_rank("__rank0", n, 10))
     return (
         ranked.select("o_totalprice", decile.alias("decile"))
@@ -1663,9 +1670,12 @@ def agg_gini_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .compat import monotone_money_key
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    key, _n = monotone_money_key(o, "o_totalprice", "o_orderkey")
+    # bounds from the SAME one-row agg (r15): one driver job, not two
+    key, _n, bounds = monotone_money_key(o, "o_totalprice", "o_orderkey", 32)
     keyed = o.withColumn("__k", key).withColumn("__one", F.lit(1).cast("long"))
-    ranked = global_running_total(keyed, "__k", "__one", out_col="__rank0")
+    ranked = global_running_total(
+        keyed, "__k", "__one", out_col="__rank0", bounds=bounds
+    )
     s = ranked.selectExpr(
         "CAST(o_totalprice AS DECIMAL(25,6)) AS x",
         "CAST(__rank0 + 1 AS DECIMAL(12,0)) AS i",

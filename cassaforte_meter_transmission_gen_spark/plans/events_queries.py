@@ -2224,14 +2224,17 @@ def events_model_pr_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     HUGEINT (DuckDB) — both engines evaluate the identical
     floor-division sequence, so the result is bit-equal, not merely
     close, to ~10^15 events."""
-    from ..operators.packing import global_running_total
+    from ..operators.packing import global_running_totals
 
     by_score = model_scores_by_score(_ev(spark, sf_dir))
-    pref = global_running_total(
-        global_running_total(by_score, "score", "pos", out_col="__pos_blw"),
-        "score",
-        "cnt",
-        out_col="__cnt_blw",
+    # BOTH prefix sums ride the same order ("score"), so they share ONE
+    # bucket assignment / window / offsets join via the multi-column
+    # form (r15, guide §2.4) — the nested single-column composition
+    # paid the whole two-pass machinery (and its approxQuantile driver
+    # job, which re-executed the inner machinery just to sketch the
+    # same score column) twice. Per-column arithmetic unchanged.
+    pref = global_running_totals(
+        by_score, "score", ["pos", "cnt"], ["__pos_blw", "__cnt_blw"]
     )
     tot = by_score.agg(
         F.sum("pos").cast("long").alias("p"),
@@ -2343,6 +2346,14 @@ def events_model_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("event_id").alias("hi"),
         F.min("score").alias("smin"),
         F.max("score").alias("smax"),
+        # bucket boundaries for the prefix sum from the SAME agg (r15):
+        # one driver-blocking job before the output job, not two —
+        # placement affects only balance (packing module docstring)
+        F.percentile_approx(
+            "score",
+            F.array(*[F.lit(i / 32) for i in range(1, 32)]),
+            F.lit(1000),
+        ).alias("qs"),
     ).head()
     n = int(stats["n"] or 0)
     if n == 0:
@@ -2366,7 +2377,14 @@ def events_model_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(int(stats["smax"])) - F.col("score")) * F.lit(mult)
         + F.col("event_id"),
     ).withColumn("__one", F.lit(1).cast("long"))
-    ranked = global_running_total(keyed, "__k", "__one", out_col="__rank0")
+    # ascending score quantile q → key-space boundary (smax − q)·mult
+    bounds = [
+        float((int(stats["smax"]) - int(q)) * mult)
+        for q in (stats["qs"] or [])
+    ]
+    ranked = global_running_total(
+        keyed, "__k", "__one", out_col="__rank0", bounds=bounds
+    )
     decile = F.expr(sql_ntile_from_rank("__rank0", n, 10))
     d = (
         ranked.select("label", decile.alias("decile"))
@@ -2452,21 +2470,18 @@ def events_model_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(38,0)/HUGEINT (one product per side, no division until
     the final ppm floor-divide), so max and argmax compare exact
     integers and both engines agree bit-for-bit."""
-    from ..operators.packing import global_running_total
+    from ..operators.packing import global_running_totals
 
     by_score = model_scores_by_score(_ev(spark, sf_dir))
-    pref = global_running_total(
-        global_running_total(
-            by_score.withColumn(
-                "neg", (F.col("cnt") - F.col("pos")).cast("long")
-            ),
-            "score",
-            "pos",
-            out_col="__pos_blw",
+    # shared-order prefix sums in ONE two-pass machinery (r15 — see
+    # events_model_pr_auc_exact); per-column arithmetic unchanged
+    pref = global_running_totals(
+        by_score.withColumn(
+            "neg", (F.col("cnt") - F.col("pos")).cast("long")
         ),
         "score",
-        "neg",
-        out_col="__neg_blw",
+        ["pos", "neg"],
+        ["__pos_blw", "__neg_blw"],
     )
     tot = by_score.agg(
         F.sum("pos").cast("long").alias("p"),

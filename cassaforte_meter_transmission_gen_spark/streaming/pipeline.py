@@ -472,7 +472,21 @@ def streaming_ingest_batch_fn(
                 "said int, datetime timestamp, joules int"
             ).parquet(f"{paths['meter_samples_second']}/batch={batch_id}")
 
-        def _merge_grain(inc_second: DataFrame, grain: str) -> None:
+        def _read_prev_grain(grain: str) -> DataFrame:
+            # resolving the prev-version grain relation (file listing
+            # under v=<hw>) depends only on the high watermark, never on
+            # this batch's data — prepared in a pool thread so the
+            # per-grain listings overlap the second-table write instead
+            # of running sequentially inside each merge (r15, guide
+            # §2.6; the r14 round left "3 prev-version footer reads +
+            # the marker sequential" as the stream's residual tail)
+            return spark.read.schema(GRAIN_SCHEMA).parquet(
+                f"{paths[f'meter_samples_{grain}']}/v={hw}"
+            )
+
+        def _merge_grain(
+            inc_second: DataFrame, prev: DataFrame | None, grain: str
+        ) -> None:
             # each grain directly from the written second table — sum is
             # associative, so second→hour equals second→minute→hour, and
             # deriving the three grains independently makes them
@@ -480,15 +494,7 @@ def streaming_ingest_batch_fn(
             # sequence of three driver-blocking actions per micro-batch
             inc = rollup_from_second(inc_second, grain)
             gpath = paths[f"meter_samples_{grain}"]
-            if hw is not None:
-                merged = counter_merge(
-                    spark.read.schema(GRAIN_SCHEMA).parquet(
-                        f"{gpath}/v={hw}"
-                    ),
-                    inc,
-                )
-            else:
-                merged = inc
+            merged = inc if prev is None else counter_merge(prev, inc)
             (
                 merged.sortWithinPartitions("said", "datetime")
                 .write.mode("overwrite")
@@ -509,9 +515,20 @@ def streaming_ingest_batch_fn(
 
         with ThreadPoolExecutor(max_workers=4) as pool:
             fr = pool.submit(_write_raw)
+            prev_futs = (
+                {g: pool.submit(_read_prev_grain, g) for g in CHAIN}
+                if hw is not None
+                else {}
+            )
             inc_second = _write_second()
             for f in [
-                pool.submit(_merge_grain, inc_second, g) for g in CHAIN
+                pool.submit(
+                    _merge_grain,
+                    inc_second,
+                    prev_futs[g].result() if g in prev_futs else None,
+                    g,
+                )
+                for g in CHAIN
             ]:
                 f.result()
             fr.result()
