@@ -291,6 +291,179 @@ def main() -> None:
             if len(runs) > 1:
                 scale_reruns[name] = runs
 
+    # the write-heavy ingest benchmark runs AFTER the query loop: its
+    # 28800 × 15k-float raw arrays leave the heap under GC pressure
+    # that would otherwise bleed ~45 s into whichever query runs next
+    # (measured on q01 before the reorder). Like the query loop, the
+    # write path gets its own (small, untimed) warmup first — the timed
+    # run otherwise measures mostly parquet-writer JIT, not throughput
+    # (measured: one-shot ≈ 11 s vs ≈ 9.5 s steady state) — and a
+    # requested full GC drains the query loop's garbage so the timed
+    # run measures the write path, not the previous queries' cleanup.
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(2)
+    warm = tempfile.mkdtemp(prefix="bench_ingest_warm_")
+    try:
+        ingest_batch(spark, warm, num_meters=2, seconds=600)
+    except Exception:  # noqa: BLE001
+        pass
+    finally:
+        shutil.rmtree(warm, ignore_errors=True)
+    # two timed runs, best reported (both recorded): the first run
+    # still pays for whatever old-gen garbage survived the requested
+    # GC, so it measures heap history as much as the write path —
+    # steady-state is the honest throughput figure and both numbers
+    # are in the JSON for the variance to be visible.
+    ingest_runs: list[float] = []
+
+    def _timed_ingest() -> bool:
+        out = tempfile.mkdtemp(prefix="bench_ingest_")
+        t0 = time.perf_counter()
+        try:
+            ingest_batch(spark, out, num_meters=n_meters, seconds=n_seconds)
+            ingest_runs.append(round(time.perf_counter() - t0, 3))
+            return True
+        except Exception as exc:  # noqa: BLE001
+            errors["ingest_five_tables"] = f"{type(exc).__name__}: {exc}"[:500]
+            return False
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
+    for _ in range(2):
+        if not _timed_ingest():
+            break
+    # contention tripwire (round-8 lesson): the FIRST run always pays
+    # old-gen warmup (documented above), so runs 1 vs 2 disagreeing is
+    # normal — when they disagree >1.5× run a third, and call the box
+    # contended only if the two BEST runs still disagree >1.5× (steady
+    # state itself unstable = something else is eating the cores).
+    if len(ingest_runs) == 2 and max(ingest_runs) > 1.5 * min(ingest_runs):
+        print(
+            f"note: ingest runs {ingest_runs} differ by >1.5x —"
+            " timing a third to separate warmup from contention.",
+            file=sys.stderr,
+        )
+        _timed_ingest()
+    best = sorted(ingest_runs)[:2]
+    ingest_contended = len(best) == 2 and best[1] > 1.5 * best[0]
+    if ingest_contended:
+        print(
+            f"WARNING: steady-state ingest runs {ingest_runs} still"
+            " disagree by >1.5x — box contention suspected; stamping"
+            " contended:true. Re-run on a drained box before committing.",
+            file=sys.stderr,
+        )
+    ingest_sec = min(ingest_runs) if ingest_runs else None
+
+    # the STREAMING five-table path (exactly-once commit-log sink),
+    # measured separately: the honest price of delivery semantics the
+    # reference doesn't have. Bounded file stream driven to completion.
+    # Measured across micro-batch SIZES (maxFilesPerTrigger over the
+    # 32-file stage): per-batch fixed costs (trigger planning, five
+    # writes, three version merges, the marker) are constant per batch,
+    # so samples/s should rise with batch size — the curve quantifies
+    # how much of the default-size figure is fixed cost. The default
+    # size (8 → 4 micro-batches) stays the headline
+    # `streaming_ingest_sec` for cross-round comparability.
+    stream_meters, stream_seconds = 4, 1800
+    stream_ingest_sec = None
+    stream_curve: dict[str, dict] = {}
+    try:
+        from cassaforte_meter_transmission_gen_spark.streaming.pipeline import (
+            run_bounded_streaming_ingest,
+        )
+
+        for files_per_trigger in (4, 8, 32):
+            sout = tempfile.mkdtemp(prefix="bench_stream_ingest_")
+            t0 = time.perf_counter()
+            try:
+                run_bounded_streaming_ingest(
+                    spark,
+                    sout,
+                    num_meters=stream_meters,
+                    seconds=stream_seconds,
+                    max_files_per_trigger=files_per_trigger,
+                )
+                sec = round(time.perf_counter() - t0, 3)
+            finally:
+                shutil.rmtree(sout, ignore_errors=True)
+            stream_curve[str(files_per_trigger)] = {
+                "sec": sec,
+                "samples_per_sec": round(
+                    stream_meters * stream_seconds * 15000 / sec
+                ),
+            }
+            if files_per_trigger == 8:
+                stream_ingest_sec = sec
+    except Exception as exc:  # noqa: BLE001
+        errors["streaming_ingest"] = f"{type(exc).__name__}: {exc}"[:500]
+
+    # extend the curve PAST the 32-file stage until it BENDS: r9's
+    # 512-file stage measured 128→256→512 at 35.3→36.4→43.1M samples/s
+    # — still RISING at the largest trigger, so the knee was not yet
+    # located (VERDICT r9 item 1). Round 10 doubles the stage: a
+    # 32×-longer stream staged ONCE (untimed) as 1024 files of the
+    # SAME per-file shape as r9 (225 meter-seconds each, contiguous
+    # slices — see transmissions(slices=)), triggers 256/512/1024.
+    # 256 and 512 are per-file comparable with r9's points (identical
+    # file meaning, 4× and 2× more batches); 1024 is one mega-batch =
+    # the batch limit on this stage. The final point is where the
+    # curve must go flat-or-falling — if it still rises, the committed
+    # narrative must say so and place the operating point at the
+    # measured argmax. Each point is skipped if the whole bench has
+    # already run long (the headline line must never be lost to a
+    # driver-side timeout; budget raised 900→1200 s for the 2× data).
+    ext_meters, ext_seconds, ext_files = 4, 32 * stream_seconds, 1024
+    stream_curve_ext: dict[str, dict] = {}
+    ext_stage = tempfile.mkdtemp(prefix="bench_stream_stage_")
+    try:
+        from cassaforte_meter_transmission_gen_spark.sources.meter_generator import (
+            transmissions,
+        )
+
+        transmissions(
+            spark, num_meters=ext_meters, seconds=ext_seconds, slices=ext_files
+        ).write.mode("overwrite").parquet(ext_stage)
+        for files_per_trigger in (256, 512, 1024):
+            if time.perf_counter() - bench_t0 > 1200:
+                errors["streaming_ingest_ext"] = (
+                    f"curve truncated before {files_per_trigger}:"
+                    " bench elapsed > 1200s"
+                )
+                break
+            sout = tempfile.mkdtemp(prefix="bench_stream_ext_")
+            t0 = time.perf_counter()
+            try:
+                run_bounded_streaming_ingest(
+                    spark,
+                    sout,
+                    num_meters=ext_meters,
+                    seconds=ext_seconds,
+                    max_files_per_trigger=files_per_trigger,
+                    stage_files=ext_files,
+                    stage_dir=ext_stage,
+                )
+                sec = round(time.perf_counter() - t0, 3)
+            finally:
+                shutil.rmtree(sout, ignore_errors=True)
+            stream_curve_ext[str(files_per_trigger)] = {
+                "sec": sec,
+                "samples_per_sec": round(
+                    ext_meters * ext_seconds * 15000 / sec
+                ),
+            }
+    except Exception as exc:  # noqa: BLE001
+        errors["streaming_ingest_ext"] = f"{type(exc).__name__}: {exc}"[:500]
+    finally:
+        shutil.rmtree(ext_stage, ignore_errors=True)
+
+    # Evidence sections (ANN recall collects, pruning stats, layout
+    # probes) run AFTER every timed section (r15, VERDICT r14 #8):
+    # they are untimed evidence, and running them between the query
+    # loop and the ingest/streaming timings widened the contention
+    # window the graded figures sit in. Order within the evidence
+    # block, the timed methodology, and the stdout contract (pointer
+    # line + compact headline LAST) are unchanged.
     # ANN retrieval-quality artifact (VERDICT r10 #2): recall@5 of
     # every approximate serve path against the exact brute-force top-5
     # at the graded operating points (nprobe, codebook sizes). A
@@ -564,172 +737,6 @@ def main() -> None:
             shutil.rmtree(pq_dir, ignore_errors=True)
     except Exception as exc:  # noqa: BLE001
         errors["pq_io"] = f"{type(exc).__name__}: {exc}"[:500]
-
-    # the write-heavy ingest benchmark runs AFTER the query loop: its
-    # 28800 × 15k-float raw arrays leave the heap under GC pressure
-    # that would otherwise bleed ~45 s into whichever query runs next
-    # (measured on q01 before the reorder). Like the query loop, the
-    # write path gets its own (small, untimed) warmup first — the timed
-    # run otherwise measures mostly parquet-writer JIT, not throughput
-    # (measured: one-shot ≈ 11 s vs ≈ 9.5 s steady state) — and a
-    # requested full GC drains the query loop's garbage so the timed
-    # run measures the write path, not the previous queries' cleanup.
-    spark.sparkContext._jvm.System.gc()
-    time.sleep(2)
-    warm = tempfile.mkdtemp(prefix="bench_ingest_warm_")
-    try:
-        ingest_batch(spark, warm, num_meters=2, seconds=600)
-    except Exception:  # noqa: BLE001
-        pass
-    finally:
-        shutil.rmtree(warm, ignore_errors=True)
-    # two timed runs, best reported (both recorded): the first run
-    # still pays for whatever old-gen garbage survived the requested
-    # GC, so it measures heap history as much as the write path —
-    # steady-state is the honest throughput figure and both numbers
-    # are in the JSON for the variance to be visible.
-    ingest_runs: list[float] = []
-
-    def _timed_ingest() -> bool:
-        out = tempfile.mkdtemp(prefix="bench_ingest_")
-        t0 = time.perf_counter()
-        try:
-            ingest_batch(spark, out, num_meters=n_meters, seconds=n_seconds)
-            ingest_runs.append(round(time.perf_counter() - t0, 3))
-            return True
-        except Exception as exc:  # noqa: BLE001
-            errors["ingest_five_tables"] = f"{type(exc).__name__}: {exc}"[:500]
-            return False
-        finally:
-            shutil.rmtree(out, ignore_errors=True)
-
-    for _ in range(2):
-        if not _timed_ingest():
-            break
-    # contention tripwire (round-8 lesson): the FIRST run always pays
-    # old-gen warmup (documented above), so runs 1 vs 2 disagreeing is
-    # normal — when they disagree >1.5× run a third, and call the box
-    # contended only if the two BEST runs still disagree >1.5× (steady
-    # state itself unstable = something else is eating the cores).
-    if len(ingest_runs) == 2 and max(ingest_runs) > 1.5 * min(ingest_runs):
-        print(
-            f"note: ingest runs {ingest_runs} differ by >1.5x —"
-            " timing a third to separate warmup from contention.",
-            file=sys.stderr,
-        )
-        _timed_ingest()
-    best = sorted(ingest_runs)[:2]
-    ingest_contended = len(best) == 2 and best[1] > 1.5 * best[0]
-    if ingest_contended:
-        print(
-            f"WARNING: steady-state ingest runs {ingest_runs} still"
-            " disagree by >1.5x — box contention suspected; stamping"
-            " contended:true. Re-run on a drained box before committing.",
-            file=sys.stderr,
-        )
-    ingest_sec = min(ingest_runs) if ingest_runs else None
-
-    # the STREAMING five-table path (exactly-once commit-log sink),
-    # measured separately: the honest price of delivery semantics the
-    # reference doesn't have. Bounded file stream driven to completion.
-    # Measured across micro-batch SIZES (maxFilesPerTrigger over the
-    # 32-file stage): per-batch fixed costs (trigger planning, five
-    # writes, three version merges, the marker) are constant per batch,
-    # so samples/s should rise with batch size — the curve quantifies
-    # how much of the default-size figure is fixed cost. The default
-    # size (8 → 4 micro-batches) stays the headline
-    # `streaming_ingest_sec` for cross-round comparability.
-    stream_meters, stream_seconds = 4, 1800
-    stream_ingest_sec = None
-    stream_curve: dict[str, dict] = {}
-    try:
-        from cassaforte_meter_transmission_gen_spark.streaming.pipeline import (
-            run_bounded_streaming_ingest,
-        )
-
-        for files_per_trigger in (4, 8, 32):
-            sout = tempfile.mkdtemp(prefix="bench_stream_ingest_")
-            t0 = time.perf_counter()
-            try:
-                run_bounded_streaming_ingest(
-                    spark,
-                    sout,
-                    num_meters=stream_meters,
-                    seconds=stream_seconds,
-                    max_files_per_trigger=files_per_trigger,
-                )
-                sec = round(time.perf_counter() - t0, 3)
-            finally:
-                shutil.rmtree(sout, ignore_errors=True)
-            stream_curve[str(files_per_trigger)] = {
-                "sec": sec,
-                "samples_per_sec": round(
-                    stream_meters * stream_seconds * 15000 / sec
-                ),
-            }
-            if files_per_trigger == 8:
-                stream_ingest_sec = sec
-    except Exception as exc:  # noqa: BLE001
-        errors["streaming_ingest"] = f"{type(exc).__name__}: {exc}"[:500]
-
-    # extend the curve PAST the 32-file stage until it BENDS: r9's
-    # 512-file stage measured 128→256→512 at 35.3→36.4→43.1M samples/s
-    # — still RISING at the largest trigger, so the knee was not yet
-    # located (VERDICT r9 item 1). Round 10 doubles the stage: a
-    # 32×-longer stream staged ONCE (untimed) as 1024 files of the
-    # SAME per-file shape as r9 (225 meter-seconds each, contiguous
-    # slices — see transmissions(slices=)), triggers 256/512/1024.
-    # 256 and 512 are per-file comparable with r9's points (identical
-    # file meaning, 4× and 2× more batches); 1024 is one mega-batch =
-    # the batch limit on this stage. The final point is where the
-    # curve must go flat-or-falling — if it still rises, the committed
-    # narrative must say so and place the operating point at the
-    # measured argmax. Each point is skipped if the whole bench has
-    # already run long (the headline line must never be lost to a
-    # driver-side timeout; budget raised 900→1200 s for the 2× data).
-    ext_meters, ext_seconds, ext_files = 4, 32 * stream_seconds, 1024
-    stream_curve_ext: dict[str, dict] = {}
-    ext_stage = tempfile.mkdtemp(prefix="bench_stream_stage_")
-    try:
-        from cassaforte_meter_transmission_gen_spark.sources.meter_generator import (
-            transmissions,
-        )
-
-        transmissions(
-            spark, num_meters=ext_meters, seconds=ext_seconds, slices=ext_files
-        ).write.mode("overwrite").parquet(ext_stage)
-        for files_per_trigger in (256, 512, 1024):
-            if time.perf_counter() - bench_t0 > 1200:
-                errors["streaming_ingest_ext"] = (
-                    f"curve truncated before {files_per_trigger}:"
-                    " bench elapsed > 1200s"
-                )
-                break
-            sout = tempfile.mkdtemp(prefix="bench_stream_ext_")
-            t0 = time.perf_counter()
-            try:
-                run_bounded_streaming_ingest(
-                    spark,
-                    sout,
-                    num_meters=ext_meters,
-                    seconds=ext_seconds,
-                    max_files_per_trigger=files_per_trigger,
-                    stage_files=ext_files,
-                    stage_dir=ext_stage,
-                )
-                sec = round(time.perf_counter() - t0, 3)
-            finally:
-                shutil.rmtree(sout, ignore_errors=True)
-            stream_curve_ext[str(files_per_trigger)] = {
-                "sec": sec,
-                "samples_per_sec": round(
-                    ext_meters * ext_seconds * 15000 / sec
-                ),
-            }
-    except Exception as exc:  # noqa: BLE001
-        errors["streaming_ingest_ext"] = f"{type(exc).__name__}: {exc}"[:500]
-    finally:
-        shutil.rmtree(ext_stage, ignore_errors=True)
 
     total = round(sum(times.values()), 3)
     load_at_end = [round(x, 2) for x in os.getloadavg()]
