@@ -1670,3 +1670,104 @@ def test_unigram_lm_train_rejects_zero_rounds(spark, sf_small):
     docs = spark.createDataFrame([("a b",)], "text string")
     with pytest.raises(ValueError, match="em_rounds"):
         unigram_lm_train(docs, em_rounds=0)
+
+
+def test_global_running_totals_multi_column_matches_nested(spark):
+    """The r15 multi-column prefix sum (one bucket assignment/window/
+    offsets join for N same-order columns) must be bit-equal to the
+    nested single-column composition it replaced."""
+    from cassaforte_meter_transmission_gen_spark.operators.packing import (
+        global_running_total,
+        global_running_totals,
+    )
+
+    rows = [(i * 7 % 101, (i * 13) % 50 + 1, (i * 5) % 9) for i in range(101)]
+    df = spark.createDataFrame(rows, "id int, a int, b int")
+    nested = global_running_total(
+        global_running_total(df, "id", "a", out_col="ca"),
+        "id",
+        "b",
+        out_col="cb",
+    )
+    fused = global_running_totals(df, "id", ["a", "b"], ["ca", "cb"])
+    want = sorted((r["id"], r["ca"], r["cb"]) for r in nested.collect())
+    got = sorted((r["id"], r["ca"], r["cb"]) for r in fused.collect())
+    assert got == want
+
+
+def test_global_running_total_precomputed_bounds_equal(spark):
+    """Caller-supplied bucket boundaries (the r15 combined-stats-agg
+    path) must give the identical prefix sum as the self-sketched
+    approxQuantile path for ANY boundary placement — including empty,
+    degenerate, and off-grid boundary sets (balance-only contract)."""
+    from cassaforte_meter_transmission_gen_spark.operators.packing import (
+        global_running_total,
+    )
+
+    rows = [(i * 7 % 101, (i * 13) % 50 + 1) for i in range(101)]
+    df = spark.createDataFrame(rows, "id int, v int")
+    want = sorted(
+        (r["id"], r["rt"])
+        for r in global_running_total(df, "id", "v", out_col="rt").collect()
+    )
+    for bounds in ([], [50.0], [10.5, 10.5, 90.0], [-5.0, 200.0]):
+        got = global_running_total(
+            df, "id", "v", out_col="rt", bounds=bounds
+        )
+        assert (
+            sorted((r["id"], r["rt"]) for r in got.collect()) == want
+        ), bounds
+
+
+def test_monotone_money_key_bounds_from_same_agg(spark):
+    """monotone_money_key(n_bounds=k) must return the same key/count as
+    the two-tuple form plus key-space boundaries that are monotone and
+    lie inside the key range (the r15 one-driver-job path)."""
+    from pyspark.sql import functions as F
+
+    from cassaforte_meter_transmission_gen_spark.plans.compat import (
+        monotone_money_key,
+    )
+
+    rows = [(i, float((i * 37) % 500) + 0.25) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, money double")
+    key2, n2 = monotone_money_key(df, "money", "k")
+    key3, n3, bounds = monotone_money_key(df, "money", "k", 8)
+    assert n2 == n3 == 200
+    assert bounds == sorted(bounds) and len(bounds) >= 1
+    keys = [
+        r["kk"]
+        for r in df.select(key3.alias("kk")).collect()
+    ]
+    assert min(keys) <= bounds[0] and bounds[-1] <= max(keys)
+    # same key expression values either way
+    keys2 = [r["kk"] for r in df.select(key2.alias("kk")).collect()]
+    assert sorted(keys) == sorted(keys2)
+
+
+def test_spread_small_scan_sizes_tasks_by_bytes(spark, sf_small, tmp_path):
+    """The r15 task right-sizing: a small single-file scan spreads to a
+    bytes-derived count (floored, capped at default parallelism), not
+    always to full parallelism."""
+    from cassaforte_meter_transmission_gen_spark.functions.spread import (
+        SPREAD_MIN_TASKS,
+        SPREAD_TASK_BYTES,
+        spread_small_scan,
+    )
+    import os
+
+    path = str(tmp_path / "tiny.parquet")
+    spark.range(1000).coalesce(1).write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    spread = spread_small_scan(df)
+    got = spread.rdd.getNumPartitions()
+    total = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(path)
+        for f in fs
+    )
+    par = spark.sparkContext.defaultParallelism
+    want = min(par, max(min(SPREAD_MIN_TASKS, par),
+                        -(-total // SPREAD_TASK_BYTES)))
+    assert got == want
+    assert spread.count() == 1000
